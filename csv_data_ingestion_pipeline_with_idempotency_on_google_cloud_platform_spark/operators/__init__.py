@@ -1,0 +1,9 @@
+from .ingest import ingest_batch  # noqa: F401
+from .ledger import (  # noqa: F401
+    latest_wins,
+    list_uploads,
+    point_lookup,
+    read_ledger,
+    upsert_append,
+)
+from .dlq import route_to_dlq  # noqa: F401

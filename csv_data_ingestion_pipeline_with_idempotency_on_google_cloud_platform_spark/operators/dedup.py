@@ -1,0 +1,261 @@
+"""Deduplication operators — extension X1/X2 (SURVEY.md §2b).
+
+Exact dedup generalizes the reference's content-addressed idempotency
+key (``main.py:15-18``: sha256 identity → skip-if-seen) from file
+identity tuples to document content. Near-dup adds MinHash+LSH, SimHash,
+and n-gram Jaccard — the standard trio for LLM-corpus dedup.
+
+Scale notes (the whole point at 100 TB):
+- exact: one narrow projection + one shuffle on a 64-hex key. The
+  winner-per-group window is `row_number` over the hash — with AQE the
+  hot empty-document hash gets skew-split.
+- MinHash+LSH: never materializes the O(n²) pair space. Shingle →
+  per-permutation min-hash (map-side partial `min` aggregation, so the
+  shuffle carries |docs|×num_perm longs, not |shingles|) → band-bucket
+  self-join. Only same-bucket pairs are generated, and the band join is
+  a plain hash join Catalyst can plan (sort-merge or broadcast).
+- SimHash: one 64-bit signature per doc; candidate pairs via 16-bit
+  block banding (pigeonhole: hamming ≤ 3 ⇒ some block equal).
+- n-gram Jaccard: exact verification on LSH candidates, or standalone
+  for small corpora; the shingle self-join is bounded by shingle
+  frequency (cap hot shingles before joining on real corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import content_hash_col, normalize_text_col, tokens_col
+
+DEFAULT_NUM_PERM = 32
+DEFAULT_BANDS = 8
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One canonical row per distinct normalized content (X1).
+
+    Returns (id_col, content_hash) of the kept (minimum-id) document.
+    """
+    hashed = docs.select(F.col(id_col), content_hash_col(text_col).alias("content_hash"))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def word_shingles_col(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (pure expression:
+    sequence → transform → concat_ws over an array slice)."""
+    toks = tokens_col(text)
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    starts = F.sequence(F.lit(1), n_sh)
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>[num_perm]) — min over seeded xxhash64 of each
+    shingle; the seed column makes one hash family per permutation.
+
+    The explode+groupBy aggregates map-side (partial min), so the shuffle
+    volume is |docs| × num_perm, independent of document length.
+    """
+    shingled = docs.select(
+        F.col(id_col), F.explode(word_shingles_col(text_col, shingle_n)).alias("shingle")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    agg = shingled.groupBy(id_col).agg(*mins)
+    return agg.select(F.col(id_col), F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    min_est_jaccard: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X2 near-dup candidate pairs via banded MinHash-LSH.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
+    fraction of agreeing minhash positions. No cross join anywhere: the
+    pair space is generated only inside equal (band_id, band_hash)
+    buckets.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
+
+    band_entries = sigs.select(
+        F.col(id_col).alias("id"),
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.xxhash64(
+                        *[F.element_at("sig", b * rows_per_band + j + 1) for j in range(rows_per_band)]
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select("id", "sig", "band.band_id", "band.band_hash")
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
+def simhash_col(text: Column | str, bits: int = 63) -> Column:
+    """SimHash signature (bits<64 to stay in signed-long territory):
+    per-token xxhash64, majority vote per bit. Pure expressions — the
+    per-bit vote folds over the token array without exploding rows."""
+    toks = F.array_distinct(tokens_col(text))
+    sig = F.lit(0).cast("long")
+    for bit in range(bits):
+        vote = F.aggregate(
+            F.transform(
+                toks,
+                lambda t: F.when(
+                    F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(vote > 0, F.lit(1 << bit).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block-permutation banding (4 × 16-bit
+    blocks; hamming ≤ 3 guarantees at least one equal block), then exact
+    hamming check with `bit_count(xor)` on candidates only."""
+    sigs = docs.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sim"))
+    blocks = sigs.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(blk).alias("block_id"),
+                    F.shiftright("sim", blk * 16).bitwiseAND(F.lit(0xFFFF)).alias("block_val"),
+                )
+                for blk in range(4)
+            ])
+        ).alias("b"),
+    ).select("id", "sim", "b.block_id", "b.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.block_id") == F.col("b.block_id"),
+                F.col("a.block_val") == F.col("b.block_val"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    |A∩B| via a shingle-equality self-join (map-side combinable count),
+    |A∪B| = |A|+|B|−|A∩B|. On a real corpus the hot-shingle cap (drop
+    shingles appearing in > f·N docs) bounds the join fan-out; at test
+    scale the raw join is fine.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles_col(text_col, n)).alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"), F.col("a.id") < F.col("b.id")])
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return j.select("id_a", "id_b", "jaccard")

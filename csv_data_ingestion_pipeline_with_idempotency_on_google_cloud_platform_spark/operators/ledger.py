@@ -1,0 +1,78 @@
+"""Uploads-ledger semantics — operators S3/S4/T1/F3/F4 (SURVEY.md §2a).
+
+The reference's ledger is a Firestore collection mutated in place with
+keyed upserts (``main.py:61-68``) and field updates
+(``main.py:110-113,133-137,148-152``); its read surface is a point
+lookup and a status-filtered listing (``README.md:48-64``).
+
+Spark-first design: the ledger is an **append-only Parquet table** of
+status-transition rows; "current state" is a latest-wins window view.
+This is strictly more capable than the reference's in-place mutation
+(full history preserved), needs no transactional store, and scales: the
+append is a blind write (no read-modify-write), and the latest-wins
+window shuffles once on `upload_id` — at 100 TB the table would be
+date-partitioned so the view prunes to recent partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schemas import LEDGER_SCHEMA
+
+
+def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
+    """Read the transition log; empty DataFrame if nothing ingested yet."""
+    try:
+        return spark.read.schema(LEDGER_SCHEMA).parquet(ledger_dir)
+    except Exception:
+        return spark.createDataFrame([], LEDGER_SCHEMA)
+
+
+def upsert_append(transitions: DataFrame, ledger_dir: str) -> None:
+    """Idempotent upsert as blind append (S3/S4).
+
+    Firestore's ``set(merge=True)`` becomes append-a-transition-row;
+    readers resolve the current doc with `latest_wins`. Single shuffle-free
+    write; on a real cluster this is partitioned by ingest date.
+    """
+    transitions.write.mode("append").parquet(ledger_dir)
+
+
+def latest_wins(ledger: DataFrame, key: str = "upload_id", ts: str = "ts") -> DataFrame:
+    """Current-state view (T1): last transition per upload wins.
+
+    `row_number` over (key, ts desc) — one hash shuffle on the key, then
+    a per-partition sort; with AQE the skewed-key case splits
+    automatically.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    return (
+        ledger.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def point_lookup(ledger: DataFrame, upload_id: str) -> DataFrame:
+    """F3: ``get-upload-status?upload_id=X`` (README.md:48-52).
+
+    Equality predicate → Catalyst pushes it into the Parquet scan
+    (min/max row-group skipping); on a date-partitioned ledger this also
+    prunes partitions.
+    """
+    return latest_wins(ledger.filter(F.col("upload_id") == F.lit(upload_id)))
+
+
+def list_uploads(ledger: DataFrame, status: str | None = None, limit: int = 10) -> DataFrame:
+    """F4: ``list-uploads?status=done&limit=10`` (README.md:54-64).
+
+    Recency-ordered listing; TakeOrderedAndProject keeps only `limit`
+    rows per partition before the final merge — no global sort
+    materialization.
+    """
+    current = latest_wins(ledger)
+    if status is not None:
+        current = current.filter(F.col("status") == F.lit(status))
+    return current.orderBy(F.col("queued_at").desc(), F.col("upload_id")).limit(limit)

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns — extension X3 (SURVEY.md §2b).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small)
+query set, compute dot products JVM-side with higher-order functions,
+take top-k with a rank window (per-query partition). At 100 TB the
+brute-force pass is one full scan — embarrassingly parallel, no shuffle
+except the final per-query top-k (TakeOrdered-style, tiny).
+
+The scale path is LSH bucketing: random-hyperplane signatures prune the
+candidate set to same-bucket vectors; recall is tested against the
+brute-force oracle in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity_col
+
+
+def topk_cosine(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to the vector with `query_vec_id`.
+
+    Returns (vec_id, rank, cos_sim) — query excluded, ties broken by id.
+    """
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).cast("array<double>").alias("__q")
+    )
+    rest = emb.filter(F.col(id_col) != query_vec_id).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    scored = rest.join(F.broadcast(q)).select(
+        F.col(id_col), cosine_similarity_col("__v", "__q").alias("__cos")
+    )
+    w = Window.orderBy(F.col("__cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(id_col), F.col("rank"), F.round("__cos", 6).alias("cos_sim"))
+    )
+
+
+def topk_cosine_many(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch variant: top-k neighbors for every row of `queries`
+    (query_id, embedding). Broadcast the query side; rank window is
+    partitioned by query so the sort never goes global."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__q")
+    )
+    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    scored = base.join(F.broadcast(q), on=F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col, id_col, cosine_similarity_col("__v", "__q").alias("__cos")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("__cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.round("__cos", 6).alias("cos_sim"))
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (stdlib RNG; stable across runs)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket_col(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id for a vector column given literal hyperplanes —
+    pure expression: per-plane double dot product → sign bit → packed int."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def topk_cosine_lsh(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH prunes to the query's
+    bucket, then exact cosine within. Same output schema as topk_cosine;
+    recall measured in tests. At scale the bucket column is precomputed
+    and the table is bucketed/partitioned by it, so a query touches
+    1/2^n_planes of the data."""
+    planes = _hyperplanes(n_planes, dim, seed)
+    bucketed = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__vec"),
+        lsh_bucket_col(vec_col, planes).alias("__bucket"),
+    )
+    qrow = bucketed.filter(F.col(id_col) == query_vec_id).select(
+        F.col("__bucket").alias("__qbucket"),
+        F.col("__vec").cast("array<double>").alias("__q"),
+    )
+    cand = bucketed.filter(F.col(id_col) != query_vec_id).join(
+        F.broadcast(qrow), on=F.col("__bucket") == F.col("__qbucket")
+    )
+    scored = cand.select(
+        F.col(id_col), cosine_similarity_col("__vec", "__q").alias("__cos")
+    )
+    w = Window.orderBy(F.col("__cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(id_col), F.col("rank"), F.round("__cos", 6).alias("cos_sim"))
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    min_cosine: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup detection: LSH-bucketed self-join (only
+    same-bucket pairs scored) with exact cosine filter. Returns
+    (id_a, id_b, cos_sim)."""
+    planes = _hyperplanes(n_planes, dim, seed)
+    bucketed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket_col(vec_col, planes).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b,
+        on=[F.col("a.bucket") == F.col("b.bucket"), F.col("a.id") < F.col("b.id")],
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine_similarity_col(F.col("a.v"), F.col("b.v")).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= min_cosine).select(
+        "id_a", "id_b", F.round("cos", 4).alias("cos_sim")
+    )

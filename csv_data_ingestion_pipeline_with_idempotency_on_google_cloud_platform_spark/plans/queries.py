@@ -1,0 +1,733 @@
+"""Named query inventory — the driver-facing surface of the engine.
+
+One entry per operator from SURVEY.md §2 (plus the LLM-pipeline
+extension set), each as a ``(spark, sf_dir) -> DataFrame`` callable with
+an exactly-equivalent DuckDB oracle in ORACLE_SQL. Column names and
+types are aligned between the two on purpose — the driver's comparator
+hashes values after sorting columns by name.
+
+Queries without an oracle entry (MinHash-LSH, SimHash, LSH-ANN) are
+genuinely non-SQL-expressible at parity (they depend on engine hash
+functions / literal hyperplanes); they get rows-only checks from the
+driver and recall/quality tests in tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.json_codec import decode_queue_message, encode_queue_message
+from ..functions.text import lang_id_col
+from ..operators import dedup, multimodal, similarity, textstats, windows
+from ..sources.parquet_source import load_table
+from .standins import (
+    FILES_SQL,
+    LEDGER_SQL,
+    TRANSITIONS_SQL,
+    files_df,
+    ledger_df,
+    transitions_df,
+)
+
+# --------------------------------------------------------------------------
+# S1 csv_scan — projection+filter scan (pushdown-friendly)
+# --------------------------------------------------------------------------
+
+
+def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: partitioned scan with pushed filter + pruned columns
+    (reference: whole-file download, main.py:116-121). The real CSV
+    reader is exercised in tests/test_ingest.py on the reference
+    fixtures; here the same scan shape runs on the driver's parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+        & (F.col("l_quantity") > 30)
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+
+
+SQL_CSV_SCAN = """
+SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_quantity > 30
+"""
+
+# --------------------------------------------------------------------------
+# F1 suffix_filter
+# --------------------------------------------------------------------------
+
+
+def q_suffix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: case-insensitive .csv suffix filter (main.py:34-36)."""
+    f = files_df(spark, sf_dir)
+    return f.filter(F.lower(F.col("file_name")).endswith(".csv")).select(
+        "file_key", "bucket_name", "file_name"
+    )
+
+
+SQL_SUFFIX_FILTER = f"""
+SELECT file_key, bucket_name, file_name
+FROM ({FILES_SQL})
+WHERE lower(file_name) LIKE '%.csv'
+"""
+
+# --------------------------------------------------------------------------
+# K1 sha256_key
+# --------------------------------------------------------------------------
+
+
+def q_sha256_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: content-addressed upload_id (main.py:15-18)."""
+    from ..functions.keys import upload_id_col
+
+    return files_df(spark, sf_dir).select(
+        "file_key", upload_id_col().alias("upload_id")
+    )
+
+
+SQL_SHA256_KEY = f"""
+SELECT file_key,
+       substring(sha256(concat_ws('-', bucket_name, file_name,
+         CAST(file_size AS VARCHAR),
+         coalesce(strftime(time_created, '%Y-%m-%dT%H:%M:%S'), ''))), 1, 16) AS upload_id
+FROM ({FILES_SQL})
+"""
+
+# --------------------------------------------------------------------------
+# S5 json_encode / S2 json_decode
+# --------------------------------------------------------------------------
+
+
+def q_json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: queue-message payload (main.py:74-81)."""
+    led = ledger_df(spark, sf_dir)
+    return led.select(
+        "upload_id",
+        encode_queue_message("upload_id", "bucket_name", "file_name").alias("payload"),
+    )
+
+
+SQL_JSON_ENCODE = f"""
+SELECT upload_id,
+       '{{"upload_id":"' || upload_id || '","bucket_name":"' || bucket_name ||
+       '","file_name":"' || file_name || '"}}' AS payload
+FROM ({LEDGER_SQL})
+"""
+
+
+def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: base64 wire roundtrip + JSON field extraction (main.py:98-103),
+    exercised on the events.props JSON column."""
+    ev = load_table(spark, sf_dir, "events")
+    wire = F.base64(F.col("props").cast("binary"))
+    decoded = F.unbase64(wire).cast("string")
+    return ev.select(
+        "event_id",
+        F.get_json_object(decoded, "$.k").cast("int").alias("k"),
+    )
+
+
+SQL_JSON_DECODE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+# --------------------------------------------------------------------------
+# F2 idempotency_anti_join
+# --------------------------------------------------------------------------
+
+
+def q_idempotency_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: skip-if-done gate as a broadcast LEFT ANTI join (main.py:52-58)."""
+    from ..functions.keys import upload_id_col
+
+    candidates = (
+        files_df(spark, sf_dir)
+        .filter(F.lower(F.col("file_name")).endswith(".csv"))
+        .withColumn("upload_id", upload_id_col())
+    )
+    done = (
+        ledger_df(spark, sf_dir)
+        .filter(F.col("status") == "done")
+        .select("upload_id")
+    )
+    return candidates.join(F.broadcast(done), "upload_id", "left_anti").select(
+        "file_key", "upload_id", "file_name"
+    )
+
+
+SQL_IDEMPOTENCY_ANTI_JOIN = f"""
+WITH files AS ({FILES_SQL}),
+     cand AS (
+       SELECT file_key,
+              substring(sha256(concat_ws('-', bucket_name, file_name,
+                CAST(file_size AS VARCHAR),
+                coalesce(strftime(time_created, '%Y-%m-%dT%H:%M:%S'), ''))), 1, 16) AS upload_id,
+              file_name
+       FROM files WHERE lower(file_name) LIKE '%.csv'
+     ),
+     ledger AS ({LEDGER_SQL})
+SELECT c.file_key, c.upload_id, c.file_name
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM ledger l WHERE l.upload_id = c.upload_id AND l.status = 'done'
+)
+"""
+
+# --------------------------------------------------------------------------
+# F3 point_lookup
+# --------------------------------------------------------------------------
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: get-upload-status by upload_id (README.md:48-52). The request
+    key is the ledger's minimum file_key's upload_id (deterministic at
+    every sf); the lookup itself is a broadcast semi join."""
+    led = ledger_df(spark, sf_dir)
+    req = led.orderBy("file_key").limit(1).select("upload_id")
+    return led.join(F.broadcast(req), "upload_id", "semi").select(
+        "upload_id", "file_name", "status", "queued_at"
+    )
+
+
+SQL_POINT_LOOKUP = f"""
+WITH ledger AS ({LEDGER_SQL}),
+     req AS (SELECT upload_id FROM ledger ORDER BY file_key LIMIT 1)
+SELECT upload_id, file_name, status, queued_at
+FROM ledger WHERE upload_id IN (SELECT upload_id FROM req)
+"""
+
+# --------------------------------------------------------------------------
+# F4 status_filter_limit
+# --------------------------------------------------------------------------
+
+
+def q_status_filter_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: list-uploads?status=done&limit=10, recency-ordered
+    (README.md:54-64); total order via upload_id tiebreak."""
+    led = ledger_df(spark, sf_dir)
+    return (
+        led.filter(F.col("status") == "done")
+        .orderBy(F.col("queued_at").desc(), "upload_id")
+        .limit(10)
+        .select("upload_id", "file_name", "status", "queued_at")
+    )
+
+
+SQL_STATUS_FILTER_LIMIT = f"""
+SELECT upload_id, file_name, status, queued_at
+FROM ({LEDGER_SQL})
+WHERE status = 'done'
+ORDER BY queued_at DESC, upload_id
+LIMIT 10
+"""
+
+# --------------------------------------------------------------------------
+# V1 row_count_validation / A1 per_file_count
+# --------------------------------------------------------------------------
+
+
+def q_row_count_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1: reject 'files' with < 2 lines (main.py:126-127); lineitem
+    lines per order stand in for file lines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counted = li.groupBy(F.col("l_orderkey").alias("upload_key")).agg(
+        F.count("*").alias("n_lines")
+    )
+    return counted.select(
+        "upload_key",
+        "n_lines",
+        F.when(F.col("n_lines") < 2, "failed").otherwise("done").alias("status"),
+    )
+
+
+SQL_ROW_COUNT_VALIDATION = """
+SELECT l_orderkey AS upload_key,
+       COUNT(*) AS n_lines,
+       CASE WHEN COUNT(*) < 2 THEN 'failed' ELSE 'done' END AS status
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_per_file_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: lines_processed per file (main.py:123,136)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_orderkey").alias("file_key")).agg(
+        F.count("*").alias("lines_processed")
+    )
+
+
+SQL_PER_FILE_COUNT = """
+SELECT l_orderkey AS file_key, COUNT(*) AS lines_processed
+FROM lineitem GROUP BY l_orderkey
+"""
+
+# --------------------------------------------------------------------------
+# S3/S4 ledger_upsert — append + latest-wins merge
+# --------------------------------------------------------------------------
+
+
+def q_ledger_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4: Firestore set(merge=True) as append + latest-wins. Base
+    snapshot (seq 1) unioned with an update batch (pending→done, seq 2);
+    the merged current state is the window winner."""
+    led = ledger_df(spark, sf_dir)
+    base = led.select("upload_id", "status", F.lit(1).alias("seq"))
+    updates = led.filter(F.col("status") == "pending").select(
+        "upload_id", F.lit("done").alias("status"), F.lit(2).alias("seq")
+    )
+    merged = base.unionByName(updates)
+    w = Window.partitionBy("upload_id").orderBy(F.col("seq").desc())
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("upload_id", "status")
+    )
+
+
+SQL_LEDGER_UPSERT = f"""
+WITH ledger AS ({LEDGER_SQL}),
+     merged AS (
+       SELECT upload_id, status, 1 AS seq FROM ledger
+       UNION ALL
+       SELECT upload_id, 'done' AS status, 2 AS seq FROM ledger WHERE status = 'pending'
+     ),
+     ranked AS (
+       SELECT upload_id, status,
+              row_number() OVER (PARTITION BY upload_id ORDER BY seq DESC) AS rn
+       FROM merged
+     )
+SELECT upload_id, status FROM ranked WHERE rn = 1
+"""
+
+# --------------------------------------------------------------------------
+# T1 status_latest_wins
+# --------------------------------------------------------------------------
+
+
+def q_status_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: current status per upload = last transition wins
+    (main.py:66,111,134,149)."""
+    tr = transitions_df(spark, sf_dir)
+    w = Window.partitionBy("upload_key").orderBy(F.col("seq").desc())
+    return (
+        tr.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("upload_key", "status", "seq")
+    )
+
+
+SQL_STATUS_LATEST_WINS = f"""
+WITH t AS ({TRANSITIONS_SQL}),
+     ranked AS (
+       SELECT upload_key, status, seq,
+              row_number() OVER (PARTITION BY upload_key ORDER BY seq DESC) AS rn
+       FROM t
+     )
+SELECT upload_key, status, seq FROM ranked WHERE rn = 1
+"""
+
+# --------------------------------------------------------------------------
+# E2 dlq_routing
+# --------------------------------------------------------------------------
+
+
+def q_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: failed attempts per upload; terminal at >= 5 attempts
+    (ARCHITECTURE.md:73-79)."""
+    tr = transitions_df(spark, sf_dir)
+    return (
+        tr.filter(F.col("status") == "failed")
+        .groupBy("upload_key")
+        .agg(F.count("*").cast("int").alias("attempt"))
+        .withColumn("terminal", F.col("attempt") >= 5)
+    )
+
+
+SQL_DLQ_ROUTING = f"""
+SELECT upload_key,
+       CAST(COUNT(*) AS INTEGER) AS attempt,
+       COUNT(*) >= 5 AS terminal
+FROM ({TRANSITIONS_SQL})
+WHERE status = 'failed'
+GROUP BY upload_key
+"""
+
+# --------------------------------------------------------------------------
+# X1 exact_dedup
+# --------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+SQL_EXACT_DEDUP = r"""
+WITH h AS (
+  SELECT doc_id,
+         sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, content_hash,
+         row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, content_hash FROM ranked WHERE rn = 1
+"""
+
+# --------------------------------------------------------------------------
+# X2 near-dup family (engine-hash-dependent → rows-only checks)
+# --------------------------------------------------------------------------
+
+
+def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs, min_est_jaccard=0.3)
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, max_hamming=3)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+  FROM toks
+),
+shingles AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM starts
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.n_inter AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) /
+      CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+"""
+
+# --------------------------------------------------------------------------
+# X3 similarity search
+# --------------------------------------------------------------------------
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine(emb, query_vec_id=0, k=10).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+SQL_TOPK_COSINE = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+           (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+            sqrt(list_dot_product(qv, qv))) AS cos
+  FROM embeddings, q WHERE vec_id <> 0
+),
+ranked AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank, cos
+  FROM scored
+)
+SELECT vec_id, rank, ROUND(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10
+"""
+
+
+def q_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine_lsh(emb, query_vec_id=0, k=10).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, min_cosine=0.9)
+
+
+# --------------------------------------------------------------------------
+# X4 text analysis
+# --------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_STATS = r"""
+WITH per_doc AS (
+  SELECT lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         n_chars
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+FROM per_doc GROUP BY lang
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.language_id(load_table(spark, sf_dir, "documents"))
+
+
+SQL_LANG_ID = r"""
+SELECT doc_id,
+       CASE
+         WHEN regexp_matches(text, '[\x{0E00}-\x{0E7F}]') THEN 'th'
+         WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+         WHEN regexp_matches(text, '[\x{0400}-\x{04FF}]') THEN 'ru'
+         WHEN len(list_intersect(
+                CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(trim(lower(text)), '\s+') END,
+                ['the','a','an','and','or','of','to','in','is','it'])) > 0 THEN 'en'
+         ELSE 'unknown'
+       END AS lang_pred
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_SCORE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+         CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha
+  FROM documents
+),
+derived AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         n_punct / greatest(CAST(n_chars AS DOUBLE), 1.0) AS punct_ratio,
+         CAST(len(list_filter(toks, x -> list_contains(
+             ['the','a','an','and','or','of','to','in','is','it'], lower(x))))
+           AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stopword_ratio,
+         n_alpha / greatest(CAST(n_chars AS DOUBLE), 1.0) AS alpha_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens,
+       ROUND(punct_ratio, 4) AS punct_ratio,
+       ROUND(stopword_ratio, 4) AS stopword_ratio,
+       ROUND(alpha_ratio, 4) AS alpha_ratio,
+       ROUND(0.4 * alpha_ratio
+           + 0.4 * least(stopword_ratio * 2, 1.0)
+           + 0.2 * (1.0 - least(punct_ratio * 4, 1.0)), 4) AS quality_score
+FROM derived
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id,
+       substring(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 16) AS fingerprint,
+       sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# X5 multimodal / JSON props
+# --------------------------------------------------------------------------
+
+
+def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (JSON props): typed extraction + aggregation by event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+SQL_PROPS_JSON_EXTRACT = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (binary payloads): Arrow-batched mapInPandas metadata pass over
+    an opaque binary column (decode step stubbed; see operators/multimodal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs)
+    return multimodal.media_metadata(media)
+
+
+SQL_BINARY_META = """
+SELECT doc_id,
+       'text/plain' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       substring(sha256(text), 1, 16) AS sha256_16
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# X6 event-time windows
+# --------------------------------------------------------------------------
+
+
+def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.tumbling_window_agg(load_table(spark, sf_dir, "events"))
+
+
+SQL_TUMBLING_WINDOW_AGG = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
+# flagship analytics query (entry): TPC-H Q1-style pricing summary
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary over lineitem — the engine's flagship aggregate.
+    Sums in DECIMAL for exact, engine-independent results; cast to
+    double at the boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(30,10)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # reference-derived (SURVEY §2a)
+    "csv_scan": q_csv_scan,
+    "suffix_filter": q_suffix_filter,
+    "sha256_key": q_sha256_key,
+    "json_encode": q_json_encode,
+    "json_decode": q_json_decode,
+    "idempotency_anti_join": q_idempotency_anti_join,
+    "point_lookup": q_point_lookup,
+    "status_filter_limit": q_status_filter_limit,
+    "row_count_validation": q_row_count_validation,
+    "per_file_count": q_per_file_count,
+    "ledger_upsert": q_ledger_upsert,
+    "status_latest_wins": q_status_latest_wins,
+    "dlq_routing": q_dlq_routing,
+    # extensions (SURVEY §2b)
+    "exact_dedup": q_exact_dedup,
+    "near_dedup": q_near_dedup,
+    "simhash_near_dup": q_simhash_near_dup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "topk_cosine": q_topk_cosine,
+    "topk_cosine_lsh": q_topk_cosine_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "props_json_extract": q_props_json_extract,
+    "binary_meta": q_binary_meta,
+    "tumbling_window_agg": q_tumbling_window_agg,
+    # flagship
+    "tpch_q1": q_tpch_q1,
+}
+
+# near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
+# engine-hash / literal-hyperplane dependent → rows-only checks (their
+# quality is asserted against exact baselines in tests/).
+ORACLE_SQL: dict[str, str] = {
+    "csv_scan": SQL_CSV_SCAN,
+    "suffix_filter": SQL_SUFFIX_FILTER,
+    "sha256_key": SQL_SHA256_KEY,
+    "json_encode": SQL_JSON_ENCODE,
+    "json_decode": SQL_JSON_DECODE,
+    "idempotency_anti_join": SQL_IDEMPOTENCY_ANTI_JOIN,
+    "point_lookup": SQL_POINT_LOOKUP,
+    "status_filter_limit": SQL_STATUS_FILTER_LIMIT,
+    "row_count_validation": SQL_ROW_COUNT_VALIDATION,
+    "per_file_count": SQL_PER_FILE_COUNT,
+    "ledger_upsert": SQL_LEDGER_UPSERT,
+    "status_latest_wins": SQL_STATUS_LATEST_WINS,
+    "dlq_routing": SQL_DLQ_ROUTING,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "topk_cosine": SQL_TOPK_COSINE,
+    "token_stats": SQL_TOKEN_STATS,
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY_SCORE,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "props_json_extract": SQL_PROPS_JSON_EXTRACT,
+    "binary_meta": SQL_BINARY_META,
+    "tumbling_window_agg": SQL_TUMBLING_WINDOW_AGG,
+    "tpch_q1": SQL_TPCH_Q1,
+}
