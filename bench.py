@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect). Run directly: python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Representative slice of the inventory: reference write path, query API,
+# and each extension family.
+HEADLINE = [
+    "csv_scan",
+    "sha256_key",
+    "idempotency_anti_join",
+    "status_filter_limit",
+    "status_latest_wins",
+    "per_file_count",
+    "dlq_routing",
+    "tpch_q1",
+    "exact_dedup",
+    "token_stats",
+    "quality_score",
+    "props_json_extract",
+    "tumbling_window_agg",
+    "topk_cosine",
+    "near_dedup",
+]
+
+
+def main() -> None:
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.plans import (
+        QUERIES,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark(app_name="bench", cpus=CPUS)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = None
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        # warm the reader metadata once so timings measure compute, not
+        # first-touch file listing
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -23,11 +23,19 @@ from ..schemas import LEDGER_SCHEMA
 
 
 def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
-    """Read the transition log; empty DataFrame if nothing ingested yet."""
-    try:
-        return spark.read.schema(LEDGER_SCHEMA).parquet(ledger_dir)
-    except Exception:
+    """Read the transition log; empty DataFrame if nothing ingested yet.
+
+    A missing dir, or one holding only a `_SUCCESS` marker from an
+    empty-batch append, yields an empty typed DataFrame instead of a
+    lazy FileNotFound at action time. (Local-FS check; on object
+    storage the ledger table is created once up front.)
+    """
+    import glob
+    import os
+
+    if not glob.glob(os.path.join(ledger_dir, "*.parquet")):
         return spark.createDataFrame([], LEDGER_SCHEMA)
+    return spark.read.schema(LEDGER_SCHEMA).parquet(ledger_dir)
 
 
 def upsert_append(transitions: DataFrame, ledger_dir: str) -> None:

@@ -41,11 +41,17 @@ def topk_cosine(
     scored = rest.join(F.broadcast(q)).select(
         F.col(id_col), cosine_similarity_col("__v", "__q").alias("__cos")
     )
+    return _rank_topk(scored, id_col, k)
+
+
+def _rank_topk(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition heaps, no global sort/shuffle); the rank window then
+    runs over only the k survivors."""
+    top = scored.orderBy(F.col("__cos").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("__cos").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col(id_col), F.col("rank"), F.round("__cos", 6).alias("cos_sim"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col(id_col), F.col("rank"), F.round("__cos", 6).alias("cos_sim")
     )
 
 
@@ -105,34 +111,46 @@ def topk_cosine_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH prunes to the query's
-    bucket, then exact cosine within. Same output schema as topk_cosine;
-    recall measured in tests. At scale the bucket column is precomputed
-    and the table is bucketed/partitioned by it, so a query touches
-    1/2^n_planes of the data."""
+    probe buckets, then exact cosine within. Same output schema as
+    topk_cosine; recall measured in tests.
+
+    Multi-probe: the query side explodes into all buckets within
+    `probe_radius` bit flips (radius 1 → n_planes+1 probes), so the
+    candidate join stays a plain equality hash join — at scale the table
+    is bucketed/partitioned by the bucket column and a query touches
+    (n_planes+1)/2^n_planes of the data instead of scanning everything.
+    """
     planes = _hyperplanes(n_planes, dim, seed)
     bucketed = emb.select(
         F.col(id_col),
         F.col(vec_col).alias("__vec"),
         lsh_bucket_col(vec_col, planes).alias("__bucket"),
     )
+    masks = [0]
+    if probe_radius >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if probe_radius >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
     qrow = bucketed.filter(F.col(id_col) == query_vec_id).select(
-        F.col("__bucket").alias("__qbucket"),
+        F.explode(
+            F.array(*[F.col("__bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("__probe"),
         F.col("__vec").cast("array<double>").alias("__q"),
     )
     cand = bucketed.filter(F.col(id_col) != query_vec_id).join(
-        F.broadcast(qrow), on=F.col("__bucket") == F.col("__qbucket")
+        F.broadcast(qrow), on=F.col("__bucket") == F.col("__probe")
     )
     scored = cand.select(
         F.col(id_col), cosine_similarity_col("__vec", "__q").alias("__cos")
     )
-    w = Window.orderBy(F.col("__cos").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col(id_col), F.col("rank"), F.round("__cos", 6).alias("cos_sim"))
-    )
+    return _rank_topk(scored, id_col, k)
 
 
 def embedding_near_dup_pairs(

@@ -465,7 +465,9 @@ SELECT vec_id, rank, ROUND(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10
 
 def q_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.topk_cosine_lsh(emb, query_vec_id=0, k=10).withColumn(
+    return similarity.topk_cosine_lsh(
+        emb, query_vec_id=0, k=10, n_planes=6, probe_radius=2
+    ).withColumn(
         "rank", F.col("rank").cast("long")
     )
 

@@ -1,0 +1,93 @@
+"""Quality tests for the non-oracle operators: MinHash-LSH and SimHash
+near-dup detection against planted duplicates, and LSH-ANN recall
+against the exact brute-force top-k.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators import (
+    dedup,
+    similarity,
+)
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """documents + planted near-duplicates of doc_id 0..4 (one word
+    changed) and one exact duplicate of doc 0."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 5)
+    near = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") == 0).select(
+        F.lit(200000).alias("doc_id").cast("long"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+def test_exact_dedup_finds_planted_duplicate(spark, planted_docs):
+    kept = dedup.exact_dedup(planted_docs)
+    # 505 + 1 exact dup → one hash collapses two docs
+    assert kept.count() == planted_docs.count() - 1
+    # winner is the min doc_id (0, not 200000)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 0 in ids and 200000 not in ids
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, planted_docs):
+    pairs = dedup.minhash_lsh_candidates(
+        planted_docs, min_est_jaccard=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every planted near-dup pair must surface
+    for i in range(5):
+        assert (i, i + 100000) in found, f"missing planted pair {i}"
+    # exact dup pair estimated at ~1.0
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert est.get((0, 200000), 0) == 1.0
+
+
+def test_simhash_finds_exact_dup(spark, planted_docs):
+    pairs = dedup.simhash_near_dups(planted_docs, max_hamming=3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 200000) in found
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert ham[(0, 200000)] == 0
+
+
+def test_ngram_jaccard_exact_dup_is_one(spark, planted_docs):
+    pairs = dedup.ngram_jaccard_pairs(planted_docs, min_jaccard=0.9).collect()
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert j.get((0, 200000)) == 1.0
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {
+        r["vec_id"]
+        for r in similarity.topk_cosine(emb, query_vec_id=0, k=10).collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in similarity.topk_cosine_lsh(
+            emb, query_vec_id=0, k=10, n_planes=4, probe_radius=2
+        ).collect()
+    }
+    # 4 planes + radius-2 multi-probe on 500 random vecs
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_embedding_near_dup_pairs_runs(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = similarity.embedding_near_dup_pairs(emb, min_cosine=0.5, n_planes=4)
+    rows = pairs.collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["cos_sim"] >= 0.5
