@@ -667,6 +667,158 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 # --------------------------------------------------------------------------
+# analytics breadth: joins, rollups, sliding/session windows, batch top-k
+# --------------------------------------------------------------------------
+
+
+def q_join_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema revenue rollup (TPC-H Q5 shape): lineitem⋈orders⋈
+    customer⋈nation⋈region. Dimensions are broadcast explicitly — at
+    100 TB only the fact table shuffles (for the final groupBy); every
+    join is map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_JOIN_REVENUE_ROLLUP = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY r_name, n_name
+"""
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping over lineitem flags — subtotal + grand-total rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+SQL_ROLLUP_AGG = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 sliding windows: 2-hour windows every hour — each event lands
+    in exactly two windows."""
+    return windows.sliding_window_agg(
+        load_table(spark, sf_dir, "events"), duration="2 hours", slide="1 hour"
+    )
+
+
+SQL_SLIDING_WINDOW_AGG = """
+WITH e AS (
+  SELECT event_type,
+         UNNEST([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+           AS window_start
+  FROM events
+)
+SELECT window_start,
+       window_start + INTERVAL 2 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM e GROUP BY window_start, event_type
+"""
+
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 session windows: per-user 30-minute-gap sessions. The oracle is
+    the classic gaps-and-islands rewrite — a strong cross-engine check of
+    Spark's session_window semantics ([first_ts, last_ts + gap))."""
+    return windows.session_window_agg(
+        load_table(spark, sf_dir, "events"), gap="30 minutes"
+    )
+
+
+SQL_SESSION_WINDOW_AGG = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sessions GROUP BY user_id, sess_id
+"""
+
+
+def q_topk_cosine_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 batch variant: top-5 neighbors for each of 5 query vectors in
+    one pass (broadcast query side, per-query rank partitions)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.topk_cosine_many(emb, queries_df, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_TOPK_COSINE_BATCH = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+           (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+            sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+         cos
+  FROM scored
+)
+SELECT query_id, vec_id, rank, ROUND(cos, 6) AS cos_sim FROM ranked WHERE rank <= 5
+"""
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -700,6 +852,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_json_extract": q_props_json_extract,
     "binary_meta": q_binary_meta,
     "tumbling_window_agg": q_tumbling_window_agg,
+    "sliding_window_agg": q_sliding_window_agg,
+    "session_window_agg": q_session_window_agg,
+    # analytics breadth
+    "join_revenue_rollup": q_join_revenue_rollup,
+    "rollup_agg": q_rollup_agg,
+    "topk_cosine_batch": q_topk_cosine_batch,
     # flagship
     "tpch_q1": q_tpch_q1,
 }
@@ -731,5 +889,10 @@ ORACLE_SQL: dict[str, str] = {
     "props_json_extract": SQL_PROPS_JSON_EXTRACT,
     "binary_meta": SQL_BINARY_META,
     "tumbling_window_agg": SQL_TUMBLING_WINDOW_AGG,
+    "sliding_window_agg": SQL_SLIDING_WINDOW_AGG,
+    "session_window_agg": SQL_SESSION_WINDOW_AGG,
+    "join_revenue_rollup": SQL_JOIN_REVENUE_ROLLUP,
+    "rollup_agg": SQL_ROLLUP_AGG,
+    "topk_cosine_batch": SQL_TOPK_COSINE_BATCH,
     "tpch_q1": SQL_TPCH_Q1,
 }
