@@ -54,11 +54,16 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    # warm up the JVM + file listing once so per-query timings measure
+    # compute, not first-touch session/scan initialization
+    spark.range(1000).count()
+    QUERIES["per_file_count"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        # warm the reader metadata once so timings measure compute, not
-        # first-touch file listing
         t0 = time.monotonic()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()

@@ -31,8 +31,12 @@ def content_hash_col(text: Column | str) -> Column:
 
 
 def tokens_col(text: Column | str) -> Column:
-    """Whitespace tokenization; empty/blank text → empty array."""
-    t = F.trim(_c(text))
+    """Whitespace tokenization; empty/blank text → empty array.
+
+    Strip uses a regex, not `trim` — `trim` removes only 0x20 spaces, so
+    tab/newline-padded text would otherwise yield phantom '' tokens.
+    """
+    t = F.regexp_replace(_c(text), r"^\s+|\s+$", "")
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )

@@ -403,8 +403,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NGRAM_JACCARD = r"""
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS t
   FROM documents
 ),
 starts AS (
@@ -489,8 +489,8 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKEN_STATS = r"""
 WITH per_doc AS (
   SELECT lang,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
          n_chars
   FROM documents
 )
@@ -513,8 +513,8 @@ SELECT doc_id,
          WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
          WHEN regexp_matches(text, '[\x{0400}-\x{04FF}]') THEN 'ru'
          WHEN len(list_intersect(
-                CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
-                     ELSE regexp_split_to_array(trim(lower(text)), '\s+') END,
+                CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END,
                 ['the','a','an','and','or','of','to','in','is','it'])) > 0 THEN 'en'
          ELSE 'unknown'
        END AS lang_pred
@@ -530,8 +530,8 @@ SQL_QUALITY_SCORE = r"""
 WITH base AS (
   SELECT doc_id, text,
          length(text) AS n_chars,
-         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks,
          CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) AS n_punct,
          CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha
   FROM documents
@@ -607,6 +607,15 @@ SELECT doc_id,
        substring(sha256(text), 1, 16) AS sha256_16
 FROM documents
 """
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (feature extraction): the full decode→featurize plumbing over
+    binary payloads (deterministic fake features behind the decode_media
+    stub; rows-only check — array<double> output)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs)
+    return multimodal.media_features(media, dim=8)
 
 # --------------------------------------------------------------------------
 # X6 event-time windows
@@ -851,6 +860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "props_json_extract": q_props_json_extract,
     "binary_meta": q_binary_meta,
+    "media_features": q_media_features,
     "tumbling_window_agg": q_tumbling_window_agg,
     "sliding_window_agg": q_sliding_window_agg,
     "session_window_agg": q_session_window_agg,

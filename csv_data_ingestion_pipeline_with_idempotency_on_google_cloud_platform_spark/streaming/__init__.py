@@ -1,1 +1,2 @@
 from .ingest_stream import start_ingest_stream  # noqa: F401
+from .event_stream import windowed_event_counts  # noqa: F401

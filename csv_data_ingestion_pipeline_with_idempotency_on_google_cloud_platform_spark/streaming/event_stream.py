@@ -1,0 +1,42 @@
+"""Streaming event-time analytics — extension X6, streaming side.
+
+The batch windowed aggregations in operators/windows.py reuse the exact
+same `F.window` expressions here; the only streaming additions are the
+watermark (bounded state, late-data tolerance) and the output mode.
+
+At scale: state store size is bounded by (watermark horizon ×
+active keys); the shuffle key is (window, event_type) so state lookups
+are co-located with the aggregation tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type.
+
+    Events later than `watermark` behind the max seen event time are
+    dropped and their windows finalized — the streaming twin of
+    operators.windows.tumbling_window_agg.
+    """
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

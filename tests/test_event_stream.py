@@ -1,0 +1,54 @@
+"""Watermarked streaming window aggregation: stream the events table
+file-by-file through the same window expression as the batch operator
+and check the finalized windows agree with the batch result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+    tumbling_window_agg,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+    load_table,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming import (
+    windowed_event_counts,
+)
+
+from .conftest import SF_DIR
+
+
+def test_streaming_windows_match_batch(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+
+    src = str(tmp_path / "stream_src")
+    events.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = windowed_event_counts(stream, duration="1 hour", watermark="2 hours")
+
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select window_start, event_type, n_events, sum_value from winagg"
+        ).collect()
+    finally:
+        q.stop()
+
+    expected = tumbling_window_agg(events).collect()
+    key = lambda r: (r["window_start"], r["event_type"])
+    got_map = {key(r): (r["n_events"], round(r["sum_value"], 6)) for r in got}
+    exp_map = {key(r): (r["n_events"], round(r["sum_value"], 6)) for r in expected}
+    assert got_map == exp_map

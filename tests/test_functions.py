@@ -1,0 +1,105 @@
+"""Column-function parity tests on an adversarial corpus: the Spark
+expressions must agree with straight Python on empty strings, unicode,
+whitespace soup, and punctuation-only text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.functions import (
+    content_hash_col,
+    token_count_col,
+    upload_id_col,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.functions.text import (
+    lang_id_col,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.multimodal import (
+    fake_features,
+)
+
+CORPUS = [
+    "",
+    " ",
+    "\t\n  \t",
+    "hello world",
+    "  leading and trailing  ",
+    "multi   space\tand\ttabs",
+    "the quick brown fox",
+    "no stopwords here xyzzy qwerty",
+    "สวัสดีครับ this is mixed",
+    "你好世界",
+    "Привет мир",
+    "...!!!???",
+    "a",
+    "word " * 50,
+]
+
+
+def _py_tokens(t: str) -> list[str]:
+    t = t.strip()
+    return t.split() if t else []
+
+
+def test_token_count_matches_python(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "i int, text string")
+    got = {r["i"]: r["n"] for r in df.select("i", token_count_col("text").alias("n")).collect()}
+    for i, t in enumerate(CORPUS):
+        assert got[i] == len(_py_tokens(t)), repr(t)
+
+
+def test_content_hash_matches_python(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "i int, text string")
+    got = {r["i"]: r["h"] for r in df.select("i", content_hash_col("text").alias("h")).collect()}
+    import re
+
+    for i, t in enumerate(CORPUS):
+        norm = re.sub(r"\s+", " ", t).strip().lower()
+        assert got[i] == hashlib.sha256(norm.encode()).hexdigest(), repr(t)
+
+
+def test_lang_id_edges(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "i int, text string")
+    got = {r["i"]: r["l"] for r in df.select("i", lang_id_col("text").alias("l")).collect()}
+    assert got[CORPUS.index("สวัสดีครับ this is mixed")] == "th"
+    assert got[CORPUS.index("你好世界")] == "zh"
+    assert got[CORPUS.index("Привет мир")] == "ru"
+    assert got[CORPUS.index("the quick brown fox")] == "en"
+    assert got[CORPUS.index("no stopwords here xyzzy qwerty")] == "unknown"
+    assert got[CORPUS.index("")] == "unknown"
+
+
+def test_upload_id_parity_with_reference_formula(spark):
+    """upload_id == sha256(f'{bucket}-{name}-{size}-{iso}')[:16]
+    (reference main.py:15-18) for normal and null-timestamp rows."""
+    rows = [
+        ("b", "f.csv", 10, "2024-03-01 12:34:56"),
+        ("bucket-x", "weird name.csv", 0, "1999-12-31 23:59:59"),
+        ("b2", "null-ts.csv", 7, None),
+    ]
+    df = spark.createDataFrame(
+        [(b, f, s, ts) for b, f, s, ts in rows],
+        "bucket_name string, file_name string, file_size long, created string",
+    ).select(
+        "bucket_name",
+        "file_name",
+        upload_id_col(
+            "bucket_name", "file_name", "file_size", F.col("created").cast("timestamp")
+        ).alias("uid"),
+    )
+    got = {r["file_name"]: r["uid"] for r in df.collect()}
+    for b, f, s, ts in rows:
+        iso = ts.replace(" ", "T") if ts else ""
+        expected = hashlib.sha256(f"{b}-{f}-{s}-{iso}".encode()).hexdigest()[:16]
+        assert got[f] == expected, f
+
+
+def test_fake_features_deterministic():
+    a = fake_features(b"payload")
+    b = fake_features(b"payload")
+    assert a == b and len(a) == 8
+    assert all(0 <= x < 1 for x in a)
+    assert fake_features(b"other") != a

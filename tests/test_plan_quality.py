@@ -1,0 +1,63 @@
+"""Plan-quality regression tests — the 100 TB posture, asserted.
+
+Correctness tests prove the operators compute the right answer; these
+prove Catalyst is given plans it can execute well at scale: filters
+reach the parquet scan, projections prune columns, small sides
+broadcast, and the anti-join gate never degenerates into a shuffle of
+the big side.
+"""
+
+from __future__ import annotations
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.plans import (
+    QUERIES,
+)
+
+from .conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_csv_scan_pushdown_and_pruning(spark):
+    plan = _plan(spark, "csv_scan")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity,30.0)" in plan
+    # column pruning: only the 4 projected columns in ReadSchema
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" in read_schema
+
+
+def test_tpch_q1_single_shuffle_with_pushdown(spark):
+    plan = _plan(spark, "tpch_q1")
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # partial aggregation: exactly one exchange (map-side combine first)
+    assert plan.count("Exchange") <= 2  # one shuffle + possible AQE read
+
+
+def test_idempotency_gate_is_broadcast_anti_join(spark):
+    plan = _plan(spark, "idempotency_anti_join")
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = _plan(spark, "join_revenue_rollup")
+    # customer/nation/region all broadcast: no shuffle on dimension joins
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "topk_cosine")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_point_lookup_is_broadcast_semi(spark):
+    plan = _plan(spark, "point_lookup")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
