@@ -225,18 +225,32 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.5,
+    max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
     |A∩B| via a shingle-equality self-join (map-side combinable count),
-    |A∪B| = |A|+|B|−|A∩B|. On a real corpus the hot-shingle cap (drop
-    shingles appearing in > f·N docs) bounds the join fan-out; at test
-    scale the raw join is fine.
+    |A∪B| = |A|+|B|−|A∩B|.
+
+    `max_shingle_doc_freq` is the hot-shingle cap for real corpora: a
+    shingle present in more than that many documents is excluded from
+    the candidate join (it contributes O(df²) pairs but almost no
+    Jaccard signal). Sizes are computed BEFORE the cap so the Jaccard
+    denominator stays exact for surviving pairs; capped pairs are a
+    documented recall trade-off, standard for near-dup at scale.
     """
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(word_shingles_col(text_col, n)).alias("shingle")
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"), F.col("a.id") < F.col("b.id")])

@@ -153,6 +153,91 @@ def topk_cosine_lsh(
     return _rank_topk(scored, id_col, k)
 
 
+def ivf_assignments(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer without iterative training: centroids are the
+    first `n_centroids` vectors by id (deterministic; real deployments
+    would k-means a sample — the assignment/search machinery is
+    identical). Returns (centroids_df, assigned_df with `cell` column).
+
+    Assignment is a broadcast join + per-row argmax over the centroid
+    array — one narrow pass, no shuffle. At 100 TB the table is then
+    written partitioned/bucketed by `cell` so a probe reads only
+    n_probe/n_centroids of the data.
+    """
+    w = Window.orderBy(F.col(id_col))
+    centroids = (
+        emb.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(w).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+    )
+    packed = centroids.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("cell", "cvec"))
+        ).alias("cents")
+    )
+    assigned = emb.join(F.broadcast(packed)).select(
+        F.col(id_col),
+        F.col(vec_col).alias("__vec"),
+        # argmax cosine over the centroid list, computed as a fold
+        F.aggregate(
+            "cents",
+            F.struct(
+                F.lit(-2.0).cast("double").alias("best"),
+                F.lit(0).alias("cell"),
+            ),
+            lambda acc, c: F.when(
+                cosine_similarity_col(F.col("__vec"), c["cvec"]) > acc["best"],
+                F.struct(
+                    cosine_similarity_col(F.col("__vec"), c["cvec"]).alias("best"),
+                    c["cell"].alias("cell"),
+                ),
+            ).otherwise(acc),
+        )["cell"].alias("cell"),
+    )
+    return centroids, assigned
+
+
+def topk_cosine_ivf(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: score only vectors whose cell is among
+    the query's `n_probe` nearest centroids. Same schema as topk_cosine."""
+    centroids, assigned = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).cast("array<double>").alias("__q")
+    )
+    probe_cells = (
+        centroids.join(F.broadcast(q))
+        .select("cell", cosine_similarity_col("cvec", "__q").alias("__sim"))
+        .orderBy(F.col("__sim").desc(), "cell")
+        .limit(n_probe)
+        .select("cell")
+    )
+    cand = (
+        assigned.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(probe_cells), "cell", "semi")
+        .join(F.broadcast(q))
+    )
+    scored = cand.select(
+        F.col(id_col), cosine_similarity_col("__vec", "__q").alias("__cos")
+    )
+    return _rank_topk(scored, id_col, k)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     min_cosine: float = 0.95,

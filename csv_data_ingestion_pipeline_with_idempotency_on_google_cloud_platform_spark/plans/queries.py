@@ -472,6 +472,15 @@ def q_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #2: IVF-partitioned ANN (coarse quantize → probe
+    nearest cells only); recall vs brute force asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine_ivf(
+        emb, query_vec_id=0, k=10, n_centroids=16, n_probe=4
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(emb, min_cosine=0.9)
@@ -853,6 +862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "topk_cosine": q_topk_cosine,
     "topk_cosine_lsh": q_topk_cosine_lsh,
+    "topk_cosine_ivf": q_topk_cosine_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
