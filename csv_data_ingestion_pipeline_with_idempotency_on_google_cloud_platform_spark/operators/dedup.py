@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import content_hash_col, normalize_text_col, tokens_col
+from ..utils import parallelize_narrow
 
 DEFAULT_NUM_PERM = 32
 DEFAULT_BANDS = 8
@@ -70,7 +71,7 @@ def minhash_signatures(
     The explode+groupBy aggregates map-side (partial min), so the shuffle
     volume is |docs| × num_perm, independent of document length.
     """
-    shingled = docs.select(
+    shingled = parallelize_narrow(docs).select(
         F.col(id_col), F.explode(word_shingles_col(text_col, shingle_n)).alias("shingle")
     )
     mins = [
@@ -181,7 +182,9 @@ def simhash_near_dups(
     """Near-dup pairs by SimHash: block-permutation banding (4 × 16-bit
     blocks; hamming ≤ 3 guarantees at least one equal block), then exact
     hamming check with `bit_count(xor)` on candidates only."""
-    sigs = docs.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sim"))
+    sigs = parallelize_narrow(docs).select(
+        F.col(id_col).alias("id"), simhash_col(text_col).alias("sim")
+    )
     blocks = sigs.select(
         "id",
         "sim",
@@ -239,7 +242,7 @@ def ngram_jaccard_pairs(
     denominator stays exact for surviving pairs; capped pairs are a
     documented recall trade-off, standard for near-dup at scale.
     """
-    sh = docs.select(
+    sh = parallelize_narrow(docs).select(
         F.col(id_col).alias("id"), F.explode(word_shingles_col(text_col, n)).alias("shingle")
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..utils import parallelize_narrow
+
 MEDIA_META_DDL = "doc_id BIGINT, media_type STRING, byte_len BIGINT, sha256_16 STRING"
 MEDIA_FEATURE_DDL = MEDIA_META_DDL + ", feature ARRAY<DOUBLE>"
 
@@ -79,7 +81,7 @@ def media_metadata(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(batches, schema=MEDIA_META_DDL)
+    return parallelize_narrow(media).mapInPandas(batches, schema=MEDIA_META_DDL)
 
 
 def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
@@ -102,4 +104,4 @@ def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(batches, schema=MEDIA_FEATURE_DDL)
+    return parallelize_narrow(media).mapInPandas(batches, schema=MEDIA_FEATURE_DDL)

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity_col
+from ..utils import parallelize_narrow
 
 
 def topk_cosine(
@@ -35,7 +36,7 @@ def topk_cosine(
     q = emb.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).cast("array<double>").alias("__q")
     )
-    rest = emb.filter(F.col(id_col) != query_vec_id).select(
+    rest = parallelize_narrow(emb).filter(F.col(id_col) != query_vec_id).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
     scored = rest.join(F.broadcast(q)).select(
