@@ -1,5 +1,6 @@
 from .ingest import ingest_batch  # noqa: F401
 from .ledger import (  # noqa: F401
+    compact_ledger,
     latest_wins,
     list_uploads,
     point_lookup,

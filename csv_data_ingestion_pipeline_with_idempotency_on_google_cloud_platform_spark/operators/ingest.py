@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.keys import upload_id_col
+from ..schemas import MAX_DELIVERY_ATTEMPTS
 from ..sources.csv_source import read_csv_file_metadata
 from .ledger import latest_wins, read_ledger, upsert_append
 
@@ -69,9 +70,21 @@ def ingest_batch(spark: SparkSession, csv_dir: str, ledger_dir: str) -> DataFram
 
     ledger = read_ledger(spark, ledger_dir)
     done = latest_wins(ledger).filter(F.col("status") == "done").select("upload_id")
+    # E2 terminal gate: an upload that failed MAX_DELIVERY_ATTEMPTS times
+    # stops retrying (the reference's DLQ policy, ARCHITECTURE.md:75) —
+    # below the cap, failed files re-attempt and a success overwrites
+    # `failed` with `done` (redelivery semantics, SURVEY §3.2).
+    exhausted = (
+        ledger.filter(F.col("status") == "failed")
+        .groupBy("upload_id")
+        .agg(F.count("*").alias("__attempts"))
+        .filter(F.col("__attempts") >= MAX_DELIVERY_ATTEMPTS)
+        .select("upload_id")
+    )
+    skip = done.unionByName(exhausted)
     # F2: idempotency gate. The ledger side is tiny relative to the scan
     # at scale — broadcast it so the gate is shuffle-free.
-    fresh = candidates.join(F.broadcast(done), "upload_id", "left_anti")
+    fresh = candidates.join(F.broadcast(skip), "upload_id", "left_anti")
 
     ok = F.col("data_rows") >= MIN_DATA_ROWS
     now = F.current_timestamp()

@@ -63,6 +63,32 @@ def latest_wins(ledger: DataFrame, key: str = "upload_id", ts: str = "ts") -> Da
     )
 
 
+def compact_ledger(spark: SparkSession, ledger_dir: str) -> int:
+    """Compaction: rewrite the transition log as its latest-wins snapshot.
+
+    Bounds latest-wins read cost as history grows (SCALE.md). At scale
+    this runs per date-partition, keeping a history tail if auditing
+    needs it; here: full rewrite via a temp dir so a crash mid-compact
+    never leaves a truncated ledger. Returns rows retained.
+
+    Note: collapsing history resets per-upload failed-attempt counts, so
+    a DLQ-terminal upload becomes retryable again; production compaction
+    would fold the attempt count into the snapshot row before dropping
+    history.
+    """
+    import os
+    import shutil
+
+    ledger = read_ledger(spark, ledger_dir)
+    snapshot = latest_wins(ledger)
+    tmp_dir = ledger_dir.rstrip("/") + ".compact.tmp"
+    snapshot.write.mode("overwrite").parquet(tmp_dir)
+    n = spark.read.schema(LEDGER_SCHEMA).parquet(tmp_dir).count()
+    shutil.rmtree(ledger_dir, ignore_errors=True)
+    os.replace(tmp_dir, ledger_dir)
+    return n
+
+
 def point_lookup(ledger: DataFrame, upload_id: str) -> DataFrame:
     """F3: ``get-upload-status?upload_id=X`` (README.md:48-52).
 

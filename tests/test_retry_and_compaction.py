@@ -1,0 +1,82 @@
+"""Retry exhaustion (DLQ terminal gate) and ledger compaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators import (
+    compact_ledger,
+    ingest_batch,
+    latest_wins,
+    read_ledger,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.dlq import (
+    route_to_dlq,
+)
+
+
+def test_failed_file_stops_retrying_after_five_attempts(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "bad.csv").write_text("id,name")  # header only → always fails
+    ledger_dir = str(tmp_path / "ledger")
+
+    for _ in range(7):  # two more than the cap
+        ingest_batch(spark, str(d), ledger_dir)
+
+    ledger = read_ledger(spark, ledger_dir)
+    failed_rows = ledger.filter(F.col("status") == "failed").count()
+    assert failed_rows == 5  # attempts 6 and 7 were gated out
+
+    dlq = route_to_dlq(ledger).collect()
+    assert len(dlq) == 1
+    assert dlq[0]["attempt"] == 5 and dlq[0]["terminal"]
+
+
+def test_success_after_failure_overwrites(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "flaky.csv").write_text("id,name")  # fails (no data rows)
+    ledger_dir = str(tmp_path / "ledger")
+    ingest_batch(spark, str(d), ledger_dir)
+
+    # the file is replaced with valid content (new size → new upload_id
+    # would normally apply; keep size semantics by checking the same id
+    # path: append data rows)
+    (d / "flaky.csv").write_text("id,name\n1,a\n")
+    view = ingest_batch(spark, str(d), ledger_dir)
+    statuses = {r["file_name"]: r["status"] for r in view.collect()}
+    # the new content is a new upload identity; the latest state for the
+    # file name must be done
+    assert statuses["flaky.csv"] == "done" or any(
+        r["status"] == "done" for r in view.filter(F.col("file_name") == "flaky.csv").collect()
+    )
+
+
+def test_compaction_preserves_current_state(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.csv").write_text("id\n1\n")
+    (d / "bad.csv").write_text("id")
+    ledger_dir = str(tmp_path / "ledger")
+    for _ in range(3):
+        ingest_batch(spark, str(d), ledger_dir)
+
+    before = {
+        (r["upload_id"], r["status"])
+        for r in latest_wins(read_ledger(spark, ledger_dir)).collect()
+    }
+    total_before = read_ledger(spark, ledger_dir).count()
+    assert total_before > len(before)  # history exists
+
+    kept = compact_ledger(spark, ledger_dir)
+    assert kept == len(before)
+    after = {
+        (r["upload_id"], r["status"])
+        for r in latest_wins(read_ledger(spark, ledger_dir)).collect()
+    }
+    assert after == before
+    assert read_ledger(spark, ledger_dir).count() == len(before)
+
+    # ingest continues to work against the compacted ledger
+    ingest_batch(spark, str(d), ledger_dir)
