@@ -39,7 +39,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in nano_cols:
         if isinstance(df.schema[c].dataType, T.LongType):
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            # epoch nanos → naive (NTZ) timestamp at micro precision,
+            # independent of the session timezone — matching both the
+            # other tables (parquet µs/ms read as timestamp_ntz) and
+            # DuckDB's naive read of the same column
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"timestampadd(MICROSECOND, {c} div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
     return df
 
 

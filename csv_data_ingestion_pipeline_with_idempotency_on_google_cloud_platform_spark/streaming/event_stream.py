@@ -26,6 +26,11 @@ def windowed_event_counts(
     dropped and their windows finalized — the streaming twin of
     operators.windows.tumbling_window_agg.
     """
+    # watermarks require zoned TIMESTAMP event time; batch tables carry
+    # naive (NTZ) timestamps, so cast at the streaming boundary (session
+    # timezone pins the interpretation)
+    if dict(events_stream.dtypes).get("ts") == "timestamp_ntz":
+        events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events_stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", duration).alias("w"), "event_type")

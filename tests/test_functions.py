@@ -97,6 +97,30 @@ def test_upload_id_parity_with_reference_formula(spark):
         assert got[f] == expected, f
 
 
+def test_queue_codec_roundtrip(spark):
+    """encode_queue_message ∘ decode_queue_message == identity, including
+    the base64 wire wrapping (reference main.py:74-81 → 98-103)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.functions import (
+        decode_queue_message,
+        encode_queue_message,
+    )
+
+    df = spark.createDataFrame(
+        [("abc123", "bucket-1", "a.csv"), ("def456", "bucket-2", "weird name.csv")],
+        "upload_id string, bucket_name string, file_name string",
+    )
+    wire = df.select(
+        encode_queue_message(wrap_base64=True).alias("data"),
+        "upload_id",
+    )
+    decoded = wire.select(
+        "upload_id", decode_queue_message("data", wrapped_base64=True).alias("m")
+    ).select("upload_id", "m.*")
+    rows = {r["upload_id"]: r for r in decoded.collect()}
+    assert rows["abc123"]["bucket_name"] == "bucket-1"
+    assert rows["def456"]["file_name"] == "weird name.csv"
+
+
 def test_fake_features_deterministic():
     a = fake_features(b"payload")
     b = fake_features(b"payload")
