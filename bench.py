@@ -33,6 +33,8 @@ HEADLINE = [
     "quality_score",
     "props_json_extract",
     "tumbling_window_agg",
+    "session_window_agg",
+    "join_revenue_rollup",
     "topk_cosine",
     "near_dedup",
 ]

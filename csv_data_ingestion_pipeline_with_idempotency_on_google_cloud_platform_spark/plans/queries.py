@@ -648,6 +648,48 @@ FROM events GROUP BY 1, 2
 # --------------------------------------------------------------------------
 
 
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: suppliers and parts per return flag — the
+    two-phase distinct-then-count shuffle pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers with both an urgent ('1-URGENT') and a
+    low-priority ('5-LOW') order (INTERSECT), minus those with any 'F'
+    status order (EXCEPT)."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    failed = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return urgent.intersect(low).exceptAll(failed.distinct()).select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
+SQL_SET_OPS = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary over lineitem — the engine's flagship aggregate.
     Sums in DECIMAL for exact, engine-independent results; cast to
@@ -877,6 +919,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # analytics breadth
     "join_revenue_rollup": q_join_revenue_rollup,
     "rollup_agg": q_rollup_agg,
+    "distinct_agg": q_distinct_agg,
+    "set_ops": q_set_ops,
     "topk_cosine_batch": q_topk_cosine_batch,
     # flagship
     "tpch_q1": q_tpch_q1,
@@ -913,6 +957,8 @@ ORACLE_SQL: dict[str, str] = {
     "session_window_agg": SQL_SESSION_WINDOW_AGG,
     "join_revenue_rollup": SQL_JOIN_REVENUE_ROLLUP,
     "rollup_agg": SQL_ROLLUP_AGG,
+    "distinct_agg": SQL_DISTINCT_AGG,
+    "set_ops": SQL_SET_OPS,
     "topk_cosine_batch": SQL_TOPK_COSINE_BATCH,
     "tpch_q1": SQL_TPCH_Q1,
 }

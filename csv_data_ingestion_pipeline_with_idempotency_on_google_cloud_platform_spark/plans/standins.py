@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.keys import upload_id_col
 from ..sources.parquet_source import load_table
+from ..utils import parallelize_narrow
 
 # ---------------------------------------------------------------- files
 
@@ -37,7 +38,9 @@ FILES_SQL = """
 
 
 def files_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    # sha256 derivation downstream is compute-bound; spread the
+    # single-file testdata scan across cores
+    o = parallelize_narrow(load_table(spark, sf_dir, "orders"))
     k = F.col("o_orderkey")
     ext = (
         F.when(k % 7 == 0, ".txt").when(k % 5 == 0, ".CSV").otherwise(".csv")
