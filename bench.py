@@ -41,6 +41,12 @@ HEADLINE = [
 
 
 def main() -> None:
+    if not os.path.isdir(SF_DIR):
+        print(
+            f"error: SPARK_GRAFT_SF_DIR={SF_DIR!r} is not a directory", file=sys.stderr
+        )
+        raise SystemExit(2)
+
     from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.plans import (
         QUERIES,
     )

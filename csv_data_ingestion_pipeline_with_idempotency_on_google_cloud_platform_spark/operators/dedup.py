@@ -117,6 +117,9 @@ def minhash_lsh_candidates(
             ])
         ).alias("band"),
     ).select("id", "sig", "band.band_id", "band.band_hash")
+    # the signature pipeline (shingle explode + 32 min-aggs) feeds BOTH
+    # sides of the self-join; without persist Spark computes it twice
+    band_entries = band_entries.persist()
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
@@ -198,6 +201,7 @@ def simhash_near_dups(
             ])
         ).alias("b"),
     ).select("id", "sim", "b.block_id", "b.block_val")
+    blocks = blocks.persist()  # feeds both sides of the self-join
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
@@ -245,6 +249,7 @@ def ngram_jaccard_pairs(
     sh = parallelize_narrow(docs).select(
         F.col(id_col).alias("id"), F.explode(word_shingles_col(text_col, n)).alias("shingle")
     )
+    sh = sh.persist()  # feeds sizes + both sides of the pair join
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     if max_shingle_doc_freq is not None:
         hot = (
