@@ -1,0 +1,73 @@
+"""Composite corpus-preparation pipeline — the end-to-end LLM
+training-data flow this engine exists for, composed from the individual
+operators:
+
+    raw documents → quarantine (handled at source) → exact dedup →
+    near-dup candidate removal (MinHash-LSH) → quality filter →
+    language tag → per-stage retention report
+
+Everything stays declarative: one logical plan per output, no driver
+loops; the only materialization is the LSH self-join's persisted
+signature table (see dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import lang_id_col
+from . import dedup
+from .textstats import quality_scores
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    min_tokens: int = 3,
+    near_dup_jaccard: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (clean_docs, report).
+
+    clean_docs: (doc_id, text, lang_pred) surviving exact dedup,
+    near-dup removal (higher id of each candidate pair dropped), token
+    floor, and quality floor.
+    report: one row per pipeline stage with rows_in/rows_out.
+    """
+    total = docs.count()
+
+    # 1. exact dedup — keep min-id doc per content hash
+    kept_ids = dedup.exact_dedup(docs).select("doc_id")
+    exact_kept = docs.join(F.broadcast(kept_ids), "doc_id", "semi")
+    n_exact = exact_kept.count()
+
+    # 2. near-dup removal — drop the higher id of each confident pair
+    pairs = dedup.minhash_lsh_candidates(
+        exact_kept, min_est_jaccard=near_dup_jaccard
+    )
+    drop_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    near_kept = exact_kept.join(F.broadcast(drop_ids), "doc_id", "left_anti")
+    n_near = near_kept.count()
+
+    # 3. quality + token floor, language tag
+    scored = near_kept.join(quality_scores(near_kept), "doc_id")
+    clean = (
+        scored.filter(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+        )
+        .select("doc_id", "text", lang_id_col("text").alias("lang_pred"))
+    )
+    n_clean = clean.count()
+
+    spark = docs.sparkSession
+    report = spark.createDataFrame(
+        [
+            ("input", total, total),
+            ("exact_dedup", total, n_exact),
+            ("near_dedup", n_exact, n_near),
+            ("quality_filter", n_near, n_clean),
+        ],
+        "stage string, rows_in long, rows_out long",
+    )
+    return clean, report

@@ -4,3 +4,8 @@ from .csv_source import (  # noqa: F401
     read_csv_file_metadata,
     read_csv_stream,
 )
+from .jsonl_source import (  # noqa: F401
+    read_jsonl_dir,
+    read_jsonl_stream,
+    split_quarantine,
+)
