@@ -1,0 +1,77 @@
+"""Property-based parity: Spark column expressions vs plain-Python
+reference implementations over hypothesis-generated text.
+
+Each property collects its generated examples and evaluates them in a
+single Spark job (per example would be ~1s each); shrinking still works
+because the assertion failure identifies the offending example.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.functions import (
+    content_hash_col,
+    token_count_col,
+)
+
+# printable-ish text incl. unicode, whitespace runs, empty
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=80,
+)
+
+SLOW = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+# Java's \s is exactly [ \t\n\x0B\f\r]; Python's also matches \x1c-\x1f
+# and unicode spaces, so the reference impl must spell the class out.
+_JWS = "[ \t\n\x0b\f\r]"
+
+
+def _py_token_count(t: str) -> int:
+    stripped = re.sub(rf"^{_JWS}+|{_JWS}+$", "", t)
+    return 0 if not stripped else len(re.split(rf"{_JWS}+", stripped))
+
+
+def _py_content_hash(t: str) -> str:
+    norm = re.sub(rf"{_JWS}+", " ", t)
+    norm = re.sub(rf"^{_JWS}+|{_JWS}+$", "", norm).lower()
+    return hashlib.sha256(norm.encode("utf-8")).hexdigest()
+
+
+@SLOW
+@given(st.lists(TEXT, min_size=1, max_size=30))
+def test_token_count_property(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", token_count_col("text").alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        expected = _py_token_count(t)
+        assert got[i] == expected, f"text={t!r} spark={got[i]} py={expected}"
+
+
+@SLOW
+@given(st.lists(TEXT, min_size=1, max_size=30))
+def test_content_hash_property(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    got = {
+        r["i"]: r["h"]
+        for r in df.select("i", content_hash_col("text").alias("h")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_content_hash(t), f"text={t!r}"
