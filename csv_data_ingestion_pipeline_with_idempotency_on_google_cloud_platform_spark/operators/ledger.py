@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from ..schemas import LEDGER_SCHEMA
+
+# on-disk schema: LEDGER_SCHEMA + the hive partition column
+PARTITIONED_LEDGER_SCHEMA = T.StructType(
+    list(LEDGER_SCHEMA.fields) + [T.StructField("ingest_date", T.DateType())]
+)
 
 
 def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
@@ -29,23 +36,35 @@ def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
     empty-batch append, yields an empty typed DataFrame instead of a
     lazy FileNotFound at action time. (Local-FS check; on object
     storage the ledger table is created once up front.)
+
+    The table is hive-partitioned by `ingest_date` (see upsert_append),
+    so time-bounded reads prune whole partitions; the partition column
+    is dropped from the returned frame to keep LEDGER_SCHEMA stable for
+    callers.
     """
     import glob
     import os
 
-    if not glob.glob(os.path.join(ledger_dir, "*.parquet")):
+    if not glob.glob(os.path.join(ledger_dir, "**", "*.parquet"), recursive=True):
         return spark.createDataFrame([], LEDGER_SCHEMA)
-    return spark.read.schema(LEDGER_SCHEMA).parquet(ledger_dir)
+    df = spark.read.schema(PARTITIONED_LEDGER_SCHEMA).parquet(ledger_dir)
+    return df.select(*LEDGER_SCHEMA.fieldNames())
 
 
 def upsert_append(transitions: DataFrame, ledger_dir: str) -> None:
     """Idempotent upsert as blind append (S3/S4).
 
     Firestore's ``set(merge=True)`` becomes append-a-transition-row;
-    readers resolve the current doc with `latest_wins`. Single shuffle-free
-    write; on a real cluster this is partitioned by ingest date.
+    readers resolve the current doc with `latest_wins`. Shuffle-free
+    write, hive-partitioned by ingest date so compaction and
+    time-bounded reads operate per-partition at scale.
     """
-    transitions.write.mode("append").parquet(ledger_dir)
+    (
+        transitions.withColumn("ingest_date", F.to_date("ts"))
+        .write.mode("append")
+        .partitionBy("ingest_date")
+        .parquet(ledger_dir)
+    )
 
 
 def latest_wins(ledger: DataFrame, key: str = "upload_id", ts: str = "ts") -> DataFrame:
@@ -82,8 +101,9 @@ def compact_ledger(spark: SparkSession, ledger_dir: str) -> int:
     ledger = read_ledger(spark, ledger_dir)
     snapshot = latest_wins(ledger)
     tmp_dir = ledger_dir.rstrip("/") + ".compact.tmp"
-    snapshot.write.mode("overwrite").parquet(tmp_dir)
-    n = spark.read.schema(LEDGER_SCHEMA).parquet(tmp_dir).count()
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    upsert_append(snapshot, tmp_dir)  # same partitioned layout
+    n = read_ledger(spark, tmp_dir).count()
     shutil.rmtree(ledger_dir, ignore_errors=True)
     os.replace(tmp_dir, ledger_dir)
     return n
