@@ -37,6 +37,11 @@ HEADLINE = [
     "join_revenue_rollup",
     "topk_cosine",
     "near_dedup",
+    "asof_join",
+    "range_join_count",
+    "hash_split",
+    "tpch_q3",
+    "tpch_q6",
 ]
 
 

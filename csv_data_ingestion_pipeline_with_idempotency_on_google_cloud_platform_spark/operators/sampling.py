@@ -1,0 +1,71 @@
+"""Deterministic sampling / dataset-split operators.
+
+Training-data pipelines need *reproducible* splits: the same document
+must land in the same split on every run, on every cluster, regardless
+of partitioning — which rules out ``df.sample`` (seed + partition
+dependent). The standard fix is content/key hashing: split membership
+is a pure function of a stable key.
+
+This generalizes the reference's content-addressed identity idea
+(``main.py:15-18``: sha256 of file identity decides dedup fate) to
+decide *split* fate. md5 is used (not sha2) because every engine in the
+stack (Spark, DuckDB, Python hashlib) produces the identical lowercase
+hex digest, making the split oracle-checkable bit-for-bit.
+
+Scale: embarrassingly parallel — a narrow projection, no shuffle, no
+driver state. The hex-prefix threshold compare keeps everything in
+string space (no hex→int conversion, which DuckDB lacks a portable
+builtin for).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket_col(key: Column | str, prefix_len: int = 8) -> Column:
+    """Uniform [0,1)-ish bucket as a zero-padded hex-prefix string of
+    md5(key). String-ordered comparison against a hex literal selects a
+    deterministic fraction: ``hash < '1a'`` keeps 0x1a/0x100 ≈ 10.2%."""
+    return F.substring(F.md5(F.col(key).cast("string") if isinstance(key, str) else key.cast("string")), 1, prefix_len)
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    holdout_below: str = "1a",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic train/holdout split column.
+
+    ``holdout_below`` is a lowercase-hex threshold compared against the
+    md5-prefix of the key: e.g. ``"1a"`` ≈ 10.2% holdout, ``"0a"`` ≈
+    3.9%. Same key ⇒ same split, forever, in any engine.
+    """
+    n = len(holdout_below)
+    return df.withColumn(
+        split_col,
+        F.when(hash_bucket_col(key, n) < F.lit(holdout_below), F.lit("holdout")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    keep_below: dict[str, str],
+    default_below: str = "ff",
+) -> DataFrame:
+    """Per-stratum deterministic downsampling (e.g. downweight a
+    dominant language in a corpus): keep a row iff its md5-prefix is
+    below the stratum's hex threshold. Pure filter — no shuffle, no
+    sampling state; thresholds compose with `hash_split` because both
+    read the same hash."""
+    thresholds = F.create_map(
+        *[F.lit(x) for kv in keep_below.items() for x in kv]
+    )
+    limit = F.coalesce(thresholds[F.col(stratum)], F.lit(default_below))
+    return df.filter(hash_bucket_col(key, 2) < limit)

@@ -1,0 +1,129 @@
+"""Temporal join operators — as-of join and range join.
+
+Spark has no native ASOF JOIN (kdb+/Flink/DuckDB do); the naive
+formulation is a range self-join that explodes at scale. Both operators
+here are expressed so Catalyst plans them as ONE key shuffle plus
+narrow work — the standard large-scale formulations:
+
+- **as-of join** (union + last-over-window): tag both sides, union,
+  and for each left row take the most recent preceding right row via
+  ``last(..., ignorenulls=True)`` over a (key, ts)-sorted window.
+  Cost: one shuffle on the key, one sort per partition — identical to
+  the shuffle any equi-join on the key would pay, and independent of
+  time-range density. This beats a range-condition join, which Spark
+  would execute as BroadcastNestedLoop or a per-key cartesian.
+
+- **range join** (bin + equi-join): to count right rows within a
+  trailing window of each left row without a cross join, bucket time
+  into bins of at least the window width; a right row in bin b can only
+  serve left rows in bins {b, b+1}, so duplicating the right side 2×
+  turns the range predicate into a bin equi-join + residual filter.
+  Shuffle volume is |left| + 2|right|, never |left|×|right|.
+
+These generalize the reference's event-time reasoning (its ledger
+orders status transitions by server timestamps and resolves the current
+state as latest-wins; ``main.py:110-152``) to first-class temporal
+analytics the LLM-pipeline extension set needs (sessionized joins,
+"most recent signal before event X" features).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Left as-of join: each left row gains the payload of the most
+    recent right row with the same key and ``right_ts <= left_ts``
+    (nulls when no such row exists).
+
+    Right payload column names (everything except key/ts) must not
+    collide with left's — rename before calling. Ties within the right
+    side on (key, ts) are resolved arbitrarily; pre-dedupe for
+    determinism.
+
+    Plan shape: one Exchange on ``key``, one sort by (ts, side), one
+    Window node computing all payload fills — verified in
+    tests/test_temporal.py.
+    """
+    rpay = [c for c in right.columns if c not in (key, right_ts)]
+    collisions = set(rpay) & set(left.columns)
+    if collisions:
+        raise ValueError(f"right payload columns collide with left: {sorted(collisions)}")
+
+    l2 = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rpay],
+    )
+    r2 = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        *[F.col(c) for c in rpay],
+    )
+    # __side orders right rows before left rows at equal ts, making the
+    # join boundary inclusive (right_ts == left_ts matches), same as
+    # DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`.
+    u = l2.unionByName(r2)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in rpay:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("__side") == 1).select(*left.columns, *rpay)
+
+
+def range_join_trailing_count(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_us: int = 300_000_000,
+    out_col: str = "n_in_window",
+) -> DataFrame:
+    """For each left row, count right rows with
+    ``left_ts - window < right_ts <= left_ts`` (no key equality — a pure
+    range join), via time-binning instead of a cross join.
+
+    Bin width == window width, so each left bin b only needs right bins
+    {b-1, b}: the right side is exploded into the two left bins it can
+    serve and joined on bin equality, then the exact range predicate is
+    applied as a residual filter. Each (left, right) pair meets at most
+    once because a left row has exactly one bin.
+    """
+    lcols = list(left.columns)
+    # cast handles TIMESTAMP_NTZ inputs (unix_micros requires TIMESTAMP);
+    # value-preserving because engine sessions pin UTC
+    l2 = left.withColumn(
+        "__lus", F.unix_micros(F.col(left_ts).cast("timestamp"))
+    ).withColumn("__bin", F.floor(F.col("__lus") / window_us))
+    r2 = (
+        right.withColumn("__rus", F.unix_micros(F.col(right_ts).cast("timestamp")))
+        .withColumn("__rbin", F.floor(F.col("__rus") / window_us))
+        .select(
+            "__rus",
+            F.explode(F.array(F.col("__rbin"), F.col("__rbin") + 1)).alias("__bin"),
+        )
+    )
+    hit = (F.col("__rus") <= F.col("__lus")) & (
+        F.col("__rus") > F.col("__lus") - F.lit(window_us)
+    )
+    return (
+        l2.join(r2, "__bin", "left")
+        .groupBy(*[F.col(c) for c in lcols], F.col("__lus"))
+        .agg(F.count(F.when(hit, F.lit(1))).alias(out_col))
+        .select(*lcols, out_col)
+    )

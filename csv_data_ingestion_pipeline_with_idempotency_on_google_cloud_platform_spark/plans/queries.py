@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.json_codec import decode_queue_message, encode_queue_message
 from ..functions.text import lang_id_col
-from ..operators import dedup, multimodal, similarity, textstats, windows
+from ..operators import dedup, multimodal, sampling, similarity, temporal, textstats, windows
 from ..sources.parquet_source import load_table
 from .standins import (
     FILES_SQL,
@@ -882,6 +882,197 @@ SELECT query_id, vec_id, rank, ROUND(cos, 6) AS cos_sim FROM ranked WHERE rank <
 # registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# temporal joins — as-of and range (operators/temporal.py)
+# --------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, the most recent click (at-or-before) by
+    the same user — the classic feature-engineering as-of join. Clicks
+    pre-deduped per (user, ts) for tie determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+        .select("user_id", "ts", "click_event_id", F.col("ts").alias("click_ts"))
+    )
+    j = temporal.asof_join(purchases, clicks, key="user_id", left_ts="ts", right_ts="ts")
+    # timestamps out as microsecond text: engines disagree on the pandas
+    # datetime unit (ns vs us) for raw event-ts passthrough, strings don't
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "value",
+        "click_event_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (
+    SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), c AS (
+    SELECT user_id, ts AS cts, MAX(event_id) AS click_event_id
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, p.value,
+       c.click_event_id,
+       strftime(c.cts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       epoch_us(p.ts) - epoch_us(c.cts) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
+"""
+
+
+def q_range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window range join with NO key equality: for each error
+    event, how many clicks (any user) happened in the preceding 5
+    minutes. Binned equi-join formulation — shuffle |e|+2|c|, never a
+    cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("ts")
+    out = temporal.range_join_trailing_count(
+        errors, clicks, window_us=300_000_000, out_col="n_recent_clicks"
+    )
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "n_recent_clicks",
+    )
+
+
+SQL_RANGE_JOIN_COUNT = """
+WITH e AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+     c AS (SELECT ts AS cts FROM events WHERE event_type = 'click')
+SELECT e.event_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       COUNT(c.cts) AS n_recent_clicks
+FROM e LEFT JOIN c
+  ON epoch_us(c.cts) <= epoch_us(e.ts)
+ AND epoch_us(c.cts) > epoch_us(e.ts) - 300000000
+GROUP BY e.event_id, e.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic sampling / splits (operators/sampling.py)
+# --------------------------------------------------------------------------
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% holdout split keyed on doc_id (md5-prefix
+    threshold) — same doc lands in the same split in any engine."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.hash_split(docs, "doc_id", holdout_below="1a")
+
+
+SQL_HASH_SPLIT = """
+SELECT doc_id, lang,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+            THEN 'holdout' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling: keep ~25% of the
+    dominant 'en' stratum, 100% of 'zh', ~50% of everything else —
+    corpus rebalancing as a pure hash filter."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": "40", "zh": "ff"}, default_below="80"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      < CASE lang WHEN 'en' THEN '40' WHEN 'zh' THEN 'ff' ELSE '80' END
+"""
+
+
+# --------------------------------------------------------------------------
+# analytics breadth: TPC-H Q6 / Q3-style
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue filter+agg (TPC-H Q6 shape): every predicate
+    pushes to the parquet scan; single partial+final agg, no shuffle of
+    row data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(30,10)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_rows"))
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-N (TPC-H Q3 shape, minus the absent
+    o_shippriority column): 3-way join with the small dimension
+    broadcast, group, top-10 by revenue. Deterministic tie-break on the
+    unique l_orderkey."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,10)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # reference-derived (SURVEY §2a)
     "csv_scan": q_csv_scan,
@@ -922,6 +1113,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg": q_distinct_agg,
     "set_ops": q_set_ops,
     "topk_cosine_batch": q_topk_cosine_batch,
+    # temporal joins + deterministic sampling
+    "asof_join": q_asof_join,
+    "range_join_count": q_range_join_count,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q3": q_tpch_q3,
     # flagship
     "tpch_q1": q_tpch_q1,
 }
@@ -960,5 +1158,11 @@ ORACLE_SQL: dict[str, str] = {
     "distinct_agg": SQL_DISTINCT_AGG,
     "set_ops": SQL_SET_OPS,
     "topk_cosine_batch": SQL_TOPK_COSINE_BATCH,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join_count": SQL_RANGE_JOIN_COUNT,
+    "hash_split": SQL_HASH_SPLIT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "tpch_q6": SQL_TPCH_Q6,
+    "tpch_q3": SQL_TPCH_Q3,
     "tpch_q1": SQL_TPCH_Q1,
 }

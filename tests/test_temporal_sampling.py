@@ -1,0 +1,162 @@
+"""Temporal joins (as-of, binned range) and deterministic sampling.
+
+Correctness on hand-computed frames plus plan-shape assertions: the
+whole point of these formulations is what they DON'T do at scale — no
+cartesian/nested-loop join, no extra shuffles.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators import (
+    sampling,
+    temporal,
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_asof_join_hand_computed(spark):
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T00:10:00"), "p1"),
+            (1, ts("2024-01-01T00:20:00"), "p2"),
+            (2, ts("2024-01-01T00:05:00"), "p3"),  # no prior right row
+            (3, ts("2024-01-01T00:30:00"), "p4"),  # key absent on right
+        ],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T00:10:00"), "r_equal"),  # equal ts matches (inclusive)
+            (1, ts("2024-01-01T00:15:00"), "r_mid"),
+            (2, ts("2024-01-01T00:06:00"), "r_late"),  # after p3 → no match
+        ],
+        "k long, ts timestamp, payload string",
+    )
+    got = {
+        r["tag"]: r["payload"]
+        for r in temporal.asof_join(left, right, key="k").collect()
+    }
+    assert got == {"p1": "r_equal", "p2": "r_mid", "p3": None, "p4": None}
+
+
+def test_asof_join_single_shuffle(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01T00:10:00"))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T00:05:00"), 1.0)], "k long, ts timestamp, v double"
+    )
+    plan = formatted_plan(temporal.asof_join(left, right, key="k"))
+    # one hash Exchange (for the window); union + window + filter, no join
+    # node ("Exchange" appears twice per node in formatted output — tree
+    # line + detail header — so count the partitioning spec instead)
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_asof_join_rejects_collision(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01T00:10:00"), 1.0)], "k long, ts timestamp, v double")
+    right = spark.createDataFrame([(1, ts("2024-01-01T00:05:00"), 2.0)], "k long, ts timestamp, v double")
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        temporal.asof_join(left, right, key="k")
+
+
+def test_range_join_hand_computed(spark):
+    # window = 60s trailing, inclusive right edge, exclusive left edge
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T00:02:00")), (2, ts("2024-01-01T00:10:00"))],
+        "event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (ts("2024-01-01T00:01:30"),),  # 30s before e1 → counted
+            (ts("2024-01-01T00:02:00"),),  # equal → counted
+            (ts("2024-01-01T00:01:00"),),  # exactly window behind → excluded (strict >)
+            (ts("2024-01-01T00:09:10"),),  # 50s before e2 → counted
+            (ts("2024-01-01T00:10:01"),),  # after → excluded
+        ],
+        "ts timestamp",
+    )
+    rows = {
+        r["event_id"]: r["n"]
+        for r in temporal.range_join_trailing_count(
+            left, right, window_us=60_000_000, out_col="n"
+        ).collect()
+    }
+    assert rows == {1: 2, 2: 1}
+
+
+def test_range_join_no_nested_loop(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01T00:02:00"))], "event_id long, ts timestamp")
+    right = spark.createDataFrame([(ts("2024-01-01T00:01:30"),)], "ts timestamp")
+    plan = formatted_plan(
+        temporal.range_join_trailing_count(left, right, window_us=60_000_000)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sampling.hash_split(df, "doc_id").groupBy("split").count().collect()
+    b = sampling.hash_split(df, "doc_id").groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in a}
+    assert counts == {r["split"]: r["count"] for r in b}
+    # 0x1a/0x100 = 10.16% expected holdout; wide tolerance band
+    frac = counts.get("holdout", 0) / 2000
+    assert 0.06 < frac < 0.15, counts
+    # membership is a pure function of the key: spot-check vs hashlib
+    import hashlib
+
+    sample = sampling.hash_split(df, "doc_id").collect()
+    for r in sample[:50]:
+        expected = (
+            "holdout"
+            if hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2] < "1a"
+            else "train"
+        )
+        assert r["split"] == expected
+
+
+def test_stratified_sample_rates(spark):
+    df = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, "en")
+            .when(F.col("doc_id") % 3 == 1, "zh")
+            .otherwise("fr"),
+        )
+    )
+    kept = sampling.stratified_hash_sample(
+        df, "doc_id", "lang", {"en": "40", "zh": "ff"}, default_below="80"
+    )
+    rates = {
+        r["lang"]: r["count"] / 1000
+        for r in kept.groupBy("lang").count().collect()
+    }
+    assert 0.18 < rates["en"] < 0.33  # 0x40/0x100 = 25%
+    assert rates["zh"] > 0.95  # ~100% (md5 prefix 'ff'+ is ~0.4%)
+    assert 0.40 < rates["fr"] < 0.60  # 50%
+
+
+def test_sampling_no_shuffle(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = formatted_plan(sampling.hash_split(df, "doc_id"))
+    assert "Exchange" not in plan, plan
