@@ -883,6 +883,94 @@ SELECT query_id, vec_id, rank, ROUND(cos, 6) AS cos_sim FROM ranked WHERE rank <
 # --------------------------------------------------------------------------
 
 # --------------------------------------------------------------------------
+# reshaping + distribution aggregates: pivot, cube, percentiles, HLL
+# --------------------------------------------------------------------------
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide event-type count matrix per user (PIVOT). Explicit value
+    list keeps the output schema static — mandatory at scale (no
+    distinct-values pre-pass) and for oracle column parity."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds]
+    )
+
+
+SQL_PIVOT_EVENT_COUNTS = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def q_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of event value per type. Exact
+    `percentile` (sort-based) matches DuckDB's quantile_cont; at 100 TB
+    swap for approx_percentile and drop the oracle — documented
+    trade-off, same API shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+    )
+
+
+SQL_PERCENTILE_VALUE = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75
+FROM events GROUP BY event_type
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over order status × priority with grouping_id — all four
+    grouping-set combinations in one shuffle (partial aggregation keeps
+    the expanded rows map-side combined)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
+
+
+SQL_CUBE_AGG = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type — THE cardinality
+    primitive at 100 TB (fixed-size sketch, map-side combinable, no
+    distinct shuffle). Sketch internals are engine-specific → rows-only
+    driver check; relative-error bound vs exact is pinned in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
 # temporal joins — as-of and range (operators/temporal.py)
 # --------------------------------------------------------------------------
 
@@ -1113,6 +1201,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg": q_distinct_agg,
     "set_ops": q_set_ops,
     "topk_cosine_batch": q_topk_cosine_batch,
+    # reshaping + distribution aggregates
+    "pivot_event_counts": q_pivot_event_counts,
+    "percentile_value": q_percentile_value,
+    "cube_agg": q_cube_agg,
+    "approx_distinct": q_approx_distinct,
     # temporal joins + deterministic sampling
     "asof_join": q_asof_join,
     "range_join_count": q_range_join_count,
@@ -1158,6 +1251,9 @@ ORACLE_SQL: dict[str, str] = {
     "distinct_agg": SQL_DISTINCT_AGG,
     "set_ops": SQL_SET_OPS,
     "topk_cosine_batch": SQL_TOPK_COSINE_BATCH,
+    "pivot_event_counts": SQL_PIVOT_EVENT_COUNTS,
+    "percentile_value": SQL_PERCENTILE_VALUE,
+    "cube_agg": SQL_CUBE_AGG,
     "asof_join": SQL_ASOF_JOIN,
     "range_join_count": SQL_RANGE_JOIN_COUNT,
     "hash_split": SQL_HASH_SPLIT,
