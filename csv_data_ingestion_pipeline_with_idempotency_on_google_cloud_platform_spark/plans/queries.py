@@ -21,7 +21,16 @@ from pyspark.sql import functions as F
 
 from ..functions.json_codec import decode_queue_message, encode_queue_message
 from ..functions.text import lang_id_col
-from ..operators import dedup, multimodal, sampling, similarity, temporal, textstats, windows
+from ..operators import (
+    dedup,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+    temporal,
+    textstats,
+    windows,
+)
 from ..sources.parquet_source import load_table
 from .standins import (
     FILES_SQL,
@@ -970,6 +979,31 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-packing of documents into 4000-char training packs,
+    streamed per language (operators/packing.py) — plus per-pack
+    utilization."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    packed = packing.pack_sequences(
+        docs, cost_col="n_chars", budget=4000, stream_col="lang"
+    )
+    return packing.pack_stats(packed, cost_col="n_chars", stream_col="lang")
+
+
+SQL_PACK_SEQUENCES = """
+WITH packed AS (
+    SELECT lang, n_chars,
+           CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 4000.0) AS BIGINT) AS pack_id
+    FROM documents
+)
+SELECT lang, pack_id, COUNT(*) AS n_docs, SUM(n_chars) AS total_cost
+FROM packed GROUP BY lang, pack_id
+"""
+
+
 # --------------------------------------------------------------------------
 # temporal joins — as-of and range (operators/temporal.py)
 # --------------------------------------------------------------------------
@@ -1206,6 +1240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentile_value": q_percentile_value,
     "cube_agg": q_cube_agg,
     "approx_distinct": q_approx_distinct,
+    "pack_sequences": q_pack_sequences,
     # temporal joins + deterministic sampling
     "asof_join": q_asof_join,
     "range_join_count": q_range_join_count,
@@ -1254,6 +1289,7 @@ ORACLE_SQL: dict[str, str] = {
     "pivot_event_counts": SQL_PIVOT_EVENT_COUNTS,
     "percentile_value": SQL_PERCENTILE_VALUE,
     "cube_agg": SQL_CUBE_AGG,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "asof_join": SQL_ASOF_JOIN,
     "range_join_count": SQL_RANGE_JOIN_COUNT,
     "hash_split": SQL_HASH_SPLIT,
