@@ -1004,6 +1004,42 @@ FROM packed GROUP BY lang, pack_id
 """
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language (grouped top-k): explode → count →
+    row_number window. The count is map-side combinable so the window
+    input is |distinct terms|, not |tokens|; deterministic tie-break on
+    the term itself."""
+    from ..functions.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens_col("text")).alias("tok"))
+        .select("lang", F.lower("tok").alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+SQL_TOP_TERMS = r"""
+WITH toks AS (
+  SELECT lang,
+         lower(unnest(regexp_split_to_array(
+             regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS term
+  FROM documents
+  WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
+), counts AS (
+  SELECT lang, term, COUNT(*) AS n FROM toks GROUP BY 1, 2
+)
+SELECT lang, term, n, rnk FROM (
+  SELECT lang, term, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rnk
+  FROM counts
+) WHERE rnk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # temporal joins — as-of and range (operators/temporal.py)
 # --------------------------------------------------------------------------
@@ -1241,6 +1277,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_agg": q_cube_agg,
     "approx_distinct": q_approx_distinct,
     "pack_sequences": q_pack_sequences,
+    "top_terms": q_top_terms,
     # temporal joins + deterministic sampling
     "asof_join": q_asof_join,
     "range_join_count": q_range_join_count,
@@ -1290,6 +1327,7 @@ ORACLE_SQL: dict[str, str] = {
     "percentile_value": SQL_PERCENTILE_VALUE,
     "cube_agg": SQL_CUBE_AGG,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "top_terms": SQL_TOP_TERMS,
     "asof_join": SQL_ASOF_JOIN,
     "range_join_count": SQL_RANGE_JOIN_COUNT,
     "hash_split": SQL_HASH_SPLIT,
