@@ -705,11 +705,11 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     double at the boundary."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(30,10)"
+        "decimal(30,6)"
     )
     charge = (
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast("decimal(30,10)")
+    ).cast("decimal(30,6)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -727,8 +727,8 @@ SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -753,7 +753,7 @@ def q_join_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(30,10)"
+        "decimal(30,6)"
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -770,7 +770,7 @@ def q_join_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JOIN_REVENUE_ROLLUP = """
 SELECT r_name, n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1169,7 +1169,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes to the parquet scan; single partial+final agg, no shuffle of
     row data."""
     li = load_table(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(30,10)")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(30,6)")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1183,7 +1183,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TPCH_Q6 = """
-SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -1205,7 +1205,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     ).select("l_orderkey", "l_extendedprice", "l_discount")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,10)")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -1218,7 +1218,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q3 = """
 SELECT l_orderkey, o_orderdate,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
