@@ -61,3 +61,48 @@ def test_point_lookup_is_broadcast_semi(spark):
     plan = _plan(spark, "point_lookup")
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q6_all_predicates_pushed(spark):
+    plan = _plan(spark, "tpch_q6")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    # every selective predicate reaches the parquet scan
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    # pure scan+agg: no join, no more than the one agg exchange
+    assert "Join" not in plan
+
+
+def test_tpch_q3_topn_and_broadcast(spark):
+    plan = _plan(spark, "tpch_q3")
+    assert "TakeOrderedAndProject" in plan  # top-10, never a global sort
+    assert "BroadcastHashJoin" in plan  # filtered customer dim broadcast
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed)
+    assert any("l_shipdate" in l for l in pushed)
+
+
+def test_minhash_signatures_no_shuffle(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators import (
+        dedup,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = dedup.minhash_signatures(docs)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # signature derivation is a narrow fold: the only exchange allowed is
+    # the explicit round-robin repartition for local single-file inputs
+    assert "hashpartitioning" not in plan, plan
+    assert plan.count("REPARTITION_BY_NUM") <= 1
+
+
+def test_pack_sequences_single_stream_shuffle(spark):
+    plan = _plan(spark, "pack_sequences")
+    # one hash exchange for the per-stream window + one for the stats agg,
+    # which AQE may coalesce; never a global (rangepartitioning) sort
+    assert "rangepartitioning" not in plan
+    assert plan.count("hashpartitioning") <= 2
