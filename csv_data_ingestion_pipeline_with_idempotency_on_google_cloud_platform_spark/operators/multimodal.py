@@ -28,6 +28,7 @@ from ..utils import parallelize_narrow
 
 MEDIA_META_DDL = "doc_id BIGINT, media_type STRING, byte_len BIGINT, sha256_16 STRING"
 MEDIA_FEATURE_DDL = MEDIA_META_DDL + ", feature ARRAY<DOUBLE>"
+FRAME_DDL = "doc_id BIGINT, frame_idx INT, frame_offset BIGINT, frame BINARY"
 
 
 def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -105,3 +106,43 @@ def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return parallelize_narrow(media).mapInPandas(batches, schema=MEDIA_FEATURE_DDL)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 256,
+    stride: int = 4,
+) -> DataFrame:
+    """Row-expanding frame sampler: one binary payload → every
+    ``stride``-th fixed-size frame, with its index and byte offset.
+
+    This is the video-pipeline shape (container → sampled frames → per-
+    frame features): the output row count is payload-dependent, so the
+    pass must be `mapInPandas` (1→N rows inside one Arrow batch), not a
+    scalar UDF. The "demux" here is a deterministic stub — fixed-size
+    byte chunks stand in for container frames; a real demuxer (PyAV)
+    plugs into the same loop. At scale, follow with repartition on
+    (doc_id % shards) before per-frame decode so one long video doesn't
+    pin a task.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_offset": [],
+                "frame": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = max((len(raw) + frame_bytes - 1) // frame_bytes, 1)
+                for idx in range(0, n_frames, stride):
+                    off = idx * frame_bytes
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_offset"].append(off)
+                    out["frame"].append(raw[off : off + frame_bytes])
+            yield pd.DataFrame(out)
+
+    return parallelize_narrow(media).mapInPandas(batches, schema=FRAME_DDL)

@@ -635,6 +635,32 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_binary_payload(docs)
     return multimodal.media_features(media, dim=8)
 
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (frame sampling): 1→N row expansion through the Arrow batch
+    seam. The frame geometry (index, offset, length) is a pure function
+    of payload byte length, so even this Python-seam pass gets a full
+    DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs)
+    frames = multimodal.sample_frames(media, frame_bytes=256, stride=4)
+    return frames.select(
+        "doc_id", "frame_idx", "frame_offset", F.length("frame").alias("frame_len")
+    )
+
+
+SQL_MEDIA_FRAMES = """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS blen FROM documents
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       frame_idx * 256 AS frame_offset,
+       GREATEST(LEAST(256, blen - frame_idx * 256), 0) AS frame_len
+FROM m, UNNEST(generate_series(
+    0, CAST(CEIL(GREATEST(blen, 1) / 256.0) AS BIGINT) - 1, 4)) AS t(frame_idx)
+"""
+
 # --------------------------------------------------------------------------
 # X6 event-time windows
 # --------------------------------------------------------------------------
@@ -1262,6 +1288,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_json_extract": q_props_json_extract,
     "binary_meta": q_binary_meta,
     "media_features": q_media_features,
+    "media_frames": q_media_frames,
     "tumbling_window_agg": q_tumbling_window_agg,
     "sliding_window_agg": q_sliding_window_agg,
     "session_window_agg": q_session_window_agg,
@@ -1315,6 +1342,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "props_json_extract": SQL_PROPS_JSON_EXTRACT,
     "binary_meta": SQL_BINARY_META,
+    "media_frames": SQL_MEDIA_FRAMES,
     "tumbling_window_agg": SQL_TUMBLING_WINDOW_AGG,
     "sliding_window_agg": SQL_SLIDING_WINDOW_AGG,
     "session_window_agg": SQL_SESSION_WINDOW_AGG,
