@@ -1257,6 +1257,59 @@ LIMIT 10
 """
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    join with a join-side filter, then two-level aggregation. The outer
+    join preserves zero-order customers; both aggs partial-combine."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD sequence analytics per user: microsecond gap to the
+    previous event and the next event's type — one shuffle on user_id,
+    deterministic (ts, event_id) tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(prev_ts.cast("timestamp"))
+        ).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+SQL_USER_EVENT_GAPS = """
+SELECT event_id, user_id,
+       epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us,
+       LEAD(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # reference-derived (SURVEY §2a)
     "csv_scan": q_csv_scan,
@@ -1312,6 +1365,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "tpch_q6": q_tpch_q6,
     "tpch_q3": q_tpch_q3,
+    "tpch_q13": q_tpch_q13,
+    "user_event_gaps": q_user_event_gaps,
     # flagship
     "tpch_q1": q_tpch_q1,
 }
@@ -1362,5 +1417,7 @@ ORACLE_SQL: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "tpch_q6": SQL_TPCH_Q6,
     "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q13": SQL_TPCH_Q13,
+    "user_event_gaps": SQL_USER_EVENT_GAPS,
     "tpch_q1": SQL_TPCH_Q1,
 }
