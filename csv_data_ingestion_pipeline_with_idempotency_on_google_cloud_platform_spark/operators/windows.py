@@ -46,17 +46,33 @@ def sliding_window_agg(events: DataFrame, duration: str = "2 hours", slide: str 
     )
 
 
-def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", exact_micros: bool = False
+) -> DataFrame:
     """Per-user session windows (gap-based); batch equivalent of the
-    streaming session_window operator."""
+    streaming session_window operator.
+
+    ``exact_micros=True`` emits the value sum as integer micro-units
+    (decimal-summed, ×1e6) instead of a double — Spark's decimal→double
+    conversion is not always correctly rounded (observed one-ulp-low vs
+    DuckDB on e.g. 83.180000), so the oracle-compared surface stays in
+    exact integer space.
+    """
+    sum_val = (
+        (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("long")
+        .alias("sum_value_micros")
+        if exact_micros
+        else F.sum("value").alias("sum_value")
+    )
     return (
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), sum_val)
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "user_id",
             "n_events",
-            "sum_value",
+            F.col("sum_value_micros" if exact_micros else "sum_value"),
         )
     )

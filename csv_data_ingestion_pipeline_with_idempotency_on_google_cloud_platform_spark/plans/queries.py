@@ -854,7 +854,7 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic gaps-and-islands rewrite — a strong cross-engine check of
     Spark's session_window semantics ([first_ts, last_ts + gap))."""
     return windows.session_window_agg(
-        load_table(spark, sf_dir, "events"), gap="30 minutes"
+        load_table(spark, sf_dir, "events"), gap="30 minutes", exact_micros=True
     )
 
 
@@ -876,7 +876,7 @@ SELECT MIN(ts) AS session_start,
        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
        user_id,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_micros
 FROM sessions GROUP BY user_id, sess_id
 """
 
