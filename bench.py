@@ -42,6 +42,12 @@ HEADLINE = [
     "hash_split",
     "tpch_q3",
     "tpch_q6",
+    "tpch_q13",
+    "pivot_event_counts",
+    "cube_agg",
+    "pack_sequences",
+    "user_event_gaps",
+    "media_frames",
 ]
 
 
@@ -67,12 +73,17 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    # warm up the JVM + file listing once so per-query timings measure
-    # compute, not first-touch session/scan initialization
+    # warm up the JVM + file listing + Python worker fleet once so
+    # per-query timings measure compute, not first-touch session/scan/
+    # worker-spawn initialization (the Python seam pays ~7 s to launch
+    # one worker per core the first time it is exercised)
     spark.range(1000).count()
     QUERIES["per_file_count"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    spark.range(0, 10_000, 1, int(CPUS)).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
