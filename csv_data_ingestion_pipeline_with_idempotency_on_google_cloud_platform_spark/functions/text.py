@@ -50,6 +50,20 @@ def token_count_col(text: Column | str) -> Column:
 _EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
 
+# GPT-2-style pretokenizer classes, minus lookaheads (RE2, used by the
+# DuckDB oracle, has no lookahead): optional leading space + a run of
+# letters | digits | other-non-space; bare whitespace runs count as one.
+BPE_ISH_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_col(text: Column | str) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pretokenizer
+    regex. Upper-bounds true BPE token counts (each match splits into
+    ≥1 BPE tokens) and is the standard cheap budget estimator for
+    pack-sizing; pure JVM regex, no Python."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def lang_id_col(text: Column | str) -> Column:
     """Heuristic language ID:
 

@@ -108,6 +108,34 @@ def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return parallelize_narrow(media).mapInPandas(batches, schema=MEDIA_FEATURE_DDL)
 
 
+RESIZED_DDL = "doc_id BIGINT, media_type STRING, orig_len BIGINT, thumb BINARY"
+
+
+def resize_media(media: DataFrame, thumb_bytes: int = 64) -> DataFrame:
+    """Resize/thumbnail pass (stub decode): payload → fixed-size
+    representation. The deterministic stand-in truncates-or-pads the
+    raw bytes to ``thumb_bytes``; a real implementation decodes,
+    resizes, and re-encodes inside the same Arrow batch loop
+    (decode_media seam). Output size is constant per row — the property
+    downstream training loaders rely on."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"].map(bytes)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "orig_len": payloads.map(len).astype("int64"),
+                    "thumb": payloads.map(
+                        lambda b: b[:thumb_bytes].ljust(thumb_bytes, b"\x00")
+                    ),
+                }
+            )
+
+    return parallelize_narrow(media).mapInPandas(batches, schema=RESIZED_DDL)
+
+
 def sample_frames(
     media: DataFrame,
     frame_bytes: int = 256,

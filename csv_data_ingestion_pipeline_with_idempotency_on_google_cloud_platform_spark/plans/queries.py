@@ -661,6 +661,50 @@ FROM m, UNNEST(generate_series(
     0, CAST(CEIL(GREATEST(blen, 1) / 256.0) AS BIGINT) - 1, 4)) AS t(frame_idx)
 """
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (resize): fixed-size thumbnail pass through the Arrow seam;
+    oracle checks the size contract (orig_len preserved, thumb exactly
+    64 bytes) — thumb content determinism is pinned in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs)
+    resized = multimodal.resize_media(media, thumb_bytes=64)
+    return resized.select(
+        "doc_id", "orig_len", F.length("thumb").alias("thumb_len")
+    )
+
+
+SQL_MEDIA_RESIZE = """
+SELECT doc_id, octet_length(encode(text)) AS orig_len, 64 AS thumb_len
+FROM documents
+"""
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (BPE-ish budgeting): GPT-2-style pretokenizer match counts vs
+    whitespace tokens per language — the cheap token-budget estimator
+    used for pack sizing; pure JVM regex."""
+    from ..functions.text import bpe_token_count_col, token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(bpe_token_count_col("text")).cast("bigint").alias("total_bpe_tokens"),
+        F.sum(token_count_col("text")).cast("bigint").alias("total_ws_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+SQL_BPE_TOKEN_STATS = r"""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text,
+            ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+            ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+            END) AS BIGINT) AS total_ws_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # X6 event-time windows
 # --------------------------------------------------------------------------
@@ -1342,6 +1386,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binary_meta": q_binary_meta,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
+    "media_resize": q_media_resize,
+    "bpe_token_stats": q_bpe_token_stats,
     "tumbling_window_agg": q_tumbling_window_agg,
     "sliding_window_agg": q_sliding_window_agg,
     "session_window_agg": q_session_window_agg,
@@ -1398,6 +1444,8 @@ ORACLE_SQL: dict[str, str] = {
     "props_json_extract": SQL_PROPS_JSON_EXTRACT,
     "binary_meta": SQL_BINARY_META,
     "media_frames": SQL_MEDIA_FRAMES,
+    "media_resize": SQL_MEDIA_RESIZE,
+    "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "tumbling_window_agg": SQL_TUMBLING_WINDOW_AGG,
     "sliding_window_agg": SQL_SLIDING_WINDOW_AGG,
     "session_window_agg": SQL_SESSION_WINDOW_AGG,
