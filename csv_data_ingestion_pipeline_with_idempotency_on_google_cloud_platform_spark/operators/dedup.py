@@ -166,6 +166,37 @@ def minhash_lsh_candidates(
     )
 
 
+def cross_set_ngram_overlap(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: (train_id, eval_id, n_shared) for
+    every train/eval pair sharing ≥1 distinct word n-gram.
+
+    The eval side (benchmark suites: thousands of docs, not billions)
+    broadcasts, so the pass over 100 TB of training data is a map-side
+    hash join on the gram — no shuffle of the train corpus and no pair
+    explosion beyond actual matches. Distinct grams per doc keep the
+    overlap count a set intersection.
+    """
+    tg = parallelize_narrow(train).select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_shingles_col(text_col, n)).alias("gram"),
+    )
+    eg = eval_set.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(word_shingles_col(text_col, n)).alias("gram"),
+    )
+    return (
+        tg.join(F.broadcast(eg), "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def simhash_col(text: Column | str, bits: int = 63) -> Column:
     """SimHash signature (bits<64 to stay in signed-long territory):
     per-token xxhash64, majority vote per bit. Pure expressions — the

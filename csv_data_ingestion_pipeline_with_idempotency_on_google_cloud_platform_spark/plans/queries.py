@@ -705,6 +705,38 @@ FROM documents GROUP BY lang
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-adjacent decontamination: eval docs (sources src0/src1) vs the
+    training remainder — pairs sharing ≥1 distinct word 5-gram, via a
+    broadcast gram join (the 100 TB pass never shuffles the train side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nonblank = docs.filter(
+        F.length(F.regexp_replace("text", r"^\s+|\s+$", "")) > 0
+    )
+    eval_set = nonblank.filter(F.col("source").isin("src0", "src1"))
+    train = nonblank.filter(~F.col("source").isin("src0", "src1"))
+    return dedup.cross_set_ngram_overlap(train, eval_set, n=5)
+
+
+SQL_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+  FROM documents
+  WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 4, 1))) AS u(i)
+)
+SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS n_shared
+FROM (SELECT doc_id, gram FROM grams WHERE source NOT IN ('src0', 'src1')) tr
+JOIN (SELECT doc_id, gram FROM grams WHERE source IN ('src0', 'src1')) ev USING (gram)
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # X6 event-time windows
 # --------------------------------------------------------------------------
@@ -1388,6 +1420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames": q_media_frames,
     "media_resize": q_media_resize,
     "bpe_token_stats": q_bpe_token_stats,
+    "contamination": q_contamination,
     "tumbling_window_agg": q_tumbling_window_agg,
     "sliding_window_agg": q_sliding_window_agg,
     "session_window_agg": q_session_window_agg,
@@ -1446,6 +1479,7 @@ ORACLE_SQL: dict[str, str] = {
     "media_frames": SQL_MEDIA_FRAMES,
     "media_resize": SQL_MEDIA_RESIZE,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
+    "contamination": SQL_CONTAMINATION,
     "tumbling_window_agg": SQL_TUMBLING_WINDOW_AGG,
     "sliding_window_agg": SQL_SLIDING_WINDOW_AGG,
     "session_window_agg": SQL_SESSION_WINDOW_AGG,

@@ -67,6 +67,29 @@ def test_ngram_jaccard_exact_dup_is_one(spark, planted_docs):
     assert j.get((0, 200000)) == 1.0
 
 
+def test_contamination_detects_planted_leak(spark):
+    """An eval doc copying a train doc's text must surface as a
+    contaminated pair with a large shared-gram count."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") >= 10)
+    leaked = docs.filter(F.col("doc_id") == 10).select(
+        F.lit(900000).cast("long").alias("doc_id"), "text"
+    )
+    eval_set = docs.filter(F.col("doc_id") < 10).unionByName(leaked)
+    pairs = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in dedup.cross_set_ngram_overlap(train, eval_set, n=5).collect()
+    }
+    assert (10, 900000) in pairs
+    # identical text: shared grams == the doc's own distinct gram count
+    n_grams = (
+        train.filter(F.col("doc_id") == 10)
+        .select(F.size(dedup.word_shingles_col("text", 5)).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert pairs[(10, 900000)] == n_grams
+
+
 def test_lsh_ann_recall_vs_brute_force(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     exact = {
