@@ -37,8 +37,10 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query.
 
     Keys absent here (near_dedup, simhash_near_dup, topk_cosine_lsh,
-    embedding_near_dup) are engine-hash / literal-hyperplane dependent;
-    the driver records rows-only checks and tests/ assert their quality
-    against exact baselines.
+    topk_cosine_ivf, embedding_near_dup, media_features,
+    approx_distinct) are engine-hash / literal-hyperplane / sketch
+    dependent; the driver records rows-only checks and tests/ assert
+    their quality against exact baselines (recall bounds, planted
+    duplicates, HLL error bounds).
     """
     return dict(ORACLE_SQL)
