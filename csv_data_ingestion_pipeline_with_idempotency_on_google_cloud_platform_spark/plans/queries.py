@@ -737,6 +737,33 @@ GROUP BY 1, 2
 """
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid building blocks (k-means E-step shape):
+    posexplode the vectors, sum each dimension exactly in integer
+    micro-units plus the member count — the two partial aggregates a
+    distributed k-means iteration shuffles (sum, n), never raw points.
+    Integer surface keeps the oracle bit-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    return pos.groupBy("label", "pos").agg(
+        F.sum(
+            F.round(F.col("val").cast("double") * 1000000).cast("long")
+        ).alias("sum_micros"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT label, pos - 1 AS pos,
+       CAST(SUM(CAST(ROUND(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,
+       COUNT(*) AS n
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(pos)
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # X6 event-time windows
 # --------------------------------------------------------------------------
@@ -1421,6 +1448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "bpe_token_stats": q_bpe_token_stats,
     "contamination": q_contamination,
+    "embedding_centroids": q_embedding_centroids,
     "tumbling_window_agg": q_tumbling_window_agg,
     "sliding_window_agg": q_sliding_window_agg,
     "session_window_agg": q_session_window_agg,
@@ -1480,6 +1508,7 @@ ORACLE_SQL: dict[str, str] = {
     "media_resize": SQL_MEDIA_RESIZE,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "contamination": SQL_CONTAMINATION,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "tumbling_window_agg": SQL_TUMBLING_WINDOW_AGG,
     "sliding_window_agg": SQL_SLIDING_WINDOW_AGG,
     "session_window_agg": SQL_SESSION_WINDOW_AGG,
