@@ -206,6 +206,69 @@ def ivf_assignments(
     return centroids, assigned
 
 
+def kmeans_train_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means, the iterative trainer behind a real IVF index
+    (ivf_assignments documents that deployments k-means a sample; this
+    is that trainer). Distributed shape per iteration:
+
+    - centroids broadcast as literal arrays (k×dim doubles — tiny);
+      assignment is a narrow per-row argmin of squared L2, no shuffle;
+    - update shuffles only k×dim (cluster, pos) partial averages
+      (posexplode + avg, map-side combined), never raw vectors;
+    - the driver holds k×dim floats between iterations — the only
+      driver-side state an iterative algorithm genuinely needs.
+
+    Deterministic: init = the k lowest-id vectors; argmin ties break to
+    the first centroid. Empty clusters keep their previous centroid.
+    Returns (id_col, cluster) assignments under the trained centroids.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    cents = [
+        [float(x) for x in r["v"]]
+        for r in emb.orderBy(id_col).limit(k).select(vec.alias("v")).collect()
+    ]
+
+    def assign_col(cents_now: list[list[float]]):
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents_now
+        ])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    for _ in range(iters):
+        assigned = emb.withColumn("cluster", assign_col(cents))
+        partials = (
+            assigned.select("cluster", F.posexplode(vec).alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in partials:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_cluster[ci][p] for p in range(len(cents[ci]))]
+            if ci in by_cluster
+            else cents[ci]
+            for ci in range(k)
+        ]
+    return emb.withColumn("cluster", assign_col(cents)).select(id_col, "cluster")
+
+
 def topk_cosine_ivf(
     emb: DataFrame,
     query_vec_id: int,

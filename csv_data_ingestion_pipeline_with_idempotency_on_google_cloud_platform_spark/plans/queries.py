@@ -737,6 +737,15 @@ GROUP BY 1, 2
 """
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means over the embeddings (3 iterations,
+    k=8) — genuinely non-SQL-expressible (driver-held centroid state
+    between iterations) → rows-only check; cluster-recovery quality is
+    pinned in tests on separable planted data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_train_assign(emb, k=8, iters=3)
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid building blocks (k-means E-step shape):
     posexplode the vectors, sum each dimension exactly in integer
@@ -1449,6 +1458,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_stats": q_bpe_token_stats,
     "contamination": q_contamination,
     "embedding_centroids": q_embedding_centroids,
+    "kmeans_assign": q_kmeans_assign,
     "tumbling_window_agg": q_tumbling_window_agg,
     "sliding_window_agg": q_sliding_window_agg,
     "session_window_agg": q_session_window_agg,
