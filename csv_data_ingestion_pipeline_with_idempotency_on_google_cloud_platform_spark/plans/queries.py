@@ -737,6 +737,29 @@ GROUP BY 1, 2
 """
 
 
+def q_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window breadth: NTILE(4) + PERCENT_RANK per priority
+    stratum, deterministic (totalprice, orderkey) order. percent_rank =
+    exact int/int division — bit-identical across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pr"),
+    )
+
+
+SQL_ORDER_QUARTILES = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 8) AS pr
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd's k-means over the embeddings (3 iterations,
     k=8) — genuinely non-SQL-expressible (driver-held centroid state
@@ -1459,6 +1482,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "embedding_centroids": q_embedding_centroids,
     "kmeans_assign": q_kmeans_assign,
+    "order_quartiles": q_order_quartiles,
     "tumbling_window_agg": q_tumbling_window_agg,
     "sliding_window_agg": q_sliding_window_agg,
     "session_window_agg": q_session_window_agg,
@@ -1519,6 +1543,7 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "contamination": SQL_CONTAMINATION,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "order_quartiles": SQL_ORDER_QUARTILES,
     "tumbling_window_agg": SQL_TUMBLING_WINDOW_AGG,
     "sliding_window_agg": SQL_SLIDING_WINDOW_AGG,
     "session_window_agg": SQL_SESSION_WINDOW_AGG,
