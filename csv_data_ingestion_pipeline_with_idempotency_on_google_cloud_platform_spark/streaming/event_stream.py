@@ -45,3 +45,27 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def sessionized_event_counts(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked per-user session windows — the streaming twin of
+    operators.windows.session_window_agg. Session state merges as
+    events arrive (windows grow/merge until the watermark closes them);
+    state size is bounded by (watermark horizon × active users)."""
+    if dict(events_stream.dtypes).get("ts") == "timestamp_ntz":
+        events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

@@ -52,3 +52,45 @@ def test_streaming_windows_match_batch(spark, tmp_path):
     got_map = {key(r): (r["n_events"], round(r["sum_value"], 6)) for r in got}
     exp_map = {key(r): (r["n_events"], round(r["sum_value"], 6)) for r in expected}
     assert got_map == exp_map
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        session_window_agg,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming import (
+        sessionized_event_counts,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "sess_src")
+    events.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    # files stream in arbitrary time order; a wide watermark keeps every
+    # event on-time so the merged sessions must equal the batch result
+    # (late-drop behavior itself is covered by the tumbling test above)
+    agg = sessionized_event_counts(stream, gap="30 minutes", watermark="40 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessagg")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select session_start, session_end, user_id, n_events from sessagg"
+        ).collect()
+    finally:
+        q.stop()
+
+    expected = session_window_agg(events, gap="30 minutes").collect()
+    key = lambda r: (r["session_start"], r["session_end"], r["user_id"])
+    assert {key(r): r["n_events"] for r in got} == {
+        key(r): r["n_events"] for r in expected
+    }
