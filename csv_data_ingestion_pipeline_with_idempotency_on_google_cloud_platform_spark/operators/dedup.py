@@ -101,6 +101,7 @@ def minhash_lsh_candidates(
     bands: int = DEFAULT_BANDS,
     min_est_jaccard: float = 0.5,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """X2 near-dup candidate pairs via banded MinHash-LSH.
 
@@ -108,6 +109,13 @@ def minhash_lsh_candidates(
     fraction of agreeing minhash positions. No cross join anywhere: the
     pair space is generated only inside equal (band_id, band_hash)
     buckets.
+
+    ``max_bucket_size`` is the hot-bucket cap for real corpora: a
+    (band, hash) bucket with more than that many members (boilerplate
+    pages, empty docs) contributes O(m²) pairs per bucket; dropping
+    those buckets bounds the worst case while the other bands still
+    catch true near-dups that happen to share a boilerplate band —
+    the standard recall-for-bound trade at 100 TB.
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
@@ -128,9 +136,19 @@ def minhash_lsh_candidates(
             ])
         ).alias("band"),
     ).select("id", "sig", "band.band_id", "band.band_hash")
-    # the signature pipeline (shingle explode + 32 min-aggs) feeds BOTH
-    # sides of the self-join; without persist Spark computes it twice
+    # the signature pipeline feeds BOTH sides of the self-join; without
+    # persist Spark computes it twice
     band_entries = band_entries.persist()
+    if max_bucket_size is not None:
+        hot = (
+            band_entries.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        band_entries = band_entries.join(
+            F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
+        )
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")

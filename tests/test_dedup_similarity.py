@@ -67,6 +67,27 @@ def test_ngram_jaccard_exact_dup_is_one(spark, planted_docs):
     assert j.get((0, 200000)) == 1.0
 
 
+def test_minhash_hot_bucket_cap_bounds_pairs(spark, planted_docs):
+    """With a tiny cap, a planted swarm of identical docs (one shared
+    bucket per band) must not explode into O(m²) pairs; the cap drops
+    the hot buckets, normal near-dups elsewhere survive."""
+    swarm = (
+        planted_docs.filter(F.col("doc_id") == 1)
+        .select(F.explode(F.sequence(F.lit(300000), F.lit(300019))).alias("doc_id"), "text")
+    )
+    docs = planted_docs.unionByName(swarm.select("doc_id", "text"))
+    capped = dedup.minhash_lsh_candidates(docs, max_bucket_size=10)
+    swarm_pairs = capped.filter(
+        (F.col("id_a") >= 300000) & (F.col("id_b") >= 300000)
+    ).count()
+    assert swarm_pairs == 0  # 21-member bucket (> cap) dropped everywhere
+    # the planted exact dup of doc 0 (id 200000) is still found
+    found = {
+        (r["id_a"], r["id_b"]) for r in capped.filter(F.col("id_b") == 200000).collect()
+    }
+    assert (0, 200000) in found
+
+
 def test_contamination_detects_planted_leak(spark):
     """An eval doc copying a train doc's text must surface as a
     contaminated pair with a large shared-gram count."""
