@@ -50,6 +50,30 @@ def token_count_col(text: Column | str) -> Column:
 _EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
 
+# PII patterns, written in the Java∩RE2 common subset (no lookaround)
+# so the engine and the DuckDB oracle apply byte-identical rules.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUMBER_PATTERN = r"\d[\d \-]{6,}\d"  # phone/card-shaped digit runs
+
+
+def redact_pii_col(text: Column | str) -> Column:
+    """Corpus-cleaning PII scrub: emails → <EMAIL>, long digit runs →
+    <NUMBER>. Order matters (emails first, so their digits aren't
+    half-eaten); pure JVM regexp_replace — no Python in the hot path."""
+    t = F.regexp_replace(_c(text), EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(t, LONG_NUMBER_PATTERN, "<NUMBER>")
+
+
+def pii_counts_cols(text: Column | str) -> dict[str, Column]:
+    """Match counts per PII class (for corpus audit reports)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(_c(text), F.lit(EMAIL_PATTERN), F.lit(0))),
+        "n_long_numbers": F.size(
+            F.regexp_extract_all(_c(text), F.lit(LONG_NUMBER_PATTERN), F.lit(0))
+        ),
+    }
+
+
 # GPT-2-style pretokenizer classes, minus lookaheads (RE2, used by the
 # DuckDB oracle, has no lookahead): optional leading space + a run of
 # letters | digits | other-non-space; bare whitespace runs count as one.

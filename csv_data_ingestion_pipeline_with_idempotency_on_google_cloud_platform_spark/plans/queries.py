@@ -705,6 +705,35 @@ FROM documents GROUP BY lang
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (corpus cleaning): PII scrub — per-doc email / digit-run
+    match counts plus the md5 of the redacted text, proving both
+    engines produce byte-identical scrubbed output."""
+    from ..functions.text import pii_counts_cols, redact_pii_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = pii_counts_cols("text")
+    return docs.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_long_numbers"].alias("n_long_numbers"),
+        F.md5(redact_pii_col("text")).alias("redacted_md5"),
+    )
+
+
+SQL_PII_REDACT = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, '\d[\d \-]{6,}\d')) AS n_long_numbers,
+       md5(regexp_replace(
+           regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\d[\d \-]{6,}\d', '<NUMBER>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2-adjacent decontamination: eval docs (sources src0/src1) vs the
     training remainder — pairs sharing ≥1 distinct word 5-gram, via a
@@ -1480,6 +1509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "bpe_token_stats": q_bpe_token_stats,
     "contamination": q_contamination,
+    "pii_redact": q_pii_redact,
     "embedding_centroids": q_embedding_centroids,
     "kmeans_assign": q_kmeans_assign,
     "order_quartiles": q_order_quartiles,
@@ -1542,6 +1572,7 @@ ORACLE_SQL: dict[str, str] = {
     "media_resize": SQL_MEDIA_RESIZE,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "contamination": SQL_CONTAMINATION,
+    "pii_redact": SQL_PII_REDACT,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "order_quartiles": SQL_ORDER_QUARTILES,
     "tumbling_window_agg": SQL_TUMBLING_WINDOW_AGG,

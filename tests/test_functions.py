@@ -127,3 +127,31 @@ def test_fake_features_deterministic():
     assert a == b and len(a) == 8
     assert all(0 <= x < 1 for x in a)
     assert fake_features(b"other") != a
+
+
+def test_pii_redaction_planted(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.functions.text import (
+        pii_counts_cols,
+        redact_pii_col,
+    )
+
+    cases = [
+        ("contact a.b-c_d%x+1@sub.example.co.uk today", "contact <EMAIL> today", 1, 0),
+        ("card 4111 1111-1111 1111 exp", "card <NUMBER> exp", 0, 1),
+        ("no pii here", "no pii here", 0, 0),
+        ("short 12345 stays", "short 12345 stays", 0, 0),
+        ("x@y.io and 0123456789", "<EMAIL> and <NUMBER>", 1, 1),
+    ]
+    df = spark.createDataFrame([(t,) for t, *_ in cases], "text string")
+    counts = pii_counts_cols("text")
+    got = df.select(
+        "text",
+        redact_pii_col("text").alias("red"),
+        counts["n_emails"].alias("ne"),
+        counts["n_long_numbers"].alias("nn"),
+    ).collect()
+    by_text = {r["text"]: r for r in got}
+    for text, expected, ne, nn in cases:
+        r = by_text[text]
+        assert r["red"] == expected, (text, r["red"])
+        assert (r["ne"], r["nn"]) == (ne, nn), (text, r["ne"], r["nn"])
