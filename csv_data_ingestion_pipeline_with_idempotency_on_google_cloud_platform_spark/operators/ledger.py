@@ -82,6 +82,24 @@ def latest_wins(ledger: DataFrame, key: str = "upload_id", ts: str = "ts") -> Da
     )
 
 
+def as_of(
+    ledger: DataFrame,
+    cutoff,
+    key: str = "upload_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Time-travel read: the ledger state as it stood at ``cutoff``.
+
+    The append-only transition log makes this a filter + latest-wins —
+    a capability the reference's in-place Firestore mutation cannot
+    offer at all (history is destroyed on update; here it is the
+    storage format). With the ``ingest_date`` hive partitioning, the
+    ``ts <= cutoff`` predicate prunes every partition after the cutoff
+    day before any row is read.
+    """
+    return latest_wins(ledger.filter(F.col(ts) <= F.lit(cutoff)), key=key, ts=ts)
+
+
 def compact_ledger(spark: SparkSession, ledger_dir: str) -> int:
     """Compaction: rewrite the transition log as its latest-wins snapshot.
 

@@ -339,6 +339,34 @@ WITH t AS ({TRANSITIONS_SQL}),
 SELECT upload_key, status, seq FROM ranked WHERE rn = 1
 """
 
+
+def q_ledger_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 extension: ledger state AS OF a past timestamp — filter the
+    transition log to ts <= cutoff, then latest-wins. The append-only
+    design makes history a query, not a lost update (operators/
+    ledger.py::as_of; the reference's in-place Firestore writes destroy
+    it, main.py:110-152)."""
+    tr = transitions_df(spark, sf_dir)
+    cutoff = "1998-01-01"
+    w = Window.partitionBy("upload_key").orderBy(F.col("seq").desc())
+    return (
+        tr.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("upload_key", "status", "seq")
+    )
+
+
+SQL_LEDGER_TIME_TRAVEL = f"""
+WITH t AS ({TRANSITIONS_SQL}),
+     ranked AS (
+       SELECT upload_key, status, seq,
+              row_number() OVER (PARTITION BY upload_key ORDER BY seq DESC) AS rn
+       FROM t WHERE ts <= TIMESTAMP '1998-01-01'
+     )
+SELECT upload_key, status, seq FROM ranked WHERE rn = 1
+"""
+
 # --------------------------------------------------------------------------
 # E2 dlq_routing
 # --------------------------------------------------------------------------
@@ -1488,6 +1516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "per_file_count": q_per_file_count,
     "ledger_upsert": q_ledger_upsert,
     "status_latest_wins": q_status_latest_wins,
+    "ledger_time_travel": q_ledger_time_travel,
     "dlq_routing": q_dlq_routing,
     # extensions (SURVEY §2b)
     "exact_dedup": q_exact_dedup,
@@ -1558,6 +1587,7 @@ ORACLE_SQL: dict[str, str] = {
     "per_file_count": SQL_PER_FILE_COUNT,
     "ledger_upsert": SQL_LEDGER_UPSERT,
     "status_latest_wins": SQL_STATUS_LATEST_WINS,
+    "ledger_time_travel": SQL_LEDGER_TIME_TRAVEL,
     "dlq_routing": SQL_DLQ_ROUTING,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

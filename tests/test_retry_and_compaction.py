@@ -80,3 +80,23 @@ def test_compaction_preserves_current_state(spark, tmp_path):
 
     # ingest continues to work against the compacted ledger
     ingest_batch(spark, str(d), ledger_dir)
+
+
+def test_ledger_as_of_time_travel(spark):
+    from datetime import datetime
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.ledger import (
+        as_of,
+    )
+
+    rows = [
+        ("u1", "pending", datetime(2024, 1, 1, 10)),
+        ("u1", "processing", datetime(2024, 1, 1, 11)),
+        ("u1", "done", datetime(2024, 1, 2, 9)),
+        ("u2", "pending", datetime(2024, 1, 3, 8)),
+    ]
+    log = spark.createDataFrame(rows, "upload_id string, status string, ts timestamp")
+    mid = {r["upload_id"]: r["status"] for r in as_of(log, datetime(2024, 1, 1, 12)).collect()}
+    assert mid == {"u1": "processing"}  # u2 not yet ingested, done not yet reached
+    end = {r["upload_id"]: r["status"] for r in as_of(log, datetime(2024, 1, 4)).collect()}
+    assert end == {"u1": "done", "u2": "pending"}
