@@ -36,11 +36,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query.
 
-    Keys absent here (near_dedup, simhash_near_dup, topk_cosine_lsh,
-    topk_cosine_ivf, embedding_near_dup, media_features,
-    approx_distinct) are engine-hash / literal-hyperplane / sketch
-    dependent; the driver records rows-only checks and tests/ assert
-    their quality against exact baselines (recall bounds, planted
-    duplicates, HLL error bounds).
+    Keys absent here (near_dedup, simhash_near_dup, embedding_near_dup,
+    topk_cosine_lsh, topk_cosine_ivf, kmeans_assign, approx_distinct —
+    the last 7 registry entries, after every oracle-backed query) are
+    engine-hash / literal-hyperplane / sketch dependent; the driver
+    records rows-only checks and tests/ assert their quality against
+    exact baselines (recall bounds, planted duplicates, HLL error
+    bounds).
     """
     return dict(ORACLE_SQL)
