@@ -58,6 +58,24 @@ def _file_facts(spark: SparkSession, csv_dir: str) -> DataFrame:
     )
 
 
+def terminal_upload_ids(ledger: DataFrame) -> DataFrame:
+    """upload_ids the ingest gate must never re-attempt: latest status
+    `done` (F2 idempotency) OR failed >= MAX_DELIVERY_ATTEMPTS times
+    (E2 terminal gate — the reference's DLQ retry cap,
+    ARCHITECTURE.md:75). Below the cap, failed files re-attempt and a
+    success overwrites `failed` with `done` (redelivery semantics,
+    SURVEY §3.2). Shared by the batch and streaming ingest paths."""
+    done = latest_wins(ledger).filter(F.col("status") == "done").select("upload_id")
+    exhausted = (
+        ledger.filter(F.col("status") == "failed")
+        .groupBy("upload_id")
+        .agg(F.count("*").alias("__attempts"))
+        .filter(F.col("__attempts") >= MAX_DELIVERY_ATTEMPTS)
+        .select("upload_id")
+    )
+    return done.unionByName(exhausted)
+
+
 def ingest_batch(spark: SparkSession, csv_dir: str, ledger_dir: str) -> DataFrame:
     """Run one ingest pass; returns the latest-wins ledger view after it.
 
@@ -68,20 +86,7 @@ def ingest_batch(spark: SparkSession, csv_dir: str, ledger_dir: str) -> DataFram
     """
     candidates = _file_facts(spark, csv_dir)
 
-    ledger = read_ledger(spark, ledger_dir)
-    done = latest_wins(ledger).filter(F.col("status") == "done").select("upload_id")
-    # E2 terminal gate: an upload that failed MAX_DELIVERY_ATTEMPTS times
-    # stops retrying (the reference's DLQ policy, ARCHITECTURE.md:75) —
-    # below the cap, failed files re-attempt and a success overwrites
-    # `failed` with `done` (redelivery semantics, SURVEY §3.2).
-    exhausted = (
-        ledger.filter(F.col("status") == "failed")
-        .groupBy("upload_id")
-        .agg(F.count("*").alias("__attempts"))
-        .filter(F.col("__attempts") >= MAX_DELIVERY_ATTEMPTS)
-        .select("upload_id")
-    )
-    skip = done.unionByName(exhausted)
+    skip = terminal_upload_ids(read_ledger(spark, ledger_dir))
     # F2: idempotency gate. The ledger side is tiny relative to the scan
     # at scale — broadcast it so the gate is shuffle-free.
     fresh = candidates.join(F.broadcast(skip), "upload_id", "left_anti")

@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.keys import upload_id_col
-from ..operators.ledger import latest_wins, read_ledger, upsert_append
-from ..operators.ingest import MIN_DATA_ROWS
+from ..operators.ledger import read_ledger, upsert_append
+from ..operators.ingest import MIN_DATA_ROWS, terminal_upload_ids
 
 
 def _process_batch(spark: SparkSession, batch: DataFrame, ledger_dir: str) -> None:
@@ -38,12 +38,12 @@ def _process_batch(spark: SparkSession, batch: DataFrame, ledger_dir: str) -> No
         )
         .withColumn("data_rows", F.greatest(F.col("n_lines") - 1, F.lit(0)))
     )
-    done = (
-        latest_wins(read_ledger(spark, ledger_dir))
-        .filter(F.col("status") == "done")
-        .select("upload_id")
-    )
-    fresh = per_file.join(F.broadcast(done), "upload_id", "left_anti")
+    # same gate as the batch path: skip `done` (F2) AND retry-exhausted
+    # uploads (E2 DLQ cap) — without the exhausted side, a permanently
+    # failing file would append a `failed` row on every query lifetime
+    # that re-lists it, violating the reference's 5-attempt policy.
+    skip = terminal_upload_ids(read_ledger(spark, ledger_dir))
+    fresh = per_file.join(F.broadcast(skip), "upload_id", "left_anti")
     ok = F.col("data_rows") >= MIN_DATA_ROWS
     now = F.current_timestamp()
     transitions = fresh.select(

@@ -60,3 +60,34 @@ def test_stream_ingest_and_late_file(spark, tmp_path):
     finally:
         q2.stop()
     assert read_ledger(spark, ledger_dir).count() == n_before
+
+
+def test_stream_retry_cap_stops_permanent_failures(spark, tmp_path):
+    """A permanently failing file is re-attempted on each query lifetime
+    that re-lists it — but only up to MAX_DELIVERY_ATTEMPTS failed rows
+    (the reference's DLQ policy, ARCHITECTURE.md:75); after that the
+    exhausted gate makes further lifetimes append nothing."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.schemas import (
+        MAX_DELIVERY_ATTEMPTS,
+    )
+
+    csv_dir = tmp_path / "in"
+    csv_dir.mkdir()
+    (csv_dir / "always-bad.csv").write_text(BAD)  # header only -> failed
+    ledger_dir = str(tmp_path / "ledger")
+
+    # each fresh checkpoint is a new query lifetime -> one re-delivery
+    for attempt in range(MAX_DELIVERY_ATTEMPTS + 2):
+        q = start_ingest_stream(
+            spark, str(csv_dir), ledger_dir, str(tmp_path / f"ckpt{attempt}")
+        )
+        try:
+            _wait_idle(q)
+        finally:
+            q.stop()
+        n_failed = (
+            read_ledger(spark, ledger_dir)
+            .filter(F.col("status") == "failed")
+            .count()
+        )
+        assert n_failed == min(attempt + 1, MAX_DELIVERY_ATTEMPTS)
