@@ -58,6 +58,68 @@ def word_shingles_col(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def _bucket_pairs(
+    entries: DataFrame,
+    bucket_cols: list[str],
+    id_payload: tuple[str, str],
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Within-bucket candidate-pair expansion (SimHash blocks,
+    hyperplane tables — signature families whose per-row compute is
+    heavy enough that evaluating it once beats staying in codegen; the
+    MinHash path keeps a plain self-join instead, see
+    minhash_lsh_candidates).
+
+    One groupBy shuffle collects each bucket's (id, payload) members as
+    a sorted array; a narrow nested `transform` then emits every
+    ordered pair — so the upstream signature pipeline runs exactly once,
+    nothing is persisted, and the bucket only crosses the wire once
+    (a bucketed self-join reads the shuffle twice and, without manual
+    persist, computes the signatures twice).
+
+    `max_bucket_size` bounds both the O(m²) pair blowup AND the
+    collected row width: buckets above it (boilerplate/empty-content
+    hot keys) are dropped before expansion — the standard
+    recall-for-bound trade at 100 TB. Returns (id_a, id_b, pa, pb) with
+    id_a < id_b, deduplicated across buckets.
+    """
+    id_col, payload_col = id_payload
+    members = (
+        entries.groupBy(*bucket_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("i"), F.col(payload_col).alias("p")
+                    )
+                )
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    if max_bucket_size is not None:
+        members = members.filter(F.size("ms") <= max_bucket_size)
+    pair_structs = F.flatten(
+        F.transform(
+            "ms",
+            lambda m, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+                lambda mj: F.struct(
+                    m["i"].alias("id_a"),
+                    mj["i"].alias("id_b"),
+                    m["p"].alias("pa"),
+                    mj["p"].alias("pb"),
+                ),
+            ),
+        )
+    )
+    return (
+        members.select(F.explode(pair_structs).alias("pr"))
+        .select("pr.id_a", "pr.id_b", "pr.pa", "pr.pb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -80,7 +142,12 @@ def minhash_signatures(
     # single fold: the shingle array appears ONCE in the expression tree
     # (an outer transform-of-aggregates would inline and recompute it
     # num_perm times — measured 5× slower), and the accumulator carries
-    # all num_perm running minima.
+    # all num_perm running minima. Per-permutation seeded xxhash64 keeps
+    # the permutations fully independent; cheaper recombination families
+    # ((a_i*h+b_i) mod p over one base hash) measured equal steady-state
+    # here — the fold is interpreted, so per-element overhead, not hash
+    # calls, dominates — while costing more to compile and (without the
+    # mod-p reduction) collapsing every permutation onto the same min.
     sig = F.aggregate(
         word_shingles_col(text_col, shingle_n),
         F.array_repeat(max_long, num_perm),
@@ -136,22 +203,23 @@ def minhash_lsh_candidates(
             ])
         ).alias("band"),
     ).select("id", "sig", "band.band_id", "band.band_hash")
-    # the signature pipeline feeds BOTH sides of the self-join; without
-    # persist Spark computes it twice
-    band_entries = band_entries.persist()
+    # No persist, no materialization: both self-join inputs recompute the
+    # signature pipeline, which stays inside whole-stage codegen and
+    # costs less than either persisting it (pins |docs|×bands sig arrays
+    # in executor memory for the session — the round-1 bench regression)
+    # or collecting buckets with collect_list (ObjectHashAggregate drops
+    # the fold out of codegen; measured ~2× slower end-to-end).
     if max_bucket_size is not None:
-        hot = (
-            band_entries.groupBy("band_id", "band_hash")
-            .agg(F.count("*").alias("sz"))
-            .filter(F.col("sz") > max_bucket_size)
-            .select("band_id", "band_hash")
+        # hot-bucket cap as a window count over the SAME (band_id,
+        # band_hash) partitioning the join shuffles on — no second
+        # aggregation pass, no broadcast anti-join.
+        wb = Window.partitionBy("band_id", "band_hash")
+        band_entries = (
+            band_entries.withColumn("__sz", F.count("*").over(wb))
+            .filter(F.col("__sz") <= max_bucket_size)
+            .drop("__sz")
         )
-        band_entries = band_entries.join(
-            F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
-        )
-
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
+    a, b = band_entries.alias("a"), band_entries.alias("b")
     pairs = (
         a.join(
             b,
@@ -241,10 +309,13 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block-permutation banding (4 × 16-bit
     blocks; hamming ≤ 3 guarantees at least one equal block), then exact
-    hamming check with `bit_count(xor)` on candidates only."""
+    hamming check with `bit_count(xor)` on candidates only.
+    `max_bucket_size` caps a degenerate block bucket (e.g. thousands of
+    identical boilerplate docs) before the O(m²) pair expansion."""
     sigs = parallelize_narrow(docs).select(
         F.col(id_col).alias("id"), simhash_col(text_col).alias("sim")
     )
@@ -261,24 +332,13 @@ def simhash_near_dups(
             ])
         ).alias("b"),
     ).select("id", "sim", "b.block_id", "b.block_val")
-    blocks = blocks.persist()  # feeds both sides of the self-join
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.block_id") == F.col("b.block_id"),
-                F.col("a.block_val") == F.col("b.block_val"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = _bucket_pairs(
+        blocks, ["block_id", "block_val"], ("id", "sim"), max_bucket_size
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("pa").alias("sim_a"),
+        F.col("pb").alias("sim_b"),
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return cand.withColumn("hamming", ham).filter(
@@ -309,7 +369,10 @@ def ngram_jaccard_pairs(
     sh = parallelize_narrow(docs).select(
         F.col(id_col).alias("id"), F.explode(word_shingles_col(text_col, n)).alias("shingle")
     )
-    sh = sh.persist()  # feeds sizes + both sides of the pair join
+    # sh feeds sizes + both pair-join sides. The join sides share one
+    # shuffle via ReusedExchange; sizes re-runs the narrow explode —
+    # cheaper than persisting |shingles| rows of executor memory for the
+    # session (persist-without-unpersist pins it at 100 TB).
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     if max_shingle_doc_freq is not None:
         hot = (

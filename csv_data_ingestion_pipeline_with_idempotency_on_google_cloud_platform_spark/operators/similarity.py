@@ -50,7 +50,14 @@ def _rank_topk(scored: DataFrame, id_col: str, k: int) -> DataFrame:
     (per-partition heaps, no global sort/shuffle); the rank window then
     runs over only the k survivors."""
     top = scored.orderBy(F.col("__cos").desc(), F.col(id_col)).limit(k)
-    w = Window.orderBy(F.col("__cos").desc(), F.col(id_col))
+    # constant-valued partition key: the window input is the k survivors
+    # of the limit (single tiny partition by construction). id%1 == 0 for
+    # every row but is non-foldable, so it survives optimization and the
+    # "moving all data to a single partition" warning never fires — a
+    # bare literal gets constant-folded back to an empty partition spec.
+    w = Window.partitionBy(F.col(id_col) % 1).orderBy(
+        F.col("__cos").desc(), F.col(id_col)
+    )
     return top.withColumn("rank", F.row_number().over(w)).select(
         F.col(id_col), F.col("rank"), F.round("__cos", 6).alias("cos_sim")
     )
@@ -170,7 +177,9 @@ def ivf_assignments(
     written partitioned/bucketed by `cell` so a probe reads only
     n_probe/n_centroids of the data.
     """
-    w = Window.orderBy(F.col(id_col))
+    # constant-valued non-foldable partition key over ≤ n_centroids rows
+    # (post-limit) — see _rank_topk for why id%1 replaces a global spec
+    w = Window.partitionBy(F.col(id_col) % 1).orderBy(F.col(id_col))
     centroids = (
         emb.orderBy(F.col(id_col))
         .limit(n_centroids)
@@ -305,30 +314,55 @@ def topk_cosine_ivf(
 def embedding_near_dup_pairs(
     emb: DataFrame,
     min_cosine: float = 0.95,
-    n_planes: int = 6,
+    n_tables: int = 8,
+    planes_per_table: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup detection: LSH-bucketed self-join (only
-    same-bucket pairs scored) with exact cosine filter. Returns
-    (id_a, id_b, cos_sim)."""
-    planes = _hyperplanes(n_planes, dim, seed)
-    bucketed = emb.select(
+    """Embedding-cosine near-dup detection via banded multi-table LSH:
+    `n_tables` independent hyperplane tables, `planes_per_table` sign
+    bits each; candidate pairs are same-bucket within ANY table, then an
+    exact cosine filter verifies. Returns (id_a, id_b, cos_sim).
+
+    Scale shape (shared with the MinHash band path, dedup._bucket_pairs):
+    each row emits n_tables (table_id, bucket) entries — bucket space
+    per table is 2^planes_per_table × the shuffle's partitioning, NOT a
+    global 2^6=64 — pairs are expanded inside collected buckets (one
+    shuffle, vectors cross the wire once), and `max_bucket_size` drops
+    degenerate hot buckets (e.g. the all-zeros embedding) so no bucket
+    ever goes O(m²) at 100 TB.
+
+    Recall at cos≥0.95 with 8×8 (p = 1-θ/π ≈ 0.9, per-table p^8 ≈ 0.43,
+    any-of-8 ≈ 0.99) is asserted against planted near-identical pairs in
+    tests/test_dedup_similarity.py.
+    """
+    from .dedup import _bucket_pairs
+
+    all_planes = _hyperplanes(n_tables * planes_per_table, dim, seed)
+    tables = [
+        all_planes[t * planes_per_table : (t + 1) * planes_per_table]
+        for t in range(n_tables)
+    ]
+    entries = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        lsh_bucket_col(vec_col, planes).alias("bucket"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("table_id"),
+                    lsh_bucket_col(vec_col, tables[t]).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ])
+        ).alias("e"),
+    ).select("id", "v", "e.table_id", "e.bucket")
+    pairs = _bucket_pairs(entries, ["table_id", "bucket"], ("id", "v"), max_bucket_size)
+    scored = pairs.select(
+        "id_a", "id_b", cosine_similarity_col("pa", "pb").alias("cos")
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    pairs = a.join(
-        b,
-        on=[F.col("a.bucket") == F.col("b.bucket"), F.col("a.id") < F.col("b.id")],
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        cosine_similarity_col(F.col("a.v"), F.col("b.v")).alias("cos"),
-    )
-    return pairs.filter(F.col("cos") >= min_cosine).select(
+    return scored.filter(F.col("cos") >= min_cosine).select(
         "id_a", "id_b", F.round("cos", 4).alias("cos_sim")
     )

@@ -515,8 +515,27 @@ def q_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, min_cosine=0.9)
+    """X2 (embedding near-dup): banded multi-table LSH + exact cosine
+    verify. The synthetic embeddings are near-orthogonal (max pair
+    cosine ≈ 0.51 at sf0.01), so a bare run at a real near-dup threshold
+    correctly returns zero rows and validates nothing. Instead the query
+    PLANTS near-identical pairs — each vec_id < 10 gets a copy at
+    id+1_000_000 with coordinates scaled by {0.998, 1.0, 1.002} (cosine
+    ≈ 0.999998) — and the result must be exactly those 10 planted pairs:
+    a self-validating rows-only surface (recall 10/10, no false
+    positives among the 510×509/2 candidate pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1.0 + 0.002 * ((i % 3) - 1))
+        ).alias("embedding"),
+    )
+    return similarity.embedding_near_dup_pairs(
+        emb.unionByName(planted), min_cosine=0.95
+    )
 
 
 # --------------------------------------------------------------------------

@@ -128,10 +128,37 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
-def test_embedding_near_dup_pairs_runs(spark):
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    pairs = similarity.embedding_near_dup_pairs(emb, min_cosine=0.5, n_planes=4)
-    rows = pairs.collect()
-    for r in rows:
-        assert r["id_a"] < r["id_b"]
-        assert r["cos_sim"] >= 0.5
+def test_embedding_near_dup_recall_on_planted_pairs(spark):
+    """Every planted near-identical pair (cos ≈ 0.999998) must survive
+    the 8-table × 8-plane banding AND no false positive may appear —
+    the base embeddings are near-orthogonal (max pair cos ≈ 0.51)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1.0 + 0.002 * ((i % 3) - 1))
+        ).alias("embedding"),
+    )
+    pairs = similarity.embedding_near_dup_pairs(
+        emb.unionByName(planted), min_cosine=0.95
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(i, i + 1_000_000) for i in range(10)}
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    """With a cap of 1, every bucket holding >1 entry (i.e. all of them,
+    in every table, for identical vectors) is dropped — planted exact
+    duplicates must NOT pair up, proving the O(m²)-bucket bound engages."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    pairs = similarity.embedding_near_dup_pairs(
+        emb.unionByName(dup), min_cosine=0.95, max_bucket_size=1
+    )
+    assert pairs.count() == 0
