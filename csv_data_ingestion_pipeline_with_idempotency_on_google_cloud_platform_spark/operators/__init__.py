@@ -7,4 +7,4 @@ from .ledger import (  # noqa: F401
     read_ledger,
     upsert_append,
 )
-from .dlq import route_to_dlq  # noqa: F401
+from .dlq import dlq_replay, route_to_dlq  # noqa: F401

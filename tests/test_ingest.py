@@ -124,3 +124,27 @@ def test_upload_id_matches_reference_shape(spark, csv_dir, tmp_path):
     uid = df.collect()[0]["uid"]
     expected = hashlib.sha256(b"bucket-a-test-data.csv-283-").hexdigest()[:16]
     assert uid == expected
+
+
+def test_empty_file_divergence_from_reference_is_pinned(spark, tmp_path):
+    """E1 (documented divergence, FIXTURES.md §1 / SURVEY §2): a file
+    that is a single newline byte. The reference's raw
+    content.split('\\n') sees 2 entries, skips no validation, and marks
+    it done with lines_processed=2; this engine validates PARSED data
+    rows (header excluded), so the same file is terminal-failed. This
+    test pins both halves so the divergence can never drift silently."""
+    d = tmp_path / "bucket-e1"
+    d.mkdir()
+    (d / "bad-empty.csv").write_text(EMPTY)
+    view = ingest_batch(spark, str(d), str(tmp_path / "ledger"))
+    row = view.collect()[0]
+
+    # engine behavior: failed, with the validation error recorded
+    assert row["status"] == "failed"
+    assert "no data rows" in row["error_message"]
+    assert row["lines_processed"] is None
+
+    # reference behavior on the same bytes (raw newline split, no
+    # data-row check) would have been: done, lines_processed == 2
+    raw_split_count = len(EMPTY.split("\n"))
+    assert raw_split_count == 2  # what main.py:121-123 would count

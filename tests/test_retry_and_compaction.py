@@ -100,3 +100,32 @@ def test_ledger_as_of_time_travel(spark):
     assert mid == {"u1": "processing"}  # u2 not yet ingested, done not yet reached
     end = {r["upload_id"]: r["status"] for r in as_of(log, datetime(2024, 1, 4)).collect()}
     assert end == {"u1": "done", "u2": "pending"}
+
+
+def test_dlq_replay_exposes_full_attempt_history(spark, tmp_path):
+    """dlq_replay returns every failed attempt of each TERMINAL upload,
+    numbered in time order — and nothing for uploads still under the
+    retry cap or already done."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.dlq import (
+        dlq_replay,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "poison.csv").write_text("id,name")  # header only -> always fails
+    (d / "good.csv").write_text("id,name\n1,a\n")
+    ledger_dir = str(tmp_path / "ledger")
+    for _ in range(3):
+        ingest_batch(spark, str(d), ledger_dir)
+    ledger = read_ledger(spark, ledger_dir)
+
+    # 3 failures < cap: nothing is terminal yet
+    assert dlq_replay(ledger).count() == 0
+    replay_low = dlq_replay(ledger, max_attempts=2).collect()
+    assert [r["attempt"] for r in sorted(replay_low, key=lambda r: r["attempt"])] == [1, 2, 3]
+    assert all("no data rows" in r["error_message"] for r in replay_low)
+
+    for _ in range(4):  # reach the 5-attempt cap (gated afterwards)
+        ingest_batch(spark, str(d), ledger_dir)
+    replay = dlq_replay(read_ledger(spark, ledger_dir)).collect()
+    assert [r["attempt"] for r in sorted(replay, key=lambda r: r["attempt"])] == [1, 2, 3, 4, 5]
