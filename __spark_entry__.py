@@ -36,12 +36,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query.
 
-    Keys absent here (near_dedup, simhash_near_dup, embedding_near_dup,
-    topk_cosine_lsh, topk_cosine_ivf, kmeans_assign, approx_distinct —
-    the last 7 registry entries, after every oracle-backed query) are
-    engine-hash / literal-hyperplane / sketch dependent; the driver
-    records rows-only checks and tests/ assert their quality against
-    exact baselines (recall bounds, planted duplicates, HLL error
-    bounds).
+    Keys absent here (near_dedup, near_dup_clusters, simhash_near_dup,
+    embedding_near_dup, topk_cosine_lsh, topk_cosine_ivf, kmeans_assign,
+    approx_distinct — the last 8 registry entries, after every
+    oracle-backed query) are engine-hash / literal-hyperplane / sketch
+    dependent; the driver records rows-only checks and tests/ assert
+    their quality against exact baselines (recall bounds, planted
+    duplicates, recursive-CTE component parity, HLL error bounds).
     """
     return dict(ORACLE_SQL)

@@ -427,3 +427,73 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
     )
     return j.select("id_a", "id_b", "jaccard")
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Resolve pairwise near-dup candidates into connected components —
+    the step between pair generation (MinHash/SimHash/embedding LSH) and
+    corpus filtering: every member of a duplicate cluster gets the
+    cluster's minimum doc id as `cluster_id`, and `keep` marks that
+    canonical member.
+
+    Min-label propagation: labels start as each node's own id and every
+    iteration takes the min over the 1-hop neighborhood, converging in
+    O(cluster diameter) rounds — near-dup clusters are shallow (dozens
+    of hops at the extreme), so the bounded driver loop with a
+    convergence count is the same legitimate iterative state as the
+    k-means trainer (similarity.kmeans_train_assign). Per iteration: one
+    groupBy(dst) min-aggregation (map-side combined) + one left join —
+    both shuffle only (node, label) longs, never documents. Lineage is
+    truncated with an eager localCheckpoint each round so the plan does
+    not grow with iterations. For graphs with continent-sized components
+    (not this workload) the alternating small-star/large-star rewrite
+    bounds rounds at O(log n); the per-round dataflow is the same.
+
+    Returns (node_id, cluster_id, keep) for every node appearing in
+    `pairs`. Raises if the loop fails to converge within max_iters.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn("label", F.col("node_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nb_min = (
+            edges.join(labels, edges["src"] == labels["node_id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["node_id"] == nb_min["dst"], "left")
+            .select(
+                "node_id",
+                F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_iters} iters")
+    return labels.select(
+        "node_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("node_id") == F.col("label")).alias("keep"),
+    )

@@ -428,6 +428,17 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(docs, max_hamming=3)
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (cluster resolution): MinHash candidate pairs → connected
+    components → (node_id, cluster_id, keep) with the minimum doc id
+    canonical per cluster. Rows-only (pairs are engine-hash dependent);
+    the component algebra itself is pinned against a DuckDB
+    recursive-CTE transitive closure in tests/test_dedup_similarity.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs, min_est_jaccard=0.5)
+    return dedup.near_dup_clusters(pairs)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
@@ -1591,6 +1602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- rows-only from here down (entry 51+): engine-hash-dependent /
     # approximate by design; recall vs exact baselines lives in tests/
     "near_dedup": q_near_dedup,
+    "near_dup_clusters": q_near_dup_clusters,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "topk_cosine_lsh": q_topk_cosine_lsh,

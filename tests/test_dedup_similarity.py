@@ -162,3 +162,48 @@ def test_embedding_near_dup_hot_bucket_cap(spark):
         emb.unionByName(dup), min_cosine=0.95, max_bucket_size=1
     )
     assert pairs.count() == 0
+
+
+def test_near_dup_clusters_resolves_components(spark):
+    """Chain 1-2-3 and pair 10-11 collapse to min-id clusters with the
+    canonical member flagged keep."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    rows = {r["node_id"]: r for r in dedup.near_dup_clusters(pairs).collect()}
+    assert {n: r["cluster_id"] for n, r in rows.items()} == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+    }
+    assert {n for n, r in rows.items() if r["keep"]} == {1, 10}
+
+
+def test_near_dup_clusters_matches_recursive_cte_oracle(spark, duck):
+    """Pytest-level oracle: min-label connected components over a
+    deterministic pseudo-random graph must match DuckDB's recursive-CTE
+    transitive closure."""
+    import random
+
+    rng = random.Random(11)
+    edges = sorted({tuple(sorted(rng.sample(range(60), 2))) for _ in range(45)})
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["node_id"], r["cluster_id"])
+        for r in dedup.near_dup_clusters(pairs).collect()
+    }
+    values = ", ".join(f"({a}, {b})" for a, b in edges)
+    oracle = duck.execute(f"""
+        WITH RECURSIVE
+        e(src, dst) AS (
+            SELECT id_a, id_b FROM (VALUES {values}) t(id_a, id_b)
+            UNION ALL
+            SELECT id_b, id_a FROM (VALUES {values}) t(id_a, id_b)
+        ),
+        nodes(node) AS (SELECT DISTINCT src FROM e),
+        reach(node, lab) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+        )
+        SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node
+    """).fetchall()
+    assert got == {(n, c) for n, c in oracle}
