@@ -106,3 +106,44 @@ def test_pack_sequences_single_stream_shuffle(spark):
     # which AQE may coalesce; never a global (rangepartitioning) sort
     assert "rangepartitioning" not in plan
     assert plan.count("hashpartitioning") <= 2
+
+
+def test_near_dedup_no_cache_and_bounded_shuffles(spark):
+    """The MinHash pipeline must not pin anything in the cache manager
+    (no InMemoryTableScan) — the self-join recomputes the codegen'd
+    signature fold instead — and its only exchanges are the band join's
+    two sides plus the pair dedup."""
+    plan = _plan(spark, "near_dedup")
+    assert "InMemoryTableScan" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning") <= 3
+
+
+def test_embedding_near_dup_single_bucket_shuffle(spark):
+    """Banded multi-table LSH pairs expand inside collected buckets: one
+    (table_id, bucket) aggregation shuffle + the pair dedup — the
+    vectors never feed a self-join that reads the data twice."""
+    plan = _plan(spark, "embedding_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" not in plan
+    assert "SortMergeJoin" not in plan  # no bucketed self-join anywhere
+    # bucket-collect agg + dropDuplicates (+ a possible AQE artifact)
+    assert plan.count("hashpartitioning") <= 3
+
+
+def test_dlq_replay_single_window_shuffle(spark):
+    """attempt numbering and the terminal count share one window
+    partitioning: exactly one exchange over the upload key."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.dlq import (
+        dlq_replay,
+    )
+
+    transitions = spark.createDataFrame(
+        [("u1", "failed", "boom", 1.0)],
+        "upload_id string, status string, error_message string, ts double",
+    )
+    df = dlq_replay(transitions)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("hashpartitioning") == 1, plan
