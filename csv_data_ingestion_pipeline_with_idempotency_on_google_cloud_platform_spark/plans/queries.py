@@ -739,18 +739,26 @@ FROM m, UNNEST(generate_series(
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 (resize): fixed-size thumbnail pass through the Arrow seam;
-    oracle checks the size contract (orig_len preserved, thumb exactly
-    64 bytes) — thumb content determinism is pinned in tests."""
+    the oracle checks the size contract (orig_len preserved, thumb
+    exactly 64 bytes) AND the thumb CONTENT byte-for-byte via its hex
+    encoding (truncate-or-zero-pad is expressible over hex strings in
+    DuckDB, which lacks blob substring/md5)."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(docs)
     resized = multimodal.resize_media(media, thumb_bytes=64)
     return resized.select(
-        "doc_id", "orig_len", F.length("thumb").alias("thumb_len")
+        "doc_id",
+        "orig_len",
+        F.length("thumb").alias("thumb_len"),
+        F.lower(F.hex("thumb")).alias("thumb_hex"),
     )
 
 
 SQL_MEDIA_RESIZE = """
-SELECT doc_id, octet_length(encode(text)) AS orig_len, 64 AS thumb_len
+SELECT doc_id,
+       octet_length(encode(text)) AS orig_len,
+       64 AS thumb_len,
+       lower(rpad(substring(hex(encode(text)), 1, 128), 128, '0')) AS thumb_hex
 FROM documents
 """
 
