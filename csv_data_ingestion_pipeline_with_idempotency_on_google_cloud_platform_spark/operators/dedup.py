@@ -37,13 +37,20 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """One canonical row per distinct normalized content (X1).
 
     Returns (id_col, content_hash) of the kept (minimum-id) document.
+
+    Winner selection is `groupBy(hash).min(id)`, NOT a row_number
+    window: partial aggregation collapses duplicate hashes map-side, so
+    the shuffle carries one row per (input partition, hash) and the
+    classic hot key (billions of empty/boilerplate docs sharing one
+    hash) reduces in parallel — a window would funnel every duplicate
+    row through a single task, and AQE's skew handling covers joins,
+    not windows.
     """
     hashed = docs.select(F.col(id_col), content_hash_col(text_col).alias("content_hash"))
-    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
     return (
-        hashed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        hashed.groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "content_hash")
     )
 
 

@@ -147,3 +147,12 @@ def test_dlq_replay_single_window_shuffle(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    """Winner selection must be a two-phase aggregate (map-side combine
+    collapses the hot empty-doc hash before the shuffle), never a
+    row_number window funneling duplicates through one task."""
+    plan = _plan(spark, "exact_dedup")
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan
