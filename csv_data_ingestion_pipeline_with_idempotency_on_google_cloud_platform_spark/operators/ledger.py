@@ -16,7 +16,7 @@ date-partitioned so the view prunes to recent partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark.sql import types as T
@@ -70,15 +70,17 @@ def upsert_append(transitions: DataFrame, ledger_dir: str) -> None:
 def latest_wins(ledger: DataFrame, key: str = "upload_id", ts: str = "ts") -> DataFrame:
     """Current-state view (T1): last transition per upload wins.
 
-    `row_number` over (key, ts desc) — one hash shuffle on the key, then
-    a per-partition sort; with AQE the skewed-key case splits
-    automatically.
+    `groupBy(key).max_by(full row, ts)` — two-phase aggregation, so the
+    per-upload winner is resolved map-side and the shuffle carries one
+    row per (input partition, upload), not the whole transition history;
+    no per-partition sort, and a pathologically hot upload (endless
+    retries) reduces in parallel instead of pinning one window task.
     """
-    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    row = F.struct(*[F.col(c) for c in ledger.columns])
     return (
-        ledger.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        ledger.groupBy(key)
+        .agg(F.max_by(row, F.col(ts)).alias("__row"))
+        .select("__row.*")
     )
 
 
