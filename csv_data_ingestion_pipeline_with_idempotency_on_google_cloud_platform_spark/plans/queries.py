@@ -285,11 +285,10 @@ def q_ledger_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "upload_id", F.lit("done").alias("status"), F.lit(2).alias("seq")
     )
     merged = base.unionByName(updates)
-    w = Window.partitionBy("upload_id").orderBy(F.col("seq").desc())
-    return (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("upload_id", "status")
+    # two-phase max_by (not a rank window): winner resolved map-side,
+    # skew-safe — same posture as operators/ledger.latest_wins
+    return merged.groupBy("upload_id").agg(
+        F.max_by("status", "seq").alias("status")
     )
 
 
@@ -317,11 +316,10 @@ def q_status_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: current status per upload = last transition wins
     (main.py:66,111,134,149)."""
     tr = transitions_df(spark, sf_dir)
-    w = Window.partitionBy("upload_key").orderBy(F.col("seq").desc())
-    return (
-        tr.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("upload_key", "status", "seq")
+    # two-phase max_by over (status, seq) — map-side winner, no window
+    return tr.groupBy("upload_key").agg(
+        F.max_by("status", "seq").alias("status"),
+        F.max("seq").alias("seq"),
     )
 
 
@@ -344,12 +342,13 @@ def q_ledger_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     it, main.py:110-152)."""
     tr = transitions_df(spark, sf_dir)
     cutoff = "1998-01-01"
-    w = Window.partitionBy("upload_key").orderBy(F.col("seq").desc())
     return (
         tr.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("upload_key", "status", "seq")
+        .groupBy("upload_key")
+        .agg(
+            F.max_by("status", "seq").alias("status"),
+            F.max("seq").alias("seq"),
+        )
     )
 
 
