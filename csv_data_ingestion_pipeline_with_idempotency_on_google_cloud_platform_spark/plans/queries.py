@@ -1262,9 +1262,15 @@ FROM packed GROUP BY lang, pack_id
 
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 terms per language (grouped top-k): explode → count →
-    row_number window. The count is map-side combinable so the window
-    input is |distinct terms|, not |tokens|; deterministic tie-break on
-    the term itself."""
+    salted two-phase rank. The count is map-side combinable so ranking
+    input is |distinct terms|, not |tokens|. With only a handful of
+    languages a single rank window would run at parallelism |langs|;
+    instead phase 1 ranks within (lang, salt = hash(term) % 32) buckets
+    — each term's count is already global, and a language's true top-5
+    must appear in its own salt bucket's top-5 — and phase 2 ranks the
+    ≤ 5×32 survivors per language. Identical (n desc, term asc)
+    tie-break in both phases keeps the result deterministic and
+    oracle-equal."""
     from ..functions.text import tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1274,8 +1280,15 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "term")
         .agg(F.count("*").alias("n"))
     )
+    salted = counts.withColumn("__salt", F.pmod(F.hash("term"), F.lit(32)))
+    w_local = Window.partitionBy("lang", "__salt").orderBy(F.desc("n"), F.asc("term"))
+    survivors = (
+        salted.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= 5)
+        .drop("__lr", "__salt")
+    )
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
-    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    return survivors.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
 
 
 SQL_TOP_TERMS = r"""
