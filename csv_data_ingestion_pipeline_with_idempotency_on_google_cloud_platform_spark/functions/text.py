@@ -145,6 +145,33 @@ def quality_score_cols(text: Column | str) -> dict[str, Column]:
     }
 
 
+def repetition_cols(text: Column | str) -> dict[str, Column]:
+    """Intra-document repetition signals (Gopher-style corpus quality
+    rules): fraction of duplicated lines and of duplicated word bigrams.
+    Boilerplate/spam pages repeat themselves; clean prose does not.
+    Pure per-row expressions — zero shuffle at any scale.
+
+    dup_line_frac  = 1 - |distinct lines| / |lines|
+    dup_bigram_frac = 1 - |distinct bigrams| / |bigrams| (0 when < 2 tokens)
+    """
+    t = _c(text)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("double")
+    dup_line_frac = (n_lines - F.size(F.array_distinct(lines)).cast("double")) / (
+        F.greatest(n_lines, F.lit(1.0))
+    )
+    toks = tokens_col(t)
+    n_bi = (F.size(toks) - 1).cast("double")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    dup_bigram_frac = F.when(n_bi < 1, F.lit(0.0)).otherwise(
+        (n_bi - F.size(F.array_distinct(bigrams)).cast("double")) / n_bi
+    )
+    return {"dup_line_frac": dup_line_frac, "dup_bigram_frac": dup_bigram_frac}
+
+
 def rolling_fingerprint_col(text: Column | str, shingle: int = 8) -> Column:
     """Document fingerprint: min over rolling character-shingle hashes
     (winnowing-style, one representative hash per document). Pure

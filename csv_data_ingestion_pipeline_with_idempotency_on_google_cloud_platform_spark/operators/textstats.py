@@ -15,6 +15,7 @@ from ..functions.text import (
     lang_id_col,
     normalize_text_col,
     quality_score_cols,
+    repetition_cols,
     token_count_col,
 )
 
@@ -39,8 +40,10 @@ def language_id(docs: DataFrame) -> DataFrame:
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:
-    """Quality-signal table per document (ratios rounded for stability)."""
+    """Quality-signal table per document (ratios rounded for stability),
+    including Gopher-style intra-doc repetition fractions."""
     cols = quality_score_cols("text")
+    rep = repetition_cols("text")
     return docs.select(
         "doc_id",
         cols["n_chars"].alias("n_chars"),
@@ -49,6 +52,8 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         F.round(cols["stopword_ratio"], 4).alias("stopword_ratio"),
         F.round(cols["alpha_ratio"], 4).alias("alpha_ratio"),
         F.round(cols["quality_score"], 4).alias("quality_score"),
+        F.round(rep["dup_line_frac"], 4).alias("dup_line_frac"),
+        F.round(rep["dup_bigram_frac"], 4).alias("dup_bigram_frac"),
     )
 
 

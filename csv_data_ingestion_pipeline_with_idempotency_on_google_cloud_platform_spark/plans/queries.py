@@ -604,7 +604,8 @@ WITH base AS (
          CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
               ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks,
          CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) AS n_punct,
-         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+         string_split(text, chr(10)) AS lines
   FROM documents
 ),
 derived AS (
@@ -615,7 +616,15 @@ derived AS (
          CAST(len(list_filter(toks, x -> list_contains(
              ['the','a','an','and','or','of','to','in','is','it'], lower(x))))
            AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stopword_ratio,
-         n_alpha / greatest(CAST(n_chars AS DOUBLE), 1.0) AS alpha_ratio
+         n_alpha / greatest(CAST(n_chars AS DOUBLE), 1.0) AS alpha_ratio,
+         (CAST(len(lines) AS DOUBLE) - CAST(len(list_distinct(lines)) AS DOUBLE))
+           / greatest(CAST(len(lines) AS DOUBLE), 1.0) AS dup_line_frac,
+         CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+           (CAST(len(toks) - 1 AS DOUBLE) - CAST(len(list_distinct(
+               list_transform(range(1, len(toks)),
+                              i -> concat_ws(' ', toks[i], toks[i+1]))
+           )) AS DOUBLE)) / CAST(len(toks) - 1 AS DOUBLE)
+         END AS dup_bigram_frac
   FROM base
 )
 SELECT doc_id, n_chars, n_tokens,
@@ -624,7 +633,9 @@ SELECT doc_id, n_chars, n_tokens,
        ROUND(alpha_ratio, 4) AS alpha_ratio,
        ROUND(0.4 * alpha_ratio
            + 0.4 * least(stopword_ratio * 2, 1.0)
-           + 0.2 * (1.0 - least(punct_ratio * 4, 1.0)), 4) AS quality_score
+           + 0.2 * (1.0 - least(punct_ratio * 4, 1.0)), 4) AS quality_score,
+       ROUND(dup_line_frac, 4) AS dup_line_frac,
+       ROUND(dup_bigram_frac, 4) AS dup_bigram_frac
 FROM derived
 """
 

@@ -155,3 +155,34 @@ def test_pii_redaction_planted(spark):
         r = by_text[text]
         assert r["red"] == expected, (text, r["red"])
         assert (r["ne"], r["nn"]) == (ne, nn), (text, r["ne"], r["nn"])
+
+
+def test_repetition_signals_on_planted_docs(spark):
+    """Gopher-style repetition fractions: a repetitive doc scores high,
+    clean prose scores zero."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.functions.text import (
+        repetition_cols,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b\na b a b\nxyz"),   # dup line + heavy bigram reuse
+            (2, "every word here differs"),  # clean
+            (3, "one"),                      # no bigrams at all
+        ],
+        "doc_id long, text string",
+    )
+    rep = repetition_cols("text")
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            F.round(rep["dup_line_frac"], 4).alias("dl"),
+            F.round(rep["dup_bigram_frac"], 4).alias("db"),
+        ).collect()
+    }
+    assert rows[1]["dl"] == round(1 / 3, 4)   # 3 lines, 2 distinct
+    assert rows[1]["db"] == round(5 / 8, 4)   # 8 bigrams, 3 distinct
+    assert rows[2]["dl"] == 0.0 and rows[2]["db"] == 0.0
+    assert rows[3]["db"] == 0.0
