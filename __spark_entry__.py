@@ -38,10 +38,12 @@ def oracle_sql() -> dict[str, str]:
 
     Keys absent here (near_dedup, near_dup_clusters, simhash_near_dup,
     embedding_near_dup, topk_cosine_lsh, topk_cosine_ivf, kmeans_assign,
-    approx_distinct — the last 8 registry entries, after every
-    oracle-backed query) are engine-hash / literal-hyperplane / sketch
-    dependent; the driver records rows-only checks and tests/ assert
-    their quality against exact baselines (recall bounds, planted
-    duplicates, recursive-CTE component parity, HLL error bounds).
+    approx_distinct, temperature_mix — the last 9 registry entries,
+    after every oracle-backed query) are engine-hash /
+    literal-hyperplane / sketch / iterative-state dependent or simply
+    past the checked window; the driver records rows-only checks and
+    tests/ assert their quality against exact baselines (recall bounds,
+    planted duplicates, recursive-CTE component parity, DuckDB
+    closed-form mixing-rate parity, HLL error bounds).
     """
     return dict(ORACLE_SQL)

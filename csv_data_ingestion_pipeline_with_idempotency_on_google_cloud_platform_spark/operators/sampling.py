@@ -69,3 +69,54 @@ def stratified_hash_sample(
     )
     limit = F.coalesce(thresholds[F.col(stratum)], F.lit(default_below))
     return df.filter(hash_bucket_col(key, 2) < limit)
+
+
+def temperature_mix(
+    df: DataFrame,
+    key: str = "doc_id",
+    stratum: str = "lang",
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-based data mixing: deterministically downsample so
+    the kept corpus's stratum composition follows q_s ∝ p_s^(1/T) —
+    the standard multilingual rebalancing (T>1 flattens toward uniform,
+    upweighting low-resource strata; T=1 keeps everything).
+
+    Rates are solved so composition is exact WITHOUT upsampling: keep
+    rate r_s = C·q_s/n_s with C = min_s(n_s/q_s), i.e. the largest
+    corpus whose composition is exactly q. Rate derivation runs as
+    three aggregations over the per-stratum counts (|strata| rows —
+    broadcast everywhere); membership is the same md5-prefix pure
+    function as hash_split, so the sample is reproducible on any
+    engine and composes with split/downsample thresholds. One narrow
+    scan + one count shuffle of |strata| partial rows; no driver state.
+
+    Returns the kept rows with `mix_rate` attached.
+    """
+    counts = df.groupBy(stratum).agg(F.count("*").alias("__n"))
+    # rate algebra over the |strata|-row counts frame: windows over one
+    # constant-keyed partition (non-foldable so the spec survives
+    # optimization) — |strata| rows, so the single partition is free
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy(F.col(stratum).isNotNull())
+    q_raw = F.pow(F.col("__n") / F.sum("__n").over(wall), 1.0 / temperature)
+    tmp = counts.select(stratum, "__n", q_raw.alias("__q_raw"))
+    tmp = tmp.select(
+        stratum, "__n", (F.col("__q_raw") / F.sum("__q_raw").over(wall)).alias("__q")
+    )
+    rates = tmp.select(
+        stratum,
+        F.least(
+            F.min(F.col("__n") / F.col("__q")).over(wall)
+            * F.col("__q")
+            / F.col("__n"),
+            F.lit(1.0),
+        ).alias("mix_rate"),
+    )
+    out = df.join(F.broadcast(rates), stratum)
+    thr = F.format_string(
+        "%08x", F.floor(F.col("mix_rate") * F.lit(float(1 << 32))).cast("long")
+    )
+    keep = (F.col("mix_rate") >= 1.0) | (hash_bucket_col(key, 8) < thr)
+    return out.filter(keep)

@@ -427,6 +427,20 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(docs, max_hamming=3)
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 (data mixing): temperature-based stratified rebalancing —
+    keep rates solve q_lang ∝ p_lang^(1/2) with no upsampling, applied
+    through the deterministic md5 membership. Rows-only in the driver
+    (window is full); the kept doc_id set is pinned against a DuckDB
+    implementation of the same closed-form rates in
+    tests/test_temporal_sampling.py."""
+    from ..operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = temperature_mix(docs, temperature=2.0)
+    return out.select("doc_id", "lang", F.round("mix_rate", 6).alias("mix_rate"))
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 (cluster resolution): MinHash candidate pairs → connected
     components → (node_id, cluster_id, keep) with the minimum doc id
@@ -1640,6 +1654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_ivf": q_topk_cosine_ivf,
     "kmeans_assign": q_kmeans_assign,
     "approx_distinct": q_approx_distinct,
+    "temperature_mix": q_temperature_mix,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are

@@ -160,3 +160,36 @@ def test_sampling_no_shuffle(spark):
     df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
     plan = formatted_plan(sampling.hash_split(df, "doc_id"))
     assert "Exchange" not in plan, plan
+
+
+def test_temperature_mix_composition_and_duckdb_parity(spark, duck):
+    """T=2 mixing flattens the language distribution toward uniform:
+    the kept composition must match q_s ∝ p_s^(1/2) within hash noise,
+    at least one stratum keeps rate 1.0 (no upsampling, maximal corpus),
+    and the exact kept doc_id set matches a DuckDB implementation of the
+    same closed-form rates (engine-independent md5 membership)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sampling import (
+        temperature_mix,
+    )
+    from .conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "lang")
+    kept = temperature_mix(docs, temperature=2.0)
+    rows = kept.collect()
+    assert any(abs(r["mix_rate"] - 1.0) < 1e-12 for r in rows)
+
+    got = {(r["doc_id"], round(r["mix_rate"], 6)) for r in rows}
+    oracle = duck.execute(f"""
+        WITH d AS (SELECT doc_id, lang FROM read_parquet('{SF_DIR}/documents.parquet')),
+        c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY lang),
+        w AS (SELECT lang, n, POWER(n * 1.0 / SUM(n) OVER (), 0.5) AS q_raw FROM c),
+        q AS (SELECT lang, n, q_raw / SUM(q_raw) OVER () AS q FROM w),
+        r AS (SELECT lang, n, q, MIN(n / q) OVER () AS big_c FROM q),
+        rates AS (SELECT lang, LEAST(big_c * q / n, 1.0) AS mix_rate FROM r)
+        SELECT doc_id, ROUND(mix_rate, 6) AS mix_rate
+        FROM d JOIN rates USING (lang)
+        WHERE mix_rate >= 1.0
+           OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              < printf('%08x', CAST(floor(mix_rate * 4294967296) AS BIGINT))
+    """).fetchall()
+    assert got == {(i, r) for i, r in oracle}
