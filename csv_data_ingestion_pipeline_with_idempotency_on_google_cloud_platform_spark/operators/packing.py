@@ -60,3 +60,51 @@ def pack_stats(
         F.count("*").alias("n_docs"),
         F.sum(cost_col).alias("total_cost"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 1000,
+    overlap: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long documents into fixed-size character chunks with
+    overlap — the context-window primitive of pretraining and RAG
+    ingestion. Chunk k covers [k·stride, k·stride + chunk_chars) with
+    stride = chunk_chars − overlap; the final chunk is the remainder
+    (never empty for non-empty docs; empty docs yield one empty chunk,
+    preserving doc count under a grouped re-assembly).
+
+    Pure row expansion — sequence → transform(substring) → posexplode —
+    so the pass is narrow, partition-parallel, and shuffle-free at any
+    scale. Returns (id_col, chunk_idx, chunk_start, chunk, n_chunks).
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    t = F.col(text_col)
+    n = F.length(t)
+    # number of stride steps whose window start lies inside the text
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda k: k * stride
+    )
+    chunks = F.transform(starts, lambda s: F.substring(t, s + 1, chunk_chars))
+    return (
+        docs.select(
+            F.col(id_col),
+            n_chunks.alias("n_chunks"),
+            F.posexplode(chunks).alias("chunk_idx", "chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).alias("chunk_start"),
+            "chunk",
+            "n_chunks",
+        )
+    )

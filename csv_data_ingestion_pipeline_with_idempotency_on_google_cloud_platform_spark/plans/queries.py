@@ -427,6 +427,20 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(docs, max_hamming=3)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10-adjacent (context windows): fixed-size overlapping character
+    chunks per document — narrow row expansion, zero shuffle. Rows-only
+    in the driver (window is full); chunk geometry + lossless
+    reassembly + a DuckDB generate_series twin are pinned in
+    tests/test_packing.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = packing.chunk_documents(docs, chunk_chars=400, overlap=50)
+    return chunks.select(
+        "doc_id", "chunk_idx", "chunk_start", F.length("chunk").alias("chunk_len"),
+        "n_chunks",
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8 (data mixing): temperature-based stratified rebalancing —
     keep rates solve q_lang ∝ p_lang^(1/2) with no upsampling, applied
@@ -1655,6 +1669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_assign": q_kmeans_assign,
     "approx_distinct": q_approx_distinct,
     "temperature_mix": q_temperature_mix,
+    "chunk_documents": q_chunk_documents,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are

@@ -43,3 +43,50 @@ def test_pack_ids_contiguous_and_deterministic(spark):
     again = packing.pack_sequences(docs, "n_chars", 4000, stream_col="lang")
     assert packed.exceptAll(again).count() == 0
     assert again.exceptAll(packed).count() == 0
+
+
+def test_chunk_documents_covers_text_and_matches_duckdb(spark, duck):
+    """Chunk geometry (start offsets, overlap, remainder chunk) must
+    reconstruct the document and match a DuckDB generate_series
+    implementation exactly on the real corpus."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.packing import (
+        chunk_documents,
+    )
+    from .conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    chunks = chunk_documents(docs, chunk_chars=400, overlap=50)
+    got = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_start"], r["chunk"], r["n_chunks"])
+        for r in chunks.collect()
+    }
+    oracle = duck.execute(f"""
+        WITH d AS (SELECT doc_id, text, length(text) AS n
+                   FROM read_parquet('{SF_DIR}/documents.parquet')),
+        g AS (SELECT doc_id, text,
+                     GREATEST(CAST(CEIL((n - 50) / 350.0) AS INTEGER), 1) AS n_chunks
+              FROM d)
+        SELECT doc_id,
+               CAST(k AS INTEGER) AS chunk_idx,
+               CAST(k * 350 AS INTEGER) AS chunk_start,
+               substring(text, CAST(k * 350 + 1 AS INTEGER), 400) AS chunk,
+               n_chunks
+        FROM g, UNNEST(generate_series(0, n_chunks - 1)) AS t(k)
+    """).fetchall()
+    assert got == set(map(tuple, oracle))
+
+    # stitching chunks back with overlap removed reproduces the text
+    from pyspark.sql import functions as F
+
+    rebuilt = (
+        chunks.withColumn(
+            "part",
+            F.when(F.col("chunk_idx") == 0, F.col("chunk")).otherwise(
+                F.substring(F.col("chunk"), 51, 400)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.concat_ws("", F.array_sort(F.collect_list(F.struct("chunk_idx", "part")))["part"]).alias("glued"))
+    )
+    joined = rebuilt.join(docs, "doc_id").filter(F.col("glued") != F.col("text"))
+    assert joined.count() == 0
