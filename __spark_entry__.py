@@ -38,8 +38,8 @@ def oracle_sql() -> dict[str, str]:
 
     Keys absent here (near_dedup, near_dup_clusters, simhash_near_dup,
     embedding_near_dup, topk_cosine_lsh, topk_cosine_ivf, kmeans_assign,
-    approx_distinct, temperature_mix, chunk_documents — the last 10
-    registry entries,
+    approx_distinct, temperature_mix, chunk_documents, lm_score — the
+    last 11 registry entries,
     after every oracle-backed query) are engine-hash /
     literal-hyperplane / sketch / iterative-state dependent or simply
     past the checked window; the driver records rows-only checks and

@@ -65,3 +65,116 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
         F.substring(F.md5(normalize_text_col("text")), 1, 16).alias("fingerprint"),
         content_hash_col("text").alias("content_hash"),
     )
+
+
+def _bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) for every adjacent lowercase token pair; empty for
+    docs with < 2 tokens (guarded — Spark's sequence(1,0) descends)."""
+    from ..functions.text import tokens_col
+
+    toks = F.transform(tokens_col(text_col), lambda x: F.lower(x))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, "p.w1", "p.w2"
+    )
+
+
+def lm_scores(
+    docs: DataFrame,
+    ref: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality proxy: mean Jelinek-Mercer-interpolated
+    word-bigram log-probability of each document under a reference
+    corpus model (default: the corpus itself). Fluent in-domain text
+    scores high; gibberish and out-of-domain boilerplate score low —
+    the standard model-based filter next to the rule-based
+    quality_scores signals.
+
+    p(w2|w1) = 0.9·c(w1,w2)/c(w1) + 0.1·(c(w2)+1)/(N+V)
+
+    (bigram ML term 0 when w1 unseen; add-one unigram backoff with
+    N = total tokens, V = |vocab| — pure add-one conditional smoothing
+    under-penalizes unseen words when V is small, ranking gibberish
+    above fluent text).
+
+    Distributed shape: two count aggregations over the reference
+    (map-side combined; shuffle is |vocab| + |bigram vocab|, never
+    |tokens|), then the scoring pass joins each doc bigram against the
+    count tables — equality joins Catalyst plans as broadcast or
+    sort-merge by size — and one per-doc average. Returns
+    (id_col, n_bigrams, lm_logprob). Docs with < 2 tokens get
+    n_bigrams = 0 and NULL lm_logprob.
+    """
+    from ..functions.text import tokens_col
+
+    ref = docs if ref is None else ref
+    uni = (
+        ref.select(
+            F.explode(F.transform(tokens_col(text_col), lambda x: F.lower(x))).alias(
+                "w1"
+            )
+        )
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = (
+        _bigram_pairs(ref, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    # vocab size as a broadcast scalar; built from a fresh unigram plan
+    # (joining a frame with an aggregate of itself trips self-join
+    # attribute ambiguity)
+    vocab = (
+        ref.select(
+            F.explode(F.transform(tokens_col(text_col), lambda x: F.lower(x))).alias(
+                "w"
+            )
+        )
+        .agg(F.count_distinct("w").alias("V"), F.count("*").alias("N"))
+    )
+    uni2 = uni.select(F.col("w1").alias("w2"), F.col("c1").alias("c2"))
+    doc_bi = _bigram_pairs(docs, id_col, text_col)
+    ml = F.when(
+        F.col("c1").isNotNull(),
+        F.col("c12").cast("double") / F.col("c1").cast("double"),
+    ).otherwise(F.lit(0.0))
+    backoff = (F.coalesce("c2", F.lit(0)) + 1).cast("double") / (
+        F.col("N") + F.col("V")
+    ).cast("double")
+    scored = (
+        doc_bi.join(bi, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .join(uni2, "w2", "left")
+        .join(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(F.lit(0.9) * F.coalesce(ml, F.lit(0.0)) + F.lit(0.1) * backoff).alias(
+                "lp"
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.avg("lp").alias("lm_logprob"),
+    )
+    ids = docs.select(id_col)
+    return (
+        ids.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "lm_logprob",
+        )
+    )

@@ -427,6 +427,23 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(docs, max_hamming=3)
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (model-based quality): CCNet-style bigram-LM log-probability
+    of the md5 holdout split under a model counted from the train split
+    (composition of hash_split + lm_scores). Rows-only in the driver
+    (window is full; doubles sum in partition order); the closed form
+    is pinned against a DuckDB twin in tests/test_corpus_pipeline.py."""
+    from ..operators.sampling import hash_split
+    from ..operators.textstats import lm_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = hash_split(docs, key="doc_id")
+    train = split.filter(F.col("split") == "train").select("doc_id", "text")
+    holdout = split.filter(F.col("split") == "holdout").select("doc_id", "text")
+    out = lm_scores(holdout, ref=train)
+    return out.select("doc_id", "n_bigrams", F.round("lm_logprob", 6).alias("lm_logprob"))
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10-adjacent (context windows): fixed-size overlapping character
     chunks per document — narrow row expansion, zero shuffle. Rows-only
@@ -1670,6 +1687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct": q_approx_distinct,
     "temperature_mix": q_temperature_mix,
     "chunk_documents": q_chunk_documents,
+    "lm_score": q_lm_score,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
