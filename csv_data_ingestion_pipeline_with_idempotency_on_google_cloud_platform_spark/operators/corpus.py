@@ -7,8 +7,12 @@ operators:
     language tag → per-stage retention report
 
 Everything stays declarative: one logical plan per output, no driver
-loops; the only materialization is the LSH self-join's persisted
-signature table (see dedup.py).
+loops, nothing persisted (the LSH self-join recomputes its codegen'd
+signature fold — see dedup.minhash_lsh_candidates for why that beats
+caching). Dropping the higher id of each confident pair is equivalent
+to cluster-canonical retention when pairs chain (the minimum id is
+never any pair's id_b); near_dup_clusters is the explicit
+connected-components form when cluster ids need to be materialized.
 """
 
 from __future__ import annotations

@@ -6,12 +6,13 @@ identity tuples to document content. Near-dup adds MinHash+LSH, SimHash,
 and n-gram Jaccard — the standard trio for LLM-corpus dedup.
 
 Scale notes (the whole point at 100 TB):
-- exact: one narrow projection + one shuffle on a 64-hex key. The
-  winner-per-group window is `row_number` over the hash — with AQE the
-  hot empty-document hash gets skew-split.
+- exact: one narrow projection + one two-phase `groupBy(hash).min(id)`
+  — duplicates of the hot empty-document hash collapse map-side before
+  the shuffle (windows get no AQE skew handling, aggregates don't need
+  it).
 - MinHash+LSH: never materializes the O(n²) pair space. Shingle →
-  per-permutation min-hash (map-side partial `min` aggregation, so the
-  shuffle carries |docs|×num_perm longs, not |shingles|) → band-bucket
+  per-permutation min-hash (a single narrow array fold, so the shuffle
+  carries |docs|×num_perm longs, not |shingles|) → band-bucket
   self-join. Only same-bucket pairs are generated, and the band join is
   a plain hash join Catalyst can plan (sort-merge or broadcast).
 - SimHash: one 64-bit signature per doc; candidate pairs via 16-bit
