@@ -18,6 +18,7 @@ from ..functions.text import (
     repetition_cols,
     token_count_col,
 )
+from ..utils import parallelize_narrow
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
@@ -41,10 +42,15 @@ def language_id(docs: DataFrame) -> DataFrame:
 
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Quality-signal table per document (ratios rounded for stability),
-    including Gopher-style intra-doc repetition fractions."""
+    including Gopher-style intra-doc repetition fractions.
+
+    The repetition signals build per-row bigram arrays — compute-heavy
+    enough that a single-file input partition serializes the whole scan
+    onto one core, so spread narrow work first (no-op at real scale).
+    """
     cols = quality_score_cols("text")
     rep = repetition_cols("text")
-    return docs.select(
+    return parallelize_narrow(docs).select(
         "doc_id",
         cols["n_chars"].alias("n_chars"),
         cols["n_tokens"].alias("n_tokens"),
