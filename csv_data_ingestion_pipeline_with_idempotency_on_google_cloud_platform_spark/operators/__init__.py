@@ -8,3 +8,4 @@ from .ledger import (  # noqa: F401
     upsert_append,
 )
 from .dlq import dlq_replay, route_to_dlq  # noqa: F401
+from .bloom import bloom_anti_join  # noqa: F401

@@ -182,6 +182,29 @@ WHERE NOT EXISTS (
 )
 """
 
+def q_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 at ledger scales past broadcast: the same skip-if-done gate as
+    `idempotency_anti_join`, routed through the distributed Bloom
+    pre-filter (operators/bloom.py) — identical output rows (pinned in
+    tests/test_bloom.py), but only true matches + ~fpp of the census
+    reach the exact anti-join, so the probe side never shuffles."""
+    from ..functions.keys import upload_id_col
+    from ..operators.bloom import bloom_anti_join
+
+    candidates = (
+        files_df(spark, sf_dir)
+        .filter(F.lower(F.col("file_name")).endswith(".csv"))
+        .withColumn("upload_id", upload_id_col())
+        .select("file_key", "upload_id", "file_name")
+    )
+    done = (
+        ledger_df(spark, sf_dir)
+        .filter(F.col("status") == "done")
+        .select("upload_id")
+    )
+    return bloom_anti_join(candidates, done, "upload_id")
+
+
 # --------------------------------------------------------------------------
 # F3 point_lookup
 # --------------------------------------------------------------------------
@@ -1688,6 +1711,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": q_temperature_mix,
     "chunk_documents": q_chunk_documents,
     "lm_score": q_lm_score,
+    "bloom_anti_join": q_bloom_anti_join,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
