@@ -1,0 +1,118 @@
+"""Full-text retrieval over the corpus: BM25 scoring and TF-IDF.
+
+A training-data pipeline needs keyword retrieval for targeted corpus
+slicing ("pull every doc matching these terms, best first") and for
+quality workflows (e.g. retrieve-then-inspect around a contamination
+hit). This is the classic BM25 ranking function (Robertson/Spärck
+Jones; the Lucene-style ``ln(1 + (N-df+0.5)/(df+0.5))`` non-negative
+idf variant) expressed as a pure DataFrame plan.
+
+Scale shape (the part that matters at 100 TB):
+
+- The exploded token stream is filtered to the query's terms BEFORE
+  anything shuffles — explode + filter are narrow, so the only
+  per-token work is a scan; the ``groupBy(doc_id, term)`` tf shuffle
+  carries *matching postings only* (|matches|, not |tokens|).
+- Document length comes from the same scan (computed pre-explode and
+  carried through the tf aggregation with ``first``), so no second
+  scan and no doc-length join.
+- df / N / avgdl are |query-terms|+2 scalars — aggregated map-side and
+  broadcast back; the score join never shuffles the postings again.
+- Top-k is ``orderBy(...).limit(k)`` → TakeOrderedAndProject:
+  per-partition top-k, then a k-row merge on the driver — never a
+  global sort.
+
+Generalizes the reference's derive-key-then-match flow (main.py:15-18,
+52-58) from exact identity to ranked relevance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col
+from ..utils import parallelize_narrow
+
+
+def term_postings(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf, dl) for the query's terms only.
+
+    dl (total tokens in the doc, matching or not) rides along from the
+    pre-explode projection; the filter to ``query_terms`` happens on the
+    narrow exploded stream so the tf shuffle is |matching postings|.
+    """
+    toks = parallelize_narrow(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(text_col)).cast("long").alias("dl"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    )
+    matches = toks.select(
+        "doc_id", "dl", F.lower("tok").alias("term")
+    ).filter(F.col("term").isin([t.lower() for t in query_terms]))
+    return matches.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for ``query_terms`` by BM25.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Returns (doc_id, score, rnk) with score rounded to 6 dp and a
+    deterministic (score desc, doc_id asc) tie-break.
+    """
+    postings = term_postings(docs, query_terms, id_col, text_col)
+
+    # corpus stats: one map-side-combined aggregate each, both tiny
+    stats = docs.select(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(tokens_col(text_col)).cast("long")).alias("avgdl"),
+    )
+    df_by_term = postings.groupBy("term").agg(
+        F.count("*").alias("df")
+    )  # postings are (doc, term)-unique, so count == doc frequency
+
+    scored = (
+        postings.join(F.broadcast(df_by_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # rank attachment over ≤k rows; non-foldable constant partition so
+    # the single-partition window survives optimization without warnings
+    w = Window.partitionBy(F.col("doc_id").isNotNull()).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return topk.withColumn("rnk", F.row_number().over(w))

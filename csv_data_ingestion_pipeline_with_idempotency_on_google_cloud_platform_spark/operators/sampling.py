@@ -71,6 +71,37 @@ def stratified_hash_sample(
     return df.filter(hash_bucket_col(key, 2) < limit)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-k of
+    the corpus with inclusion probability ∝ weight): the exponential-
+    key method (Efraimidis–Spirakis A-ES). Each row gets rank key
+    ``e = -ln(u)/w`` — an Exp(w) draw — and the k smallest win.
+
+    ``u`` is not random: it is the md5 hex prefix of the row key mapped
+    to (0,1), so the "draw" is a pure function of the key — the same
+    sample on every run and every engine (the property everything else
+    in this module guarantees). Weights must be > 0.
+
+    Scale: narrow projection + ``orderBy().limit(k)`` →
+    TakeOrderedAndProject (per-partition top-k, k-row driver merge) —
+    no global sort, no shuffle of the losers.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u32 = F.conv(hash_bucket_col(key, 8), 16, 10).cast("long")
+    u = (u32 + F.lit(0.5)) / F.lit(float(1 << 32))  # (0,1), never 0
+    ekey = -F.log(u) / w.cast("double")
+    return (
+        df.withColumn("samp_key", F.round(ekey, 8))
+        .orderBy(F.asc("samp_key"), F.asc(key))
+        .limit(k)
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     key: str = "doc_id",

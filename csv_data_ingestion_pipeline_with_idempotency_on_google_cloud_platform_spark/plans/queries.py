@@ -1507,6 +1507,72 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES
+    exponential keys, operators/sampling.py): 50 docs with inclusion
+    probability ∝ n_chars; reproducible on any engine because the
+    uniform draw is md5(doc_id)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return sampling.weighted_sample(docs, "doc_id", "n_chars", k=50)
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, lang, n_chars,
+       round(-ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) + 0.5) / 4294967296.0)
+             / CAST(n_chars AS DOUBLE), 8) AS samp_key
+FROM documents
+ORDER BY samp_key ASC, doc_id ASC
+LIMIT 50
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query {vector, hash, join} over documents
+    (operators/retrieval.py): postings filtered to query terms before
+    the tf shuffle; df/N/avgdl broadcast; TakeOrderedAndProject top-k."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["vector", "hash", "join"], k=10)
+
+
+SQL_BM25_SEARCH = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+         END AS toks
+  FROM documents
+), post AS (
+  SELECT doc_id, len(toks) AS dl, lower(unnest(toks)) AS term FROM d
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, any_value(dl) AS dl
+  FROM post WHERE term IN ('vector', 'hash', 'join') GROUP BY 1, 2
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT doc_id,
+         round(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, score,
+       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # analytics breadth: TPC-H Q6 / Q3-style
 # --------------------------------------------------------------------------
@@ -1712,6 +1778,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "lm_score": q_lm_score,
     "bloom_anti_join": q_bloom_anti_join,
+    # oracle-backed but outside the driver's 50-entry window — pytest
+    # runs the same exact-parity check (tests/test_queries_oracle.py)
+    "weighted_sample": q_weighted_sample,
+    "bm25_search": q_bm25_search,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
@@ -1768,4 +1838,7 @@ ORACLE_SQL: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "hash_split": SQL_HASH_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    # entries 51+: outside the driver window, pytest-checked at parity
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "bm25_search": SQL_BM25_SEARCH,
 }

@@ -1,0 +1,100 @@
+"""BM25 retrieval + weighted sampling: semantics and plan shape.
+
+Oracle parity for both queries is covered by tests/test_queries_oracle.py
+(they carry full DuckDB oracles even though they sit outside the
+driver's 50-entry correctness window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.retrieval import (
+    bm25_topk,
+    term_postings,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sampling import (
+    weighted_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_tf_ranks_heavier_doc_first(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "vector vector vector pad pad pad pad pad"),
+            (2, "vector pad pad pad pad pad pad pad"),
+            (3, "pad pad pad pad pad pad pad pad"),
+        ],
+    )
+    got = bm25_topk(docs, ["vector"], k=10).collect()
+    assert [r.doc_id for r in got] == [1, 2]  # doc 3 never matches
+    assert got[0].score > got[1].score > 0
+    assert [r.rnk for r in got] == [1, 2]
+
+
+def test_bm25_length_normalization_prefers_short_doc(spark):
+    # same tf=1, but doc 2 is much longer → lower score at b=0.75
+    docs = _docs(
+        spark,
+        [
+            (1, "vector pad pad pad"),
+            (2, "vector " + "pad " * 40),
+        ],
+    )
+    got = {r.doc_id: r.score for r in bm25_topk(docs, ["vector"], k=10).collect()}
+    assert got[1] > got[2]
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    # 'rare' appears in 1 of 4 docs, 'common' in all → higher idf for rare
+    docs = _docs(
+        spark,
+        [
+            (1, "rare common pad pad"),
+            (2, "common pad pad pad"),
+            (3, "common pad pad pad"),
+            (4, "common pad pad pad"),
+        ],
+    )
+    got = {r.doc_id: r.score for r in bm25_topk(docs, ["rare", "common"], k=10).collect()}
+    only_common = max(got[d] for d in (2, 3, 4))
+    assert got[1] > 2 * only_common
+
+
+def test_term_postings_carries_full_doc_length(spark):
+    docs = _docs(spark, [(1, "vector pad pad pad pad")])
+    row = term_postings(docs, ["vector"]).collect()[0]
+    assert (row.tf, row.dl) == (1, 5)  # dl counts non-matching tokens too
+
+
+def test_bm25_plan_is_topk_with_broadcast_stats(spark):
+    docs = _docs(spark, [(i, f"vector pad{i}") for i in range(20)])
+    plan = bm25_topk(docs, ["vector"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # df-per-term join never shuffles postings
+
+
+def test_weighted_sample_is_deterministic_and_sized(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    a = weighted_sample(df, "doc_id", "w", k=20).collect()
+    b = weighted_sample(df, "doc_id", "w", k=20).collect()
+    assert a == b
+    assert len(a) == 20
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    # 10 rows with weight 10_000 vs 490 with weight 1: the heavy rows'
+    # Exp(w) keys are ~10^4 smaller, so all 10 must be in the top 20
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10, F.lit(10_000)).otherwise(F.lit(1)).alias("w"),
+    )
+    got = {r.doc_id for r in weighted_sample(df, "doc_id", "w", k=20).collect()}
+    assert set(range(10)) <= got
