@@ -48,6 +48,80 @@ def write_clustered(
     part.sortWithinPartitions(*cluster_cols).write.mode("overwrite").parquet(path)
 
 
+def zorder_key_col(
+    cols: list[Column],
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 16,
+) -> Column:
+    """Morton (z-order) key: each column linearly scaled to a
+    ``bits``-bit integer over [min, max], bits interleaved round-robin so
+    nearby (x, y, ...) tuples get nearby keys along the space-filling
+    curve. Pure JVM bit arithmetic — stays inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    top = (1 << bits) - 1
+    scaled = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = (hi - lo) or 1.0
+        q = F.floor((c.cast("double") - F.lit(lo)) / F.lit(span) * top).cast("long")
+        scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), q)))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            z = z + F.shiftleft(
+                F.shiftright(s, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int,
+    bits: int = 16,
+) -> None:
+    """Write `df` parquet clustered on the z-order curve of several
+    columns at once — the multi-predicate version of `write_clustered`.
+
+    Range-clustering on one column makes *that* column's file stats
+    tight and leaves every other column spanning the full value range
+    in every file; z-ordering spends the locality budget across all
+    `cluster_cols`, so with F files each file covers ~F^(-1/d) of each
+    of the d dimensions — predicates on ANY clustered column prune most
+    files via row-group min/max stats (this is what Delta/Iceberg
+    OPTIMIZE ZORDER does; re-derived here from the public Morton-curve
+    construction).
+
+    Column min/max come from one tiny aggregate (2·d scalars on the
+    driver — planning state, same standing as k-means centroids). The
+    z-key shuffle is `repartitionByRange` — sampled balanced bounds,
+    skew-tolerant — and files sort by z within, tightening row groups.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cluster_cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    mins = [row[f"__min_{c}"] for c in cluster_cols]
+    maxs = [row[f"__max_{c}"] for c in cluster_cols]
+    z = zorder_key_col([F.col(c) for c in cluster_cols], mins, maxs, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact_files(
     spark: SparkSession,
     path: str,

@@ -72,3 +72,43 @@ def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
     after_files = compact_files(spark, out, target_file_mb=128)
     assert after_files < before_files
     assert spark.read.parquet(out).count() == before_rows
+
+
+def test_zorder_write_localizes_both_columns(spark, tmp_path):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.layout import (
+        write_zorder,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zout = str(tmp_path / "li_zorder")
+    rout = str(tmp_path / "li_range")
+    write_zorder(li, zout, ["l_partkey", "l_suppkey"], num_files=16)
+    write_clustered(li, rout, ["l_partkey"], num_files=16)
+
+    def mean_span_frac(path, col):
+        ranges = _file_date_ranges(path, col)
+        glo = min(mn for mn, _ in ranges)
+        ghi = max(mx for _, mx in ranges)
+        width = (ghi - glo) or 1
+        return sum((mx - mn) / width for mn, mx in ranges) / len(ranges)
+
+    # range clustering: first column tight, second column spans ~the
+    # whole domain in every file (no skipping possible on it)
+    assert mean_span_frac(rout, "l_partkey") < 0.3
+    assert mean_span_frac(rout, "l_suppkey") > 0.8
+
+    # z-order: BOTH columns localized — with 16 files each dimension
+    # should cover ~16^(-1/2) = 25% of its domain per file on average
+    zp = mean_span_frac(zout, "l_partkey")
+    zs = mean_span_frac(zout, "l_suppkey")
+    assert zp < 0.6 and zs < 0.6, (zp, zs)
+    assert zp + zs < mean_span_frac(rout, "l_partkey") + mean_span_frac(
+        rout, "l_suppkey"
+    )
+
+    # lossless
+    assert (
+        spark.read.parquet(zout).count() == li.count()
+    )
