@@ -417,6 +417,8 @@ GROUP BY upload_key
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup by sha256 of normalized text — keep the
+    lowest-doc_id winner per content hash (skew-safe two-phase min)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs)
 
@@ -441,11 +443,15 @@ SELECT doc_id, content_hash FROM ranked WHERE rn = 1
 
 
 def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash-LSH near-dup candidate pairs — zero-shuffle
+    signature fold, banded bucketing, hot-bucket cap, verified Jaccard."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(docs, min_est_jaccard=0.3)
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: 64-bit SimHash near-dups via 16-bit block pigeonhole
+    banding; bit_count(xor) Hamming verify on candidates only."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(docs, max_hamming=3)
 
@@ -507,6 +513,8 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (exact variant): 3-gram shingle Jaccard similarity over
+    candidate pairs, hot-shingle capped; exact set algebra, full oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
 
@@ -549,6 +557,8 @@ WHERE CAST(i.n_inter AS DOUBLE) /
 
 
 def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: exact top-10 cosine neighbors of one query embedding —
+    broadcast query side, zip_with dot product, TakeOrderedAndProject."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.topk_cosine(emb, query_vec_id=0, k=10).withColumn(
         "rank", F.col("rank").cast("long")
@@ -575,6 +585,8 @@ SELECT vec_id, rank, ROUND(cos, 6) AS cos_sim FROM ranked WHERE rank <= 10
 
 
 def q_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #1: random-hyperplane LSH multi-probe top-k —
+    recall vs brute force pinned in tests/test_skew_and_ivf.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.topk_cosine_lsh(
         emb, query_vec_id=0, k=10, n_planes=6, probe_radius=2
@@ -622,6 +634,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-language corpus stats (docs, total tokens, avg chars)
+    from one narrow scan + one map-side-combined aggregate."""
     return textstats.token_stats(load_table(spark, sf_dir, "documents"))
 
 
@@ -642,6 +656,8 @@ FROM per_doc GROUP BY lang
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: heuristic n-gram/stopword language ID per document —
+    pure JVM expressions, zero Python."""
     return textstats.language_id(load_table(spark, sf_dir, "documents"))
 
 
@@ -662,6 +678,8 @@ FROM documents
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-doc quality signals (length, punctuation, stopword,
+    alpha ratios + Gopher-style repetition fractions)."""
     return textstats.quality_scores(load_table(spark, sf_dir, "documents"))
 
 
@@ -709,6 +727,8 @@ FROM derived
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: md5-prefix fingerprint + full sha256 content hash per
+    document (cheap equality key alongside the exact-dedup key)."""
     return textstats.doc_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
@@ -993,6 +1013,8 @@ GROUP BY 1, 2
 
 
 def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: 1-hour tumbling windows over events — count/sum per
+    (window, type); the batch twin of the streaming aggregation."""
     return windows.tumbling_window_agg(load_table(spark, sf_dir, "events"))
 
 
