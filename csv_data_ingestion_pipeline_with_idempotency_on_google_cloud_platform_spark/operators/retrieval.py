@@ -16,8 +16,9 @@ Scale shape (the part that matters at 100 TB):
 - Document length comes from the same scan (computed pre-explode and
   carried through the tf aggregation with ``first``), so no second
   scan and no doc-length join.
-- df / N / avgdl are |query-terms|+2 scalars — aggregated map-side and
-  broadcast back; the score join never shuffles the postings again.
+- df per term is a count-over-window on the aggregated postings (no
+  second corpus scan — see the inline note in ``bm25_topk``); N/avgdl
+  are two broadcast scalars from one cheap stats aggregate.
 - Top-k is ``orderBy(...).limit(k)`` → TakeOrderedAndProject:
   per-partition top-k, then a k-row merge on the driver — never a
   global sort.
@@ -84,12 +85,18 @@ def bm25_topk(
         F.count("*").alias("n_docs"),
         F.avg(F.size(tokens_col(text_col)).cast("long")).alias("avgdl"),
     )
-    df_by_term = postings.groupBy("term").agg(
-        F.count("*").alias("df")
-    )  # postings are (doc, term)-unique, so count == doc frequency
+    # df per term as a count-over-window on the AGGREGATED postings.
+    # The branch formulation (postings.groupBy('term') + broadcast join
+    # back) reads nicer but recomputes the whole postings subtree —
+    # a second full corpus scan+tokenize (ReusedExchange does not fire
+    # for it). The window shuffles only the (doc,term)-aggregated rows;
+    # its per-term partition is at worst |matching docs| for the
+    # hottest query term — a few seconds of counting in one task vs
+    # re-scanning the corpus.
+    df_by_term = F.count("*").over(Window.partitionBy("term"))
 
     scored = (
-        postings.join(F.broadcast(df_by_term), "term")
+        postings.withColumn("df", df_by_term)
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

@@ -72,11 +72,14 @@ def test_term_postings_carries_full_doc_length(spark):
     assert (row.tf, row.dl) == (1, 5)  # dl counts non-matching tokens too
 
 
-def test_bm25_plan_is_topk_with_broadcast_stats(spark):
+def test_bm25_plan_is_topk_with_single_corpus_pass(spark):
     docs = _docs(spark, [(i, f"vector pad{i}") for i in range(20)])
     plan = bm25_topk(docs, ["vector"], k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastHashJoin" in plan  # df-per-term join never shuffles postings
+    # exactly two reads of the corpus: the postings pass and the tiny
+    # N/avgdl stats pass — NOT a third for df-per-term (that one is a
+    # window over the aggregated postings)
+    assert plan.count("Scan ExistingRDD") == 2, plan
 
 
 def test_weighted_sample_is_deterministic_and_sized(spark):
