@@ -1,0 +1,93 @@
+"""Materialized IVF index: the on-disk scale path for ANN search.
+
+`similarity.topk_cosine_ivf` quantizes and probes in one job — right
+for ad-hoc queries, but at 100 TB every probe would still scan the
+whole corpus to recompute cell assignments. A real deployment
+materializes the index ONCE:
+
+- `write_ivf_index`: assign every vector to its nearest coarse
+  centroid (broadcast argmax, narrow — see `similarity.
+  ivf_assignments`) and write the table hive-partitioned by `cell`,
+  with the tiny centroid table alongside. One shuffle (the
+  partitioned write's file routing); vectors never move again.
+- `topk_cosine_indexed`: pick the `n_probe` closest cells from the
+  centroid sidecar (driver-side: n_centroids×dim floats — planning
+  state), then read ONLY those cell directories. The `cell IN (...)`
+  predicate is a partition filter, so the scan lists and reads
+  n_probe/n_centroids of the files — the same pruning a 1000-executor
+  cluster relies on (PartitionFilters pinned in tests/test_ann_index.py).
+
+Probe cost thus scales with the probed fraction of the corpus, not the
+corpus; recall equals the in-memory IVF variant by construction (same
+quantizer, same probe rule).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity_col
+from .similarity import _rank_topk, ivf_assignments
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize `emb` as an IVF index at `path`.
+
+    Layout: ``path/vectors`` hive-partitioned by ``cell``;
+    ``path/centroids`` the n_centroids coarse centroids.
+    """
+    centroids, assigned = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    (
+        assigned.select(id_col, F.col("__vec").alias(vec_col), "cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def topk_cosine_indexed(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors of `query_vec` from a materialized index.
+
+    Cell selection happens on the driver against the centroid sidecar
+    (tiny), so the vector scan carries a literal partition predicate —
+    only the probed cells' files are listed, opened, or read.
+    """
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    qnorm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def cos(cvec: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in cvec)) or 1.0
+        return sum(a * b for a, b in zip(query_vec, cvec)) / (cn * qnorm)
+
+    probe = sorted(cents, key=lambda r: (-cos(r["cvec"]), r["cell"]))[:n_probe]
+    cells = [r["cell"] for r in probe]
+
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(cells)
+    )
+    scored = vectors.select(
+        F.col(id_col),
+        cosine_similarity_col(
+            F.col(vec_col).cast("array<double>"),
+            F.array(*[F.lit(float(x)) for x in query_vec]),
+        ).alias("__cos"),
+    )
+    return _rank_topk(scored, id_col, k)

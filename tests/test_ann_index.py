@@ -1,0 +1,90 @@
+"""Materialized IVF index (operators/ann_index.py): layout, partition
+pruning, and parity with the in-memory IVF probe."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.ann_index import (
+    topk_cosine_indexed,
+    write_ivf_index,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.similarity import (
+    topk_cosine,
+    topk_cosine_ivf,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+    load_table,
+)
+
+from .conftest import SF_DIR
+
+
+def _index(spark, tmp_path, n_centroids=8):
+    emb = load_table(spark, str(SF_DIR), "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, n_centroids=n_centroids)
+    return emb, path
+
+
+def test_index_layout_is_cell_partitioned(spark, tmp_path):
+    emb, path = _index(spark, tmp_path)
+    cell_dirs = glob.glob(f"{path}/vectors/cell=*")
+    assert len(cell_dirs) >= 4  # every populated cell is its own directory
+    total = spark.read.parquet(f"{path}/vectors").count()
+    assert total == emb.count()
+
+
+def test_probe_reads_only_probed_cells(spark, tmp_path):
+    emb, path = _index(spark, tmp_path)
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    df = topk_cosine_indexed(spark, path, qvec, k=5, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"PartitionFilters: \[cell#\d+ IN \(", plan), plan
+    # and the probed scan must actually return rows
+    assert df.count() == 5
+
+
+def test_indexed_probe_matches_inmemory_ivf(spark, tmp_path):
+    emb, path = _index(spark, tmp_path, n_centroids=8)
+    query_id = int(emb.orderBy("vec_id").first()["vec_id"])
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == query_id).first()["embedding"]
+    ]
+    # same quantizer + probe rule → identical candidate set; the indexed
+    # variant keeps the query vector itself, so drop it before comparing
+    mem = {
+        (r["vec_id"], round(r["cos_sim"], 6))
+        for r in topk_cosine_ivf(
+            emb, query_id, k=6, n_centroids=8, n_probe=2
+        ).collect()
+    }
+    idx = {
+        (r["vec_id"], round(r["cos_sim"], 6))
+        for r in topk_cosine_indexed(
+            spark, path, qvec, k=7, n_probe=2
+        ).collect()
+        if r["vec_id"] != query_id
+    }
+    assert mem <= idx or idx <= mem, (mem, idx)
+
+
+def test_indexed_probe_recall_vs_exact(spark, tmp_path):
+    emb, path = _index(spark, tmp_path, n_centroids=8)
+    query_id = int(emb.orderBy("vec_id").first()["vec_id"])
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == query_id).first()["embedding"]
+    ]
+    exact = {r["vec_id"] for r in topk_cosine(emb, query_id, k=10).collect()}
+    got = {
+        r["vec_id"]
+        for r in topk_cosine_indexed(spark, path, qvec, k=11, n_probe=4).collect()
+        if r["vec_id"] != query_id
+    }
+    assert len(exact & got) / len(exact) >= 0.7
