@@ -148,3 +148,50 @@ def test_empty_file_divergence_from_reference_is_pinned(spark, tmp_path):
     # data-row check) would have been: done, lines_processed == 2
     raw_split_count = len(EMPTY.split("\n"))
     assert raw_split_count == 2  # what main.py:121-123 would count
+
+
+def test_read_csv_dir_typed_with_corrupt_capture(spark, tmp_path):
+    """sources.read_csv_dir: typed PERMISSIVE scan turns malformed rows
+    into data (_corrupt_record) instead of job failure — the engine's
+    row-level analogue of the reference's file-level DLQ path."""
+    from pyspark.sql import types as T
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources import (
+        read_csv_dir,
+    )
+
+    d = tmp_path / "typed"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "id,name,age\n1,John,30\n2,Jane,twenty\nnot,a,valid,row,at all\n3,Bob,35\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.LongType()),
+        ]
+    )
+    df = read_csv_dir(spark, str(d), schema=schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    # both the type error and the arity error are captured verbatim
+    assert sorted(r["_corrupt_record"] for r in bad.collect()) == [
+        "2,Jane,twenty",
+        "not,a,valid,row,at all",
+    ]
+    df.unpersist()
+
+
+def test_read_csv_dir_infers_schema_without_one(spark, tmp_path):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources import (
+        read_csv_dir,
+    )
+
+    d = tmp_path / "inferred"
+    d.mkdir()
+    (d / "a.csv").write_text("id,name\n1,John\n2,Jane\n")
+    df = read_csv_dir(spark, str(d))
+    assert df.schema["id"].dataType.typeName() in ("integer", "long")
+    assert df.count() == 2
