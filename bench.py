@@ -48,6 +48,8 @@ HEADLINE = [
     "pack_sequences",
     "user_event_gaps",
     "media_frames",
+    "bm25_search",
+    "weighted_sample",
 ]
 
 
