@@ -168,6 +168,52 @@ def minhash_signatures(
     return parallelize_narrow(docs).select(F.col(id_col), sig.alias("sig"))
 
 
+def estimate_jaccard_col(
+    sig_a: Column | str, sig_b: Column | str, num_perm: int
+) -> Column:
+    """Fraction of agreeing minhash positions — the unbiased Jaccard
+    estimate for two signatures from the same hash family."""
+    return (
+        F.aggregate(
+            F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+
+
+def minhash_band_entries(
+    sigs: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig, band_id, band_hash) — one row per (doc, band), the
+    LSH bucket keys. Narrow (per-row explode of a `bands`-element
+    array); shared by the one-shot self-join pipeline and the
+    materialized incremental index (operators/dedup_index.py)."""
+    rows_per_band = num_perm // bands
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * rows_per_band + j + 1)
+                            for j in range(rows_per_band)
+                        ]
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select("id", "sig", "band.band_id", "band.band_hash")
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -193,24 +239,8 @@ def minhash_lsh_candidates(
     the standard recall-for-bound trade at 100 TB.
     """
     assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
-
-    band_entries = sigs.select(
-        F.col(id_col).alias("id"),
-        "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.xxhash64(
-                        *[F.element_at("sig", b * rows_per_band + j + 1) for j in range(rows_per_band)]
-                    ).alias("band_hash"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("band"),
-    ).select("id", "sig", "band.band_id", "band.band_hash")
+    band_entries = minhash_band_entries(sigs, num_perm, bands, id_col=id_col)
     # No persist, no materialization: both self-join inputs recompute the
     # signature pipeline, which stays inside whole-stage codegen and
     # costs less than either persisting it (pins |docs|×bands sig arrays
@@ -245,16 +275,8 @@ def minhash_lsh_candidates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = (
-        F.aggregate(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).cast("double")
-        / F.lit(float(num_perm))
-    )
     return (
-        pairs.withColumn("est_jaccard", est)
+        pairs.withColumn("est_jaccard", estimate_jaccard_col("sig_a", "sig_b", num_perm))
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
     )

@@ -1,0 +1,127 @@
+"""Incremental near-dup: a materialized MinHash band index.
+
+`dedup.minhash_lsh_candidates` is the one-shot formulation — right for
+deduplicating a corpus against itself, wrong for OPERATING a corpus:
+at 100 TB you cannot re-signature ten billion historical documents
+every time an ingest batch of a few million arrives. The production
+shape is an index you build once and probe incrementally:
+
+- `write_minhash_index`: signature fold (narrow, zero-shuffle — see
+  `dedup.minhash_signatures`) → band entries → parquet partitioned by
+  `band_id`. Historical vectors never move again.
+- `probe_minhash_index`: signature the NEW batch only, then join the
+  index with the batch side BROADCAST. The index is the streamed probe
+  side of a BroadcastHashJoin — it is scanned, never shuffled
+  (plan-pinned in tests/test_dedup_index.py); per-batch cost is one
+  index scan + |batch| signature folds, independent of how the index
+  got big. Candidates are verified with the same agreeing-positions
+  Jaccard estimate as the self-join path.
+- `append_to_minhash_index`: the accepted batch's entries land in the
+  same layout (`mode=append`), so the index stays current without
+  rewriting history. (Partitioning by `band_id` keeps appends to
+  `bands` directories; small-file accretion is handled the same way
+  as any streaming sink — `sources.layout.compact_files` per
+  partition.)
+
+Batch-internal duplicates are the existing self-join
+(`minhash_lsh_candidates` on the batch alone — small); a full ingest
+gate runs both and unions the drop sets.
+
+This mirrors at the near-dup level what the reference's ledger does at
+the exact level: persistent state consulted per batch
+(main.py:52-58), not recomputed from history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_PERM,
+    estimate_jaccard_col,
+    minhash_band_entries,
+    minhash_signatures,
+)
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's LSH band entries at `path`."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
+    entries = minhash_band_entries(sigs, num_perm, bands, id_col=id_col)
+    entries.write.partitionBy("band_id").mode(mode).parquet(path)
+
+
+def append_to_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> None:
+    """Add an accepted batch's band entries to an existing index."""
+    write_minhash_index(
+        docs, path, id_col, text_col, num_perm, bands, shingle_n, mode="append"
+    )
+
+
+def probe_minhash_index(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    min_est_jaccard: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id_new, id_corpus, est_jaccard): near-dups of the new batch
+    against the indexed corpus.
+
+    The batch's band entries are broadcast (an ingest batch is small
+    relative to the corpus by definition); the index is the streamed
+    side — one scan, zero index shuffle. Docs present in both (same
+    id) are not reported against themselves.
+    """
+    spark: SparkSession = new_docs.sparkSession
+    sigs = minhash_signatures(new_docs, id_col, text_col, num_perm, shingle_n)
+    new_entries = (
+        minhash_band_entries(sigs, num_perm, bands, id_col=id_col)
+        .withColumnRenamed("id", "id_new")
+        .withColumnRenamed("sig", "sig_new")
+    )
+    idx = spark.read.parquet(index_path)
+    matches = idx.join(
+        F.broadcast(new_entries),
+        on=[
+            idx["band_id"] == new_entries["band_id"],
+            idx["band_hash"] == new_entries["band_hash"],
+            idx["id"] != new_entries["id_new"],
+        ],
+    ).select(
+        F.col("id_new"),
+        idx["id"].alias("id_corpus"),
+        F.col("sig_new"),
+        idx["sig"].alias("sig_corpus"),
+    )
+    return (
+        matches.dropDuplicates(["id_new", "id_corpus"])
+        .withColumn(
+            "est_jaccard",
+            estimate_jaccard_col("sig_new", "sig_corpus", num_perm),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_new", "id_corpus", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )

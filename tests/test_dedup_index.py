@@ -1,0 +1,90 @@
+"""Incremental MinHash index (operators/dedup_index.py): build, probe,
+append — and the no-index-shuffle plan shape that makes it scale."""
+
+from __future__ import annotations
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.dedup_index import (
+    append_to_minhash_index,
+    probe_minhash_index,
+    write_minhash_index,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+    load_table,
+)
+
+from .conftest import SF_DIR
+
+BASE_TEXT = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "while seventeen sleepy turtles watch from a mossy log in the sun"
+)
+
+
+def _corpus(spark):
+    docs = load_table(spark, str(SF_DIR), "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [(100001, BASE_TEXT)], "doc_id long, text string"
+    )
+    return docs.union(planted)
+
+
+def _batch(spark):
+    # 200001 is a near-dup of indexed 100001 (one word changed);
+    # 200002/200003 are near-dups of each other but novel vs the corpus
+    return spark.createDataFrame(
+        [
+            (200001, BASE_TEXT.replace("seventeen", "eighteen")),
+            (200002, "completely novel content about distributed query engines " * 4),
+            (
+                200003,
+                "completely novel content about distributed query engines "
+                + "completely novel content about distributed query engines " * 3,
+            ),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_probe_finds_corpus_near_dup_only(spark, tmp_path):
+    path = str(tmp_path / "mh_index")
+    write_minhash_index(_corpus(spark), path)
+    got = probe_minhash_index(_batch(spark), path, min_est_jaccard=0.5).collect()
+    assert {(r.id_new, r.id_corpus) for r in got} == {(200001, 100001)}
+    assert got[0].est_jaccard >= 0.5
+
+
+def test_probe_broadcasts_batch_never_shuffles_index(spark, tmp_path):
+    path = str(tmp_path / "mh_index")
+    write_minhash_index(_corpus(spark), path)
+    df = probe_minhash_index(_batch(spark), path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only hash-partitioning exchange is the candidate-pair
+    # dropDuplicates — the index scan feeds the broadcast join directly
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_append_extends_the_corpus(spark, tmp_path):
+    path = str(tmp_path / "mh_index")
+    write_minhash_index(_corpus(spark), path)
+    batch = _batch(spark)
+    append_to_minhash_index(batch, path)
+    # a second batch near-duplicating doc 200002 now hits the index
+    second = spark.createDataFrame(
+        [(300001, "completely novel content about distributed query engines " * 4)],
+        "doc_id long, text string",
+    )
+    got = probe_minhash_index(second, path, min_est_jaccard=0.5).collect()
+    hits = {r.id_corpus for r in got}
+    assert 200002 in hits and 200003 in hits
+    assert all(r.id_new == 300001 for r in got)
+
+
+def test_probe_does_not_match_identical_ids(spark, tmp_path):
+    # re-probing an already-indexed batch must not pair docs with themselves
+    path = str(tmp_path / "mh_index")
+    batch = _batch(spark)
+    write_minhash_index(_corpus(spark), path)
+    append_to_minhash_index(batch, path)
+    got = probe_minhash_index(batch, path, min_est_jaccard=0.99).collect()
+    assert all(r.id_new != r.id_corpus for r in got)
