@@ -30,20 +30,28 @@ def prepare_corpus(
     min_quality: float = 0.3,
     min_tokens: int = 3,
     near_dup_jaccard: float = 0.8,
-) -> tuple[DataFrame, DataFrame]:
+    with_report: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """Returns (clean_docs, report).
 
     clean_docs: (doc_id, text, lang_pred) surviving exact dedup,
     near-dup removal (higher id of each candidate pair dropped), token
     floor, and quality floor.
-    report: one row per pipeline stage with rows_in/rows_out.
+    report: one row per pipeline stage with rows_in/rows_out, or None
+    with ``with_report=False``.
+
+    The report's stage counts are eager actions, and counting stage N
+    re-executes stages 1..N-1 — fine at audit time, wasteful inline. At
+    100 TB the pipeline runs with ``with_report=False`` and stage
+    outputs written to storage between stages; retention counts then
+    come from the writes' own metrics, costing nothing extra.
     """
-    total = docs.count()
+    total = docs.count() if with_report else 0
 
     # 1. exact dedup — keep min-id doc per content hash
     kept_ids = dedup.exact_dedup(docs).select("doc_id")
     exact_kept = docs.join(F.broadcast(kept_ids), "doc_id", "semi")
-    n_exact = exact_kept.count()
+    n_exact = exact_kept.count() if with_report else 0
 
     # 2. near-dup removal — drop the higher id of each confident pair
     pairs = dedup.minhash_lsh_candidates(
@@ -51,7 +59,7 @@ def prepare_corpus(
     )
     drop_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     near_kept = exact_kept.join(F.broadcast(drop_ids), "doc_id", "left_anti")
-    n_near = near_kept.count()
+    n_near = near_kept.count() if with_report else 0
 
     # 3. quality + token floor, language tag
     scored = near_kept.join(quality_scores(near_kept), "doc_id")
@@ -62,6 +70,8 @@ def prepare_corpus(
         )
         .select("doc_id", "text", lang_id_col("text").alias("lang_pred"))
     )
+    if not with_report:
+        return clean, None
     n_clean = clean.count()
 
     spark = docs.sparkSession

@@ -114,3 +114,14 @@ def test_lm_scores_rank_fluency_and_match_duckdb(spark, duck):
         n, lm = odict[doc_id]
         assert r["n_bigrams"] == n, doc_id
         assert abs(r["lm_logprob"] - lm) < 1e-9, (doc_id, r["lm_logprob"], lm)
+
+
+def test_prepare_corpus_without_report_is_lazy(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    clean, report = prepare_corpus(docs, with_report=False)
+    assert report is None
+    assert clean.count() > 0
