@@ -75,3 +75,63 @@ def test_content_hash_property(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == _py_content_hash(t), f"text={t!r}"
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=2,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_zorder_key_monotone_per_axis(spark, points):
+    """With the other coordinate fixed, the Morton key is monotone in
+    each axis (bit positions of one axis form a fixed subset)."""
+    from pyspark.sql import functions as F
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.layout import (
+        zorder_key_col,
+    )
+
+    df = spark.createDataFrame(points, "x long, y long")
+    rows = df.select(
+        "x",
+        "y",
+        zorder_key_col([F.col("x"), F.col("y")], [0.0, 0.0], [65535.0, 65535.0], 16).alias("z"),
+    ).collect()
+    by_y: dict[int, list] = {}
+    by_x: dict[int, list] = {}
+    for r in rows:
+        by_y.setdefault(r["y"], []).append((r["x"], r["z"]))
+        by_x.setdefault(r["x"], []).append((r["y"], r["z"]))
+    for grp in list(by_y.values()) + list(by_x.values()):
+        grp.sort()
+        zs = [z for _, z in grp]
+        assert zs == sorted(zs), grp
+
+
+@SLOW
+@given(st.integers(min_value=2, max_value=9))
+def test_weighted_sample_invariant_to_partitioning(spark, nparts):
+    """The A-ES sample is a pure function of (key, weight) — physical
+    layout must not change it."""
+    from pyspark.sql import functions as F
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 11 + 1).alias("w")
+    )
+    base = [(r.doc_id, r.samp_key) for r in weighted_sample(df, "doc_id", "w", 25).collect()]
+    got = [
+        (r.doc_id, r.samp_key)
+        for r in weighted_sample(df.repartition(nparts), "doc_id", "w", 25).collect()
+    ]
+    assert got == base
