@@ -123,3 +123,75 @@ def bm25_topk(
         F.desc("score"), F.asc("doc_id")
     )
     return topk.withColumn("rnk", F.row_number().over(w))
+
+
+def bm25_topk_many(
+    docs: DataFrame,
+    queries: dict[int, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k per query for a BATCH of keyword queries — the workload
+    form of `bm25_topk` (a retrieval service scores many queries per
+    corpus pass, not one).
+
+    One postings pass covers the union of all query terms; the
+    (query_id, term) table is a broadcast literal. Per-query top-k uses
+    the salted two-phase rank (same shape as the grouped top-k in
+    plans/queries.q_top_terms): phase 1 ranks within (query, salt)
+    buckets — a query's true top-k must be in some bucket's top-k —
+    phase 2 ranks the ≤ k·n_salt survivors per query, so parallelism is
+    never bounded by the query count. Returns (query_id, doc_id, score,
+    rnk) with the same idf/tf/length normalization as `bm25_topk`.
+    """
+    all_terms = sorted({t.lower() for ts in queries.values() for t in ts})
+    postings = term_postings(docs, all_terms, id_col, text_col)
+    qterms = docs.sparkSession.createDataFrame(
+        [(qid, t.lower()) for qid, ts in queries.items() for t in ts],
+        "query_id long, term string",
+    )
+    stats = docs.select(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(tokens_col(text_col)).cast("long")).alias("avgdl"),
+    )
+    scored = (
+        postings.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    n_salt = 32
+    salted = scored.withColumn("__salt", F.pmod(F.hash("doc_id"), F.lit(n_salt)))
+    w_local = Window.partitionBy("query_id", "__salt").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    survivors = (
+        salted.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr", "__salt")
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return survivors.withColumn("rnk", F.row_number().over(w_final)).filter(
+        F.col("rnk") <= k
+    )

@@ -85,7 +85,8 @@ def weighted_sample(
     ``u`` is not random: it is the md5 hex prefix of the row key mapped
     to (0,1), so the "draw" is a pure function of the key — the same
     sample on every run and every engine (the property everything else
-    in this module guarantees). Weights must be > 0.
+    in this module guarantees). Rows with weight ≤ 0 are excluded (an
+    Exp(w) key is undefined there and would otherwise always win).
 
     Scale: narrow projection + ``orderBy().limit(k)`` →
     TakeOrderedAndProject (per-partition top-k, k-row driver merge) —
@@ -96,7 +97,10 @@ def weighted_sample(
     u = (u32 + F.lit(0.5)) / F.lit(float(1 << 32))  # (0,1), never 0
     ekey = -F.log(u) / w.cast("double")
     return (
-        df.withColumn("samp_key", F.round(ekey, 8))
+        # rows with non-positive weight are ineligible (their Exp(w)
+        # key would be negative/undefined and silently always win)
+        df.filter(w.cast("double") > 0)
+        .withColumn("samp_key", F.round(ekey, 8))
         .orderBy(F.asc("samp_key"), F.asc(key))
         .limit(k)
     )

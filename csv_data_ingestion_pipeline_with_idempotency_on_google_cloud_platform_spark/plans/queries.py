@@ -1546,6 +1546,7 @@ SELECT doc_id, lang, n_chars,
                        AS UBIGINT) + 0.5) / 4294967296.0)
              / CAST(n_chars AS DOUBLE), 8) AS samp_key
 FROM documents
+WHERE n_chars > 0
 ORDER BY samp_key ASC, doc_id ASC
 LIMIT 50
 """

@@ -101,3 +101,42 @@ def test_weighted_sample_favors_heavy_rows(spark):
     )
     got = {r.doc_id for r in weighted_sample(df, "doc_id", "w", k=20).collect()}
     assert set(range(10)) <= got
+
+
+def test_bm25_many_matches_per_query_single(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.retrieval import (
+        bm25_topk_many,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    qs = {1: ["vector", "hash"], 2: ["join", "merge", "scan"]}
+    many = bm25_topk_many(docs, qs, k=5)
+    got = {
+        qid: [(r.doc_id, r.score, r.rnk) for r in rows]
+        for qid, rows in (
+            (q, sorted(
+                [r for r in many.collect() if r.query_id == q],
+                key=lambda r: r.rnk,
+            ))
+            for q in qs
+        )
+    }
+    for qid, terms in qs.items():
+        single = [
+            (r.doc_id, r.score, r.rnk)
+            for r in bm25_topk(docs, terms, k=5).collect()
+        ]
+        assert got[qid] == single, qid
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 90, F.lit(0)).otherwise(F.lit(1)).alias("w"),
+    )
+    got = {r.doc_id for r in weighted_sample(df, "doc_id", "w", k=50).collect()}
+    assert got == set(range(90, 100))  # zero-weight rows never selected
