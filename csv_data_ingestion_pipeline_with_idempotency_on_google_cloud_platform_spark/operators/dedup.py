@@ -168,6 +168,45 @@ def minhash_signatures(
     return parallelize_narrow(docs).select(F.col(id_col), sig.alias("sig"))
 
 
+def tune_lsh_params(
+    threshold: float,
+    num_perm: int = DEFAULT_NUM_PERM,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """(bands, rows_per_band) minimizing weighted false-positive +
+    false-negative area of the LSH S-curve around `threshold`.
+
+    For b bands of r rows, a pair with Jaccard s collides with
+    P(s) = 1 − (1 − s^r)^b. The false-positive area is ∫₀^t P(s) ds,
+    the false-negative area ∫ₜ¹ (1 − P(s)) ds (the standard MinHash-LSH
+    tuning objective, e.g. Leskovec/Rajaraman/Ullman MMDS §3.4);
+    both integrate by midpoint rule over the valid factorizations of
+    `num_perm`. Deterministic, driver-side, O(divisors × 1024) floats —
+    planning arithmetic, not a data pass.
+    """
+    assert 0 < threshold < 1
+    steps = 1024
+    best: tuple[float, int, int] | None = None
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        err = (fp_weight * fp + fn_weight * fn) / steps
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def estimate_jaccard_col(
     sig_a: Column | str, sig_b: Column | str, num_perm: int
 ) -> Column:

@@ -207,3 +207,28 @@ def test_near_dup_clusters_matches_recursive_cte_oracle(spark, duck):
         SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node
     """).fetchall()
     assert got == {(n, c) for n, c in oracle}
+
+
+def test_tune_lsh_params_matches_shipped_defaults():
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.dedup import (
+        DEFAULT_BANDS,
+        DEFAULT_NUM_PERM,
+        tune_lsh_params,
+    )
+
+    # the shipped 8x4 banding is the S-curve optimum for the module's
+    # 0.5 candidate threshold — the tuner derives it, not folklore
+    bands, rows = tune_lsh_params(0.5, DEFAULT_NUM_PERM)
+    assert (bands, rows) == (DEFAULT_BANDS, DEFAULT_NUM_PERM // DEFAULT_BANDS)
+
+
+def test_tune_lsh_params_rows_grow_with_threshold():
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.dedup import (
+        tune_lsh_params,
+    )
+
+    rows_at = [tune_lsh_params(t, 128)[1] for t in (0.2, 0.4, 0.6, 0.8, 0.95)]
+    assert rows_at == sorted(rows_at)  # stricter thresholds -> longer bands
+    for t in (0.2, 0.5, 0.8):
+        b, r = tune_lsh_params(t, 128)
+        assert b * r == 128
