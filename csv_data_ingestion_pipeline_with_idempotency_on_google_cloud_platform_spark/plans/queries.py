@@ -1778,15 +1778,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_count": q_range_join_count,
     # analytics breadth
     "distinct_agg": q_distinct_agg,
-    "set_ops": q_set_ops,
     "pivot_event_counts": q_pivot_event_counts,
     "percentile_value": q_percentile_value,
     "cube_agg": q_cube_agg,
-    "order_quartiles": q_order_quartiles,
-    # packing + deterministic sampling
+    # packing + deterministic sampling + retrieval
     "pack_sequences": q_pack_sequences,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
+    "bm25_search": q_bm25_search,
     # ---- rows-only from here down (entry 51+): engine-hash-dependent /
     # approximate by design; recall vs exact baselines lives in tests/
     "near_dedup": q_near_dedup,
@@ -1803,8 +1803,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_anti_join": q_bloom_anti_join,
     # oracle-backed but outside the driver's 50-entry window — pytest
     # runs the same exact-parity check (tests/test_queries_oracle.py)
-    "weighted_sample": q_weighted_sample,
-    "bm25_search": q_bm25_search,
+    "set_ops": q_set_ops,
+    "order_quartiles": q_order_quartiles,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
