@@ -86,6 +86,40 @@ def asof_join(
     return u.filter(F.col("__side") == 1).select(*left.columns, *rpay)
 
 
+def interval_join_batch(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Batch twin of streaming.interval_join_attribution: every
+    (purchase, click) pair for the same user with
+    ``purchase_ts - horizon <= click_ts <= purchase_ts``.
+
+    Unlike range_join_trailing_count there IS a key equality here, so
+    Catalyst plans a plain shuffled equi-join on user_id with the time
+    range as a residual filter — one key shuffle, per-user fanout
+    bounded by the horizon. No binning needed.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+        "value",
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts", "value")
+
+
 def range_join_trailing_count(
     left: DataFrame,
     right: DataFrame,

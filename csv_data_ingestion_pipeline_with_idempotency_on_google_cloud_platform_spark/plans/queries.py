@@ -1492,6 +1492,62 @@ GROUP BY e.event_id, e.ts
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (X7): every (purchase, click) pair for the same
+    user where the click falls in the hour before the purchase — the
+    batch twin of the streaming stream-stream interval join
+    (streaming/event_stream.py:interval_join_attribution). Keyed
+    equi-join on user_id with the time range as residual filter: one
+    key shuffle, per-user fanout bounded by the horizon."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = temporal.interval_join_batch(clicks, purchases, horizon="1 hour")
+    return j.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        "value",
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       p.value
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles per event_type (approx_percentile, the
+    mergeable Greenwald-Khanna sketch) — the 100 TB form of
+    percentile_value: map-side partial sketches merge in one shuffle,
+    no global sort, memory O(1/accuracy) per group regardless of row
+    count. Rows-only by design (sketch output is engine-specific);
+    tests/test_approx_quantiles.py pins the rank-error bound against
+    the exact interpolated quantiles."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.25, 0.5, 0.75), 1000)").alias("q"),
+    ).select(
+        "event_type",
+        F.col("q")[0].alias("p25"),
+        F.col("q")[1].alias("p50"),
+        F.col("q")[2].alias("p75"),
+    )
+
+
 # --------------------------------------------------------------------------
 # deterministic sampling / splits (operators/sampling.py)
 # --------------------------------------------------------------------------
@@ -1805,6 +1861,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # runs the same exact-parity check (tests/test_queries_oracle.py)
     "set_ops": q_set_ops,
     "order_quartiles": q_order_quartiles,
+    "interval_join": q_interval_join,
+    # rows-only: sketch output is engine-specific (error-bound test instead)
+    "approx_quantiles": q_approx_quantiles,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
@@ -1861,7 +1920,8 @@ ORACLE_SQL: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "hash_split": SQL_HASH_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
-    # entries 51+: outside the driver window, pytest-checked at parity
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "bm25_search": SQL_BM25_SEARCH,
+    # past the driver's 50-entry window: pytest runs the same parity check
+    "interval_join": SQL_INTERVAL_JOIN,
 }

@@ -1,4 +1,8 @@
 from .ingest_stream import start_ingest_stream  # noqa: F401
-from .event_stream import sessionized_event_counts, windowed_event_counts  # noqa: F401
+from .event_stream import (  # noqa: F401
+    interval_join_attribution,
+    sessionized_event_counts,
+    windowed_event_counts,
+)
 from .stateful_dedup import streaming_exact_dedup  # noqa: F401
 from .neardup_stream import start_neardup_stream  # noqa: F401

@@ -47,6 +47,51 @@ def windowed_event_counts(
     )
 
 
+def interval_join_attribution(
+    clicks_stream: DataFrame,
+    purchases_stream: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every
+    click by the same user within `horizon` before it.
+
+    Both sides carry a watermark, so the join state each side buffers is
+    bounded: a click can be dropped from state once the purchase-side
+    watermark passes (click_ts + horizon), a purchase once it has seen
+    all clicks at or before its timestamp. Without the time-range bound
+    the state store would grow forever — the range condition is what
+    makes stream-stream joins feasible at scale, and Spark derives the
+    state eviction policy from it automatically.
+
+    The batch twin (same predicate, same output) is
+    operators.temporal.interval_join_batch; parity is pinned in
+    tests/test_event_stream.py.
+    """
+    c = clicks_stream.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases_stream.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+        "value",
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            f"""
+            user_id = c_user_id
+            AND click_ts <= purchase_ts
+            AND click_ts >= purchase_ts - INTERVAL {horizon}
+            """
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts", "value")
+
+
 def sessionized_event_counts(
     events_stream: DataFrame,
     gap: str = "30 minutes",
