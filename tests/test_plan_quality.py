@@ -156,3 +156,15 @@ def test_exact_dedup_partial_aggregation(spark):
     plan = _plan(spark, "exact_dedup")
     assert "partial_min" in plan, plan
     assert "Window" not in plan
+
+
+def test_interval_join_is_keyed_not_nested_loop(spark):
+    """The time-range predicate must ride as a residual on the user_id
+    equi-join; a BroadcastNestedLoopJoin here would be |clicks|x|purchases|
+    at scale."""
+    plan = _plan(spark, "interval_join")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
