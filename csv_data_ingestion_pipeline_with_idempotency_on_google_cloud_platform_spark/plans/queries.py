@@ -1410,6 +1410,96 @@ SELECT lang, term, n, rnk FROM (
 """
 
 
+def q_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health rollup: doc count, size, and exact-dup
+    rate — the first dashboard any crawl-scale ingest needs. Dup rate
+    is 1 - distinct(content_hash)/count per source; one shuffle on
+    source with both aggregates partial-combined map-side (distinct
+    via the two-level (source, hash) pre-aggregation Catalyst plans
+    for count(distinct))."""
+    from ..functions.text import content_hash_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", "n_chars", content_hash_col("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("h").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.round(
+                F.lit(1.0) - F.col("n_unique") / F.col("n_docs"), 4
+            ).alias("dup_rate"),
+        )
+    )
+
+
+SQL_SOURCE_QUALITY_ROLLUP = r"""
+WITH h AS (
+  SELECT source, n_chars,
+         sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 4) AS dup_rate
+FROM h GROUP BY source
+"""
+
+
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-duplicated word-5-gram passages across the corpus (the
+    signal behind passage-level dedup a la "Deduplicating Training Data
+    Makes Language Models Better"): distinct shingles per doc, explode,
+    count docs per passage, global top-20. Count is map-side
+    combinable; top-20 is TakeOrderedAndProject with a deterministic
+    (n_docs desc, passage asc) tie-break, never a global sort."""
+    from ..operators.dedup import word_shingles_col
+    from ..functions.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.size(tokens_col("text")) >= 5)
+        .select(
+            "doc_id", F.explode(word_shingles_col(F.col("text"), 5)).alias("passage")
+        )
+        .groupBy("passage")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("passage"))
+        .limit(20)
+    )
+
+
+SQL_DUP_PASSAGES = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+  FROM documents
+  WHERE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) >= 5
+),
+starts AS (
+  SELECT doc_id, t, UNNEST(range(1, len(t) - 4 + 1)) AS i FROM toks
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS passage
+  FROM starts
+),
+counts AS (
+  SELECT passage, COUNT(*) AS n_docs FROM shingles GROUP BY 1 HAVING COUNT(*) >= 2
+)
+SELECT passage, n_docs FROM counts
+ORDER BY n_docs DESC, passage ASC LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # temporal joins — as-of and range (operators/temporal.py)
 # --------------------------------------------------------------------------
@@ -1862,6 +1952,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "order_quartiles": q_order_quartiles,
     "interval_join": q_interval_join,
+    "source_quality_rollup": q_source_quality_rollup,
+    "dup_passages": q_dup_passages,
     # rows-only: sketch output is engine-specific (error-bound test instead)
     "approx_quantiles": q_approx_quantiles,
 }
@@ -1924,4 +2016,6 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_search": SQL_BM25_SEARCH,
     # past the driver's 50-entry window: pytest runs the same parity check
     "interval_join": SQL_INTERVAL_JOIN,
+    "source_quality_rollup": SQL_SOURCE_QUALITY_ROLLUP,
+    "dup_passages": SQL_DUP_PASSAGES,
 }
