@@ -35,3 +35,29 @@ def l2_norm_col(a: Column | str) -> Column:
 
 def cosine_similarity_col(a: Column | str, b: Column | str) -> Column:
     return dot_col(a, b) / (l2_norm_col(a) * l2_norm_col(b))
+
+
+def quantize_scale_col(a: Column | str) -> Column:
+    """Per-vector symmetric int8 scale: max(|x|)/127 (0-vectors get
+    scale 1.0 so they round-trip to zeros instead of dividing by 0)."""
+    m = F.aggregate(
+        _as_double(a), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    return F.when(m == 0.0, F.lit(1.0)).otherwise(m / F.lit(127.0))
+
+
+def quantize_int8_col(a: Column | str, scale: Column) -> Column:
+    """Symmetric int8 quantization: round-half-up(x/scale) as
+    floor(x/s + 0.5) — spelled out so every engine agrees on .5 ties
+    (JVM HALF_UP vs C round-half-away disagree on negatives)."""
+    return F.transform(
+        _as_double(a),
+        lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"),
+    )
+
+
+def dequantize_col(q: Column | str, scale: Column) -> Column:
+    """Back to float: q * scale. Reconstruction error per dim is
+    <= scale/2 = max|x|/254 — enough to keep cosine top-k stable (see
+    tests/test_vector_quantization.py for the recall bound)."""
+    return F.transform(_c(q), lambda x: x.cast("double") * scale)

@@ -1619,6 +1619,47 @@ FROM p JOIN c
 """
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the 4x storage/shuffle cut that makes 100 TB vector corpora
+    tractable (store int8 + one scale, dequantize on read). Pure
+    codegen expressions (transform/aggregate), no UDF; rounding spelled
+    as floor(x/s + 0.5) so every engine agrees on ties. Int array goes
+    to the driver as JSON (raw arrays break its canonicalizer);
+    tests/test_vector_quantization.py pins the top-k recall after
+    dequantization."""
+    from ..functions import vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("scale", vectors.quantize_scale_col("embedding"))
+        .select(
+            "vec_id",
+            "scale",
+            F.to_json(
+                vectors.quantize_int8_col("embedding", F.col("scale"))
+            ).alias("q8"),
+        )
+    )
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+              THEN 1.0
+              ELSE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+         END AS scale
+  FROM embeddings
+)
+SELECT vec_id, scale,
+       to_json(list_transform(
+           embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)
+       )) AS q8
+FROM s
+"""
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based quantiles per event_type (approx_percentile, the
     mergeable Greenwald-Khanna sketch) — the 100 TB form of
@@ -1954,6 +1995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join": q_interval_join,
     "source_quality_rollup": q_source_quality_rollup,
     "dup_passages": q_dup_passages,
+    "quantize_embeddings": q_quantize_embeddings,
     # rows-only: sketch output is engine-specific (error-bound test instead)
     "approx_quantiles": q_approx_quantiles,
 }
@@ -2018,4 +2060,5 @@ ORACLE_SQL: dict[str, str] = {
     "interval_join": SQL_INTERVAL_JOIN,
     "source_quality_rollup": SQL_SOURCE_QUALITY_ROLLUP,
     "dup_passages": SQL_DUP_PASSAGES,
+    "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
 }
