@@ -108,3 +108,51 @@ def chunk_documents(
             "n_chunks",
         )
     )
+
+
+def assign_global_ids(
+    df: DataFrame,
+    order_col: str,
+    num_partitions: int = 256,
+    id_col: str = "row_id",
+) -> DataFrame:
+    """Contiguous 0-based row IDs in ``order_col`` order WITHOUT a
+    global sort — the sample-index primitive of training loaders
+    (shard manifests, token-offset tables, resumable iteration).
+
+    Semantically identical to ``row_number() over (order by order_col)
+    - 1``, but that plan moves every row through one partition. The
+    scalable formulation is two-phase:
+
+    1. range-partition by ``order_col`` (Spark samples range bounds —
+       one pass) and count rows per partition;
+    2. the per-partition counts (``num_partitions`` longs, legitimate
+       driver state like k-means centroids) become exclusive-prefix-sum
+       offsets, joined back as a broadcast map; each row's ID is
+       offset[partition] + (its rank within the partition).
+
+    The within-partition rank is a window over spark_partition_id(),
+    computed where the rows already live — no second shuffle of data,
+    only the count aggregation (num_partitions rows) crosses the wire.
+    ``order_col`` values must be unique for a deterministic assignment.
+    """
+    p = df.repartitionByRange(num_partitions, F.col(order_col))
+    p = p.withColumn("__pid", F.spark_partition_id())
+    counts = (
+        p.groupBy("__pid").count().orderBy("__pid").collect()
+    )
+    offsets, running = {}, 0
+    for r in counts:
+        offsets[r["__pid"]] = running
+        running += r["count"]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    return (
+        p.withColumn(
+            id_col,
+            (off[F.col("__pid")] + F.row_number().over(w) - 1).cast("bigint"),
+        )
+        .drop("__pid")
+    )

@@ -1619,6 +1619,23 @@ FROM p JOIN c
 """
 
 
+def q_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0-based sample indices in doc_id order without a
+    global sort (operators/packing.py:assign_global_ids): range
+    partition + per-partition rank + broadcast prefix-sum offsets.
+    Oracle is the single-partition ROW_NUMBER the operator is
+    semantically equal to but never executes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return packing.assign_global_ids(docs, "doc_id", num_partitions=32)
+
+
+SQL_GLOBAL_ROW_IDS = """
+SELECT doc_id, lang,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+FROM documents
+"""
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column —
     the 4x storage/shuffle cut that makes 100 TB vector corpora
@@ -1996,6 +2013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_quality_rollup": q_source_quality_rollup,
     "dup_passages": q_dup_passages,
     "quantize_embeddings": q_quantize_embeddings,
+    "global_row_ids": q_global_row_ids,
     # rows-only: sketch output is engine-specific (error-bound test instead)
     "approx_quantiles": q_approx_quantiles,
 }
@@ -2061,4 +2079,5 @@ ORACLE_SQL: dict[str, str] = {
     "source_quality_rollup": SQL_SOURCE_QUALITY_ROLLUP,
     "dup_passages": SQL_DUP_PASSAGES,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+    "global_row_ids": SQL_GLOBAL_ROW_IDS,
 }

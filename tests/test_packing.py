@@ -90,3 +90,25 @@ def test_chunk_documents_covers_text_and_matches_duckdb(spark, duck):
     )
     joined = rebuilt.join(docs, "doc_id").filter(F.col("glued") != F.col("text"))
     assert joined.count() == 0
+
+
+def test_assign_global_ids_contiguous_and_ordered(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.packing import (
+        assign_global_ids,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    out = assign_global_ids(docs, "doc_id", num_partitions=16).collect()
+    n = len(out)
+    ids = sorted((r["doc_id"], r["row_id"]) for r in out)
+    # contiguous 0..n-1, and row_id order == doc_id order
+    assert sorted(r["row_id"] for r in out) == list(range(n))
+    assert [p[1] for p in ids] == list(range(n))
+
+    # deterministic across re-execution (range bounds sampling is seeded)
+    again = assign_global_ids(docs, "doc_id", num_partitions=16).collect()
+    assert {(r["doc_id"], r["row_id"]) for r in again} == set(ids)
