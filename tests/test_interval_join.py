@@ -58,12 +58,25 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     clicks, purchases = _split(ev)
 
     # Arrival order must respect event time to within the watermark
-    # (the contract of any watermarked stream); range-partition by ts so
-    # file k holds earlier events than file k+1 — the file source lists
-    # part files lexicographically, replaying the history in order.
+    # (the contract of any watermarked stream). The file source orders
+    # by modification time, and a single parallel write can finish its
+    # last time-range file first — so write one time slice at a time,
+    # sequentially, to guarantee replay order.
     csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purchases")
-    clicks.repartitionByRange(3, "ts").sortWithinPartitions("ts").write.parquet(csrc)
-    purchases.repartitionByRange(3, "ts").sortWithinPartitions("ts").write.parquet(psrc)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cuts = (
+        clicks.select("ts").unionByName(purchases.select("ts"))
+        .select(us.cast("double").alias("t"))
+        .approxQuantile("t", [1 / 3, 2 / 3], 0.0)
+    )
+    import time
+
+    bounds = [float("-inf"), *cuts, float("inf")]
+    for lo, hi in zip(bounds, bounds[1:]):
+        pred = (us.cast("double") > lo) & (us.cast("double") <= hi)
+        clicks.filter(pred).coalesce(1).write.mode("append").parquet(csrc)
+        purchases.filter(pred).coalesce(1).write.mode("append").parquet(psrc)
+        time.sleep(1.1)  # distinct mtimes: the source sorts files by mod time
 
     cstream = (
         spark.readStream.schema(clicks.schema)
