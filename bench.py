@@ -50,6 +50,8 @@ HEADLINE = [
     "media_frames",
     "bm25_search",
     "weighted_sample",
+    "dup_passages",
+    "interval_join",
 ]
 
 

@@ -1462,8 +1462,9 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_docs desc, passage asc) tie-break, never a global sort."""
     from ..operators.dedup import word_shingles_col
     from ..functions.text import tokens_col
+    from ..utils import parallelize_narrow
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_narrow(load_table(spark, sf_dir, "documents"))
     return (
         docs.filter(F.size(tokens_col("text")) >= 5)
         .select(
