@@ -184,3 +184,72 @@ def lm_scores(
             "lm_logprob",
         )
     )
+
+
+def dup_passages(
+    docs: DataFrame,
+    n: int = 5,
+    k: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    two_phase: bool | None = None,
+    candidate_slack: int = 50,
+    two_phase_min_bytes: int = 1 << 30,
+) -> DataFrame:
+    """Top-k most duplicated word n-gram passages corpus-wide — the
+    passage-level dedup signal (cf. Lee et al., "Deduplicating
+    Training Data Makes Language Models Better").
+
+    two_phase=True is the 100 TB form: shingle strings never shuffle.
+    Phase 1 counts xxhash64(passage) — the shuffle carries only longs —
+    and collects the top k*candidate_slack duplicate hashes (bounded
+    driver state, like k-means centroids). Phase 2 rescans, keeps only
+    shingles whose hash is a candidate (an isin literal filter pushed
+    into the narrow pass), and exact-counts the surviving strings.
+    A true top-k passage can only be missed if > k*(candidate_slack-1)
+    hashes beat it through 64-bit collisions — vanishingly unlikely;
+    parity with the direct single-pass form is test-pinned.
+
+    two_phase=False is the direct form: one scan, but the shuffle
+    carries distinct (partition, passage-string) pairs.
+
+    two_phase=None picks by the optimizer's input-size estimate, like
+    a broadcast threshold: below `two_phase_min_bytes` the corpus is
+    scan-bound and the direct form's single pass wins; above it the
+    string shuffle dominates and hashing pays for the second scan.
+    """
+    from ..functions.text import tokens_col
+    from .dedup import word_shingles_col
+
+    if two_phase is None:
+        est = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        two_phase = est >= two_phase_min_bytes
+
+    base = (
+        parallelize_narrow(docs)
+        .filter(F.size(tokens_col(text_col)) >= n)
+        .select(F.explode(word_shingles_col(F.col(text_col), n)).alias("passage"))
+    )
+    counted = lambda df: (
+        df.groupBy("passage")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.asc("passage"))
+        .limit(k)
+    )
+    if not two_phase:
+        return counted(base)
+
+    cand = [
+        r["h"]
+        for r in base.select(F.xxhash64("passage").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_docs)
+        .orderBy(F.desc("c"), F.asc("h"))
+        .limit(k * candidate_slack)
+        .collect()
+    ]
+    if not cand:
+        return counted(base).limit(0)
+    return counted(base.filter(F.xxhash64("passage").isin(cand)))

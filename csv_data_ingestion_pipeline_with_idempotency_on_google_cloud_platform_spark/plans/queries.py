@@ -1456,26 +1456,16 @@ FROM h GROUP BY source
 def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-duplicated word-5-gram passages across the corpus (the
     signal behind passage-level dedup a la "Deduplicating Training Data
-    Makes Language Models Better"): distinct shingles per doc, explode,
-    count docs per passage, global top-20. Count is map-side
-    combinable; top-20 is TakeOrderedAndProject with a deterministic
-    (n_docs desc, passage asc) tie-break, never a global sort."""
-    from ..operators.dedup import word_shingles_col
-    from ..functions.text import tokens_col
-    from ..utils import parallelize_narrow
-
-    docs = parallelize_narrow(load_table(spark, sf_dir, "documents"))
-    return (
-        docs.filter(F.size(tokens_col("text")) >= 5)
-        .select(
-            "doc_id", F.explode(word_shingles_col(F.col("text"), 5)).alias("passage")
-        )
-        .groupBy("passage")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .orderBy(F.desc("n_docs"), F.asc("passage"))
-        .limit(20)
-    )
+    Makes Language Models Better"). The operator
+    (operators/textstats.py:dup_passages) picks the execution form by
+    input size, like a broadcast threshold: direct string counting when
+    scan-bound, two-phase hash counting (the shuffle carries xxhash64
+    longs; strings only survive a broadcast candidate filter) when the
+    string shuffle would dominate. The forms are definitionally
+    identical (test-pinned); the DuckDB oracle is the direct
+    definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.dup_passages(docs, n=5, k=20)
 
 
 SQL_DUP_PASSAGES = r"""

@@ -232,3 +232,19 @@ def test_tune_lsh_params_rows_grow_with_threshold():
     for t in (0.2, 0.5, 0.8):
         b, r = tune_lsh_params(t, 128)
         assert b * r == 128
+
+
+def test_dup_passages_two_phase_matches_direct(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        dup_passages,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    direct = [tuple(r) for r in dup_passages(docs, two_phase=False).collect()]
+    hashed = [tuple(r) for r in dup_passages(docs, two_phase=True).collect()]
+    assert direct == hashed
+    assert direct  # non-vacuous
