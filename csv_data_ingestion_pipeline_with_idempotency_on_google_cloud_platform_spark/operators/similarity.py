@@ -366,3 +366,55 @@ def embedding_near_dup_pairs(
     return scored.filter(F.col("cos") >= min_cosine).select(
         "id_a", "id_b", F.round("cos", 4).alias("cos_sim")
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the k most cosine-similar vectors with a DIFFERENT label — the
+    negatives closest to the decision boundary, which carry most of the
+    gradient signal.
+
+    Same shape as topk_cosine_many (broadcast anchors, per-anchor rank
+    window, deterministic (sim desc, id asc) tie-break); the label
+    inequality rides in the join condition, so same-label candidates
+    are dropped before scoring. At scale the anchor side is a sampled
+    subset (thousands), so the broadcast stays small while the corpus
+    side never shuffles.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).cast("array<double>").alias("__q"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.col(label_col),
+    )
+    scored = base.join(
+        F.broadcast(a), on=F.col(label_col) != F.col("anchor_label")
+    ).select(
+        "anchor_id",
+        id_col,
+        F.col(label_col).alias("negative_label"),
+        cosine_similarity_col("__v", "__q").alias("__cos"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("__cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            id_col,
+            "negative_label",
+            "rank",
+            F.round("__cos", 6).alias("cos_sim"),
+        )
+    )

@@ -1243,6 +1243,41 @@ ranked AS (
 SELECT query_id, vec_id, rank, ROUND(cos, 6) AS cos_sim FROM ranked WHERE rank <= 5
 """
 
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: hard-negative mining — for each of 5 anchor vectors, the 5
+    most-similar vectors with a different label (the contrastive-
+    training negatives nearest the decision boundary). Broadcast
+    anchors, label inequality in the join condition, per-anchor rank
+    window (operators/similarity.py:hard_negatives)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5)
+    out = similarity.hard_negatives(emb, anchors, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_HARD_NEGATIVES = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qv, label AS anchor_label
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT a.anchor_id, e.vec_id, e.label AS negative_label,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), a.qv) /
+           (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+            sqrt(list_dot_product(a.qv, a.qv))) AS cos
+  FROM embeddings e, a WHERE e.label <> a.anchor_label
+),
+ranked AS (
+  SELECT anchor_id, vec_id, negative_label,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, vec_id) AS rank,
+         cos
+  FROM scored
+)
+SELECT anchor_id, vec_id, negative_label, rank, ROUND(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+"""
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2005,6 +2040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_passages": q_dup_passages,
     "quantize_embeddings": q_quantize_embeddings,
     "global_row_ids": q_global_row_ids,
+    "hard_negatives": q_hard_negatives,
     # rows-only: sketch output is engine-specific (error-bound test instead)
     "approx_quantiles": q_approx_quantiles,
 }
@@ -2071,4 +2107,5 @@ ORACLE_SQL: dict[str, str] = {
     "dup_passages": SQL_DUP_PASSAGES,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "global_row_ids": SQL_GLOBAL_ROW_IDS,
+    "hard_negatives": SQL_HARD_NEGATIVES,
 }
