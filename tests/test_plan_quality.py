@@ -168,3 +168,16 @@ def test_interval_join_is_keyed_not_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_dup_passages_topk_not_global_sort(spark):
+    plan = _plan(spark, "dup_passages")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hard_negatives_broadcast_and_partitioned_rank(spark):
+    """Anchors must broadcast (corpus side never shuffles for the join)
+    and the rank window must be per-anchor, not global."""
+    plan = _plan(spark, "hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Sort [anchor_id" in plan or "hashpartitioning(anchor_id" in plan
