@@ -36,14 +36,16 @@ from .similarity import _rank_topk, ivf_assignments
 def write_ivf_index(
     emb: DataFrame,
     path: str,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Materialize `emb` as an IVF index at `path`.
 
     Layout: ``path/vectors`` hive-partitioned by ``cell``;
-    ``path/centroids`` the n_centroids coarse centroids.
+    ``path/centroids`` the coarse centroids. n_centroids=None (the
+    default) sizes the cell count from corpus stats with the √n rule
+    (ivf_assignments) instead of a fixed constant.
     """
     centroids, assigned = ivf_assignments(emb, n_centroids, id_col, vec_col)
     (

@@ -163,7 +163,7 @@ def topk_cosine_lsh(
 
 def ivf_assignments(
     emb: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
@@ -172,11 +172,18 @@ def ivf_assignments(
     would k-means a sample — the assignment/search machinery is
     identical). Returns (centroids_df, assigned_df with `cell` column).
 
+    n_centroids=None derives the cell count from corpus size with the
+    standard √n rule (floored at 16): cells and per-cell postings both
+    grow as √n, balancing probe fan-out against per-cell scan cost.
+
     Assignment is a broadcast join + per-row argmax over the centroid
     array — one narrow pass, no shuffle. At 100 TB the table is then
     written partitioned/bucketed by `cell` so a probe reads only
     n_probe/n_centroids of the data.
     """
+    if n_centroids is None:
+        n_centroids = max(16, int(emb.count() ** 0.5))
+
     # constant-valued non-foldable partition key over ≤ n_centroids rows
     # (post-limit) — see _rank_topk for why id%1 replaces a global spec
     w = Window.partitionBy(F.col(id_col) % 1).orderBy(F.col(id_col))

@@ -88,3 +88,19 @@ def test_indexed_probe_recall_vs_exact(spark, tmp_path):
         if r["vec_id"] != query_id
     }
     assert len(exact & got) / len(exact) >= 0.7
+
+
+def test_auto_cell_count_follows_sqrt_rule(spark, tmp_path):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    path = str(tmp_path / "auto_ivf")
+    write_ivf_index(emb, path)  # n_centroids=None -> sqrt(n) rule
+    cells = spark.read.parquet(f"{path}/centroids").count()
+    assert cells == max(16, int(n**0.5))
+    # every vector landed in exactly one cell
+    assert spark.read.parquet(f"{path}/vectors").count() == n
