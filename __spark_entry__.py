@@ -36,15 +36,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query.
 
-    Keys absent here (near_dedup, near_dup_clusters, simhash_near_dup,
-    embedding_near_dup, topk_cosine_lsh, topk_cosine_ivf, kmeans_assign,
-    approx_distinct, temperature_mix, chunk_documents, lm_score — the
-    last 11 registry entries,
-    after every oracle-backed query) are engine-hash /
-    literal-hyperplane / sketch / iterative-state dependent or simply
-    past the checked window; the driver records rows-only checks and
-    tests/ assert their quality against exact baselines (recall bounds,
-    planted duplicates, recursive-CTE component parity, DuckDB
-    closed-form mixing-rate parity, HLL error bounds).
+    Registry layout: the first 50 entries are all oracle-backed (the
+    driver's checked window); past the window sit the rows-only
+    entries and then the remaining oracle-backed ones (set_ops,
+    order_quartiles, interval_join, source_quality_rollup,
+    dup_passages, quantize_embeddings, global_row_ids, hard_negatives
+    — tests/test_queries_oracle.py runs the identical parity check on
+    them); keys absent here entirely (near_dedup, near_dup_clusters,
+    simhash_near_dup, embedding_near_dup, topk_cosine_lsh,
+    topk_cosine_ivf, kmeans_assign, approx_distinct, temperature_mix,
+    chunk_documents, lm_score, bloom_anti_join, approx_quantiles) are
+    engine-hash / literal-hyperplane / sketch / iterative-state
+    dependent; the driver records rows-only checks and tests/ assert
+    their quality against exact baselines (recall bounds, planted
+    duplicates, recursive-CTE component parity, DuckDB closed-form
+    mixing-rate parity, HLL/GK error bounds).
     """
     return dict(ORACLE_SQL)
