@@ -297,26 +297,28 @@ def minhash_lsh_candidates(
             .drop("__sz")
         )
     a, b = band_entries.alias("a"), band_entries.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # Score and threshold BEFORE the pair dedup: est_jaccard is
+    # identical for every band collision of the same pair, so deduping
+    # after scoring is equivalent — but the dedup shuffle then carries
+    # (id_a, id_b, double) instead of two full signature arrays, and
+    # the threshold filter drops sub-threshold pairs pre-shuffle.
+    # Re-scoring a pair once per colliding band costs a 128-element
+    # fold in codegen — cheap against shuffling 2×num_perm ints.
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.band_id") == F.col("b.band_id"),
+            F.col("a.band_hash") == F.col("b.band_hash"),
+            F.col("a.id") < F.col("b.id"),
+        ],
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        estimate_jaccard_col("a.sig", "b.sig", num_perm).alias("est_jaccard"),
     )
     return (
-        pairs.withColumn("est_jaccard", estimate_jaccard_col("sig_a", "sig_b", num_perm))
-        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        pairs.filter(F.col("est_jaccard") >= min_est_jaccard)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
     )
 
