@@ -110,3 +110,101 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         for r in interval_join_batch(clicks, purchases, horizon="1 hour").collect()
     }
     assert got == expected
+
+
+def test_streaming_interval_join_evicts_click_state_past_watermark(spark, tmp_path):
+    """The state-eviction contract: advancing the watermark past
+    (click_ts + horizon) must remove rows from the join state store —
+    that bounded-state guarantee is what makes the stream-stream join
+    feasible, and it is observable in the stateOperators progress
+    metrics. (Exact drop timing of late pairs is implementation
+    detail: a late pair can still join batch-locally or against
+    not-yet-swept state, so we assert eviction, not output absence.)"""
+    from datetime import datetime
+    import time
+
+    BASE = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return datetime(2024, 1, 1, 12, 0, 0).replace(
+            hour=12 + minutes // 60, minute=minutes % 60
+        )
+
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    cschema = "event_id long, user_id long, ts timestamp"
+    pschema = "event_id long, user_id long, ts timestamp, value double"
+
+    # trigger 1: the on-time pair for user 1, and the user-2 click at
+    # t=+5min whose purchase will arrive two triggers later
+    spark.createDataFrame(
+        [(1, 1, BASE), (2, 2, ts(5))], cschema
+    ).coalesce(1).write.mode("append").parquet(csrc)
+    spark.createDataFrame(
+        [(1001, 1, BASE, 1.0)], pschema
+    ).coalesce(1).write.mode("append").parquet(psrc)
+    time.sleep(1.1)
+
+    # trigger 2: far-future events on both sides advance both
+    # watermarks to +4h (2h delay), far past click_ts + 1h horizon —
+    # the user-2 click's state is evicted at this batch boundary
+    far = 360
+    spark.createDataFrame([(99, 9, ts(far))], cschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(csrc)
+    spark.createDataFrame([(1999, 9, ts(far), 9.0)], pschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(psrc)
+    time.sleep(1.1)
+
+    # trigger 3: the user-2 purchase at t=+10min — its click is gone
+    spark.createDataFrame([(98, 9, ts(far + 1))], cschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(csrc)
+    spark.createDataFrame([(1002, 2, ts(10), 2.0)], pschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(psrc)
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming import (
+        interval_join_attribution,
+    )
+
+    cstream = (
+        spark.readStream.schema(cschema).option("maxFilesPerTrigger", "1").parquet(csrc)
+    )
+    pstream = (
+        spark.readStream.schema(pschema).option("maxFilesPerTrigger", "1").parquet(psrc)
+    )
+    joined = interval_join_attribution(cstream, pstream, horizon="1 hour", watermark="2 hours")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("lateattrib")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["purchase_id"], r["click_id"])
+            for r in spark.sql("select purchase_id, click_id from lateattrib").collect()
+        }
+        removed = sum(
+            op.get("numRowsRemoved", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        state_rows = max(
+            (
+                op.get("numRowsTotal", 0)
+                for p in q.recentProgress[-1:]
+                for op in p.get("stateOperators", [])
+            ),
+            default=0,
+        )
+    finally:
+        q.stop()
+
+    assert (1001, 1) in got  # the on-time pair joins
+    # eviction happened: rows left the state store once the watermark
+    # passed them, and the final state holds only the recent horizon
+    assert removed > 0, [p.get("stateOperators") for p in q.recentProgress]
+    assert state_rows < 8
