@@ -85,3 +85,35 @@ def prepare_corpus(
         "stage string, rows_in long, rows_out long",
     )
     return clean, report
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions by content hash:
+    (id, status) with status in {added, removed, changed, unchanged}.
+
+    The change-detection primitive of incremental pipelines: only
+    'added'/'changed' docs need re-tokenizing, re-embedding, re-dedup
+    probing downstream. One full-outer equi-join on the id — a single
+    key shuffle; hashes are computed in the narrow scan on each side,
+    so text never crosses the wire.
+    """
+    from ..functions.text import content_hash_col
+
+    o = old.select(F.col(id_col), content_hash_col(text_col).alias("__ho"))
+    n = new.select(F.col(id_col), content_hash_col(text_col).alias("__hn"))
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            id_col,
+            F.when(F.col("__ho").isNull(), F.lit("added"))
+            .when(F.col("__hn").isNull(), F.lit("removed"))
+            .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )

@@ -155,3 +155,22 @@ def temperature_mix(
     )
     keep = (F.col("mix_rate") >= 1.0) | (hash_bucket_col(key, 8) < thr)
     return out.filter(keep)
+
+
+def kfold_assign(
+    df: DataFrame,
+    key: str,
+    k: int = 5,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: fold = first-8-hex of md5(key)
+    mod k. Same key ⇒ same fold in any engine, forever — so folds
+    survive re-runs, engine swaps, and cluster resizes, and fold
+    membership never depends on partitioning. Narrow projection,
+    zero shuffle (the cross-validation twin of hash_split)."""
+    h = F.substring(
+        F.md5(F.col(key).cast("string") if isinstance(key, str) else key.cast("string")),
+        1,
+        8,
+    )
+    return df.withColumn(fold_col, (F.conv(h, 16, 10).cast("bigint") % k).cast("int"))

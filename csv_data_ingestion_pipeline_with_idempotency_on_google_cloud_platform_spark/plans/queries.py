@@ -1782,6 +1782,64 @@ LIMIT 50
 """
 
 
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: deterministic 5-fold cross-validation assignment — fold is a
+    pure function of md5(doc_id), so membership survives re-runs,
+    engine swaps, and repartitioning. Narrow projection, zero shuffle
+    (operators/sampling.py:kfold_assign)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.kfold_assign(docs, "doc_id", k=5)
+
+
+SQL_KFOLD_ASSIGN = """
+SELECT doc_id, lang,
+       CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+            % 5 AS INT) AS fold
+FROM documents
+"""
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-pipeline change detection: diff two corpus versions
+    by content hash (operators/corpus.py:corpus_diff — one full-outer
+    key shuffle, text hashed narrow-side). Versions are derived
+    deterministically from the documents table: v1 drops doc_id%10==9,
+    v2 drops doc_id%10==0 and rewrites text where doc_id%7==3 — so the
+    oracle sees every status class."""
+    from ..operators.corpus import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.filter(F.col("doc_id") % 10 != 9)
+    v2 = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(v1, v2)
+
+
+SQL_CORPUS_DIFF = r"""
+WITH v1 AS (
+  SELECT doc_id, sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+  FROM documents WHERE doc_id % 10 <> 9
+),
+v2 AS (
+  SELECT doc_id,
+         sha256(lower(trim(regexp_replace(
+             CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END,
+             '\s+', ' ', 'g')))) AS h
+  FROM documents WHERE doc_id % 10 <> 0
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.h IS NULL THEN 'added'
+            WHEN v2.h IS NULL THEN 'removed'
+            WHEN v1.h <> v2.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 for the query {vector, hash, join} over documents
     (operators/retrieval.py): postings filtered to query terms before
@@ -2041,6 +2099,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": q_quantize_embeddings,
     "global_row_ids": q_global_row_ids,
     "hard_negatives": q_hard_negatives,
+    "kfold_assign": q_kfold_assign,
+    "corpus_diff": q_corpus_diff,
     # rows-only: sketch output is engine-specific (error-bound test instead)
     "approx_quantiles": q_approx_quantiles,
 }
@@ -2108,4 +2168,6 @@ ORACLE_SQL: dict[str, str] = {
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "global_row_ids": SQL_GLOBAL_ROW_IDS,
     "hard_negatives": SQL_HARD_NEGATIVES,
+    "kfold_assign": SQL_KFOLD_ASSIGN,
+    "corpus_diff": SQL_CORPUS_DIFF,
 }

@@ -193,3 +193,44 @@ def test_temperature_mix_composition_and_duckdb_parity(spark, duck):
               < printf('%08x', CAST(floor(mix_rate * 4294967296) AS BIGINT))
     """).fetchall()
     assert got == {(i, r) for i, r in oracle}
+
+
+def test_kfold_assign_deterministic_and_covering(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sampling import (
+        kfold_assign,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+    from .conftest import SF_DIR
+    import hashlib
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    rows = kfold_assign(docs, "doc_id", k=5).collect()
+    folds = {r["doc_id"]: r["fold"] for r in rows}
+    # hashlib parity: fold is a pure function of the key
+    for doc_id, fold in folds.items():
+        expected = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 5
+        assert fold == expected
+    # every fold non-empty and roughly balanced on 500 docs
+    from collections import Counter
+
+    sizes = Counter(folds.values())
+    assert set(sizes) == {0, 1, 2, 3, 4}
+    assert max(sizes.values()) < 2.5 * min(sizes.values())
+
+
+def test_corpus_diff_statuses(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.plans.queries import (
+        q_corpus_diff,
+    )
+    from .conftest import SF_DIR
+
+    rows = q_corpus_diff(spark, SF_DIR).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["status"], set()).add(r["doc_id"])
+    assert set(by) == {"added", "removed", "changed", "unchanged"}
+    assert all(d % 10 == 9 for d in by["added"])
+    assert all(d % 10 == 0 for d in by["removed"])
+    assert all(d % 7 == 3 for d in by["changed"])
