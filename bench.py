@@ -52,6 +52,8 @@ HEADLINE = [
     "weighted_sample",
     "dup_passages",
     "interval_join",
+    "tpch_q5",
+    "tpch_q10",
 ]
 
 

@@ -181,3 +181,11 @@ def test_hard_negatives_broadcast_and_partitioned_rank(spark):
     plan = _plan(spark, "hard_negatives")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Sort [anchor_id" in plan or "hashpartitioning(anchor_id" in plan
+
+
+def test_tpch_q5_broadcasts_all_dimensions(spark):
+    """Six-table star: every dimension chain broadcasts; only the
+    orders-lineitem fact join may shuffle."""
+    plan = _plan(spark, "tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
