@@ -47,6 +47,30 @@ def windowed_event_counts(
     )
 
 
+def dedup_events_within_watermark(
+    events_stream: DataFrame,
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """At-least-once → effectively-once for an event stream with the
+    BUILT-IN bounded-state dedup: emit each key's first arrival and
+    drop re-deliveries that land within the watermark horizon.
+
+    Contrast with stateful_dedup (applyInPandasWithState, unbounded
+    custom state): here Spark owns the state schema AND its eviction —
+    a key older than the watermark is forgotten, so state is bounded by
+    (arrival rate × horizon) regardless of stream lifetime. That is the
+    right trade for transport-level duplicates (retries arrive within
+    minutes), while content-level dedup wants the unbounded custom
+    state. Output rows are the surviving events, unchanged.
+    """
+    if dict(events_stream.dtypes).get("ts") == "timestamp_ntz":
+        events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def interval_join_attribution(
     clicks_stream: DataFrame,
     purchases_stream: DataFrame,

@@ -94,3 +94,38 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     assert {key(r): r["n_events"] for r in got} == {
         key(r): r["n_events"] for r in expected
     }
+
+
+def test_dropduplicates_within_watermark_removes_redeliveries(spark, tmp_path):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming.event_stream import (
+        dedup_events_within_watermark,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select("event_id", "ts", "event_type")
+    src = str(tmp_path / "dup_src")
+    # the same events written twice = at-least-once redelivery of every
+    # record within the watermark horizon
+    events.coalesce(1).write.mode("append").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = dedup_events_within_watermark(stream, watermark="30 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("streamdedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select event_id from streamdedup").collect()
+    finally:
+        q.stop()
+
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids))  # no event delivered twice
+    assert set(ids) == {r["event_id"] for r in events.collect()}  # none lost
