@@ -135,3 +135,50 @@ def test_weighted_sample_invariant_to_partitioning(spark, nparts):
         for r in weighted_sample(df.repartition(nparts), "doc_id", "w", 25).collect()
     ]
     assert got == base
+
+
+def test_dup_passages_matches_bruteforce_property(spark):
+    """Generated mini-corpora: both execution forms of dup_passages
+    must equal a brute-force Python count of distinct word-5-grams."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        dup_passages,
+    )
+
+    words = st.sampled_from(["alpha", "beta", "gamma", "delta", "x"])
+    doc = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+    @settings(
+        max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(texts=st.lists(doc, min_size=1, max_size=8))
+    def inner(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        from collections import Counter
+
+        counts = Counter()
+        for _i, t in rows:
+            toks = t.split()
+            if len(toks) < 5:
+                continue
+            shingles = {
+                " ".join(toks[j : j + 5]) for j in range(len(toks) - 4)
+            }
+            counts.update(shingles)
+        expected = sorted(
+            ((p, n) for p, n in counts.items() if n >= 2),
+            key=lambda x: (-x[1], x[0]),
+        )[:20]
+
+        for form in (False, True):
+            got = [
+                (r["passage"], r["n_docs"])
+                for r in dup_passages(df, two_phase=form).collect()
+            ]
+            assert got == expected, (form, got, expected)
+
+    inner()
