@@ -40,8 +40,9 @@ def oracle_sql() -> dict[str, str]:
     driver's checked window); past the window sit the rows-only
     entries and then the remaining oracle-backed ones (set_ops,
     order_quartiles, interval_join, source_quality_rollup,
-    dup_passages, quantize_embeddings, global_row_ids, hard_negatives
-    — tests/test_queries_oracle.py runs the identical parity check on
+    dup_passages, quantize_embeddings, global_row_ids, hard_negatives,
+    kfold_assign, corpus_diff, tpch_q5, tpch_q10 —
+    tests/test_queries_oracle.py runs the identical parity check on
     them); keys absent here entirely (near_dedup, near_dup_clusters,
     simhash_near_dup, embedding_near_dup, topk_cosine_lsh,
     topk_cosine_ivf, kmeans_assign, approx_distinct, temperature_mix,

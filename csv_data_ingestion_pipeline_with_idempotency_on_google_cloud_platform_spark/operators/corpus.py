@@ -104,15 +104,26 @@ def corpus_diff(
     """
     from ..functions.text import content_hash_col
 
-    o = old.select(F.col(id_col), content_hash_col(text_col).alias("__ho"))
-    n = new.select(F.col(id_col), content_hash_col(text_col).alias("__hn"))
+    # presence is tracked with explicit markers, NOT hash nullity — a
+    # doc with NULL text hashes to NULL and would otherwise masquerade
+    # as absent; the hash comparison is null-safe for the same reason
+    o = old.select(
+        F.col(id_col),
+        content_hash_col(text_col).alias("__ho"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        content_hash_col(text_col).alias("__hn"),
+        F.lit(True).alias("__in_new"),
+    )
     return (
         o.join(n, id_col, "full_outer")
         .select(
             id_col,
-            F.when(F.col("__ho").isNull(), F.lit("added"))
-            .when(F.col("__hn").isNull(), F.lit("removed"))
-            .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+            F.when(F.col("__in_old").isNull(), F.lit("added"))
+            .when(F.col("__in_new").isNull(), F.lit("removed"))
+            .when(~F.col("__ho").eqNullSafe(F.col("__hn")), F.lit("changed"))
             .otherwise(F.lit("unchanged"))
             .alias("status"),
         )

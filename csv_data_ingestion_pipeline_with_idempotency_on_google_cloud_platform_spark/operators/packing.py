@@ -122,37 +122,44 @@ def assign_global_ids(
 
     Semantically identical to ``row_number() over (order by order_col)
     - 1``, but that plan moves every row through one partition. The
-    scalable formulation is two-phase:
+    scalable formulation:
 
-    1. range-partition by ``order_col`` (Spark samples range bounds —
-       one pass) and count rows per partition;
-    2. the per-partition counts (``num_partitions`` longs, legitimate
-       driver state like k-means centroids) become exclusive-prefix-sum
-       offsets, joined back as a broadcast map; each row's ID is
-       offset[partition] + (its rank within the partition).
+    1. range-partition by ``order_col``, sort within partitions, and
+       materialize ONCE (``localCheckpoint``). The materialization is
+       what makes the scheme sound: range-exchange bounds are sampled
+       per-execution (the sample seed involves the RDD id), so running
+       the count job and the assignment job against two independent
+       executions could place boundary rows in different partitions
+       and corrupt the offsets. Both jobs below read the same
+       checkpointed blocks. Project down to needed columns before
+       calling — the materialization holds them.
+    2. the within-partition rank comes free from
+       ``monotonically_increasing_id``'s contract (partition_id << 33
+       + per-partition record counter, counting in the sorted
+       iteration order) — no window, so no second exchange of the
+       data; only the per-partition counts (``num_partitions`` longs,
+       legitimate driver state like k-means centroids) cross the wire
+       to become broadcast exclusive-prefix-sum offsets.
 
-    The within-partition rank is a window over spark_partition_id(),
-    computed where the rows already live — no second shuffle of data,
-    only the count aggregation (num_partitions rows) crosses the wire.
-    ``order_col`` values must be unique for a deterministic assignment.
+    ``order_col`` values must be unique for a deterministic assignment;
+    the output is identical across calls regardless of how the range
+    bounds were sampled (bounds affect balance, never order).
     """
-    p = df.repartitionByRange(num_partitions, F.col(order_col))
-    p = p.withColumn("__pid", F.spark_partition_id())
-    counts = (
-        p.groupBy("__pid").count().orderBy("__pid").collect()
+    p = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
     )
+    counts = p.groupBy("__pid").count().orderBy("__pid").collect()
     offsets, running = {}, 0
     for r in counts:
         offsets[r["__pid"]] = running
         running += r["count"]
-    off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    w = Window.partitionBy("__pid").orderBy(order_col)
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    local_rank = F.col("__mid") - F.shiftleft(F.col("__pid").cast("long"), 33)
     return (
-        p.withColumn(
-            id_col,
-            (off[F.col("__pid")] + F.row_number().over(w) - 1).cast("bigint"),
-        )
-        .drop("__pid")
+        p.withColumn(id_col, (off[F.col("__pid")] + local_rank).cast("bigint"))
+        .drop("__pid", "__mid")
     )

@@ -206,9 +206,11 @@ def dup_passages(
     driver state, like k-means centroids). Phase 2 rescans, keeps only
     shingles whose hash is a candidate (an isin literal filter pushed
     into the narrow pass), and exact-counts the surviving strings.
-    A true top-k passage can only be missed if > k*(candidate_slack-1)
-    hashes beat it through 64-bit collisions — vanishingly unlikely;
-    parity with the direct single-pass form is test-pinned.
+    The candidate set keeps every hash tied-or-above the k-th count,
+    and when a count-tie plateau overflows the k*candidate_slack cap
+    the operator falls back to the direct form — so the two forms are
+    exactly equal unless a 64-bit hash collision lands inside the
+    top-k count range (vanishingly unlikely); parity is test-pinned.
 
     two_phase=False is the direct form: one scan, but the shuffle
     carries distinct (partition, passage-string) pairs.
@@ -240,16 +242,27 @@ def dup_passages(
     if not two_phase:
         return counted(base)
 
-    cand = [
-        r["h"]
-        for r in base.select(F.xxhash64("passage").alias("h"))
+    cap = k * candidate_slack
+    rows = (
+        base.select(F.xxhash64("passage").alias("h"))
         .groupBy("h")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= min_docs)
         .orderBy(F.desc("c"), F.asc("h"))
-        .limit(k * candidate_slack)
+        .limit(cap + 1)
         .collect()
-    ]
-    if not cand:
+    )
+    if not rows:
         return counted(base).limit(0)
+    # Tie-plateau guard: candidate hashes are ordered by (count, hash)
+    # but the final top-k is ordered by (count, passage) — if the cap
+    # cuts INSIDE the k-th count's tie region, the hash-ordered subset
+    # could exclude a lexicographically-winning passage. Detect it (the
+    # first excluded hash still ties the k-th count) and fall back to
+    # the direct form; otherwise keep exactly the hashes tied-or-above
+    # the k-th count, which provably contains the true top-k.
+    kth = rows[min(k, len(rows)) - 1]["c"]
+    if len(rows) > cap and rows[cap]["c"] >= kth:
+        return counted(base)
+    cand = [r["h"] for r in rows[:cap] if r["c"] >= kth]
     return counted(base.filter(F.xxhash64("passage").isin(cand)))

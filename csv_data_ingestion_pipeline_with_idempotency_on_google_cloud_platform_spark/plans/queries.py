@@ -1689,7 +1689,9 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_QUANTIZE_EMBEDDINGS = """
 WITH s AS (
   SELECT vec_id, embedding,
-         CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+         -- coalesce: DuckDB list_max([]) is NULL where Spark's aggregate
+         -- returns the 0.0 seed — both must take the scale=1.0 branch
+         CASE WHEN coalesce(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0) = 0
               THEN 1.0
               ELSE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
          END AS scale
@@ -1832,9 +1834,9 @@ v2 AS (
   FROM documents WHERE doc_id % 10 <> 0
 )
 SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
-       CASE WHEN v1.h IS NULL THEN 'added'
-            WHEN v2.h IS NULL THEN 'removed'
-            WHEN v1.h <> v2.h THEN 'changed'
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.h IS DISTINCT FROM v2.h THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 """

@@ -1,5 +1,6 @@
 from .ingest_stream import start_ingest_stream  # noqa: F401
 from .event_stream import (  # noqa: F401
+    dedup_events_within_watermark,
     interval_join_attribution,
     sessionized_event_counts,
     windowed_event_counts,

@@ -248,3 +248,28 @@ def test_dup_passages_two_phase_matches_direct(spark):
     hashed = [tuple(r) for r in dup_passages(docs, two_phase=True).collect()]
     assert direct == hashed
     assert direct  # non-vacuous
+
+
+def test_dup_passages_two_phase_tie_plateau_falls_back(spark):
+    """30 distinct passages all tied at count 2 with a candidate cap of
+    6: hash-ordered truncation would pick the wrong lexicographic
+    winners, so the plateau guard must fall back to the direct form."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        dup_passages,
+    )
+
+    rows = []
+    did = 0
+    for i in range(30):
+        passage = f"p{i:02d} common tied words here"
+        for _ in range(2):  # each passage in exactly 2 docs
+            rows.append((did, passage))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = [tuple(r) for r in dup_passages(df, k=3, two_phase=False).collect()]
+    hashed = [
+        tuple(r)
+        for r in dup_passages(df, k=3, two_phase=True, candidate_slack=2).collect()
+    ]
+    assert direct == hashed
+    assert len(direct) == 3 and all(n == 2 for _p, n in direct)

@@ -234,3 +234,26 @@ def test_corpus_diff_statuses(spark):
     assert all(d % 10 == 9 for d in by["added"])
     assert all(d % 10 == 0 for d in by["removed"])
     assert all(d % 7 == 3 for d in by["changed"])
+
+
+def test_corpus_diff_null_text_is_presence_not_absence(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.corpus import (
+        corpus_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "same"), (3, None), (4, "x")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "same"), (3, "now text"), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",  # NULL text in both: present and equal, NOT added
+        2: "unchanged",
+        3: "changed",  # NULL -> text is a change, not an add
+        4: "removed",
+        5: "added",
+    }
