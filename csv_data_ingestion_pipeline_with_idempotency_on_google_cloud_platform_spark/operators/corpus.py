@@ -9,10 +9,12 @@ operators:
 Everything stays declarative: one logical plan per output, no driver
 loops, nothing persisted (the LSH self-join recomputes its codegen'd
 signature fold — see dedup.minhash_lsh_candidates for why that beats
-caching). Dropping the higher id of each confident pair is equivalent
-to cluster-canonical retention when pairs chain (the minimum id is
-never any pair's id_b); near_dup_clusters is the explicit
-connected-components form when cluster ids need to be materialized.
+caching). Dropping the higher id of each confident pair guarantees the
+minimum id of every chained cluster survives (it is never any pair's
+id_b) but can over-retain middle nodes of a chain whose linking edge
+LSH did not emit (pairs (1,3),(2,3) keep both 1 and 2);
+near_dup_clusters is the explicit connected-components form when
+exactly-one-survivor-per-cluster semantics are required.
 """
 
 from __future__ import annotations

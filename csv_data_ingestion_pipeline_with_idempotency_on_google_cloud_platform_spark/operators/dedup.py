@@ -232,6 +232,7 @@ def minhash_band_entries(
     LSH bucket keys. Narrow (per-row explode of a `bands`-element
     array); shared by the one-shot self-join pipeline and the
     materialized incremental index (operators/dedup_index.py)."""
+    assert num_perm % bands == 0, (num_perm, bands)
     rows_per_band = num_perm // bands
     return sigs.select(
         F.col(id_col).alias("id"),
@@ -287,14 +288,22 @@ def minhash_lsh_candidates(
     # or collecting buckets with collect_list (ObjectHashAggregate drops
     # the fold out of codegen; measured ~2× slower end-to-end).
     if max_bucket_size is not None:
-        # hot-bucket cap as a window count over the SAME (band_id,
-        # band_hash) partitioning the join shuffles on — no second
-        # aggregation pass, no broadcast anti-join.
-        wb = Window.partitionBy("band_id", "band_hash")
-        band_entries = (
-            band_entries.withColumn("__sz", F.count("*").over(wb))
-            .filter(F.col("__sz") <= max_bucket_size)
+        # Hot-bucket cap via a map-side-combined count + broadcast
+        # anti-join on the (few) over-cap bucket keys. A count-over-
+        # window on (band_id, band_hash) would sort the entire hottest
+        # bucket through ONE task — the exact skew this cap exists to
+        # contain (a billion empty docs share one band_hash). The
+        # aggregation's shuffle moves only combined (bucket, count)
+        # partials; the price is one extra signature pass over the
+        # corpus (nothing is persisted), paid only by capped callers.
+        overcap = (
+            band_entries.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("__sz"))
+            .filter(F.col("__sz") > max_bucket_size)
             .drop("__sz")
+        )
+        band_entries = band_entries.join(
+            F.broadcast(overcap), ["band_id", "band_hash"], "left_anti"
         )
     a, b = band_entries.alias("a"), band_entries.alias("b")
     # Score and threshold BEFORE the pair dedup: est_jaccard is

@@ -56,10 +56,20 @@ def write_minhash_index(
     shingle_n: int = 3,
     mode: str = "overwrite",
 ) -> None:
-    """Materialize the corpus's LSH band entries at `path`."""
+    """Materialize the corpus's LSH band entries at `path`.
+
+    The LSH parameters are persisted in a `_meta` sidecar (underscore
+    prefix: invisible to data-path listing) — probing with different
+    parameters than the index was built with produces band hashes that
+    never collide and silently reports zero near-dups, so the probe
+    reads its parameters from the index itself.
+    """
     sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
     entries = minhash_band_entries(sigs, num_perm, bands, id_col=id_col)
     entries.write.partitionBy("band_id").mode(mode).parquet(path)
+    docs.sparkSession.createDataFrame(
+        [(num_perm, bands, shingle_n)], "num_perm int, bands int, shingle_n int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
 
 
 def append_to_minhash_index(
@@ -70,10 +80,14 @@ def append_to_minhash_index(
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
+    mode: str = "append",
 ) -> None:
-    """Add an accepted batch's band entries to an existing index."""
+    """Add an accepted batch's band entries to an existing index.
+
+    Pass mode="overwrite" with a per-batch subdirectory for idempotent
+    at-least-once commits (streaming/neardup_stream.py does this)."""
     write_minhash_index(
-        docs, path, id_col, text_col, num_perm, bands, shingle_n, mode="append"
+        docs, path, id_col, text_col, num_perm, bands, shingle_n, mode=mode
     )
 
 
@@ -94,8 +108,21 @@ def probe_minhash_index(
     relative to the corpus by definition); the index is the streamed
     side — one scan, zero index shuffle. Docs present in both (same
     id) are not reported against themselves.
+
+    LSH parameters come from the index's `_meta` sidecar when present
+    (see write_minhash_index) — the caller's num_perm/bands/shingle_n
+    are a fallback for pre-sidecar indexes only.
     """
+    from pyspark.errors import AnalysisException
+
     spark: SparkSession = new_docs.sparkSession
+    for meta_glob in (f"{index_path}/_meta", f"{index_path}/*/_meta"):
+        try:
+            m = spark.read.parquet(meta_glob).collect()[0]
+            num_perm, bands, shingle_n = m["num_perm"], m["bands"], m["shingle_n"]
+            break
+        except (AnalysisException, IndexError):
+            continue
     sigs = minhash_signatures(new_docs, id_col, text_col, num_perm, shingle_n)
     new_entries = (
         minhash_band_entries(sigs, num_perm, bands, id_col=id_col)

@@ -149,8 +149,11 @@ def bm25_topk_many(
     """
     all_terms = sorted({t.lower() for ts in queries.values() for t in ts})
     postings = term_postings(docs, all_terms, id_col, text_col)
+    # dedupe terms per query: bm25_topk counts a repeated query term
+    # once (its isin filter dedupes), so the literal table must too or
+    # the postings join would double that term's contribution
     qterms = docs.sparkSession.createDataFrame(
-        [(qid, t.lower()) for qid, ts in queries.items() for t in ts],
+        sorted({(qid, t.lower()) for qid, ts in queries.items() for t in ts}),
         "query_id long, term string",
     )
     stats = docs.select(

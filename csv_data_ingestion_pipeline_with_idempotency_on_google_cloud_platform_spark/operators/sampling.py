@@ -131,10 +131,13 @@ def temperature_mix(
     counts = df.groupBy(stratum).agg(F.count("*").alias("__n"))
     # rate algebra over the |strata|-row counts frame: windows over one
     # constant-keyed partition (non-foldable so the spec survives
-    # optimization) — |strata| rows, so the single partition is free
+    # optimization) — |strata| rows, so the single partition is free.
+    # The key must be constant even when a NULL stratum exists (its
+    # count row participates in normalization like any other stratum),
+    # so key on the always-true count predicate, not stratum nullity.
     from pyspark.sql import Window
 
-    wall = Window.partitionBy(F.col(stratum).isNotNull())
+    wall = Window.partitionBy(F.col("__n") >= 0)
     q_raw = F.pow(F.col("__n") / F.sum("__n").over(wall), 1.0 / temperature)
     tmp = counts.select(stratum, "__n", q_raw.alias("__q_raw"))
     tmp = tmp.select(
@@ -149,7 +152,12 @@ def temperature_mix(
             F.lit(1.0),
         ).alias("mix_rate"),
     )
-    out = df.join(F.broadcast(rates), stratum)
+    # null-safe join: a NULL stratum is a real stratum (unclassified
+    # docs) — a plain equi-join would silently drop every such row
+    rates = rates.withColumnRenamed(stratum, "__stratum")
+    out = df.join(
+        F.broadcast(rates), F.col(stratum).eqNullSafe(F.col("__stratum"))
+    ).drop("__stratum")
     thr = F.format_string(
         "%08x", F.floor(F.col("mix_rate") * F.lit(float(1 << 32))).cast("long")
     )

@@ -61,9 +61,18 @@ def zorder_key_col(
     from pyspark.sql import functions as F
 
     n = len(cols)
+    # Java long shifts mask the amount mod 64: interleaved bit positions
+    # past 63 would silently alias onto low positions and corrupt the
+    # curve, so shrink per-dimension resolution to fit one long.
+    if bits * n > 63:
+        bits = 63 // n
     top = (1 << bits) - 1
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
+        if lo is None or hi is None:
+            # all-NULL cluster column: no locality to extract; rows get
+            # bit 0 for this dimension (NULL-safe constant)
+            lo, hi = 0.0, 0.0
         span = (hi - lo) or 1.0
         q = F.floor((c.cast("double") - F.lit(lo)) / F.lit(span) * top).cast("long")
         scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), q)))
@@ -131,8 +140,18 @@ def compact_files(
 
     Sizes the file count from the *input* bytes (cheap: file-status
     listing, no data read), coalesces — a narrow, shuffle-free merge of
-    existing partitions — and atomically replaces via a temp directory
-    rename. Returns the output file count."""
+    existing partitions — and swaps directories with a
+    crash-recoverable rename sequence: the original moves aside BEFORE
+    it is deleted, so no failure window loses the dataset (a crash
+    leaves either the original, or the replacement plus a stale
+    `__compact_old` to sweep — never nothing). Returns the output file
+    count.
+
+    Local/POSIX-volume helper by design (glob/os/shutil): on an object
+    store, compaction belongs to a table format (Delta/Iceberg
+    OPTIMIZE) or a rewrite into a fresh prefix + pointer flip — renames
+    are not atomic there either way.
+    """
     import glob
     import os
     import shutil
@@ -142,7 +161,11 @@ def compact_files(
     )
     n = max(1, round(in_bytes / (target_file_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
     spark.read.parquet(path).coalesce(n).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    if os.path.exists(old):
+        shutil.rmtree(old)  # stale leftover from an interrupted run
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "*.parquet")))

@@ -6,13 +6,16 @@ micro-batches with keyed state; this query catches NEAR duplicates by
 pairing the streaming file source with the materialized band index
 (operators/dedup_index.py):
 
-per micro-batch (foreachBatch = the transactional boundary):
+per micro-batch (foreachBatch is at-least-once, so every write below
+is made idempotent by keying it on batch_id):
   1. probe the batch against the index — batch band entries broadcast,
      index scanned, never shuffled;
   2. batch-internal near-dups via the one-shot self-join (the batch is
      small, so the self-join is too);
-  3. append surviving docs to the clean output AND their band entries
-     to the index, so batch N+1 dedups against everything batch N kept.
+  3. commit surviving docs to clean_dir/batch_id=N and their band
+     entries to index_dir/batch_id=N, each with overwrite — a retried
+     batch replaces its own partial attempt instead of appending
+     duplicates, so batch N+1 dedups against exactly what batch N kept.
 
 State lives in the index files, not executor memory — a restart
 resumes from the checkpoint with the index already reflecting every
@@ -35,31 +38,40 @@ from ..operators.dedup_index import (
 def _gate_batch(
     spark: SparkSession,
     batch: DataFrame,
+    batch_id: int,
     index_dir: str,
     clean_dir: str,
     min_est_jaccard: float,
 ) -> None:
-    import glob
-
     batch = batch.select("doc_id", "text")
-    # an index exists once some batch has appended at least one band
-    # partition (a zero-row append leaves only _SUCCESS behind, which
-    # parquet schema inference would choke on)
-    have_index = bool(glob.glob(f"{index_dir}/band_id=*"))
+    # FS-agnostic index detection: attempt the read instead of globbing
+    # the driver's local filesystem (which silently reports "no index"
+    # for any object-store path) — an unreadable/absent index and a
+    # genuinely empty one both mean "nothing to probe yet"
+    from pyspark.errors import AnalysisException
 
     drop = batch.sparkSession.createDataFrame([], "doc_id long")
-    if have_index:
+    try:
         vs_corpus = probe_minhash_index(
             batch, index_dir, min_est_jaccard=min_est_jaccard
         )
         drop = drop.union(vs_corpus.select(F.col("id_new").alias("doc_id")))
+    except AnalysisException:
+        pass  # first batch: no index written yet
     # batch-internal: drop the higher id of each confident pair
     vs_batch = minhash_lsh_candidates(batch, min_est_jaccard=min_est_jaccard)
     drop = drop.union(vs_batch.select(F.col("id_b").alias("doc_id"))).distinct()
 
     kept = batch.join(F.broadcast(drop), "doc_id", "left_anti")
-    kept.write.mode("append").parquet(clean_dir)
-    append_to_minhash_index(kept, index_dir)
+    # Idempotent commits: foreachBatch is at-least-once, so a batch
+    # retried after a partial write must not duplicate output. Each
+    # batch owns a batch_id=N directory written with overwrite — the
+    # retry replaces its own previous partial attempt, and committed
+    # batches are untouched. Readers see batch_id as a partition column.
+    kept.write.mode("overwrite").parquet(f"{clean_dir}/batch_id={batch_id}")
+    append_to_minhash_index(
+        kept, f"{index_dir}/batch_id={batch_id}", mode="overwrite"
+    )
 
 
 def start_neardup_stream(
@@ -82,8 +94,8 @@ def start_neardup_stream(
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
-            lambda b, _id: _gate_batch(
-                spark, b, index_dir, clean_dir, min_est_jaccard
+            lambda b, bid: _gate_batch(
+                spark, b, bid, index_dir, clean_dir, min_est_jaccard
             )
         )
         .start()

@@ -3,6 +3,8 @@ append — and the no-index-shuffle plan shape that makes it scale."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.dedup_index import (
     append_to_minhash_index,
     probe_minhash_index,
@@ -88,3 +90,23 @@ def test_probe_does_not_match_identical_ids(spark, tmp_path):
     append_to_minhash_index(batch, path)
     got = probe_minhash_index(batch, path, min_est_jaccard=0.99).collect()
     assert all(r.id_new != r.id_corpus for r in got)
+
+
+def test_probe_uses_index_meta_not_caller_params(spark, tmp_path):
+    """An index built with non-default banding must probe correctly
+    even when the caller passes (wrong) defaults — the _meta sidecar
+    is authoritative."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    path = str(tmp_path / "idx_meta")
+    write_minhash_index(docs, path, num_perm=16, bands=4)
+
+    # probe the same docs under shifted ids: every doc is a near-dup of
+    # its indexed twin; with mismatched parameters this would be ~empty
+    probe = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    hits = probe_minhash_index(probe, path, min_est_jaccard=0.9)
+    assert hits.count() >= 45  # identical text -> est_jaccard 1.0

@@ -93,3 +93,25 @@ def test_streaming_near_dup_restart_resumes_from_index(spark, tmp_path):
         assert kept == {1}
     finally:
         q2.stop()
+
+
+def test_gate_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the same batch_id must
+    replace the previous attempt, not append duplicates to the clean
+    output or the index."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming.neardup_stream import (
+        _gate_batch,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    clean_dir = str(tmp_path / "clean")
+    batch = spark.createDataFrame(
+        [(1, BASE), (2, OTHER)], "doc_id long, text string"
+    )
+    _gate_batch(spark, batch, 0, index_dir, clean_dir, 0.5)
+    _gate_batch(spark, batch, 0, index_dir, clean_dir, 0.5)  # retry
+
+    clean = spark.read.parquet(clean_dir)
+    assert clean.count() == 2  # not 4
+    idx = spark.read.parquet(index_dir)
+    assert idx.groupBy("id", "band_id").count().filter("count > 1").count() == 0

@@ -140,3 +140,25 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = {r.doc_id for r in weighted_sample(df, "doc_id", "w", k=50).collect()}
     assert got == set(range(90, 100))  # zero-weight rows never selected
+
+
+def test_bm25_many_dedupes_repeated_query_terms(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_many,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    single = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm25_topk(docs, ["hash", "hash", "join"], k=5).collect()
+    }
+    many = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm25_topk_many(docs, {7: ["hash", "hash", "join"]}, k=5).collect()
+    }
+    assert single == many

@@ -257,3 +257,16 @@ def test_corpus_diff_null_text_is_presence_not_absence(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_temperature_mix_keeps_null_stratum(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "en" if i % 3 else None) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # T=1 keeps everything, including the NULL-language stratum
+    kept = temperature_mix(df, key="doc_id", stratum="lang", temperature=1.0)
+    assert kept.count() == 60
+    assert kept.filter(F.col("lang").isNull()).count() == 20
