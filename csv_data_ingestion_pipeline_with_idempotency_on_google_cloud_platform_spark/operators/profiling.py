@@ -1,0 +1,95 @@
+"""Data-quality tooling: table profiling and declarative constraint
+checks — the ANALYZE / dbt-tests layer of a pipeline engine.
+
+This generalizes the reference's V1 row-count validation
+(``main.py:120-137``: count lines, mark done/failed) from one
+hard-coded check to a reusable validation surface over any table.
+
+Scale shape: profile_table is ONE aggregation pass over the table (a
+single wide agg row, melted to per-column rows driver-side — |columns|
+rows, not |rows|); each constraint check is one aggregation or one
+anti-join, never a collect of data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column profile: (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value) — min/max as strings so one output schema
+    covers every column type.
+
+    One aggregation pass; n_distinct is exact (count_distinct) so the
+    result is oracle-checkable — at 100 TB swap in
+    approx_count_distinct (same API shape, documented trade, see
+    `approx_distinct`).
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args.append(f"'{c}'")
+        stack_args.append(f"__nulls_{c}")
+        stack_args.append(f"__nd_{c}")
+        stack_args.append(f"__min_{c}")
+        stack_args.append(f"__max_{c}")
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {', '.join(stack_args)}) "
+            "AS (column, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def check_unique(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(constraint, n_violations): rows beyond the first per key."""
+    dup = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.coalesce(F.sum(F.col("__c") - 1), F.lit(0)).alias("n_violations"))
+    )
+    name = "unique(" + ",".join(key_cols) + ")"
+    return dup.select(F.lit(name).alias("constraint"), F.col("n_violations").cast("bigint"))
+
+
+def check_not_null(df: DataFrame, col: str) -> DataFrame:
+    """(constraint, n_violations): NULLs in `col`."""
+    return df.agg(
+        F.lit(f"not_null({col})").alias("constraint"),
+        F.sum(F.col(col).isNull().cast("long")).cast("bigint").alias("n_violations"),
+    )
+
+
+def check_references(
+    child: DataFrame, child_col: str, parent: DataFrame, parent_col: str, name: str
+) -> DataFrame:
+    """(constraint, n_violations): child keys with no parent — a
+    broadcast LEFT ANTI join when the parent key set is small, the
+    same plan family as the idempotency gate."""
+    orphans = child.select(F.col(child_col)).join(
+        F.broadcast(parent.select(F.col(parent_col).alias(child_col)).distinct()),
+        child_col,
+        "left_anti",
+    )
+    return orphans.agg(
+        F.lit(name).alias("constraint"),
+        F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+    )
+
+
+def run_checks(checks: list[DataFrame]) -> DataFrame:
+    """Union the per-check single-row frames into one report."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -1784,6 +1784,100 @@ LIMIT 50
 """
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling (operators/profiling.py): per-column
+    null count, distinct count, min/max in ONE aggregation pass over
+    the table — the ANALYZE surface. V1 generalized from one
+    hard-coded line count to any column set."""
+    from ..operators.profiling import profile_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_table(ev, ["event_id", "user_id", "event_type", "value", "props"])
+
+
+SQL_TABLE_PROFILE = """
+SELECT 'event_id' AS "column", COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT event_id) AS n_distinct,
+       CAST(MIN(event_id) AS VARCHAR) AS min_value, CAST(MAX(event_id) AS VARCHAR) AS max_value
+FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*),
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT user_id),
+       CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*),
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT event_type),
+       MIN(event_type), MAX(event_type)
+FROM events
+UNION ALL
+SELECT 'value', COUNT(*),
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT value),
+       CAST(MIN(value) AS VARCHAR), CAST(MAX(value) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'props', COUNT(*),
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT props),
+       MIN(props), MAX(props)
+FROM events
+"""
+
+
+def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint validation (operators/profiling.py):
+    uniqueness, not-null, and referential integrity as one violations
+    report — each check one aggregation or one broadcast anti-join
+    (the idempotency-gate plan family)."""
+    from ..operators.profiling import (
+        check_not_null,
+        check_references,
+        check_unique,
+        run_checks,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    return run_checks(
+        [
+            check_unique(ev, ["event_id"]),
+            check_unique(docs, ["doc_id"]),
+            check_not_null(docs, "text"),
+            check_references(
+                orders, "o_custkey", cust, "c_custkey", "fk(orders.o_custkey)"
+            ),
+            check_references(
+                li, "l_orderkey", orders, "o_orderkey", "fk(lineitem.l_orderkey)"
+            ),
+        ]
+    )
+
+
+SQL_CONSTRAINT_CHECKS = """
+SELECT 'unique(event_id)' AS constraint, CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_violations
+FROM (SELECT COUNT(*) AS c FROM events GROUP BY event_id)
+UNION ALL
+SELECT 'unique(doc_id)', CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS c FROM documents GROUP BY doc_id)
+UNION ALL
+SELECT 'not_null(text)', CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'fk(orders.o_custkey)', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'fk(lineitem.l_orderkey)', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
 def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8: deterministic 5-fold cross-validation assignment — fold is a
     pure function of md5(doc_id), so membership survives re-runs,
@@ -2201,6 +2295,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff": q_corpus_diff,
     "tpch_q5": q_tpch_q5,
     "tpch_q10": q_tpch_q10,
+    "table_profile": q_table_profile,
+    "constraint_checks": q_constraint_checks,
     # rows-only: sketch output is engine-specific (error-bound test instead)
     "approx_quantiles": q_approx_quantiles,
 }
@@ -2272,4 +2368,6 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_diff": SQL_CORPUS_DIFF,
     "tpch_q5": SQL_TPCH_Q5,
     "tpch_q10": SQL_TPCH_Q10,
+    "table_profile": SQL_TABLE_PROFILE,
+    "constraint_checks": SQL_CONSTRAINT_CHECKS,
 }

@@ -186,3 +186,33 @@ def test_repetition_signals_on_planted_docs(spark):
     assert rows[1]["db"] == round(5 / 8, 4)   # 8 bigrams, 3 distinct
     assert rows[2]["dl"] == 0.0 and rows[2]["db"] == 0.0
     assert rows[3]["db"] == 0.0
+
+
+def test_constraint_checks_detect_planted_violations(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.profiling import (
+        check_not_null,
+        check_references,
+        check_unique,
+        run_checks,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (2, 20), (3, None), (4, 99)],
+        "id long, parent_id long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pid long")
+    report = {
+        r["constraint"]: r["n_violations"]
+        for r in run_checks(
+            [
+                check_unique(child, ["id"]),
+                check_not_null(child, "parent_id"),
+                check_references(child, "parent_id", parent, "pid", "fk(parent_id)"),
+            ]
+        ).collect()
+    }
+    assert report["unique(id)"] == 1  # id=2 twice -> one extra row
+    assert report["not_null(parent_id)"] == 1
+    # orphans: 99 has no parent; NULL parent_id is not a reference
+    # violation in SQL semantics BUT left_anti treats null as no-match:
+    assert report["fk(parent_id)"] == 2
