@@ -76,3 +76,57 @@ def session_window_agg(
             F.col("sum_value_micros" if exact_micros else "sum_value"),
         )
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: per step, how many users reached it IN ORDER
+    (each step's event strictly at-or-after the previous step's
+    earliest qualifying time) — the sequential-pattern query Spark has
+    no MATCH_RECOGNIZE for.
+
+    Formulation: one groupBy(user) collecting each step's event times
+    into per-user arrays (bounded by events-per-user, the natural
+    sessionized scale), then the step times resolve as a left-to-right
+    fold of array_min(filter(times, t >= prev)) — pure expressions, no
+    self-joins, no window over the whole table. One shuffle on user.
+    """
+    typed = events.filter(F.col(type_col).isin(steps))
+    aggs = [
+        F.sort_array(
+            F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+        ).alias(f"__ts_{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = typed.groupBy(user_col).agg(*aggs)
+
+    reach_flags = []
+    prev = None
+    for i in range(len(steps)):
+        arr = F.col(f"__ts_{i}")
+        if prev is None:
+            t = F.array_min(arr)
+        else:
+            t = F.array_min(F.filter(arr, lambda x: x >= prev))
+        reach_flags.append(t.isNotNull().cast("long").alias(f"__r_{i}"))
+        prev = t
+    flags = per_user.select(*reach_flags)
+    return flags.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i + 1).alias("step"),
+                    F.lit(steps[i]).alias("event_type"),
+                    F.col(f"__r_{i}").alias("__r"),
+                )
+                for i in range(len(steps))
+            ])
+        ).alias("s")
+    ).groupBy(F.col("s.step").alias("step"), F.col("s.event_type").alias("event_type")).agg(
+        F.sum("s.__r").cast("bigint").alias("n_users")
+    )

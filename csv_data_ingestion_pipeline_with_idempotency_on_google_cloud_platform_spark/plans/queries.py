@@ -1784,6 +1784,41 @@ LIMIT 50
 """
 
 
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: ordered view→click→purchase funnel — users reaching each
+    step in order (operators/windows.py:funnel_counts). One shuffle on
+    user_id; step times resolve as array folds, no self-joins, no
+    MATCH_RECOGNIZE needed."""
+    from ..operators.windows import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+SQL_FUNNEL_COUNTS = """
+WITH per_user AS (
+  SELECT user_id,
+         list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS a0,
+         list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS a1,
+         list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS a2
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+),
+s0 AS (SELECT user_id, a1, a2, list_min(a0) AS r0 FROM per_user),
+s1 AS (SELECT user_id, a2, r0, list_min(list_filter(a1, x -> x >= r0)) AS r1 FROM s0),
+s2 AS (SELECT user_id, r0, r1, list_min(list_filter(a2, x -> x >= r1)) AS r2 FROM s1)
+SELECT 1 AS step, 'view' AS event_type,
+       CAST(SUM(CASE WHEN r0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_users FROM s2
+UNION ALL
+SELECT 2, 'click',
+       CAST(SUM(CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'purchase',
+       CAST(SUM(CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) FROM s2
+"""
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profiling (operators/profiling.py): per-column
     null count, distinct count, min/max in ONE aggregation pass over
@@ -2297,6 +2332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q10": q_tpch_q10,
     "table_profile": q_table_profile,
     "constraint_checks": q_constraint_checks,
+    "funnel_counts": q_funnel_counts,
     # rows-only: sketch output is engine-specific (error-bound test instead)
     "approx_quantiles": q_approx_quantiles,
 }
@@ -2370,4 +2406,5 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_q10": SQL_TPCH_Q10,
     "table_profile": SQL_TABLE_PROFILE,
     "constraint_checks": SQL_CONSTRAINT_CHECKS,
+    "funnel_counts": SQL_FUNNEL_COUNTS,
 }

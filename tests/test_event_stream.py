@@ -129,3 +129,33 @@ def test_dropduplicates_within_watermark_removes_redeliveries(spark, tmp_path):
     ids = [r["event_id"] for r in got]
     assert len(ids) == len(set(ids))  # no event delivered twice
     assert set(ids) == {r["event_id"] for r in events.collect()}  # none lost
+
+
+def test_funnel_requires_order(spark):
+    """A user whose purchase precedes their first click must count for
+    view and click but not purchase."""
+    from datetime import datetime
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        funnel_counts,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 12, m)
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # user 2: purchase BEFORE click -> reaches step 2 only
+        (2, "view", t(0)), (2, "purchase", t(1)), (2, "click", t(2)),
+        # user 3: click only -> reaches nothing (no view)
+        (3, "click", t(0)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        (r["step"], r["event_type"]): r["n_users"]
+        for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {
+        (1, "view"): 2,
+        (2, "click"): 2,
+        (3, "purchase"): 1,
+    }
