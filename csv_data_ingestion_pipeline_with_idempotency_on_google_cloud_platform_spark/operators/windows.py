@@ -130,3 +130,44 @@ def funnel_counts(
     ).groupBy(F.col("s.step").alias("step"), F.col("s.event_type").alias("event_type")).agg(
         F.sum("s.__r").cast("bigint").alias("n_users")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity period
+    (cohort), counted in each later period they were active —
+    (cohort_start, period_offset, n_users).
+
+    Two keyed aggregations, both on user/cohort keys: first-activity
+    per user (map-side-combined min), then distinct users per
+    (cohort, offset) cell. The first-activity table joins back keyed
+    on user — same shuffle key as the groupBy before it, so Catalyst
+    reuses the partitioning; no windows over the whole table.
+    """
+    day = F.col(ts_col).cast("timestamp").cast("date")
+    ev = events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    firsts = ev.groupBy("u").agg(F.min("d").alias("first_d"))
+    bucket = lambda c: F.floor(F.datediff(c, F.lit("1970-01-01")) / bucket_days)
+    return (
+        ev.join(firsts, "u")
+        .select(
+            "u",
+            (bucket(F.col("first_d")) * bucket_days).alias("__cb"),
+            (bucket(F.col("d")) - bucket(F.col("first_d"))).alias("period_offset"),
+        )
+        .distinct()
+        .groupBy("__cb", "period_offset")
+        .agg(F.count_distinct("u").cast("bigint").alias("n_users"))
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("__cb").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("cohort_start"),
+            F.col("period_offset").cast("bigint").alias("period_offset"),
+            "n_users",
+        )
+    )

@@ -1819,6 +1819,39 @@ SELECT 3, 'purchase',
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: weekly cohort retention matrix
+    (operators/windows.py:cohort_retention) — first-activity cohorts ×
+    later-activity periods, two keyed aggregations sharing one shuffle
+    key."""
+    from ..operators.windows import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, bucket_days=7)
+
+
+SQL_COHORT_RETENTION = """
+WITH ev AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+),
+firsts AS (
+  SELECT u, MIN(d) AS first_d FROM ev GROUP BY u
+),
+cells AS (
+  SELECT DISTINCT ev.u,
+         FLOOR(DATEDIFF('day', DATE '1970-01-01', first_d) / 7) * 7 AS cb,
+         FLOOR(DATEDIFF('day', DATE '1970-01-01', d) / 7)
+           - FLOOR(DATEDIFF('day', DATE '1970-01-01', first_d) / 7) AS period_offset
+  FROM ev JOIN firsts ON ev.u = firsts.u
+)
+SELECT strftime(DATE '1970-01-01' + TO_DAYS(CAST(cb AS INT)), '%Y-%m-%d') AS cohort_start,
+       CAST(period_offset AS BIGINT) AS period_offset,
+       CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+FROM cells
+GROUP BY cb, period_offset
+"""
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profiling (operators/profiling.py): per-column
     null count, distinct count, min/max in ONE aggregation pass over
@@ -2333,6 +2366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_profile": q_table_profile,
     "constraint_checks": q_constraint_checks,
     "funnel_counts": q_funnel_counts,
+    "cohort_retention": q_cohort_retention,
     # rows-only: sketch output is engine-specific (error-bound test instead)
     "approx_quantiles": q_approx_quantiles,
 }
@@ -2407,4 +2441,5 @@ ORACLE_SQL: dict[str, str] = {
     "table_profile": SQL_TABLE_PROFILE,
     "constraint_checks": SQL_CONSTRAINT_CHECKS,
     "funnel_counts": SQL_FUNNEL_COUNTS,
+    "cohort_retention": SQL_COHORT_RETENTION,
 }
