@@ -54,6 +54,9 @@ HEADLINE = [
     "interval_join",
     "tpch_q5",
     "tpch_q10",
+    "table_profile",
+    "funnel_counts",
+    "cohort_retention",
 ]
 
 
