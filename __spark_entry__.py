@@ -38,12 +38,11 @@ def oracle_sql() -> dict[str, str]:
 
     Registry layout: the first 50 entries are all oracle-backed (the
     driver's checked window); past the window sit the rows-only
-    entries and then the remaining oracle-backed ones (set_ops,
-    order_quartiles, interval_join, source_quality_rollup,
-    dup_passages, quantize_embeddings, global_row_ids, hard_negatives,
-    kfold_assign, corpus_diff, tpch_q5, tpch_q10 —
-    tests/test_queries_oracle.py runs the identical parity check on
-    them); keys absent here entirely (near_dedup, near_dup_clusters,
+    entries and then the remaining oracle-backed ones (every ORACLE_SQL
+    key past registry position 50 — tests/test_queries_oracle.py runs
+    the identical parity check on all of them, so the full oracle
+    surface is verified either by the driver or by pytest);
+    keys absent here entirely (near_dedup, near_dup_clusters,
     simhash_near_dup, embedding_near_dup, topk_cosine_lsh,
     topk_cosine_ivf, kmeans_assign, approx_distinct, temperature_mix,
     chunk_documents, lm_score, bloom_anti_join, approx_quantiles) are

@@ -302,8 +302,12 @@ def minhash_lsh_candidates(
             .filter(F.col("__sz") > max_bucket_size)
             .drop("__sz")
         )
+        # no broadcast hint: over-cap keys are few on real corpora but
+        # nothing bounds them (a tiny cap over heavy duplication makes
+        # overcap huge) — let Catalyst/AQE pick broadcast vs shuffle;
+        # the anti-join key matches the pair join's shuffle key either way
         band_entries = band_entries.join(
-            F.broadcast(overcap), ["band_id", "band_hash"], "left_anti"
+            overcap, ["band_id", "band_hash"], "left_anti"
         )
     a, b = band_entries.alias("a"), band_entries.alias("b")
     # Score and threshold BEFORE the pair dedup: est_jaccard is

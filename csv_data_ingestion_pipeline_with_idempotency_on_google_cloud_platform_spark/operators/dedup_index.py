@@ -64,6 +64,24 @@ def write_minhash_index(
     never collide and silently reports zero near-dups, so the probe
     reads its parameters from the index itself.
     """
+    if mode == "append":
+        # an append with different LSH parameters than the index was
+        # built with writes entries whose band hashes can never collide
+        # with the existing ones — corrupting the index silently. The
+        # sidecar is authoritative: validate before touching anything.
+        from pyspark.errors import AnalysisException
+
+        try:
+            m = docs.sparkSession.read.parquet(f"{path}/_meta").collect()[0]
+            stored = (m["num_perm"], m["bands"], m["shingle_n"])
+            if stored != (num_perm, bands, shingle_n):
+                raise ValueError(
+                    f"index at {path} was built with (num_perm, bands, "
+                    f"shingle_n)={stored}; refusing to append with "
+                    f"{(num_perm, bands, shingle_n)}"
+                )
+        except (AnalysisException, IndexError):
+            pass  # pre-sidecar index: caller params become the record
     sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
     entries = minhash_band_entries(sigs, num_perm, bands, id_col=id_col)
     entries.write.partitionBy("band_id").mode(mode).parquet(path)

@@ -27,13 +27,25 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     approx_count_distinct (same API shape, documented trade, see
     `approx_distinct`).
     """
+    from pyspark.sql.types import NumericType
+
     cols = columns or df.columns
+
+    def _render(col_expr, c):
+        # numeric min/max go through DECIMAL(38,6) so every engine
+        # prints the same plain-decimal text — a raw double→string cast
+        # switches to scientific notation outside ~[1e-3, 1e7) in the
+        # JVM but never in DuckDB, silently breaking oracle parity
+        if isinstance(df.schema[c].dataType, NumericType):
+            return col_expr.cast("decimal(38,6)").cast("string")
+        return col_expr.cast("string")
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
         aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
-        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
-        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+        aggs.append(_render(F.min(F.col(c)), c).alias(f"__min_{c}"))
+        aggs.append(_render(F.max(F.col(c)), c).alias(f"__max_{c}"))
     wide = df.agg(*aggs)
     stack_args = []
     for c in cols:
@@ -73,13 +85,23 @@ def check_not_null(df: DataFrame, col: str) -> DataFrame:
 def check_references(
     child: DataFrame, child_col: str, parent: DataFrame, parent_col: str, name: str
 ) -> DataFrame:
-    """(constraint, n_violations): child keys with no parent — a
-    broadcast LEFT ANTI join when the parent key set is small, the
-    same plan family as the idempotency gate."""
-    orphans = child.select(F.col(child_col)).join(
-        F.broadcast(parent.select(F.col(parent_col).alias(child_col)).distinct()),
-        child_col,
-        "left_anti",
+    """(constraint, n_violations): NON-NULL child keys with no parent —
+    a broadcast LEFT ANTI join when the parent key set is small, the
+    same plan family as the idempotency gate. NULL child keys are not
+    reference violations (SQL FK semantics); pair with check_not_null
+    when NULLs should also fail."""
+    orphans = (
+        child.select(F.col(child_col))
+        .filter(F.col(child_col).isNotNull())
+        .join(
+            F.broadcast(
+                parent.select(F.col(parent_col).alias(child_col))
+                .filter(F.col(child_col).isNotNull())
+                .distinct()
+            ),
+            child_col,
+            "left_anti",
+        )
     )
     return orphans.agg(
         F.lit(name).alias("constraint"),

@@ -116,19 +116,30 @@ def funnel_counts(
         reach_flags.append(t.isNotNull().cast("long").alias(f"__r_{i}"))
         prev = t
     flags = per_user.select(*reach_flags)
-    return flags.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i + 1).alias("step"),
-                    F.lit(steps[i]).alias("event_type"),
-                    F.col(f"__r_{i}").alias("__r"),
-                )
-                for i in range(len(steps))
-            ])
-        ).alias("s")
-    ).groupBy(F.col("s.step").alias("step"), F.col("s.event_type").alias("event_type")).agg(
-        F.sum("s.__r").cast("bigint").alias("n_users")
+    counts = (
+        flags.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i + 1).alias("step"),
+                        F.col(f"__r_{i}").alias("__r"),
+                    )
+                    for i in range(len(steps))
+                ])
+            ).alias("s")
+        )
+        .groupBy(F.col("s.step").alias("step"))
+        .agg(F.sum("s.__r").cast("bigint").alias("__n"))
+    )
+    # one row per requested step even when NO user has any step event —
+    # left join from the literal step list, zero-filled
+    steps_df = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, event_type string"
+    )
+    return steps_df.join(counts, "step", "left").select(
+        "step",
+        "event_type",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_users"),
     )
 
 

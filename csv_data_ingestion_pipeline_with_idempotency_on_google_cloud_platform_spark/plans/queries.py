@@ -1809,13 +1809,13 @@ s0 AS (SELECT user_id, a1, a2, list_min(a0) AS r0 FROM per_user),
 s1 AS (SELECT user_id, a2, r0, list_min(list_filter(a1, x -> x >= r0)) AS r1 FROM s0),
 s2 AS (SELECT user_id, r0, r1, list_min(list_filter(a2, x -> x >= r1)) AS r2 FROM s1)
 SELECT 1 AS step, 'view' AS event_type,
-       CAST(SUM(CASE WHEN r0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_users FROM s2
+       CAST(COALESCE(SUM(CASE WHEN r0 IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_users FROM s2
 UNION ALL
 SELECT 2, 'click',
-       CAST(SUM(CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) FROM s2
+       CAST(COALESCE(SUM(CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM s2
 UNION ALL
 SELECT 3, 'purchase',
-       CAST(SUM(CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) FROM s2
+       CAST(COALESCE(SUM(CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM s2
 """
 
 
@@ -1867,13 +1867,15 @@ SQL_TABLE_PROFILE = """
 SELECT 'event_id' AS "column", COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT event_id) AS n_distinct,
-       CAST(MIN(event_id) AS VARCHAR) AS min_value, CAST(MAX(event_id) AS VARCHAR) AS max_value
+       CAST(CAST(MIN(event_id) AS DECIMAL(38,6)) AS VARCHAR) AS min_value,
+       CAST(CAST(MAX(event_id) AS DECIMAL(38,6)) AS VARCHAR) AS max_value
 FROM events
 UNION ALL
 SELECT 'user_id', COUNT(*),
        CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT user_id),
-       CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+       CAST(CAST(MIN(user_id) AS DECIMAL(38,6)) AS VARCHAR),
+       CAST(CAST(MAX(user_id) AS DECIMAL(38,6)) AS VARCHAR)
 FROM events
 UNION ALL
 SELECT 'event_type', COUNT(*),
@@ -1885,7 +1887,8 @@ UNION ALL
 SELECT 'value', COUNT(*),
        CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT value),
-       CAST(MIN(value) AS VARCHAR), CAST(MAX(value) AS VARCHAR)
+       CAST(CAST(MIN(value) AS DECIMAL(38,6)) AS VARCHAR),
+       CAST(CAST(MAX(value) AS DECIMAL(38,6)) AS VARCHAR)
 FROM events
 UNION ALL
 SELECT 'props', COUNT(*),
@@ -1939,10 +1942,12 @@ SELECT 'not_null(text)', CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS B
 FROM documents
 UNION ALL
 SELECT 'fk(orders.o_custkey)', CAST(COUNT(*) AS BIGINT)
-FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+FROM orders o WHERE o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
 UNION ALL
 SELECT 'fk(lineitem.l_orderkey)', CAST(COUNT(*) AS BIGINT)
-FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+FROM lineitem l WHERE l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
 """
 
 

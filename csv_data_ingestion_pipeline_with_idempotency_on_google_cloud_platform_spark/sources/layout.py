@@ -70,11 +70,14 @@ def zorder_key_col(
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         if lo is None or hi is None:
-            # all-NULL cluster column: no locality to extract; rows get
-            # bit 0 for this dimension (NULL-safe constant)
+            # all-NULL cluster column: no locality to extract
             lo, hi = 0.0, 0.0
         span = (hi - lo) or 1.0
         q = F.floor((c.cast("double") - F.lit(lo)) / F.lit(span) * top).cast("long")
+        # NULL values map to 0 explicitly — least/greatest SKIP nulls in
+        # Spark, so without the coalesce a NULL would fall through to
+        # `top` and co-cluster with the maximum-value rows
+        q = F.coalesce(q, F.lit(0).cast("long"))
         scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), q)))
     z = F.lit(0).cast("long")
     for i in range(bits):

@@ -21,6 +21,13 @@ State lives in the index files, not executor memory — a restart
 resumes from the checkpoint with the index already reflecting every
 committed batch (the same durability argument as the ledger: state is
 a table, not a process).
+
+Layout note: clean_dir and index_dir are hive-partitioned by batch_id
+(readers see a `batch_id` column). Directories written by the
+pre-batch_id flat layout must be migrated (one rewrite into
+batch_id=0) before pointing this query at them — Spark refuses mixed
+partition depths at read time, which the gate surfaces as an error
+rather than silently skipping the index.
 """
 
 from __future__ import annotations
@@ -56,8 +63,14 @@ def _gate_batch(
             batch, index_dir, min_est_jaccard=min_est_jaccard
         )
         drop = drop.union(vs_corpus.select(F.col("id_new").alias("doc_id")))
-    except AnalysisException:
-        pass  # first batch: no index written yet
+    except AnalysisException as ex:
+        # ONLY the missing-index case may pass (first batch): any other
+        # analysis error (mixed partition layouts, corrupt footers)
+        # must fail the batch loudly — swallowing it would silently
+        # disable cross-batch dedup forever.
+        msg = str(ex)
+        if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+            raise
     # batch-internal: drop the higher id of each confident pair
     vs_batch = minhash_lsh_candidates(batch, min_est_jaccard=min_est_jaccard)
     drop = drop.union(vs_batch.select(F.col("id_b").alias("doc_id"))).distinct()

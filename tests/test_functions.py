@@ -213,6 +213,6 @@ def test_constraint_checks_detect_planted_violations(spark):
     }
     assert report["unique(id)"] == 1  # id=2 twice -> one extra row
     assert report["not_null(parent_id)"] == 1
-    # orphans: 99 has no parent; NULL parent_id is not a reference
-    # violation in SQL semantics BUT left_anti treats null as no-match:
-    assert report["fk(parent_id)"] == 2
+    # orphans: only 99; the NULL parent_id is NOT a reference violation
+    # (SQL FK semantics — check_not_null covers it separately)
+    assert report["fk(parent_id)"] == 1
