@@ -8,7 +8,7 @@ then cast back to double for a stable comparison surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -181,4 +181,37 @@ def cohort_retention(
             F.col("period_offset").cast("bigint").alias("period_offset"),
             "n_users",
         )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Assign a per-user session index to every event: a new session
+    starts when the gap to the previous event exceeds `gap_minutes` —
+    the row-level complement of session_window_agg (which aggregates
+    whole sessions away).
+
+    One window over (user, ts): lag for the gap, running sum of
+    session-start flags for the index. Keyed by user, so partition
+    state is bounded by events-per-user; no global sort.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    ts = F.col(ts_col).cast("timestamp")
+    prev = F.lag(ts).over(w)
+    new_session = (
+        prev.isNull()
+        | (F.unix_micros(ts) - F.unix_micros(prev) > gap_minutes * 60_000_000)
+    ).cast("long")
+    return events.withColumn(
+        "session_idx",
+        F.sum(new_session).over(
+            Window.partitionBy(user_col)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
     )

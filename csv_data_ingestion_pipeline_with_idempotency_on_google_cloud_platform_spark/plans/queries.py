@@ -1819,6 +1819,41 @@ SELECT 3, 'purchase',
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: per-event session assignment (30-min gap) — the row-level
+    complement of session_window_agg
+    (operators/windows.py:sessionize). One keyed window on (user, ts)."""
+    from ..operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.col("session_idx").cast("bigint").alias("session_idx"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) - 1 AS BIGINT) AS session_idx
+FROM g
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6: weekly cohort retention matrix
     (operators/windows.py:cohort_retention) — first-activity cohorts ×
@@ -2372,6 +2407,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "constraint_checks": q_constraint_checks,
     "funnel_counts": q_funnel_counts,
     "cohort_retention": q_cohort_retention,
+    "sessionize": q_sessionize,
     # rows-only: sketch output is engine-specific (error-bound test instead)
     "approx_quantiles": q_approx_quantiles,
 }
@@ -2447,4 +2483,5 @@ ORACLE_SQL: dict[str, str] = {
     "constraint_checks": SQL_CONSTRAINT_CHECKS,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "sessionize": SQL_SESSIONIZE,
 }

@@ -159,3 +159,23 @@ def test_funnel_requires_order(spark):
         (2, "click"): 2,
         (3, "purchase"): 1,
     }
+
+
+def test_sessionize_matches_session_window_counts(spark):
+    """Total sessions from sessionize must equal session_window_agg's
+    row count (same gap), and per-event indices must be contiguous."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        session_window_agg,
+        sessionize,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    per_event = sessionize(ev, gap_minutes=30).select("user_id", "session_idx")
+    n_sessions = per_event.distinct().count()
+    n_windows = session_window_agg(ev, gap="30 minutes").count()
+    assert n_sessions == n_windows
+    # indices contiguous per user: max+1 == distinct count
+    agg = per_event.groupBy("user_id").agg(
+        F.max("session_idx").alias("mx"), F.count_distinct("session_idx").alias("n")
+    )
+    assert agg.filter(F.col("mx") + 1 != F.col("n")).count() == 0
