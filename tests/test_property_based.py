@@ -182,3 +182,52 @@ def test_dup_passages_matches_bruteforce_property(spark):
             assert got == expected, (form, got, expected)
 
     inner()
+
+
+def test_cohort_retention_matches_bruteforce_property(spark):
+    """Generated (user, day-offset) activity sets: the cohort matrix
+    must equal a brute-force Python computation."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        cohort_retention,
+    )
+
+    BASE = datetime(2024, 1, 3)  # a Wednesday: exercises non-aligned buckets
+
+    EVENTS = st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 40)),
+        min_size=1,
+        max_size=30,
+    )
+
+    @settings(
+        max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(acts=EVENTS)
+    def inner(acts):
+        rows = [(u, BASE + timedelta(days=d)) for u, d in acts]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            (r["cohort_start"], r["period_offset"]): r["n_users"]
+            for r in cohort_retention(ev, bucket_days=7).collect()
+        }
+
+        epoch = datetime(1970, 1, 1)
+        first = {}
+        for u, d in acts:
+            first[u] = min(first.get(u, 10**9), d)
+        cells = defaultdict(set)
+        for u, d in acts:
+            fb = ((BASE + timedelta(days=first[u])) - epoch).days // 7
+            db = ((BASE + timedelta(days=d)) - epoch).days // 7
+            cohort = (epoch + timedelta(days=fb * 7)).strftime("%Y-%m-%d")
+            cells[(cohort, db - fb)].add(u)
+        expected = {k: len(v) for k, v in cells.items()}
+        assert got == expected, (got, expected)
+
+    inner()
