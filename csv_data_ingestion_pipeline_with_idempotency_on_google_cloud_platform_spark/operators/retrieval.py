@@ -16,9 +16,12 @@ Scale shape (the part that matters at 100 TB):
 - Document length comes from the same scan (computed pre-explode and
   carried through the tf aggregation with ``first``), so no second
   scan and no doc-length join.
-- df per term is a count-over-window on the aggregated postings (no
-  second corpus scan — see the inline note in ``bm25_topk``); N/avgdl
-  are two broadcast scalars from one cheap stats aggregate.
+- df per term is a map-side-combined ``groupBy(term).count()`` on the
+  aggregated postings, broadcast-joined back (≤ |query terms| rows).
+  AQE's exchange reuse executes the postings shuffle once for both
+  branches, so there is no second corpus scan AND no single-task
+  count-over-window partition for a stop-word-adjacent hot term.
+  N/avgdl are two broadcast scalars from one cheap stats aggregate.
 - Top-k is ``orderBy(...).limit(k)`` → TakeOrderedAndProject:
   per-partition top-k, then a k-row merge on the driver — never a
   global sort.
@@ -85,18 +88,17 @@ def bm25_topk(
         F.count("*").alias("n_docs"),
         F.avg(F.size(tokens_col(text_col)).cast("long")).alias("avgdl"),
     )
-    # df per term as a count-over-window on the AGGREGATED postings.
-    # The branch formulation (postings.groupBy('term') + broadcast join
-    # back) reads nicer but recomputes the whole postings subtree —
-    # a second full corpus scan+tokenize (ReusedExchange does not fire
-    # for it). The window shuffles only the (doc,term)-aggregated rows;
-    # its per-term partition is at worst |matching docs| for the
-    # hottest query term — a few seconds of counting in one task vs
-    # re-scanning the corpus.
-    df_by_term = F.count("*").over(Window.partitionBy("term"))
+    # df per term: partial/final count on the aggregated postings,
+    # broadcast back (≤ |query terms| rows). The earlier count-over-
+    # window formulation funneled the hottest term's entire partition
+    # through ONE task's sort; this shape map-side-combines. The
+    # postings subtree appears in both branches, but AQE's exchange
+    # reuse executes its shuffle once (verified in the final adaptive
+    # plan: ReusedExchange), so there is no second corpus scan either.
+    df_per_term = postings.groupBy("term").agg(F.count("*").alias("df"))
 
     scored = (
-        postings.withColumn("df", df_by_term)
+        postings.join(F.broadcast(df_per_term), "term")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
@@ -160,8 +162,11 @@ def bm25_topk_many(
         F.count("*").alias("n_docs"),
         F.avg(F.size(tokens_col(text_col)).cast("long")).alias("avgdl"),
     )
+    # same hot-term-safe df shape as bm25_topk: map-side-combined count
+    # + broadcast join back, postings shuffle shared via AQE reuse
+    df_per_term = postings.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
-        postings.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        postings.join(F.broadcast(df_per_term), "term")
         .join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(stats))
         .select(

@@ -189,3 +189,18 @@ def test_tpch_q5_broadcasts_all_dimensions(spark):
     plan = _plan(spark, "tpch_q5")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_bm25_df_is_partial_agg_not_hot_term_window(spark):
+    """Per-term document frequency must come from a map-side-combined
+    groupBy(term).count() + broadcast join, never a count-over-window
+    partitioned by term (which funnels the hottest term through one
+    task's sort). The only windows left in the plan are the bounded
+    rank attachments."""
+    df = QUERIES["bm25_search"](spark, SF_DIR)
+    df.collect()  # let AQE finalize so runtime exchange reuse is visible
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(term" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    # the df branch must ride the postings shuffle, not rescan the corpus
+    assert "ReusedExchange" in plan

@@ -74,12 +74,15 @@ def test_term_postings_carries_full_doc_length(spark):
 
 def test_bm25_plan_is_topk_with_single_corpus_pass(spark):
     docs = _docs(spark, [(i, f"vector pad{i}") for i in range(20)])
-    plan = bm25_topk(docs, ["vector"], k=5)._jdf.queryExecution().executedPlan().toString()
+    topk = bm25_topk(docs, ["vector"], k=5)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
-    # exactly two reads of the corpus: the postings pass and the tiny
-    # N/avgdl stats pass — NOT a third for df-per-term (that one is a
-    # window over the aggregated postings)
-    assert plan.count("Scan ExistingRDD") == 2, plan
+    # df must NOT be a count-over-window partitioned by term (the
+    # hot-term single-task funnel this shape replaced). Exchange reuse
+    # for the postings subtree is asserted on the parquet-backed
+    # bm25_search plan in test_plan_quality (ExistingRDD scans don't
+    # canonicalize across the self-join re-alias, so it can't fire here).
+    assert "windowspecdefinition(term" not in plan
 
 
 def test_weighted_sample_is_deterministic_and_sized(spark):
