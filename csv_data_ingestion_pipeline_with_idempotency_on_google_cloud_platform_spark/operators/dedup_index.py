@@ -80,8 +80,22 @@ def write_minhash_index(
                     f"shingle_n)={stored}; refusing to append with "
                     f"{(num_perm, bands, shingle_n)}"
                 )
-        except (AnalysisException, IndexError):
-            pass  # pre-sidecar index: caller params become the record
+        except AnalysisException as ex:
+            # ONLY the missing-sidecar case may pass (pre-sidecar
+            # index: caller params become the record). Any other
+            # analysis error — a transiently unreadable sidecar,
+            # corrupt footers — must fail the append loudly: skipping
+            # validation and then re-stamping _meta with the caller's
+            # params would let a mismatched append corrupt the index
+            # and mark it consistent. Mirrors streaming/_gate_batch.
+            msg = str(ex)
+            if (
+                "PATH_NOT_FOUND" not in msg
+                and "UNABLE_TO_INFER_SCHEMA" not in msg
+            ):
+                raise
+        except IndexError:
+            pass  # sidecar dir exists but holds zero rows: no record
     sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
     entries = minhash_band_entries(sigs, num_perm, bands, id_col=id_col)
     entries.write.partitionBy("band_id").mode(mode).parquet(path)

@@ -144,6 +144,14 @@ def assign_global_ids(
     ``order_col`` values must be unique for a deterministic assignment;
     the output is identical across calls regardless of how the range
     bounds were sampled (bounds affect balance, never order).
+
+    Storage lifecycle: the checkpointed blocks live as long as the
+    RETURNED DataFrame (its plan reads them) and are reclaimed by the
+    ContextCleaner once the caller drops the last reference — so each
+    call holds one materialized copy of the projected input for the
+    lifetime of its result, and repeated calls whose results are kept
+    accumulate storage. For a persistent assignment, write the result
+    to parquet and drop the DataFrame; don't hold many live results.
     """
     p = (
         df.repartitionByRange(num_partitions, F.col(order_col))

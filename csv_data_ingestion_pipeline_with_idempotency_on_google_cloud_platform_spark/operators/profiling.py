@@ -47,13 +47,22 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         aggs.append(_render(F.min(F.col(c)), c).alias(f"__min_{c}"))
         aggs.append(_render(F.max(F.col(c)), c).alias(f"__max_{c}"))
     wide = df.agg(*aggs)
+
+    def _ident(name: str) -> str:
+        # backtick-quote so column names with spaces/hyphens/quotes
+        # survive the stack() SQL round-trip
+        return "`" + name.replace("`", "``") + "`"
+
+    def _label(name: str) -> str:
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stack_args = []
     for c in cols:
-        stack_args.append(f"'{c}'")
-        stack_args.append(f"__nulls_{c}")
-        stack_args.append(f"__nd_{c}")
-        stack_args.append(f"__min_{c}")
-        stack_args.append(f"__max_{c}")
+        stack_args.append(_label(c))
+        stack_args.append(_ident(f"__nulls_{c}"))
+        stack_args.append(_ident(f"__nd_{c}"))
+        stack_args.append(_ident(f"__min_{c}"))
+        stack_args.append(_ident(f"__max_{c}"))
     return wide.select(
         F.expr(
             f"stack({len(cols)}, {', '.join(stack_args)}) "
@@ -86,19 +95,20 @@ def check_references(
     child: DataFrame, child_col: str, parent: DataFrame, parent_col: str, name: str
 ) -> DataFrame:
     """(constraint, n_violations): NON-NULL child keys with no parent —
-    a broadcast LEFT ANTI join when the parent key set is small, the
-    same plan family as the idempotency gate. NULL child keys are not
-    reference violations (SQL FK semantics); pair with check_not_null
-    when NULLs should also fail."""
+    a LEFT ANTI join, the same plan family as the idempotency gate.
+    No broadcast hint: the parent can be a fact table (billions of
+    distinct keys), so the join strategy is left to the optimizer —
+    AQE broadcasts at runtime when the distinct parent key set turns
+    out small, and falls back to a shuffled anti-join when it is not.
+    NULL child keys are not reference violations (SQL FK semantics);
+    pair with check_not_null when NULLs should also fail."""
     orphans = (
         child.select(F.col(child_col))
         .filter(F.col(child_col).isNotNull())
         .join(
-            F.broadcast(
-                parent.select(F.col(parent_col).alias(child_col))
-                .filter(F.col(child_col).isNotNull())
-                .distinct()
-            ),
+            parent.select(F.col(parent_col).alias(child_col))
+            .filter(F.col(child_col).isNotNull())
+            .distinct(),
             child_col,
             "left_anti",
         )

@@ -391,9 +391,12 @@ def hard_negatives(
     Same shape as topk_cosine_many (broadcast anchors, per-anchor rank
     window, deterministic (sim desc, id asc) tie-break); the label
     inequality rides in the join condition, so same-label candidates
-    are dropped before scoring. At scale the anchor side is a sampled
-    subset (thousands), so the broadcast stays small while the corpus
-    side never shuffles.
+    are dropped before scoring. The inequality is NULL-safe
+    (IS DISTINCT FROM): unlabeled corpus vectors are valid negatives
+    for labeled anchors (and vice versa); only NULL-vs-NULL counts as
+    "same label". At scale the anchor side is a sampled subset
+    (thousands), so the broadcast stays small while the corpus side
+    never shuffles.
     """
     a = anchors.select(
         F.col(id_col).alias("anchor_id"),
@@ -406,7 +409,7 @@ def hard_negatives(
         F.col(label_col),
     )
     scored = base.join(
-        F.broadcast(a), on=F.col(label_col) != F.col("anchor_label")
+        F.broadcast(a), on=~F.col(label_col).eqNullSafe(F.col("anchor_label"))
     ).select(
         "anchor_id",
         id_col,

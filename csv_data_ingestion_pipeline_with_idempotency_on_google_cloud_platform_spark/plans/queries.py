@@ -1266,7 +1266,7 @@ scored AS (
          list_dot_product(CAST(e.embedding AS DOUBLE[]), a.qv) /
            (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
             sqrt(list_dot_product(a.qv, a.qv))) AS cos
-  FROM embeddings e, a WHERE e.label <> a.anchor_label
+  FROM embeddings e, a WHERE e.label IS DISTINCT FROM a.anchor_label
 ),
 ranked AS (
   SELECT anchor_id, vec_id, negative_label,

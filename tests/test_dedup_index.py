@@ -110,3 +110,28 @@ def test_probe_uses_index_meta_not_caller_params(spark, tmp_path):
     probe = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
     hits = probe_minhash_index(probe, path, min_est_jaccard=0.9)
     assert hits.count() >= 45  # identical text -> est_jaccard 1.0
+
+
+def test_corrupt_meta_fails_append_loudly(spark, tmp_path):
+    """A transiently unreadable _meta sidecar must FAIL the append, not
+    skip validation and re-stamp the sidecar with the caller's params —
+    that path lets a mismatched append corrupt the index while marking
+    it consistent. Only a genuinely missing sidecar may pass."""
+    import glob
+
+    import pytest
+
+    path = str(tmp_path / "idx")
+    write_minhash_index(_corpus(spark), path, num_perm=64, bands=16)
+    # corrupt every parquet part in the sidecar (bad footer)
+    parts = glob.glob(f"{path}/_meta/*.parquet")
+    assert parts
+    for part in parts:
+        with open(part, "wb") as f:
+            f.write(b"not a parquet file")
+    with pytest.raises(Exception) as ei:
+        append_to_minhash_index(_batch(spark), path, num_perm=64, bands=16)
+    assert "refusing to append" not in str(ei.value)
+    # the sidecar must NOT have been re-stamped as consistent
+    with open(parts[0], "rb") as f:
+        assert f.read() == b"not a parquet file"

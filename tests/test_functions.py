@@ -216,3 +216,55 @@ def test_constraint_checks_detect_planted_violations(spark):
     # orphans: only 99; the NULL parent_id is NOT a reference violation
     # (SQL FK semantics — check_not_null covers it separately)
     assert report["fk(parent_id)"] == 1
+
+
+def test_profile_table_handles_hostile_column_names(spark):
+    """Column names with spaces, hyphens, quotes, and backticks must
+    survive the stack() SQL round-trip (identifiers backtick-quoted,
+    label literals escaped)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.profiling import (
+        profile_table,
+    )
+
+    df = (
+        spark.range(3)
+        .selectExpr(
+            "id AS `my col`",
+            "id * 2 AS `with-hyphen`",
+            "CAST(id AS STRING) AS `it's`",
+        )
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"my col", "with-hyphen", "it's"}
+    assert rows["my col"]["n_rows"] == 3
+    assert rows["with-hyphen"]["n_distinct"] == 3
+    assert rows["it's"]["n_nulls"] == 0
+
+
+def test_hard_negatives_mines_null_label_vectors(spark):
+    """NULL-label (unlabeled) corpus vectors are valid negatives for
+    labeled anchors, and NULL-label anchors mine labeled vectors; only
+    NULL-vs-NULL counts as same-label (IS DISTINCT FROM semantics)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], "a"),
+            (1, [0.9, 0.1], None),  # unlabeled, near anchor 0
+            (2, [0.0, 1.0], "b"),
+            (3, [0.1, 0.9], None),  # unlabeled, near vec 2
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    anchors = emb.filter("vec_id IN (0, 1)")
+    out = hard_negatives(emb, anchors, k=2)
+    mined = {
+        (r["anchor_id"], r["vec_id"]) for r in out.collect()
+    }
+    # labeled anchor 0 ('a') mines the unlabeled vec 1 (closest)
+    assert (0, 1) in mined
+    # unlabeled anchor 1 mines labeled vectors but NOT fellow-NULL vec 3
+    assert (1, 0) in mined
+    assert all(v != 3 for (a, v) in mined if a == 1)
