@@ -57,6 +57,11 @@ HEADLINE = [
     "table_profile",
     "funnel_counts",
     "cohort_retention",
+    # materialized-index probe paths (the declared 100 TB operating
+    # mode): build lands once in the cold pass; best-of-3 measures the
+    # probe, which is what a deployment pays per query/batch
+    "topk_cosine_indexed",
+    "neardup_index_probe",
 ]
 
 

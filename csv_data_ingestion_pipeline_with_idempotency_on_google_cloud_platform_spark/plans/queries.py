@@ -14,6 +14,8 @@ driver and recall/quality tests in tests/.
 
 from __future__ import annotations
 
+import os
+import re as _re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -626,6 +628,93 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
         emb.unionByName(planted), min_cosine=0.95
     )
+
+
+# --------------------------------------------------------------------------
+# X2/X3 materialized-index probe paths — the declared 100 TB operating mode
+# --------------------------------------------------------------------------
+
+# repo root (three levels above this file); indexes cached under
+# .bench_cache so bench passes and driver sessions probe the SAME
+# on-disk index instead of rebuilding per call — at 100 TB the index is
+# built once and probed forever, and that probe cost is what the bench
+# should measure (the one-time build shows up in the cold pass only)
+_INDEX_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".bench_cache",
+)
+
+
+def _cached_index(sf_dir: str, kind: str, build) -> str:
+    """Build-once disk cache for materialized indexes, keyed by
+    (kind, sf_dir). `build(path)` runs only when the completion marker
+    is absent; a crashed partial build has no marker, so the next call
+    rebuilds with mode=overwrite semantics."""
+    tag = _re.sub(r"[^A-Za-z0-9_.]+", "_", os.path.abspath(sf_dir).strip("/"))
+    path = os.path.join(_INDEX_CACHE, f"{kind}_{tag}")
+    marker = os.path.join(path, "_COMPLETED")
+    if not os.path.exists(marker):
+        build(path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def q_topk_cosine_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #3 — probe a MATERIALIZED IVF index
+    (operators/ann_index.py). Cell selection happens driver-side
+    against the centroid sidecar, so the vector scan carries a literal
+    `cell IN (...)` partition predicate: only the n_probe nearest
+    cells' files are listed or read (PartitionFilters pinned in
+    tests/test_ann_index.py) — probe cost scales with the probed
+    fraction of the corpus, not the corpus. Recall@10 >= 0.9 vs brute
+    force at these settings (tests/test_skew_and_ivf.py). Rows-only:
+    same approximate family as topk_cosine_ivf."""
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _cached_index(
+        sf_dir,
+        "ivf16",
+        lambda p: ann_index.write_ivf_index(emb, p, n_centroids=16),
+    )
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    out = ann_index.topk_cosine_indexed(spark, path, qvec, k=11, n_probe=8)
+    # the query vector itself comes back at rank 1 (cos=1.0); drop it
+    # and re-base ranks so the result matches the in-memory variant's
+    # "10 neighbors of vec 0" shape
+    return (
+        out.filter(F.col("vec_id") != 0)
+        .withColumn("rank", (F.col("rank") - F.lit(1)).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+def q_neardup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path — incremental near-dup via the MATERIALIZED
+    MinHash band index (operators/dedup_index.py): the document corpus
+    is indexed once (cached per sf_dir), then an ingest batch of
+    planted near-dups (doc_id+5_000_000, first word perturbed) probes
+    it. The batch side broadcasts; the index is scanned, never
+    shuffled (plan-pinned in tests/test_dedup_index.py) — per-batch
+    cost is independent of index size. Rows-only: band hashes are
+    engine-specific; planted-pair recall is asserted in
+    tests/test_dedup_index.py."""
+    from ..operators import dedup_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = _cached_index(
+        sf_dir,
+        "minhash_idx",
+        lambda p: dedup_index.write_minhash_index(docs, p),
+    )
+    batch = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "PROBE").alias("text"),
+    )
+    return dedup_index.probe_minhash_index(batch, path, min_est_jaccard=0.5)
 
 
 # --------------------------------------------------------------------------
@@ -2399,6 +2488,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "topk_cosine_lsh": q_topk_cosine_lsh,
     "topk_cosine_ivf": q_topk_cosine_ivf,
+    "topk_cosine_indexed": q_topk_cosine_indexed,
+    "neardup_index_probe": q_neardup_index_probe,
     "kmeans_assign": q_kmeans_assign,
     "approx_distinct": q_approx_distinct,
     "temperature_mix": q_temperature_mix,

@@ -3,6 +3,8 @@ from .event_stream import (  # noqa: F401
     dedup_events_within_watermark,
     interval_join_attribution,
     sessionized_event_counts,
+    streaming_funnel_progress,
+    streaming_sessionize,
     windowed_event_counts,
 )
 from .stateful_dedup import streaming_exact_dedup  # noqa: F401

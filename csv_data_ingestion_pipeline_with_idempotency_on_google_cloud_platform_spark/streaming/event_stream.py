@@ -138,3 +138,182 @@ def sessionized_event_counts(
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# row-level behavioral twins: sessionize / funnel progress
+# --------------------------------------------------------------------------
+#
+# Both are sequential-pattern operators: their batch formulations
+# (operators/windows.py:sessionize, funnel_counts) fold per-user event
+# history left-to-right in timestamp order. The streaming twins keep
+# that fold's CURSOR as keyed state (applyInPandasWithState) instead of
+# re-reading history — per-user state is a handful of longs, not the
+# event list, so state size is O(active users), independent of stream
+# lifetime. Contract: events must arrive in per-user timestamp order
+# across micro-batches (in-batch disorder is sorted away); that is the
+# same in-order contract a log-compacted event bus provides per key.
+
+_SESSIONIZE_OUT_DDL = (
+    "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, "
+    "session_idx BIGINT, session_start TIMESTAMP"
+)
+_SESSIONIZE_STATE_DDL = (
+    "last_ts_us BIGINT, session_idx BIGINT, session_start_us BIGINT"
+)
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of operators.windows.sessionize: assign each
+    event its per-user session index as it arrives — a new session
+    starts when the gap to the user's previous event exceeds
+    `gap_minutes`.
+
+    State per user: (last event time, running session index, current
+    session start) — three longs. Idle users are evicted by event-time
+    timeout once the watermark passes (last event + gap): at that point
+    the session can never be extended, so the only information lost is
+    the running index base; a user who reappears after eviction
+    restarts at session_idx 0. Downstream consumers that need an
+    eviction-stable session key should use (user_id, session_start) —
+    it identifies a session regardless of index restarts. Batch parity
+    (no evictions in-horizon) is pinned in tests/test_event_stream.py.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap: session can never extend
+            state.remove()
+            return
+        (user_id,) = key
+        last_us, idx, start_us = (
+            state.get if state.exists else (None, -1, None)
+        )
+        out_event_id, out_ts, out_idx, out_start = [], [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            ts_us = pdf["ts"].astype("int64") // 1000
+            for eid, t, us in zip(pdf["event_id"], pdf["ts"], ts_us):
+                us = int(us)
+                if last_us is None or us - last_us > gap_us:
+                    idx += 1
+                    start_us = us
+                last_us = us
+                out_event_id.append(int(eid))
+                out_ts.append(t)
+                out_idx.append(idx)
+                out_start.append(start_us)
+        if last_us is not None:
+            state.update((last_us, idx, start_us))
+            state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_id": out_event_id,
+                "ts": out_ts,
+                "session_idx": out_idx,
+                "session_start": pd.to_datetime(out_start, unit="us"),
+            }
+        )
+
+    if dict(events_stream.dtypes).get("ts") == "timestamp_ntz":
+        events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.select("user_id", "event_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSIONIZE_OUT_DDL,
+            stateStructType=_SESSIONIZE_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def streaming_funnel_progress(
+    events_stream: DataFrame,
+    steps: list[str],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of operators.windows.funnel_counts, emitted as
+    per-user PROGRESS updates: (user_id, max_step) whenever a user
+    advances to a further funnel step (1-based; ordered semantics —
+    each step's event at-or-after the time the previous step was
+    reached). funnel_counts' per-step totals are a trivial rollup of
+    the latest row per user: n_users(step i) = #users with
+    max_step >= i — kept OUTSIDE the stream so the stateful operator
+    stays single (chaining arbitrary state + agg is where streaming
+    semantics get murky; the sink-side rollup is exact).
+
+    State per user: one resolved-time cursor per step (|steps| longs).
+    A user who completes the funnel is evicted immediately — progress
+    can never advance further, so completed users cost nothing. The
+    in-order contract matches streaming_sessionize; within a batch,
+    ties at the same timestamp resolve earlier-step-first, matching
+    the batch fold's >= semantics.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n_steps = len(steps)
+    step_of = {s: i for i, s in enumerate(steps)}
+    out_ddl = "user_id BIGINT, max_step BIGINT"
+    state_ddl = ", ".join(f"t{i} BIGINT" for i in range(n_steps))
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        times = list(state.get) if state.exists else [None] * n_steps
+        before = sum(t is not None for t in times)
+        for pdf in pdfs:
+            pdf = pdf.assign(__step=pdf["event_type"].map(step_of))
+            pdf = pdf.sort_values(["ts", "__step"])
+            ts_us = pdf["ts"].astype("int64") // 1000
+            for si, us in zip(pdf["__step"], ts_us):
+                si, us = int(si), int(us)
+                if times[si] is not None:
+                    continue
+                if si == 0 or (
+                    times[si - 1] is not None and us >= times[si - 1]
+                ):
+                    times[si] = us
+        reached = sum(t is not None for t in times)
+        if reached > before:
+            yield pd.DataFrame({"user_id": [user_id], "max_step": [reached]})
+        if reached == n_steps:
+            state.remove()  # funnel complete: no further progress possible
+        else:
+            state.update(tuple(times))
+
+    if dict(events_stream.dtypes).get("ts") == "timestamp_ntz":
+        events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.filter(F.col("event_type").isin(steps))
+        .select("user_id", "event_type", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_ddl,
+            stateStructType=state_ddl,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

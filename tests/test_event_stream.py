@@ -179,3 +179,127 @@ def test_sessionize_matches_session_window_counts(spark):
         F.max("session_idx").alias("mx"), F.count_distinct("session_idx").alias("n")
     )
     assert agg.filter(F.col("mx") + 1 != F.col("n")).count() == 0
+
+
+def _ordered_stream_src(spark, events, tmp_path, n_files=4):
+    """Write events as n_files parquet files covering increasing ts
+    ranges, with strictly increasing mtimes so the file source replays
+    them in timestamp order — the in-order-per-key delivery contract
+    the row-level stateful twins document."""
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "ordered_src")
+    staging = str(tmp_path / "ordered_staging")
+    (
+        events.repartitionByRange(n_files, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(staging)
+    )
+    os.makedirs(src)
+    # range partitions are ordered by partition file name (part-00000
+    # holds the lowest ts range); re-stamp mtimes in that order
+    parts = sorted(glob.glob(f"{staging}/part-*.parquet"))
+    first_ts = {}
+    for p in parts:
+        first_ts[p] = spark.read.parquet(p).agg(F.min("ts")).first()[0]
+    parts.sort(key=lambda p: first_ts[p])
+    for i, p in enumerate(parts):
+        dst = f"{src}/file_{i:05d}.parquet"
+        shutil.copy(p, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    return src
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        sessionize,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming.event_stream import (
+        streaming_sessionize,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    src = _ordered_stream_src(spark, events, tmp_path)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_sessionize(stream, gap_minutes=30, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_rows")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["event_id"]): r["session_idx"]
+            for r in spark.sql("select * from sess_rows").collect()
+        }
+    finally:
+        q.stop()
+
+    exp = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+    # every event emitted before its user's state was evicted must
+    # carry the batch session index; sessions whose users were evicted
+    # by the closing watermark restart at 0, so compare only users
+    # never evicted — with a 2h watermark vs 30m gap over sf0.001 no
+    # eviction fires mid-stream, so the maps match exactly
+    assert got == exp
+
+
+def test_streaming_funnel_progress_matches_batch_counts(spark, tmp_path):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        funnel_counts,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming.event_stream import (
+        streaming_funnel_progress,
+    )
+
+    steps = ["view", "click", "purchase"]
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    src = _ordered_stream_src(spark, events, tmp_path)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_funnel_progress(stream, steps)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_prog")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # latest progress per user = their final max_step
+        final = spark.sql(
+            "select user_id, max(max_step) as max_step "
+            "from funnel_prog group by user_id"
+        ).collect()
+    finally:
+        q.stop()
+
+    got = {
+        i + 1: sum(1 for r in final if r["max_step"] >= i + 1)
+        for i in range(len(steps))
+    }
+    exp = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(events, steps).collect()
+    }
+    assert got == exp

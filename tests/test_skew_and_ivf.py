@@ -51,14 +51,20 @@ def test_salted_join_equals_plain_join(spark):
 def test_ivf_recall(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     exact = {r["vec_id"] for r in similarity.topk_cosine(emb, 0, 10).collect()}
-    approx = {
-        r["vec_id"]
-        for r in similarity.topk_cosine_ivf(
-            emb, 0, 10, n_centroids=16, n_probe=4
-        ).collect()
-    }
-    recall = len(exact & approx) / 10
-    assert recall >= 0.7, f"IVF recall too low: {recall}"
+
+    def recall(n_probe):
+        approx = {
+            r["vec_id"]
+            for r in similarity.topk_cosine_ivf(
+                emb, 0, 10, n_centroids=16, n_probe=n_probe
+            ).collect()
+        }
+        return len(exact & approx) / 10
+
+    # cheap setting keeps a useful floor; the tuned setting (what
+    # q_topk_cosine_indexed ships with) must be near-exact
+    assert recall(4) >= 0.7
+    assert recall(8) >= 0.9
 
 
 def test_hot_shingle_cap_preserves_high_pairs(spark):
