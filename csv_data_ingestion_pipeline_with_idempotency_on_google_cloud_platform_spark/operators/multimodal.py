@@ -3,10 +3,12 @@
 Design: image/audio/video payloads are opaque `binary` columns with
 typed metadata travelling alongside. The Spark-side plumbing — schema,
 Arrow-batched `mapInPandas` UDF signatures, partition-sized batches —
-is real and tested; the actual media decode is STUBBED (the container
-has no image/audio libraries) behind `decode_media`, which raises
-`NotImplementedError`, with a deterministic fake feature extractor used
-by tests and queries.
+is real and tested. `decode_media` is the decode seam: PGM/PPM images
+and PCM WAV audio decode for real (numpy + stdlib, executed in tests
+on generated fixture bytes); other image formats go through PIL when
+installed (optional import); types with no decoder raise
+`NotImplementedError`, and feature passes degrade to a deterministic
+fake feature extractor so mixed-modality tables still process.
 
 At 100 TB: binary payloads ride in Parquet alongside metadata, the
 decode/feature pass is `mapInPandas` (one Arrow batch per ~10k rows, no
@@ -44,16 +46,109 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, media_type: str):  # pragma: no cover - stub
-    """STUB: real image/audio decode (PIL/librosa/av are not installed).
+def _decode_pnm(raw: bytes):
+    """Decode binary Netpbm images — P5 (grayscale PGM) and P6 (RGB
+    PPM) — with numpy only. Returns (h, w) or (h, w, 3) uint8/uint16."""
+    import numpy as np
 
-    Kept as the single seam where a real decoder plugs in; everything
-    around it (batching, schema, partitioning) is live code.
+    if raw[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    # header: magic, then width/height/maxval tokens separated by
+    # whitespace, with '#' comments allowed between tokens
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":
+            while pos < len(raw) and raw[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(raw[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    width, height, maxval = tokens
+    channels = 3 if raw[:2] == b"P6" else 1
+    dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+    count = width * height * channels
+    arr = np.frombuffer(raw, dtype=dtype, count=count, offset=pos)
+    shape = (height, width, 3) if channels == 3 else (height, width)
+    return arr.reshape(shape)
+
+
+def _decode_wav(raw: bytes):
+    """Decode a PCM WAV payload with stdlib `wave` + numpy. Returns
+    (n_frames, n_channels) int16/int32/uint8 samples."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(raw), "rb") as w:
+        n, ch, width = w.getnframes(), w.getnchannels(), w.getsampwidth()
+        frames = w.readframes(n)
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[width]
+    return np.frombuffer(frames, dtype=dtype).reshape(n, ch)
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Decode a media payload to a numpy array — the single seam where
+    decoders plug into the Arrow-batched passes around it.
+
+    Executable in this container (numpy + stdlib, no media libs):
+    - image/x-portable-graymap, image/x-portable-pixmap → pixel array
+    - audio/x-wav, audio/wav → (frames, channels) sample array
+
+    Optional-import path: any other image/* type goes through PIL when
+    it is installed. Types with no available decoder raise
+    `NotImplementedError` — callers that can degrade (real_features)
+    fall back to the deterministic fake; callers that cannot should
+    let it propagate.
     """
-    raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "environment; use fake_features for deterministic plumbing tests"
-    )
+    raw = bytes(payload)
+    if media_type in ("image/x-portable-graymap", "image/x-portable-pixmap"):
+        return _decode_pnm(raw)
+    if media_type in ("audio/x-wav", "audio/wav"):
+        return _decode_wav(raw)
+    if media_type.startswith("image/"):
+        try:
+            import io
+
+            import numpy as np
+            from PIL import Image  # optional dependency
+        except ImportError as ex:
+            raise NotImplementedError(
+                f"decoding {media_type} requires PIL, which is not "
+                "installed in this environment"
+            ) from ex
+        return np.asarray(Image.open(io.BytesIO(raw)))
+    raise NotImplementedError(f"no decoder available for {media_type}")
+
+
+def real_features(payload: bytes, media_type: str, dim: int = 8) -> list[float]:
+    """Feature vector from DECODED content: summary statistics of the
+    sample/pixel array, padded to `dim` (mean, std, min, max, plus
+    per-axis means). Falls back to `fake_features` when no decoder is
+    available for the media type, so mixed-modality tables still get a
+    full feature column."""
+    import numpy as np
+
+    try:
+        arr = decode_media(payload, media_type).astype("float64")
+    except NotImplementedError:
+        return fake_features(payload, dim)
+    flat = arr.ravel()
+    stats = [
+        float(flat.mean()),
+        float(flat.std()),
+        float(flat.min()),
+        float(flat.max()),
+    ]
+    axis_means = arr.mean(axis=tuple(range(1, arr.ndim))) if arr.ndim > 1 else arr
+    stats.extend(float(x) for x in np.asarray(axis_means).ravel()[: dim - 4])
+    stats.extend(0.0 for _ in range(dim - len(stats)))
+    return stats[:dim]
 
 
 def fake_features(payload: bytes, dim: int = 8) -> list[float]:
@@ -102,6 +197,35 @@ def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()[:16]
                     ),
                     "feature": payloads.map(lambda b: fake_features(bytes(b), dim)),
+                }
+            )
+
+    return parallelize_narrow(media).mapInPandas(batches, schema=MEDIA_FEATURE_DDL)
+
+
+def decoded_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """media_features with the REAL decode seam engaged: payloads whose
+    media_type has an available decoder (PGM/PPM/WAV here; PNG/JPEG
+    when PIL is installed) get content-derived statistics features via
+    `real_features`; everything else degrades to the deterministic
+    fake. Same schema and batch shape as media_features — swapping the
+    two is a one-line change, which is the point of the seam."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "sha256_16": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()[:16]
+                    ),
+                    "feature": [
+                        real_features(bytes(b), mt, dim)
+                        for b, mt in zip(payloads, pdf["media_type"])
+                    ],
                 }
             )
 

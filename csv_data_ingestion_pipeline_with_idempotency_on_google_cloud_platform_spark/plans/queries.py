@@ -949,6 +949,38 @@ SELECT doc_id,
 FROM documents
 """
 
+def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 with the decode seam ENGAGED on real bytes: each document's
+    text is wrapped into a genuine binary PGM image (header + utf-8
+    payload bytes as pixels), then decoded_media_features decodes it
+    (operators/multimodal.py:decode_media — numpy Netpbm decoder, no
+    media libs needed) and emits content statistics. Rows-only: the
+    byte-level decode is not expressible in SQL; decode-exactness is
+    pinned against numpy in tests/test_multimodal.py."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    # 16x4 grayscale image from the first 64 utf-8 bytes (padded);
+    # header is literal so the payload is a real decodable PGM
+    payload = F.concat(
+        F.encode(F.lit("P5\n16 4\n255\n"), "UTF-8"),
+        F.substring(F.rpad(F.encode(F.col("text"), "UTF-8"), 64, b"\x20"), 1, 64),
+    )
+    media = docs.select(
+        "doc_id",
+        F.lit("image/x-portable-graymap").alias("media_type"),
+        payload.alias("payload"),
+    )
+    feats = multimodal.decoded_media_features(media, dim=8)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "byte_len",
+        "sha256_16",
+        F.transform("feature", lambda x: F.round(x, 6)).alias("feature"),
+    )
+
+
 
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 (BPE-ish budgeting): GPT-2-style pretokenizer match counts vs
@@ -2490,6 +2522,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_ivf": q_topk_cosine_ivf,
     "topk_cosine_indexed": q_topk_cosine_indexed,
     "neardup_index_probe": q_neardup_index_probe,
+    "media_decode_stats": q_media_decode_stats,
     "kmeans_assign": q_kmeans_assign,
     "approx_distinct": q_approx_distinct,
     "temperature_mix": q_temperature_mix,

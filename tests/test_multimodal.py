@@ -57,3 +57,100 @@ def test_resize_media_fixed_size_and_deterministic(spark):
         assert len(thumb) == 64
         raw = orig[doc_id]
         assert thumb == raw[:64].ljust(64, b"\x00")
+
+
+# ------------------------------------------------------------------
+# real decode seam: generated PGM/PPM/WAV bytes through decode_media
+# ------------------------------------------------------------------
+
+
+def _pgm_bytes(w=4, h=3):
+    import numpy as np
+
+    arr = np.arange(w * h, dtype=np.uint8).reshape(h, w) * 10
+    header = f"P5\n# fixture\n{w} {h}\n255\n".encode()
+    return header + arr.tobytes(), arr
+
+
+def _ppm_bytes(w=2, h=2):
+    import numpy as np
+
+    arr = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3) * 20
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes(), arr
+
+
+def _wav_bytes(n=32):
+    import io
+    import wave
+
+    import numpy as np
+
+    samples = (np.sin(np.arange(n) / 3.0) * 1000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(samples.tobytes())
+    return buf.getvalue(), samples.reshape(n, 1)
+
+
+def test_decode_media_executes_on_real_bytes():
+    """The decode seam runs for real — generated Netpbm and WAV
+    payloads decode to the exact arrays they encode."""
+    import numpy as np
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    pgm, arr = _pgm_bytes()
+    np.testing.assert_array_equal(
+        decode_media(pgm, "image/x-portable-graymap"), arr
+    )
+    ppm, arr3 = _ppm_bytes()
+    np.testing.assert_array_equal(
+        decode_media(ppm, "image/x-portable-pixmap"), arr3
+    )
+    wav, samples = _wav_bytes()
+    np.testing.assert_array_equal(decode_media(wav, "audio/x-wav"), samples)
+    # no decoder for this type -> the seam still raises, callers degrade
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x01", "video/mp4")
+
+
+def test_decoded_media_features_content_derived(spark):
+    """decoded_media_features computes statistics from the DECODED
+    content for decodable types and falls back to the deterministic
+    fake for the rest — one pass, mixed modalities."""
+    import numpy as np
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.multimodal import (
+        decoded_media_features,
+        fake_features,
+    )
+
+    pgm, arr = _pgm_bytes()
+    wav, samples = _wav_bytes()
+    opaque = b"binary blob with no decoder"
+    media = spark.createDataFrame(
+        [
+            (1, "image/x-portable-graymap", bytearray(pgm)),
+            (2, "audio/x-wav", bytearray(wav)),
+            (3, "video/mp4", bytearray(opaque)),
+        ],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decoded_media_features(media).collect()}
+    # image features are the pixel statistics, not a hash artifact
+    assert rows[1]["feature"][0] == float(arr.astype("float64").mean())
+    assert rows[1]["feature"][3] == float(arr.max())
+    # audio features come from the decoded samples
+    assert rows[2]["feature"][0] == float(samples.astype("float64").mean())
+    assert rows[2]["feature"][2] == float(samples.min())
+    # undecodable type degrades to the deterministic fake
+    assert rows[3]["feature"] == fake_features(opaque, 8)
+    # metadata columns stay identical to the fake-feature pass
+    assert rows[1]["byte_len"] == len(pgm)
