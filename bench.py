@@ -62,6 +62,9 @@ HEADLINE = [
     # probe, which is what a deployment pays per query/batch
     "topk_cosine_indexed",
     "neardup_index_probe",
+    # skew stress: 90% of rows on one planted hot key, spread by salting
+    "skewed_agg_rollup",
+    "skewed_join_rollup",
 ]
 
 

@@ -940,6 +940,94 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex("thumb")).alias("thumb_hex"),
     )
 
+# --------------------------------------------------------------------------
+# skew stress: salted aggregation / salted join under a planted hot key
+# --------------------------------------------------------------------------
+
+
+def _hot_key() -> F.Column:
+    # 90% of events collapse onto ONE key — the adversarial shape a
+    # plain groupBy/join funnels through a single reducer
+    return F.when(F.col("event_id") % 100 < 90, F.lit("hot")).otherwise(
+        F.col("event_type")
+    )
+
+
+def q_skewed_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-stress aggregation: count + value sum per key where 90% of
+    rows share one planted hot key. Runs through operators/skew.py:
+    salted_agg — partials on (key, salt) spread the hot key over 16
+    reducers before the per-key combine, so no task sees more than
+    ~1/16th of the hot key (exchange-on-salt pinned in
+    tests/test_plan_quality.py). Result is salt-independent: the
+    oracle is the plain GROUP BY."""
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        _hot_key().alias("k"), "value"
+    )
+    return salted_agg(
+        ev,
+        "k",
+        aggs=[
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__sv"),
+        ],
+        final_aggs=[
+            F.sum("__n").cast("bigint").alias("n_events"),
+            F.sum("__sv").cast("double").alias("sum_value"),
+        ],
+    )
+
+
+SQL_SKEWED_AGG_ROLLUP = """
+SELECT CASE WHEN event_id % 100 < 90 THEN 'hot' ELSE event_type END AS k,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+def q_skewed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-stress join: the hot-keyed event stream joins a small dim
+    (one weight per key) via operators/skew.py:
+    salted_join_skewed_left — the big side salts randomly, the
+    broadcast side replicates across all salt values, so the hot key's
+    probe work spreads over 16 tasks instead of one. The rollup after
+    the join makes the result salt-independent; oracle is the plain
+    join + GROUP BY."""
+    from ..operators.skew import salted_join_skewed_left
+
+    ev = load_table(spark, sf_dir, "events").select(
+        _hot_key().alias("k"), "value"
+    )
+    dim = ev.select("k").distinct().select(
+        "k", F.length("k").cast("bigint").alias("weight")
+    )
+    joined = salted_join_skewed_left(ev, dim, "k", salt_buckets=16)
+    return joined.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.col("value").cast("decimal(18,6)") * F.col("weight")
+        ).cast("double").alias("weighted_value"),
+    )
+
+
+SQL_SKEWED_JOIN_ROLLUP = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 100 < 90 THEN 'hot' ELSE event_type END AS k,
+         value
+  FROM events
+),
+dim AS (SELECT DISTINCT k, CAST(length(k) AS BIGINT) AS weight FROM ev)
+SELECT ev.k, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)) * weight) AS DOUBLE) AS weighted_value
+FROM ev JOIN dim ON ev.k = dim.k
+GROUP BY ev.k
+"""
+
+
 
 SQL_MEDIA_RESIZE = """
 SELECT doc_id,
@@ -2523,6 +2611,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_indexed": q_topk_cosine_indexed,
     "neardup_index_probe": q_neardup_index_probe,
     "media_decode_stats": q_media_decode_stats,
+    "skewed_agg_rollup": q_skewed_agg_rollup,
+    "skewed_join_rollup": q_skewed_join_rollup,
     "kmeans_assign": q_kmeans_assign,
     "approx_distinct": q_approx_distinct,
     "temperature_mix": q_temperature_mix,
@@ -2537,6 +2627,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # engine-hash / literal-hyperplane dependent → rows-only checks (their
 # quality is asserted against exact baselines in tests/).
 ORACLE_SQL: dict[str, str] = {
+    "skewed_agg_rollup": SQL_SKEWED_AGG_ROLLUP,
+    "skewed_join_rollup": SQL_SKEWED_JOIN_ROLLUP,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q6": SQL_TPCH_Q6,
     "tpch_q3": SQL_TPCH_Q3,

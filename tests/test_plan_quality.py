@@ -204,3 +204,30 @@ def test_bm25_df_is_partial_agg_not_hot_term_window(spark):
     assert plan.count("BroadcastHashJoin") >= 1
     # the df branch must ride the postings shuffle, not rescan the corpus
     assert "ReusedExchange" in plan
+
+
+def test_skewed_agg_salts_the_exchange(spark):
+    """The hot key must NOT funnel through one reducer: the first
+    aggregation exchanges on (key, salt) — 16 partitions share the hot
+    key's rows — and only the tiny per-(key,salt) partials re-exchange
+    on the bare key."""
+    plan = _plan(spark, "skewed_agg_rollup")
+    import re
+
+    salted_exchange = re.search(
+        r"hashpartitioning\([^)]*__salt", plan
+    )
+    assert salted_exchange, plan
+    # two-phase: a partial aggregate exists below the salted exchange
+    assert plan.count("HashAggregate") >= 4  # partial+final x two phases
+
+
+def test_skewed_join_replicates_broadcast_side_over_salt(spark):
+    """The salted join must broadcast the replicated small side and
+    carry __salt in the join key, so the hot key probes on 16 tasks."""
+    plan = _plan(spark, "skewed_join_rollup")
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    assert re.search(r"keys \[\d+\]: \[[^\]]*__salt", plan), plan
+    assert "SortMergeJoin" not in plan
