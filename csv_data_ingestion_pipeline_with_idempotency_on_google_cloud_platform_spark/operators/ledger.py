@@ -102,20 +102,61 @@ def as_of(
     return latest_wins(ledger.filter(F.col(ts) <= F.lit(cutoff)), key=key, ts=ts)
 
 
+def _exchange_dirs(a: str, b: str) -> None:
+    """Atomically swap two directories.
+
+    Linux: renameat2(RENAME_EXCHANGE) — one syscall, so a concurrent
+    reader listing `a` sees the complete old tree or the complete new
+    tree, never an absent/partial directory. Elsewhere: two back-to-back
+    renames (a microscopic but nonzero window where `a` is absent).
+    """
+    import ctypes
+    import os
+
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        AT_FDCWD, RENAME_EXCHANGE = -100, 2
+        ret = libc.renameat2(
+            AT_FDCWD, a.encode(), AT_FDCWD, b.encode(), RENAME_EXCHANGE
+        )
+        if ret == 0:
+            return
+    except (OSError, AttributeError):  # pragma: no cover - non-glibc
+        pass
+    # fallback: not atomic, but the absent-dir window is two renames wide
+    trash = a.rstrip("/") + ".compact.old"
+    os.replace(a, trash)
+    os.replace(b, a)
+    os.replace(trash, b)
+
+
 def compact_ledger(spark: SparkSession, ledger_dir: str) -> int:
     """Compaction: rewrite the transition log as its latest-wins snapshot.
 
     Bounds latest-wins read cost as history grows (SCALE.md). At scale
     this runs per date-partition, keeping a history tail if auditing
-    needs it; here: full rewrite via a temp dir so a crash mid-compact
-    never leaves a truncated ledger. Returns rows retained.
+    needs it; here: full rewrite via a temp dir, cut over with an
+    ATOMIC directory exchange. Concurrent-read contract (pinned in
+    tests/test_retry_and_compaction.py):
+
+    - any read whose file listing happens before or after the exchange
+      sees a complete ledger — never an empty or half-swapped one;
+    - because compaction preserves the latest-wins state, every such
+      read resolves the SAME current state, so `latest_wins`/`as_of`
+      results are unchanged across the cutover;
+    - a read that listed the OLD files and scans them after the old
+      tree is removed fails with a clean FileNotFound (local FS has no
+      MVCC); re-running the read sees the consistent new snapshot.
+      Keep a retry at the call site — the same contract object stores
+      give non-transactional readers during a rewrite.
+
+    Returns rows retained.
 
     Note: collapsing history resets per-upload failed-attempt counts, so
     a DLQ-terminal upload becomes retryable again; production compaction
     would fold the attempt count into the snapshot row before dropping
     history.
     """
-    import os
     import shutil
 
     ledger = read_ledger(spark, ledger_dir)
@@ -124,8 +165,8 @@ def compact_ledger(spark: SparkSession, ledger_dir: str) -> int:
     shutil.rmtree(tmp_dir, ignore_errors=True)
     upsert_append(snapshot, tmp_dir)  # same partitioned layout
     n = read_ledger(spark, tmp_dir).count()
-    shutil.rmtree(ledger_dir, ignore_errors=True)
-    os.replace(tmp_dir, ledger_dir)
+    _exchange_dirs(ledger_dir, tmp_dir)  # atomic cutover
+    shutil.rmtree(tmp_dir, ignore_errors=True)  # old history, now trash
     return n
 
 

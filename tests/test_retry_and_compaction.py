@@ -129,3 +129,77 @@ def test_dlq_replay_exposes_full_attempt_history(spark, tmp_path):
         ingest_batch(spark, str(d), ledger_dir)
     replay = dlq_replay(read_ledger(spark, ledger_dir)).collect()
     assert [r["attempt"] for r in sorted(replay, key=lambda r: r["attempt"])] == [1, 2, 3, 4, 5]
+
+
+def test_reads_straddling_compaction_see_consistent_snapshot(spark, tmp_path):
+    """Concurrent-read contract of compact_ledger: while the compaction
+    rewrites and atomically exchanges the ledger directory, every
+    concurrent read either resolves the EXACT current state (identical
+    pre/post compaction by construction) or fails cleanly with a
+    file-level error — never an empty ledger, never a partial/mixed
+    state — and a retry after the cutover sees the consistent snapshot.
+    """
+    import threading
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.ledger import (
+        as_of,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(6):
+        (d / f"f{i}.csv").write_text("id\n1\n2\n")
+    ledger_dir = str(tmp_path / "ledger")
+    for _ in range(4):  # history: 4 transitions per upload
+        ingest_batch(spark, str(d), ledger_dir)
+
+    expected = {
+        (r["upload_id"], r["status"], r["ts"])
+        for r in latest_wins(read_ledger(spark, ledger_dir)).collect()
+    }
+    cutoff = max(t for (_, _, t) in expected)
+    expected_asof = {
+        (r["upload_id"], r["status"])
+        for r in as_of(read_ledger(spark, ledger_dir), cutoff).collect()
+    }
+
+    results, errors, stop = [], [], threading.Event()
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                got = {
+                    (r["upload_id"], r["status"], r["ts"])
+                    for r in latest_wins(
+                        read_ledger(spark, ledger_dir)
+                    ).collect()
+                }
+                results.append(got)
+            except Exception as ex:  # clean failure is allowed; torn data is not
+                errors.append(type(ex).__name__)
+
+    threads = [threading.Thread(target=hammer) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        kept = compact_ledger(spark, ledger_dir)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+
+    assert kept == len(expected)
+    # every successful concurrent read saw the full, exact current state
+    assert results, "no concurrent read completed"
+    for got in results:
+        assert got == expected
+    # post-cutover reads (the 'retry' of any failed straddler) are
+    # consistent for both the current view and time travel
+    assert {
+        (r["upload_id"], r["status"], r["ts"])
+        for r in latest_wins(read_ledger(spark, ledger_dir)).collect()
+    } == expected
+    assert {
+        (r["upload_id"], r["status"])
+        for r in as_of(read_ledger(spark, ledger_dir), cutoff).collect()
+    } == expected_asof
