@@ -41,8 +41,11 @@ HEADLINE = [
     "range_join_count",
     "hash_split",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q6",
+    "tpch_q12",
     "tpch_q13",
+    "tpch_q14",
     "pivot_event_counts",
     "cube_agg",
     "pack_sequences",

@@ -2491,6 +2491,116 @@ SELECT c_count, COUNT(*) AS custdist FROM (
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-check count (TPC-H Q4 shape, adapted to this schema's
+    columns): orders in a quarter with at least one late-shipped line
+    — an EXISTS subquery, which must plan as a LEFT SEMI join (the
+    lineitem side never duplicates orders rows), then a small
+    aggregation on priority."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority split (TPC-H Q12 shape, l_linestatus standing
+    in for the schema's missing l_shipmode): orders joined to a
+    date-bounded lineitem slice, with the priority CASE folded into
+    conditional aggregation — one fact join, one small agg, filters
+    pushed to both scans."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).cast("bigint").alias("high_line_count"),
+            F.sum(1 - high).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share (TPC-H Q14 shape): one month of
+    lineitem joins part (broadcast — part is the small side), revenue
+    split by p_type = 'PROMO' as a conditional aggregate ratio.
+    Decimal accumulation keeps the division oracle-exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    joined = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)).alias("__promo"),
+        rev.alias("__rev"),
+    )
+    return joined.agg(
+        F.round(
+            (F.lit(100.0) * F.sum("__promo") / F.sum("__rev")).cast("double"), 6
+        ).alias("promo_revenue_pct")
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT ROUND(CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                 ELSE 0 END)
+           / SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 6)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
 def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG/LEAD sequence analytics per user: microsecond gap to the
     previous event and the next event's type — one shuffle on user_id,
@@ -2611,6 +2721,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_indexed": q_topk_cosine_indexed,
     "neardup_index_probe": q_neardup_index_probe,
     "media_decode_stats": q_media_decode_stats,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q14": q_tpch_q14,
     "skewed_agg_rollup": q_skewed_agg_rollup,
     "skewed_join_rollup": q_skewed_join_rollup,
     "kmeans_assign": q_kmeans_assign,
@@ -2627,6 +2740,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # engine-hash / literal-hyperplane dependent → rows-only checks (their
 # quality is asserted against exact baselines in tests/).
 ORACLE_SQL: dict[str, str] = {
+    "tpch_q4": SQL_TPCH_Q4,
+    "tpch_q12": SQL_TPCH_Q12,
+    "tpch_q14": SQL_TPCH_Q14,
     "skewed_agg_rollup": SQL_SKEWED_AGG_ROLLUP,
     "skewed_join_rollup": SQL_SKEWED_JOIN_ROLLUP,
     "tpch_q1": SQL_TPCH_Q1,

@@ -231,3 +231,19 @@ def test_skewed_join_replicates_broadcast_side_over_salt(spark):
 
     assert re.search(r"keys \[\d+\]: \[[^\]]*__salt", plan), plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q4_exists_is_semi_join(spark):
+    """The EXISTS must stay a LEFT SEMI join (lineitem can never
+    duplicate orders rows) with the date filter pushed to the orders
+    scan."""
+    plan = _plan(spark, "tpch_q4")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_tpch_q14_broadcasts_part(spark):
+    plan = _plan(spark, "tpch_q14")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
