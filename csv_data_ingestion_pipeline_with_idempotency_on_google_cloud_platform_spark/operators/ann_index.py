@@ -93,3 +93,47 @@ def topk_cosine_indexed(
         ).alias("__cos"),
     )
     return _rank_topk(scored, id_col, k)
+
+
+def append_to_ivf_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add a batch of new vectors to an existing IVF index — the
+    ingest-time twin of `dedup_index.append_to_minhash_index`.
+
+    The batch is assigned with the index's STORED centroids (the
+    sidecar is authoritative — re-deriving centroids from the batch
+    would scatter the same vector space across incompatible cells, the
+    IVF analogue of probing a MinHash index with the wrong band
+    parameters), then appended under the same `cell=` partitions.
+    Historical vectors never move; per-batch cost is one narrow
+    assignment pass + a partitioned append. Quantization drift — new
+    data pulling the true cell structure away from the frozen
+    centroids — is the operational trade every IVF deployment makes;
+    rebuild when probe recall decays.
+
+    Raises ValueError when the batch's vector dimensionality does not
+    match the index's centroids (a mismatched append would silently
+    land every vector in an arbitrary cell).
+    """
+    from ..operators.similarity import assign_cells
+
+    spark = emb.sparkSession
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cdim = len(centroids.first()["cvec"])
+    bdim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if bdim_row is not None and bdim_row["d"] != cdim:
+        raise ValueError(
+            f"index at {path} holds {cdim}-dim centroids; refusing to "
+            f"append {bdim_row['d']}-dim vectors"
+        )
+    assigned = assign_cells(emb, centroids, id_col, vec_col)
+    (
+        assigned.select(id_col, F.col("__vec").alias(vec_col), "cell")
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(f"{path}/vectors")
+    )

@@ -195,13 +195,30 @@ def ivf_assignments(
             F.col(vec_col).cast("array<double>").alias("cvec"),
         )
     )
+    return centroids, assign_cells(emb, centroids, id_col, vec_col)
+
+
+def assign_cells(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine: broadcast
+    the packed (cell, cvec) list, per-row argmax as an expression fold
+    — one narrow pass, no shuffle. Shared by the one-shot quantizer
+    (ivf_assignments) and incremental index appends
+    (ann_index.append_to_ivf_index), which MUST use the index's stored
+    centroids, never recomputed ones."""
     packed = centroids.groupBy().agg(
         F.array_sort(
             F.collect_list(F.struct("cell", "cvec"))
         ).alias("cents")
     )
-    assigned = emb.join(F.broadcast(packed)).select(
+    return emb.join(F.broadcast(packed)).select(
         F.col(id_col),
+        # keep the source element type (float stays float on disk —
+        # half the index bytes); the similarity fold casts internally
         F.col(vec_col).alias("__vec"),
         # argmax cosine over the centroid list, computed as a fold
         F.aggregate(
@@ -219,7 +236,6 @@ def ivf_assignments(
             ).otherwise(acc),
         )["cell"].alias("cell"),
     )
-    return centroids, assigned
 
 
 def kmeans_train_assign(

@@ -112,3 +112,49 @@ def test_auto_cell_count_follows_sqrt_rule(spark, tmp_path):
     assert cells == max(16, int(n**0.5))
     # every vector landed in exactly one cell
     assert spark.read.parquet(f"{path}/vectors").count() == n
+
+
+def test_append_uses_stored_centroids_and_extends_probes(spark, tmp_path):
+    """Appended vectors land in the cells the INDEX's centroids imply
+    (never re-derived from the batch) and immediately show up in
+    probes; existing files are untouched."""
+    import pytest
+
+    emb, path = _index(spark, tmp_path, n_centroids=8)
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.ann_index import (
+        append_to_ivf_index,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    before_files = set(glob.glob(f"{path}/vectors/cell=*/*.parquet"))
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    # the appended batch: a near-copy of the query vector under new ids
+    batch = emb.orderBy("vec_id").limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    append_to_ivf_index(batch, path)
+
+    # historical files untouched (append, not rewrite)
+    assert before_files <= set(glob.glob(f"{path}/vectors/cell=*/*.parquet"))
+    # the new vector's on-disk cell equals the stored-centroid argmax
+    cents = spark.read.parquet(f"{path}/centroids")
+    expected_cell = assign_cells(batch, cents).first()["cell"]
+    got = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("vec_id") == 1_000_000 + int(emb.orderBy("vec_id").first()["vec_id"]))
+        .first()
+    )
+    assert got["cell"] == expected_cell
+    # and the probe finds the near-copy at the top
+    top = topk_cosine_indexed(spark, path, qvec, k=2, n_probe=2).collect()
+    assert any(r["vec_id"] >= 1_000_000 for r in top)
+
+    # dimensionality mismatch is refused, index untouched
+    bad = spark.createDataFrame(
+        [(2_000_000, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="refusing to append"):
+        append_to_ivf_index(bad, path)
