@@ -217,7 +217,13 @@ def streaming_sessionize(
                 out_start.append(start_us)
         if last_us is not None:
             state.update((last_us, idx, start_us))
-            state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+            # after a checkpoint restart the recovered watermark may
+            # already be past (last + gap) for long-idle users; a
+            # timeout in the past is invalid, so clamp one ms ahead —
+            # the eviction then fires on the next trigger
+            timeout_ms = last_us // 1000 + gap_us // 1000
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(timeout_ms, wm + 1))
         yield pd.DataFrame(
             {
                 "user_id": user_id,

@@ -303,3 +303,87 @@ def test_streaming_funnel_progress_matches_batch_counts(spark, tmp_path):
         for r in funnel_counts(events, steps).collect()
     }
     assert got == exp
+
+
+def test_streaming_sessionize_state_survives_restart(spark, tmp_path):
+    """Kill the query mid-stream and restart from the checkpoint: the
+    per-user cursors recover, so sessions spanning the restart keep
+    their indexes and the full output still equals the batch result."""
+    import glob
+    import os
+    import shutil
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        sessionize,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming.event_stream import (
+        streaming_sessionize,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    staged = _ordered_stream_src(spark, events, tmp_path)
+    files = sorted(glob.glob(f"{staged}/file_*.parquet"))
+    assert len(files) >= 4
+    src = str(tmp_path / "restart_src")
+    os.makedirs(src)
+    sink = str(tmp_path / "restart_sink")
+    ckpt = str(tmp_path / "restart_ckpt")
+    schema = spark.read.parquet(staged).schema
+
+    def run_until_drained():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_sessionize(stream, gap_minutes=30, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def land(fs):
+        # copy + re-stamp strictly increasing mtimes: shutil.copy gives
+        # every file "now", and mtime ties let the source pick an
+        # arbitrary order, breaking the in-order delivery contract
+        for f in fs:
+            dst = shutil.copy(f, src)
+            i = int(os.path.basename(f).split("_")[1].split(".")[0])
+            os.utime(dst, (1_800_000_000 + i * 10, 1_800_000_000 + i * 10))
+
+    # lifetime 1: first half of the files
+    land(files[: len(files) // 2])
+    run_until_drained()
+    # lifetime 2: remaining files land after the restart
+    land(files[len(files) // 2 :])
+    run_until_drained()
+
+    # compare on the documented eviction-stable session key: a user
+    # evicted between lifetimes restarts session_idx at 0, but with
+    # in-order delivery an eviction implies the next event's gap
+    # exceeds the session gap, so the batch splits there too and
+    # (user_id, session_start) identifies sessions on both sides
+    got = {
+        (r["user_id"], r["event_id"]): r["session_start"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = sessionize(events, gap_minutes=30)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "session_idx")
+    exp = {
+        (r["user_id"], r["event_id"]): r["session_start"]
+        for r in batch.withColumn(
+            "session_start", F.min(F.col("ts").cast("timestamp")).over(w)
+        ).collect()
+    }
+    assert got == exp
