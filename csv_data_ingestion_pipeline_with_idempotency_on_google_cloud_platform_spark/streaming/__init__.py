@@ -3,6 +3,7 @@ from .event_stream import (  # noqa: F401
     dedup_events_within_watermark,
     interval_join_attribution,
     sessionized_event_counts,
+    streaming_cohort_updates,
     streaming_funnel_progress,
     streaming_sessionize,
     windowed_event_counts,

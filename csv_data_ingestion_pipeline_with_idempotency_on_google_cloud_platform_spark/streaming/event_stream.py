@@ -323,3 +323,83 @@ def streaming_funnel_progress(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_cohort_updates(
+    events_stream: DataFrame,
+    bucket_days: int = 7,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of operators.windows.cohort_retention, emitted as
+    incremental CELL updates: one (cohort_start, period_offset,
+    user_id) row the first time a user is active in a period. The
+    retention matrix is a sink-side rollup — count distinct user_id
+    per (cohort_start, period_offset) — exactly the batch result,
+    while the stream stays a single stateful operator.
+
+    State per user: the first-activity bucket (one long — the cohort
+    assignment, fixed at first sight under the in-order contract) plus
+    the set of periods already emitted (longs, bounded by stream
+    lifetime in buckets — weeks, not events). No eviction: a cohort
+    user can return after any idle gap and must not be re-emitted as
+    new; at 100 TB the emitted-offsets set would move to a TTL'd or
+    bitmap form, same state key.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    day_us = 86_400_000_000
+    out_ddl = "cohort_start DATE, period_offset BIGINT, user_id BIGINT"
+    state_ddl = "first_bucket BIGINT, emitted ARRAY<BIGINT>"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import datetime
+
+        (user_id,) = key
+        first_bucket, emitted = (
+            state.get if state.exists else (None, [])
+        )
+        emitted = set(emitted or [])
+        new_cells = []
+        for pdf in pdfs:
+            buckets = (
+                (pdf["ts"].astype("int64") // 1000 // day_us) // bucket_days
+            )
+            for b in sorted(int(x) for x in buckets):
+                if first_bucket is None:
+                    first_bucket = b
+                off = b - first_bucket
+                if off not in emitted:
+                    emitted.add(off)
+                    new_cells.append(off)
+        state.update((first_bucket, sorted(emitted)))
+        if new_cells:
+            cohort = datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=int(first_bucket) * bucket_days
+            )
+            yield pd.DataFrame(
+                {
+                    "cohort_start": [cohort] * len(new_cells),
+                    "period_offset": new_cells,
+                    "user_id": [user_id] * len(new_cells),
+                }
+            )
+
+    if dict(events_stream.dtypes).get("ts") == "timestamp_ntz":
+        events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_ddl,
+            stateStructType=state_ddl,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

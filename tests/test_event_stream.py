@@ -387,3 +387,47 @@ def test_streaming_sessionize_state_survives_restart(spark, tmp_path):
         ).collect()
     }
     assert got == exp
+
+
+def test_streaming_cohort_updates_match_batch(spark, tmp_path):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        cohort_retention,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming.event_stream import (
+        streaming_cohort_updates,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select("user_id", "ts")
+    src = _ordered_stream_src(spark, events, tmp_path)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_cohort_updates(stream, bucket_days=7)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cohort_cells")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # sink-side rollup: distinct users per (cohort, offset) cell
+        got = {
+            (str(r["cohort_start"]), r["period_offset"]): r["n"]
+            for r in spark.sql(
+                "select cohort_start, period_offset, "
+                "count(distinct user_id) as n "
+                "from cohort_cells group by 1, 2"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    exp = {
+        (r["cohort_start"], r["period_offset"]): r["n_users"]
+        for r in cohort_retention(events, bucket_days=7).collect()
+    }
+    assert got == exp
