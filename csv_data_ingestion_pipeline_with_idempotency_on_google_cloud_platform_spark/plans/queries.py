@@ -955,12 +955,15 @@ def _hot_key() -> F.Column:
 
 def q_skewed_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-stress aggregation: count + value sum per key where 90% of
-    rows share one planted hot key. Runs through operators/skew.py:
-    salted_agg — partials on (key, salt) spread the hot key over 16
-    reducers before the per-key combine, so no task sees more than
-    ~1/16th of the hot key (exchange-on-salt pinned in
-    tests/test_plan_quality.py). Result is salt-independent: the
-    oracle is the plain GROUP BY."""
+    rows share one planted hot key, run through operators/skew.py:
+    salted_agg — partials on (key, salt), then a per-key combine
+    (exchange-on-salt pinned in tests/test_plan_quality.py). Result is
+    salt-independent: the oracle is the plain GROUP BY. Honest scope
+    (measured, SCALE.md "Skew" table): for decomposable aggs like
+    these, map-side combine already collapses the hot group, so the
+    salted form is the template for NON-combining aggregation state
+    (collect-style buffers, two-phase top-k), exercised here on a
+    decomposable agg so it stays oracle-checkable."""
     from ..operators.skew import salted_agg
 
     ev = load_table(spark, sf_dir, "events").select(
