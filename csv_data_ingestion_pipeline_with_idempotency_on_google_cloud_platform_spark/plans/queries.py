@@ -952,6 +952,20 @@ def _hot_key() -> F.Column:
         F.col("event_type")
     )
 
+def q_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9/X11 sketch path: Misra-Gries heavy-hitter candidates over
+    corpus terms (operators/sketches.py) — one narrow pass, then a
+    shuffle of partitions×k summary rows regardless of vocabulary
+    size. Rows-only: the candidate set depends on partition stream
+    order (deterministic per layout, not SQL-expressible); the MG
+    under-count/completeness guarantees are asserted against exact
+    counts in tests/test_heavy_hitters.py."""
+    from ..operators.sketches import frequent_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frequent_terms(docs, k=64, min_share=0.002)
+
+
 
 def q_skewed_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-stress aggregation: count + value sum per key where 90% of
@@ -2727,6 +2741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q4": q_tpch_q4,
     "tpch_q12": q_tpch_q12,
     "tpch_q14": q_tpch_q14,
+    "frequent_terms": q_frequent_terms,
     "skewed_agg_rollup": q_skewed_agg_rollup,
     "skewed_join_rollup": q_skewed_join_rollup,
     "kmeans_assign": q_kmeans_assign,
