@@ -215,3 +215,47 @@ def sessionize(
         )
         - 1,
     )
+
+
+def rolling_user_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trailing_rows: int = 3,
+    trailing_micros: int = 3_600_000_000,
+) -> DataFrame:
+    """Per-event rolling features — the time-series feature-engineering
+    shape (fraud scores, rate limits, session heat): for every event,
+    aggregates over that user's trailing window, both row-based (last
+    `trailing_rows` PRIOR events — excludes the current row, so the
+    feature is leakage-free for training) and time-based (everything in
+    the past `trailing_micros`, inclusive).
+
+    One shuffle on the user key serves all four features; the
+    time-range frame orders by epoch micros (a numeric RANGE frame —
+    Spark cannot range over timestamps directly). Partition state is
+    bounded by events-per-user, never the table.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.withColumn("__us", us)
+    w_rows = (
+        Window.partitionBy(user_col)
+        .orderBy("__us")
+        .rowsBetween(-trailing_rows, -1)
+    )
+    w_range = (
+        Window.partitionBy(user_col)
+        .orderBy("__us")
+        .rangeBetween(-trailing_micros, 0)
+    )
+    v = F.col(value_col).cast("decimal(18,6)")
+    return base.select(
+        "event_id",
+        user_col,
+        ts_col,
+        F.count(v).over(w_rows).cast("bigint").alias("prev_n"),
+        F.sum(v).over(w_rows).cast("double").alias("prev_sum"),
+        F.count(v).over(w_range).cast("bigint").alias("hour_n"),
+        F.sum(v).over(w_range).cast("double").alias("hour_sum"),
+    )

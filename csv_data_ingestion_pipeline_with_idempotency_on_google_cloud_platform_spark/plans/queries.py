@@ -944,6 +944,103 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # skew stress: salted aggregation / salted join under a planted hot key
 # --------------------------------------------------------------------------
 
+def q_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE post-image (operators/cdc.py): a deterministic change
+    batch derived from the documents table — every doc_id % 10 == 0
+    gets a change; % 20 == 0 is a delete, the rest are upserts with
+    rewritten text, plus 5 brand-new keys — applied to the snapshot in
+    ONE anti-join + union. The snapshot side never shuffles (the
+    change-key anti-join broadcasts)."""
+    from ..operators.cdc import merge_changes
+
+    snap = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    touched = snap.filter(F.col("doc_id") % 10 == 0)
+    changes = touched.select(
+        "doc_id",
+        "source",
+        F.concat(F.lit("edited: "), F.col("text")).alias("text"),
+        F.when(F.col("doc_id") % 20 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("doc_id").cast("timestamp").alias("ts"),
+    ).unionByName(
+        spark.range(5).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.lit("cdc").alias("source"),
+            F.concat(F.lit("new doc "), F.col("id")).alias("text"),
+            F.lit("upsert").alias("op"),
+            F.col("id").cast("timestamp").alias("ts"),
+        )
+    )
+    merged = merge_changes(snap, changes, key="doc_id")
+    return merged.select(
+        "doc_id", "source", F.substring("text", 1, 40).alias("text_prefix")
+    )
+
+
+SQL_MERGE_CHANGES = """
+WITH changes AS (
+  SELECT doc_id, source, 'edited: ' || text AS text,
+         CASE WHEN doc_id % 20 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 10000000 + i AS doc_id, 'cdc' AS source, 'new doc ' || i AS text,
+         'upsert' AS op
+  FROM generate_series(0, 4) AS t(i)
+)
+SELECT doc_id, source, substring(text, 1, 40) AS text_prefix FROM (
+  SELECT d.doc_id, d.source, d.text FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM changes)
+  UNION ALL
+  SELECT doc_id, source, text FROM changes WHERE op <> 'delete'
+)
+"""
+
+
+def q_rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 time-series features: per-event trailing aggregates over the
+    user's history — last-3-prior-events (leakage-free row frame) and
+    trailing-hour (numeric RANGE frame over epoch micros) counts and
+    sums, all from ONE shuffle on user_id
+    (operators/windows.py:rolling_user_stats)."""
+    from ..operators.windows import rolling_user_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_user_stats(ev)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "prev_n",
+        F.round("prev_sum", 6).alias("prev_sum"),
+        "hour_n",
+        F.round("hour_sum", 6).alias("hour_sum"),
+    )
+
+
+SQL_ROLLING_USER_STATS = """
+WITH base AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       CAST(COUNT(v) OVER w_rows AS BIGINT) AS prev_n,
+       ROUND(CAST(SUM(v) OVER w_rows AS DOUBLE), 6) AS prev_sum,
+       CAST(COUNT(v) OVER w_range AS BIGINT) AS hour_n,
+       ROUND(CAST(SUM(v) OVER w_range AS DOUBLE), 6) AS hour_sum
+FROM base
+WINDOW
+  w_rows AS (PARTITION BY user_id ORDER BY us
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+  w_range AS (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 
 def _hot_key() -> F.Column:
     # 90% of events collapse onto ONE key — the adversarial shape a
@@ -2741,6 +2838,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q4": q_tpch_q4,
     "tpch_q12": q_tpch_q12,
     "tpch_q14": q_tpch_q14,
+    "merge_changes": q_merge_changes,
+    "rolling_user_stats": q_rolling_user_stats,
     "frequent_terms": q_frequent_terms,
     "skewed_agg_rollup": q_skewed_agg_rollup,
     "skewed_join_rollup": q_skewed_join_rollup,
@@ -2758,6 +2857,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # engine-hash / literal-hyperplane dependent → rows-only checks (their
 # quality is asserted against exact baselines in tests/).
 ORACLE_SQL: dict[str, str] = {
+    "merge_changes": SQL_MERGE_CHANGES,
+    "rolling_user_stats": SQL_ROLLING_USER_STATS,
     "tpch_q4": SQL_TPCH_Q4,
     "tpch_q12": SQL_TPCH_Q12,
     "tpch_q14": SQL_TPCH_Q14,

@@ -268,3 +268,30 @@ def test_hard_negatives_mines_null_label_vectors(spark):
     # unlabeled anchor 1 mines labeled vectors but NOT fellow-NULL vec 3
     assert (1, 0) in mined
     assert all(v != 3 for (a, v) in mined if a == 1)
+
+
+def test_merge_changes_semantics(spark):
+    """CDC merge post-image: latest change per key wins, deletes drop,
+    upserts replace or insert, untouched rows pass through unchanged."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.cdc import (
+        merge_changes,
+    )
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, payload string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "upsert", 1),   # replace
+            (3, "c2", "upsert", 1),   # superseded by the later delete
+            (3, "c3", "delete", 2),
+            (4, "d", "upsert", 1),    # insert
+            (5, "e", "delete", 1),    # delete of a missing key: no-op
+        ],
+        "id long, payload string, op string, ts long",
+    )
+    got = {
+        (r["id"], r["payload"])
+        for r in merge_changes(snap, changes, key="id").collect()
+    }
+    assert got == {(1, "a"), (2, "b2"), (4, "d")}
