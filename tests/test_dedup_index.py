@@ -135,3 +135,46 @@ def test_corrupt_meta_fails_append_loudly(spark, tmp_path):
     # the sidecar must NOT have been re-stamped as consistent
     with open(parts[0], "rb") as f:
         assert f.read() == b"not a parquet file"
+
+
+def test_band_partition_compaction_preserves_probes(spark, tmp_path):
+    """The small-file story the index docstring promises: appends
+    accrete files per band partition; sources.layout.compact_files
+    over a band directory merges them without changing a single probe
+    result (the hive dir name carries band_id, so rewriting files
+    inside it is invisible to the reader)."""
+    import glob
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.layout import (
+        compact_files,
+    )
+
+    path = str(tmp_path / "idx")
+    write_minhash_index(_corpus(spark), path)
+    append_to_minhash_index(_batch(spark), path)
+    # another distinct batch to accrete more files
+    append_to_minhash_index(
+        _batch(spark).withColumn("doc_id", F.col("doc_id") + 1000), path
+    )
+
+    probe = _batch(spark).withColumn("doc_id", F.col("doc_id") + 500_000)
+    before = {
+        (r["id_new"], r["id_corpus"], r["est_jaccard"])
+        for r in probe_minhash_index(probe, path, min_est_jaccard=0.5).collect()
+    }
+    assert before  # the probe finds the indexed near-dups
+
+    band_dirs = sorted(glob.glob(f"{path}/band_id=*"))
+    assert band_dirs
+    files_before = len(glob.glob(f"{path}/band_id=*/*.parquet"))
+    for d in band_dirs:
+        compact_files(spark, d, target_file_mb=128)
+    files_after = len(glob.glob(f"{path}/band_id=*/*.parquet"))
+    assert files_after < files_before
+    assert files_after == len(band_dirs)  # tiny data -> one file per band
+
+    after = {
+        (r["id_new"], r["id_corpus"], r["est_jaccard"])
+        for r in probe_minhash_index(probe, path, min_est_jaccard=0.5).collect()
+    }
+    assert after == before
