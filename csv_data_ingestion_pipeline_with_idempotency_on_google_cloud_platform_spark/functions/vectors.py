@@ -34,7 +34,19 @@ def l2_norm_col(a: Column | str) -> Column:
 
 
 def cosine_similarity_col(a: Column | str, b: Column | str) -> Column:
-    return dot_col(a, b) / (l2_norm_col(a) * l2_norm_col(b))
+    """Cosine similarity; a zero-norm side yields 0.0 (not an error).
+
+    Real corpora contain zero vectors (empty docs, padding rows), and
+    under ANSI mode a bare division would fail the whole job on the
+    first one — nullif + coalesce makes the expression total while
+    keeping the happy path a single codegen division. 0.0 ranks zero
+    vectors below every genuinely similar candidate in top-k and
+    leaves them out of thresholded near-dup pairs, the behavior every
+    caller here wants."""
+    denom = l2_norm_col(a) * l2_norm_col(b)
+    return F.coalesce(
+        dot_col(a, b) / F.nullif(denom, F.lit(0.0)), F.lit(0.0)
+    )
 
 
 def quantize_scale_col(a: Column | str) -> Column:

@@ -295,3 +295,22 @@ def test_merge_changes_semantics(spark):
         for r in merge_changes(snap, changes, key="id").collect()
     }
     assert got == {(1, "a"), (2, "b2"), (4, "d")}
+
+
+def test_cosine_zero_vector_is_total(spark):
+    """Zero-norm vectors must score 0.0, not kill the job under ANSI
+    division semantics — real corpora contain empty/padding rows."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.functions.vectors import (
+        cosine_similarity_col,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ([0.0, 0.0], [1.0, 2.0]),
+            ([0.0, 0.0], [0.0, 0.0]),
+            ([3.0, 4.0], [3.0, 4.0]),
+        ],
+        "a array<double>, b array<double>",
+    )
+    got = [r["c"] for r in df.select(cosine_similarity_col("a", "b").alias("c")).collect()]
+    assert got == [0.0, 0.0, 1.0]
