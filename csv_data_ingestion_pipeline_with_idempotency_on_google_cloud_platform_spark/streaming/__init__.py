@@ -5,6 +5,7 @@ from .event_stream import (  # noqa: F401
     sessionized_event_counts,
     streaming_cohort_updates,
     streaming_funnel_progress,
+    streaming_rolling_user_stats,
     streaming_sessionize,
     windowed_event_counts,
 )

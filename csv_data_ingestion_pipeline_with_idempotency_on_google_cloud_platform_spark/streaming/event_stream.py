@@ -403,3 +403,93 @@ def streaming_cohort_updates(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_rolling_user_stats(
+    events_stream: DataFrame,
+    trailing_rows: int = 3,
+    trailing_micros: int = 3_600_000_000,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of operators.windows.rolling_user_stats — the
+    online feature-store shape: every event is emitted WITH its
+    trailing features (last-`trailing_rows` prior events, leakage-free;
+    trailing time horizon inclusive) the moment it arrives.
+
+    State per user: a deque of (ts, value) pairs covering
+    max(trailing_rows, events inside trailing_micros) — entries older
+    than both bounds are pruned on every batch, so state is
+    (event rate × horizon), never the history. Same in-order contract
+    as the other row-level twins.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_ddl = (
+        "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, "
+        "prev_n BIGINT, prev_sum DOUBLE, hour_n BIGINT, hour_sum DOUBLE"
+    )
+    state_ddl = "ts_us ARRAY<BIGINT>, vals ARRAY<DOUBLE>"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        ts_hist, val_hist = (
+            ([int(t) for t in state.get[0]], [float(v) for v in state.get[1]])
+            if state.exists
+            else ([], [])
+        )
+        rows = {
+            "user_id": [], "event_id": [], "ts": [],
+            "prev_n": [], "prev_sum": [], "hour_n": [], "hour_sum": [],
+        }
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            ts_us = pdf["ts"].astype("int64") // 1000
+            for eid, t, us, v in zip(
+                pdf["event_id"], pdf["ts"], ts_us, pdf["value"]
+            ):
+                us, v = int(us), float(v)
+                prev = list(zip(ts_hist[-trailing_rows:], val_hist[-trailing_rows:]))
+                in_hour = [
+                    (pt, pv)
+                    for pt, pv in zip(ts_hist, val_hist)
+                    if us - trailing_micros <= pt
+                ]
+                rows["user_id"].append(user_id)
+                rows["event_id"].append(int(eid))
+                rows["ts"].append(t)
+                rows["prev_n"].append(len(prev))
+                rows["prev_sum"].append(float(sum(pv for _, pv in prev)))
+                # the batch operator's RANGE frame includes the current row
+                rows["hour_n"].append(len(in_hour) + 1)
+                rows["hour_sum"].append(float(sum(pv for _, pv in in_hour)) + v)
+                ts_hist.append(us)
+                val_hist.append(v)
+                # prune: keep what either frame could still need
+                cutoff = us - trailing_micros
+                while (
+                    len(ts_hist) > trailing_rows and ts_hist[0] < cutoff
+                ):
+                    ts_hist.pop(0)
+                    val_hist.pop(0)
+        state.update((ts_hist, val_hist))
+        yield pd.DataFrame(rows)
+
+    if dict(events_stream.dtypes).get("ts") == "timestamp_ntz":
+        events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.select("user_id", "event_id", "ts", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_ddl,
+            stateStructType=state_ddl,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

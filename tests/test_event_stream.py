@@ -431,3 +431,54 @@ def test_streaming_cohort_updates_match_batch(spark, tmp_path):
         for r in cohort_retention(events, bucket_days=7).collect()
     }
     assert got == exp
+
+
+def test_streaming_rolling_stats_match_batch(spark, tmp_path):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        rolling_user_stats,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming.event_stream import (
+        streaming_rolling_user_stats,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    src = _ordered_stream_src(spark, events, tmp_path)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_rolling_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("roll_feats")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: (
+                r["prev_n"],
+                round(r["prev_sum"], 6),
+                r["hour_n"],
+                round(r["hour_sum"], 6),
+            )
+            for r in spark.sql("select * from roll_feats").collect()
+        }
+    finally:
+        q.stop()
+
+    exp = {
+        r["event_id"]: (
+            r["prev_n"],
+            round(r["prev_sum"] or 0.0, 6),
+            r["hour_n"],
+            round(r["hour_sum"] or 0.0, 6),
+        )
+        for r in rolling_user_stats(events).collect()
+    }
+    assert got == exp
