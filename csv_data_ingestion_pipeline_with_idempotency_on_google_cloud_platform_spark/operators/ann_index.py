@@ -131,8 +131,16 @@ def append_to_ivf_index(
             f"append {bdim_row['d']}-dim vectors"
         )
     assigned = assign_cells(emb, centroids, id_col, vec_col)
+    # append with the INDEX's on-disk element type: a batch that went
+    # through arithmetic arrives as array<double>, and appending it
+    # raw into an array<float> index leaves mixed parquet physical
+    # types in one partition — reads then fail (or silently pick a
+    # schema by file order)
+    stored_type = spark.read.parquet(f"{path}/vectors").schema[vec_col].dataType
     (
-        assigned.select(id_col, F.col("__vec").alias(vec_col), "cell")
+        assigned.select(
+            id_col, F.col("__vec").cast(stored_type).alias(vec_col), "cell"
+        )
         .write.partitionBy("cell")
         .mode("append")
         .parquet(f"{path}/vectors")
