@@ -44,9 +44,11 @@ def oracle_sql() -> dict[str, str]:
     surface is verified either by the driver or by pytest);
     keys absent here entirely (near_dedup, near_dup_clusters,
     simhash_near_dup, embedding_near_dup, topk_cosine_lsh,
-    topk_cosine_ivf, kmeans_assign, approx_distinct, temperature_mix,
-    chunk_documents, lm_score, bloom_anti_join, approx_quantiles) are
-    engine-hash / literal-hyperplane / sketch / iterative-state
+    topk_cosine_ivf, topk_cosine_indexed, neardup_index_probe,
+    media_decode_stats, frequent_terms, kmeans_assign,
+    approx_distinct, temperature_mix, chunk_documents, lm_score,
+    bloom_anti_join, approx_quantiles) are engine-hash /
+    literal-hyperplane / sketch / iterative-state / byte-decode
     dependent; the driver records rows-only checks and tests/ assert
     their quality against exact baselines (recall bounds, planted
     duplicates, recursive-CTE component parity, DuckDB closed-form
