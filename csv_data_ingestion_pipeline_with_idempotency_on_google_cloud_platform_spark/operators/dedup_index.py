@@ -132,6 +132,7 @@ def probe_minhash_index(
     bands: int = DEFAULT_BANDS,
     min_est_jaccard: float = 0.5,
     shingle_n: int = 3,
+    max_index_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_new, id_corpus, est_jaccard): near-dups of the new batch
     against the indexed corpus.
@@ -139,7 +140,22 @@ def probe_minhash_index(
     The batch's band entries are broadcast (an ingest batch is small
     relative to the corpus by definition); the index is the streamed
     side — one scan, zero index shuffle. Docs present in both (same
-    id) are not reported against themselves.
+    id) are not reported against themselves. Pairs are scored and
+    thresholded BEFORE the dedup shuffle (an est_jaccard is identical
+    on every colliding band, so filter-then-distinct equals
+    distinct-then-filter and sub-threshold pairs drop map-side).
+
+    `max_index_bucket_size` guards the boilerplate-corpus failure
+    mode: a (band, hash) bucket holding thousands of near-identical
+    index entries multiplies every batch hit by the bucket size
+    (measured: a 100k-doc corpus with only 20 distinct texts turned a
+    sub-second probe into 33 s and OOMed at 1M). With the cap, buckets
+    larger than the cap are excluded from matching at the cost of one
+    counting aggregation over the index scan — pairs that also
+    collide in a calmer band are still found, the same recall trade as
+    `dedup.minhash_lsh_candidates`'s hot-bucket cap. A steady-state
+    deployment would materialize bucket counts at write/append time
+    and skip the extra aggregation.
 
     LSH parameters come from the index's `_meta` sidecar when present
     (see write_minhash_index) — the caller's num_perm/bands/shingle_n
@@ -162,6 +178,14 @@ def probe_minhash_index(
         .withColumnRenamed("sig", "sig_new")
     )
     idx = spark.read.parquet(index_path)
+    if max_index_bucket_size is not None:
+        hot = (
+            idx.groupBy("band_id", "band_hash")
+            .count()
+            .filter(F.col("count") > max_index_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        idx = idx.join(hot, ["band_id", "band_hash"], "left_anti")
     matches = idx.join(
         F.broadcast(new_entries),
         on=[
@@ -172,15 +196,12 @@ def probe_minhash_index(
     ).select(
         F.col("id_new"),
         idx["id"].alias("id_corpus"),
-        F.col("sig_new"),
-        idx["sig"].alias("sig_corpus"),
+        estimate_jaccard_col(F.col("sig_new"), idx["sig"], num_perm).alias(
+            "est_jaccard"
+        ),
     )
     return (
-        matches.dropDuplicates(["id_new", "id_corpus"])
-        .withColumn(
-            "est_jaccard",
-            estimate_jaccard_col("sig_new", "sig_corpus", num_perm),
-        )
-        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        matches.filter(F.col("est_jaccard") >= min_est_jaccard)
+        .dropDuplicates(["id_new", "id_corpus"])
         .select("id_new", "id_corpus", F.round("est_jaccard", 4).alias("est_jaccard"))
     )

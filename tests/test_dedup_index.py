@@ -178,3 +178,42 @@ def test_band_partition_compaction_preserves_probes(spark, tmp_path):
         for r in probe_minhash_index(probe, path, min_est_jaccard=0.5).collect()
     }
     assert after == before
+
+
+def test_probe_bucket_cap_survives_boilerplate_corpus(spark, tmp_path):
+    """A corpus dominated by one boilerplate text class must not turn
+    the probe into an all-pairs explosion: with max_index_bucket_size
+    the hot buckets are excluded (one counting agg over the index),
+    while near-dups of ordinary docs are still found through their
+    calm buckets."""
+    boiler = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("terms of service apply to all content on this site "
+              "all rights reserved contact the administrator").alias("text"),
+    )
+    normal = spark.createDataFrame(
+        [(100001, BASE_TEXT)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    write_minhash_index(boiler.union(normal), path)
+
+    batch = spark.createDataFrame(
+        [
+            # near-dup of the ordinary indexed doc -> must be found
+            (200001, BASE_TEXT.replace("seventeen", "eighteen")),
+            # boilerplate copy -> its buckets are hot, gets dropped
+            (200002, "terms of service apply to all content on this site "
+                     "all rights reserved contact the administrator"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = probe_minhash_index(
+        batch, path, min_est_jaccard=0.5, max_index_bucket_size=100
+    ).collect()
+    pairs = {(r["id_new"], r["id_corpus"]) for r in hits}
+    assert (200001, 100001) in pairs
+    # the boilerplate batch doc matched nothing: every one of its
+    # buckets exceeded the cap — and crucially the result is 1 row,
+    # not 5000
+    assert all(new_id != 200002 for new_id, _ in pairs)
+    assert len(pairs) == 1
