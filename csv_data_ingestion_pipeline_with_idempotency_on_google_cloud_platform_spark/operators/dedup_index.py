@@ -98,7 +98,17 @@ def write_minhash_index(
             pass  # sidecar dir exists but holds zero rows: no record
     sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
     entries = minhash_band_entries(sigs, num_perm, bands, id_col=id_col)
-    entries.write.partitionBy("band_id").mode(mode).parquet(path)
+    # cluster each band partition by band_hash and write a parquet
+    # bloom filter on it: probes push the batch's band hashes down as
+    # an In filter, so tight min/max runs + bloom row-group tests make
+    # the probe scan skip most of the index instead of reading it all
+    (
+        entries.sortWithinPartitions("band_id", "band_hash")
+        .write.partitionBy("band_id")
+        .option("parquet.bloom.filter.enabled#band_hash", "true")
+        .mode(mode)
+        .parquet(path)
+    )
     docs.sparkSession.createDataFrame(
         [(num_perm, bands, shingle_n)], "num_perm int, bands int, shingle_n int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
@@ -121,6 +131,9 @@ def append_to_minhash_index(
     write_minhash_index(
         docs, path, id_col, text_col, num_perm, bands, shingle_n, mode=mode
     )
+
+
+_PUSHDOWN_MAX_HASHES = 300
 
 
 def probe_minhash_index(
@@ -177,7 +190,26 @@ def probe_minhash_index(
         .withColumnRenamed("id", "id_new")
         .withColumnRenamed("sig", "sig_new")
     )
+    # SMALL probes (the online "is this new doc a dup" path) push
+    # their band-hash set into the index scan as a literal In
+    # predicate: row-group min/max + bloom skipping over the
+    # band_hash-clustered layout means the scan reads a handful of row
+    # groups, not the index. Capped at _PUSHDOWN_MAX_HASHES — parquet
+    # evaluates a literal In as a recursively built predicate tree and
+    # a thousands-deep tree overflows the executor stack (measured at
+    # 3200 values); a bulk batch above the cap amortizes one full
+    # index scan across all its docs instead, which is the cheaper
+    # shape there anyway.
+    batch_hashes = [
+        r["band_hash"] for r in new_entries.select("band_hash").distinct().collect()
+    ]
+    if not batch_hashes:  # empty batch (e.g. a retried empty micro-batch)
+        return spark.createDataFrame(
+            [], "id_new long, id_corpus long, est_jaccard double"
+        )
     idx = spark.read.parquet(index_path)
+    if len(batch_hashes) <= _PUSHDOWN_MAX_HASHES:
+        idx = idx.filter(F.col("band_hash").isin(batch_hashes))
     if max_index_bucket_size is not None:
         hot = (
             idx.groupBy("band_id", "band_hash")

@@ -38,6 +38,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # small index probes push their band hashes down as an In
+        # filter (up to ~300 values, see dedup_index._PUSHDOWN_MAX_HASHES);
+        # the default threshold of 10 would degrade that to a useless
+        # min/max range. Kept modest: parquet evaluates In as a
+        # recursive predicate tree and thousands of values overflow
+        # the executor stack.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "400")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -217,3 +217,15 @@ def test_probe_bucket_cap_survives_boilerplate_corpus(spark, tmp_path):
     # not 5000
     assert all(new_id != 200002 for new_id, _ in pairs)
     assert len(pairs) == 1
+
+
+def test_probe_pushes_batch_hashes_into_index_scan(spark, tmp_path):
+    """The probe's batch-hash In predicate must reach the parquet scan
+    (row-group min/max + bloom skipping over the band_hash-clustered
+    files) — the scan-pruning that keeps probe cost tracking the batch
+    at 100 TB, not the index."""
+    path = str(tmp_path / "idx")
+    write_minhash_index(_corpus(spark), path)
+    df = probe_minhash_index(_batch(spark), path, min_est_jaccard=0.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(band_hash" in plan, plan
