@@ -42,10 +42,12 @@ def cosine_similarity_col(a: Column | str, b: Column | str) -> Column:
     keeping the happy path a single codegen division. 0.0 ranks zero
     vectors below every genuinely similar candidate in top-k and
     leaves them out of thresholded near-dup pairs, the behavior every
-    caller here wants."""
+    caller here wants. A NULL input still propagates NULL (a missing
+    embedding is corrupt data, not a dissimilar one — masking it as
+    0.0 would hide pipeline bugs)."""
     denom = l2_norm_col(a) * l2_norm_col(b)
-    return F.coalesce(
-        dot_col(a, b) / F.nullif(denom, F.lit(0.0)), F.lit(0.0)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot_col(a, b) / F.nullif(denom, F.lit(0.0))
     )
 
 

@@ -123,12 +123,22 @@ def append_to_ivf_index(
 
     spark = emb.sparkSession
     centroids = spark.read.parquet(f"{path}/centroids")
-    cdim = len(centroids.first()["cvec"])
-    bdim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    if bdim_row is not None and bdim_row["d"] != cdim:
+    first_cent = centroids.first()
+    if first_cent is None:
+        raise ValueError(f"index at {path} has an empty centroid sidecar")
+    cdim = len(first_cent["cvec"])
+    # validate EVERY row's dimensionality, not the first row's — a
+    # mixed-dim batch would pass a first-row check and zip_with would
+    # silently truncate the longer vectors into arbitrary cells
+    bad_dims = [
+        r["d"]
+        for r in emb.select(F.size(F.col(vec_col)).alias("d")).distinct().collect()
+        if r["d"] != cdim
+    ]
+    if bad_dims:
         raise ValueError(
             f"index at {path} holds {cdim}-dim centroids; refusing to "
-            f"append {bdim_row['d']}-dim vectors"
+            f"append vectors of dim(s) {sorted(bad_dims)}"
         )
     assigned = assign_cells(emb, centroids, id_col, vec_col)
     # append with the INDEX's on-disk element type: a batch that went

@@ -390,6 +390,11 @@ def choose_bucket_cap(
         full_entries = minhash_band_entries(sigs, num_perm, bands, id_col=id_col)
         cap = tune_bucket_cap(full_entries, bands, pairs_per_doc_budget, floor)
     if use_memo:
+        # bounded: each value pins a DataFrame (its plan + lineage),
+        # so an unbounded dict would leak driver memory across many
+        # distinct corpora in one long session — evict oldest first
+        while len(_bucket_cap_memo) >= 64:
+            _bucket_cap_memo.pop(next(iter(_bucket_cap_memo)))
         _bucket_cap_memo[memo_key] = (docs, cap)
     return cap
 

@@ -139,6 +139,11 @@ def real_features(payload: bytes, media_type: str, dim: int = 8) -> list[float]:
     except NotImplementedError:
         return fake_features(payload, dim)
     flat = arr.ravel()
+    if flat.size == 0:
+        # a legal 0-frame WAV / 0-pixel image decodes to an empty
+        # array; its statistics are defined as zeros rather than
+        # letting min()/max() raise and kill the whole task
+        return [0.0] * dim
     stats = [
         float(flat.mean()),
         float(flat.std()),
@@ -180,36 +185,10 @@ def media_metadata(media: DataFrame) -> DataFrame:
     return parallelize_narrow(media).mapInPandas(batches, schema=MEDIA_META_DDL)
 
 
-def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
-    """Metadata + deterministic fake feature vector per payload; the
-    real decoder would replace `fake_features` inside the same batch
-    loop (decode_media seam)."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "byte_len": payloads.map(len).astype("int64"),
-                    "sha256_16": payloads.map(
-                        lambda b: hashlib.sha256(bytes(b)).hexdigest()[:16]
-                    ),
-                    "feature": payloads.map(lambda b: fake_features(bytes(b), dim)),
-                }
-            )
-
-    return parallelize_narrow(media).mapInPandas(batches, schema=MEDIA_FEATURE_DDL)
-
-
-def decoded_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
-    """media_features with the REAL decode seam engaged: payloads whose
-    media_type has an available decoder (PGM/PPM/WAV here; PNG/JPEG
-    when PIL is installed) get content-derived statistics features via
-    `real_features`; everything else degrades to the deterministic
-    fake. Same schema and batch shape as media_features — swapping the
-    two is a one-line change, which is the point of the seam."""
+def _features_pass(media: DataFrame, dim: int, feature_fn) -> DataFrame:
+    """Shared Arrow-batched metadata+features pass; `feature_fn(payload
+    bytes, media_type, dim) -> list[float]` is the only moving part —
+    the decode seam's "one-line swap" made literal."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -223,13 +202,29 @@ def decoded_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()[:16]
                     ),
                     "feature": [
-                        real_features(bytes(b), mt, dim)
+                        feature_fn(bytes(b), mt, dim)
                         for b, mt in zip(payloads, pdf["media_type"])
                     ],
                 }
             )
 
     return parallelize_narrow(media).mapInPandas(batches, schema=MEDIA_FEATURE_DDL)
+
+
+def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Metadata + deterministic fake feature vector per payload; the
+    real decoder swaps in via the same pass (decoded_media_features)."""
+    return _features_pass(media, dim, lambda b, _mt, d: fake_features(b, d))
+
+
+def decoded_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """media_features with the REAL decode seam engaged: payloads whose
+    media_type has an available decoder (PGM/PPM/WAV here; PNG/JPEG
+    when PIL is installed) get content-derived statistics features via
+    `real_features`; everything else degrades to the deterministic
+    fake. Same schema and batch shape as media_features — the swap is
+    literally the feature_fn argument of the shared pass."""
+    return _features_pass(media, dim, real_features)
 
 
 RESIZED_DDL = "doc_id BIGINT, media_type STRING, orig_len BIGINT, thumb BINARY"

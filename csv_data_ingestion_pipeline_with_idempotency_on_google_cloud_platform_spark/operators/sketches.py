@@ -95,7 +95,14 @@ def frequent_terms(
     terms = parallelize_narrow(
         docs.select(F.explode(tokens_col(text_col)).alias("t"))
     ).select(F.lower("t").alias("term"))
-    summaries = terms.mapInPandas(_mg_partition(k), schema=_SUMMARY_DDL)
+    # materialize the summaries ONCE (partitions x (k+1) tiny rows):
+    # both the error-bound branch and the per-term estimate branch
+    # hang off this subtree, and mapInPandas is not an exchange, so
+    # without the checkpoint the full tokenize+sketch corpus pass
+    # would execute twice
+    summaries = terms.mapInPandas(
+        _mg_partition(k), schema=_SUMMARY_DDL
+    ).localCheckpoint(eager=True)
 
     # exact total decrement mass: each MG decrement round at k full
     # counters absorbs k+1 occurrences, so a partition that processed

@@ -239,9 +239,13 @@ def rolling_user_stats(
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     base = events.withColumn("__us", us)
+    # ROWS frames need a total order: a bare __us ordering makes
+    # prev_n/prev_sum nondeterministic when two events of one user
+    # share a microsecond, so event_id breaks ties (the RANGE frame is
+    # tie-safe by construction — peers are always included)
     w_rows = (
         Window.partitionBy(user_col)
-        .orderBy("__us")
+        .orderBy("__us", "event_id")
         .rowsBetween(-trailing_rows, -1)
     )
     w_range = (

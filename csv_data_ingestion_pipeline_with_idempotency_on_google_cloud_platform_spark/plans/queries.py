@@ -645,12 +645,23 @@ _INDEX_CACHE = os.path.join(
 )
 
 
-def _cached_index(sf_dir: str, kind: str, build) -> str:
+# bump when an index builder's on-disk layout changes, so stale caches
+# from an older code version are never probed as if current
+_INDEX_CACHE_VERSION = 2
+
+
+def _cached_index(sf_dir: str, kind: str, build, source_table: str = "") -> str:
     """Build-once disk cache for materialized indexes, keyed by
-    (kind, sf_dir). `build(path)` runs only when the completion marker
-    is absent; a crashed partial build has no marker, so the next call
-    rebuilds with mode=overwrite semantics."""
+    (kind, sf_dir, layout version, source-file mtime) — regenerated
+    testdata or a changed builder layout gets a fresh directory
+    instead of silently serving a stale index. `build(path)` runs only
+    when the completion marker is absent; a crashed partial build has
+    no marker, so the next call rebuilds with mode=overwrite
+    semantics."""
     tag = _re.sub(r"[^A-Za-z0-9_.]+", "_", os.path.abspath(sf_dir).strip("/"))
+    src = os.path.join(sf_dir, source_table)
+    mtime = int(os.path.getmtime(src)) if source_table and os.path.exists(src) else 0
+    tag = f"{tag}_v{_INDEX_CACHE_VERSION}_{mtime}"
     path = os.path.join(_INDEX_CACHE, f"{kind}_{tag}")
     marker = os.path.join(path, "_COMPLETED")
     if not os.path.exists(marker):
@@ -677,17 +688,25 @@ def q_topk_cosine_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "ivf16",
         lambda p: ann_index.write_ivf_index(emb, p, n_centroids=16),
+        source_table="embeddings.parquet",
     )
     qvec = [
         float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
     out = ann_index.topk_cosine_indexed(spark, path, qvec, k=11, n_probe=8)
-    # the query vector itself comes back at rank 1 (cos=1.0); drop it
-    # and re-base ranks so the result matches the in-memory variant's
-    # "10 neighbors of vec 0" shape
+    # drop the query vector itself and RE-RANK the survivors (<= 11
+    # rows) rather than shifting ranks by one — a float tie between
+    # the self-match and a near-identical neighbor could place the
+    # self-match at rank 2, and a blind shift would then emit rank 0
+    # vec_id % 1: constant-valued but non-foldable partition key — a
+    # foldable literal would be optimized away and trip the
+    # single-partition WindowExec warning (see similarity._rank_topk)
+    w = Window.partitionBy(F.col("vec_id") % 1).orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
     return (
         out.filter(F.col("vec_id") != 0)
-        .withColumn("rank", (F.col("rank") - F.lit(1)).cast("long"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 10)
     )
 
@@ -709,6 +728,7 @@ def q_neardup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "minhash_idx",
         lambda p: dedup_index.write_minhash_index(docs, p),
+        source_table="documents.parquet",
     )
     batch = docs.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 5_000_000).alias("doc_id"),
@@ -1034,7 +1054,7 @@ SELECT event_id, user_id,
        ROUND(CAST(SUM(v) OVER w_range AS DOUBLE), 6) AS hour_sum
 FROM base
 WINDOW
-  w_rows AS (PARTITION BY user_id ORDER BY us
+  w_rows AS (PARTITION BY user_id ORDER BY us, event_id
              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
   w_range AS (PARTITION BY user_id ORDER BY us
               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)

@@ -447,7 +447,7 @@ def streaming_rolling_user_stats(
             "prev_n": [], "prev_sum": [], "hour_n": [], "hour_sum": [],
         }
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+            pdf = pdf.sort_values(["ts", "event_id"])
             ts_us = pdf["ts"].astype("int64") // 1000
             for eid, t, us, v in zip(
                 pdf["event_id"], pdf["ts"], ts_us, pdf["value"]

@@ -314,3 +314,9 @@ def test_cosine_zero_vector_is_total(spark):
     )
     got = [r["c"] for r in df.select(cosine_similarity_col("a", "b").alias("c")).collect()]
     assert got == [0.0, 0.0, 1.0]
+    # a NULL embedding is corrupt data, not a dissimilar one: it must
+    # propagate NULL, never masquerade as similarity 0.0
+    nulls = spark.createDataFrame(
+        [(None, [1.0, 0.0])], "a array<double>, b array<double>"
+    )
+    assert nulls.select(cosine_similarity_col("a", "b").alias("c")).first()["c"] is None

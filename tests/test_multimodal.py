@@ -154,3 +154,22 @@ def test_decoded_media_features_content_derived(spark):
     assert rows[3]["feature"] == fake_features(opaque, 8)
     # metadata columns stay identical to the fake-feature pass
     assert rows[1]["byte_len"] == len(pgm)
+
+
+def test_real_features_empty_decode_degrades_to_zeros():
+    """A legal 0-frame WAV decodes to an empty array; its statistics
+    are zeros, not an uncaught reduction error killing the task."""
+    import io
+    import wave
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.multimodal import (
+        real_features,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(b"")
+    assert real_features(buf.getvalue(), "audio/x-wav", 8) == [0.0] * 8
