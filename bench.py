@@ -46,6 +46,8 @@ HEADLINE = [
     "tpch_q12",
     "tpch_q13",
     "tpch_q14",
+    "tpch_q16",
+    "tpch_q18",
     "pivot_event_counts",
     "cube_agg",
     "pack_sequences",

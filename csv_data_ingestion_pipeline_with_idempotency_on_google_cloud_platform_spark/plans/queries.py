@@ -2735,6 +2735,93 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01'
 """
 
 
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): the HAVING subquery
+    becomes a LEFT SEMI join against a map-side-combined per-order
+    quantity aggregate, the customer dimension broadcasts, and the
+    top-100 is TakeOrderedAndProject — never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        big_orders, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("total_qty"))
+    )
+    return (
+        joined.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier diversity per part spec (TPC-H Q16 shape on this
+    schema: lineitem stands in for partsupp): distinct suppliers per
+    (p_brand, p_type, p_size) excluding a NOT-IN supplier set — the
+    exclusion is a broadcast LEFT ANTI join, the distinct count a
+    two-level aggregate keyed on (spec, supplier) so no single spec
+    funnels its supplier set through one task."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "Brand#1"
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    li = li.join(F.broadcast(excluded), "l_suppkey", "left_anti")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG/LEAD sequence analytics per user: microsecond gap to the
     previous event and the next event's type — one shuffle on user_id,
@@ -2858,6 +2945,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q4": q_tpch_q4,
     "tpch_q12": q_tpch_q12,
     "tpch_q14": q_tpch_q14,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q18": q_tpch_q18,
     "merge_changes": q_merge_changes,
     "rolling_user_stats": q_rolling_user_stats,
     "frequent_terms": q_frequent_terms,
@@ -2877,6 +2966,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # engine-hash / literal-hyperplane dependent → rows-only checks (their
 # quality is asserted against exact baselines in tests/).
 ORACLE_SQL: dict[str, str] = {
+    "tpch_q16": SQL_TPCH_Q16,
+    "tpch_q18": SQL_TPCH_Q18,
     "merge_changes": SQL_MERGE_CHANGES,
     "rolling_user_stats": SQL_ROLLING_USER_STATS,
     "tpch_q4": SQL_TPCH_Q4,

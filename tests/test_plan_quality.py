@@ -247,3 +247,18 @@ def test_tpch_q14_broadcasts_part(spark):
     plan = _plan(spark, "tpch_q14")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q18_semi_join_and_topk(spark):
+    """The HAVING subquery plans as LEFT SEMI against the aggregated
+    quantities, and the top-100 is TakeOrderedAndProject, not a global
+    sort materialization."""
+    plan = _plan(spark, "tpch_q18")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q16_anti_join_excludes_suppliers(spark):
+    plan = _plan(spark, "tpch_q16")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
