@@ -2803,7 +2803,15 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") < 0)
         .select(F.col("s_suppkey").alias("l_suppkey"))
     )
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        # pre-distinct the (part, supplier) pairs: a pair recurs once
+        # per line shipped, so this map-side-combinable dedup shrinks
+        # the join input and the downstream distinct state to the pair
+        # universe instead of the fact table
+        .distinct()
+    )
     li = li.join(F.broadcast(excluded), "l_suppkey", "left_anti")
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
