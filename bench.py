@@ -43,11 +43,16 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q4",
     "tpch_q6",
+    "tpch_q7",
     "tpch_q12",
     "tpch_q13",
     "tpch_q14",
+    "tpch_q15",
     "tpch_q16",
+    "tpch_q17",
     "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
     "pivot_event_counts",
     "cube_agg",
     "pack_sequences",

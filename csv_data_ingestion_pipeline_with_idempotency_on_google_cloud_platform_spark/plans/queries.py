@@ -2830,6 +2830,240 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations (TPC-H Q7 shape): the fact
+    table joins two independent dimension CHAINS (supplier→nation and
+    orders→customer→nation) — every dimension broadcasts, the nation
+    pair filter lands before the aggregation, and revenue rolls up per
+    (supp_nation, cust_nation, ship year)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s_ = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(s_), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,6)) *
+           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) by revenue (TPC-H Q15 shape): per-supplier
+    revenue over a quarter, then keep the max — the scalar-max
+    subquery is a 1-row broadcast join against the SAME aggregate
+    subtree (AQE reuses the exchange, one fact pass), never a global
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    by_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("__rev"))
+    top = by_supp.agg(F.max("__rev").alias("__max_rev"))
+    s_ = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        by_supp.join(F.broadcast(top), F.col("__rev") == F.col("__max_rev"))
+        .join(F.broadcast(s_), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+             (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no AND total = (SELECT MAX(total) FROM revenue)
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): the correlated
+    per-part average subquery becomes a per-part aggregate joined back
+    to the fact — the brand filter prunes the part side first so both
+    the average and the probe run over the pruned key set."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    avgq = branded.groupBy("l_partkey").agg(
+        (F.avg(F.col("l_quantity").cast("decimal(18,6)")) * F.lit(0.2)).alias("__thr")
+    )
+    return (
+        branded.join(F.broadcast(avgq.withColumnRenamed("l_partkey", "__pk")),
+                     F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity").cast("decimal(18,6)") < F.col("__thr"))
+        .agg(
+            F.round(
+                (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / F.lit(7.0))
+                .cast("double"),
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+SQL_TPCH_Q17 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0 AS DOUBLE), 4)
+       AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
+  AND CAST(l_quantity AS DECIMAL(18,6)) < (
+    SELECT 0.2 * AVG(CAST(l_quantity AS DECIMAL(18,6)))
+    FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-predicate revenue (TPC-H Q19 shape): an OR of
+    (brand, size range, quantity range) conjunctions — the shape that
+    tests whether common conjuncts are split out and pushed to the
+    scans while the residual disjunction evaluates post-join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & q.between(20, 30))
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    return j.filter(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+         (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape): customers with
+    above-average positive balance and no RECENT orders (lapsed
+    high-value customers; the date scope keeps the check non-vacuous
+    on this dataset, where every customer has SOME order) — a
+    scalar-average broadcast, then a LEFT ANTI join against the
+    date-pruned orders scan, grouped by nation."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("decimal(18,6)")).alias("__avg")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("decimal(18,6)") > F.col("__avg"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+SQL_TPCH_Q22 = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(18,6)) > (
+        SELECT AVG(CAST(c_acctbal AS DECIMAL(18,6)))
+        FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
 def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG/LEAD sequence analytics per user: microsecond gap to the
     previous event and the next event's type — one shuffle on user_id,
@@ -2953,8 +3187,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q4": q_tpch_q4,
     "tpch_q12": q_tpch_q12,
     "tpch_q14": q_tpch_q14,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q15": q_tpch_q15,
     "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
     "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q22": q_tpch_q22,
     "merge_changes": q_merge_changes,
     "rolling_user_stats": q_rolling_user_stats,
     "frequent_terms": q_frequent_terms,
@@ -2974,6 +3213,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # engine-hash / literal-hyperplane dependent → rows-only checks (their
 # quality is asserted against exact baselines in tests/).
 ORACLE_SQL: dict[str, str] = {
+    "tpch_q7": SQL_TPCH_Q7,
+    "tpch_q15": SQL_TPCH_Q15,
+    "tpch_q17": SQL_TPCH_Q17,
+    "tpch_q19": SQL_TPCH_Q19,
+    "tpch_q22": SQL_TPCH_Q22,
     "tpch_q16": SQL_TPCH_Q16,
     "tpch_q18": SQL_TPCH_Q18,
     "merge_changes": SQL_MERGE_CHANGES,

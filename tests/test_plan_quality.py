@@ -262,3 +262,23 @@ def test_tpch_q16_anti_join_excludes_suppliers(spark):
     plan = _plan(spark, "tpch_q16")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_tpch_q7_broadcasts_both_dimension_chains(spark):
+    plan = _plan(spark, "tpch_q7")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_tpch_q19_pushes_common_conjuncts(spark):
+    """The disjunction shares p_partkey non-null + join key; the
+    quantity/brand/size disjuncts must not force a cartesian shape."""
+    plan = _plan(spark, "tpch_q19")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q22_anti_join_on_pruned_orders(spark):
+    plan = _plan(spark, "tpch_q22")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed to the scan
