@@ -44,6 +44,7 @@ HEADLINE = [
     "tpch_q4",
     "tpch_q6",
     "tpch_q7",
+    "tpch_q8",
     "tpch_q12",
     "tpch_q13",
     "tpch_q14",

@@ -2892,6 +2892,88 @@ FROM (
 """
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): a seven-table star —
+    every dimension chain broadcasts (part, supplier→nation,
+    customer→nation→region), the region/type filters prune before the
+    fact joins, and the share is a conditional-aggregate ratio per
+    order year. Decimal accumulation keeps the division oracle-exact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    cust_in_region = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("__snk"), "n_name")),
+            F.col("s_nationkey") == F.col("__snk"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    base = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            rev.alias("__vol"),
+            F.col("nation"),
+        )
+    )
+    share = F.when(F.col("nation") == "NATION_3", F.col("__vol")).otherwise(
+        F.lit(0)
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(
+                (F.sum(share) / F.sum("__vol")).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_TPCH_Q8 = """
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,6)) *
+           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+    AND p_type = 'PROMO'
+) GROUP BY o_year
+"""
+
+
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier(s) by revenue (TPC-H Q15 shape): per-supplier
     revenue over a quarter, then keep the max — the scalar-max
@@ -3188,6 +3270,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q12": q_tpch_q12,
     "tpch_q14": q_tpch_q14,
     "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
     "tpch_q15": q_tpch_q15,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
@@ -3213,6 +3296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # engine-hash / literal-hyperplane dependent → rows-only checks (their
 # quality is asserted against exact baselines in tests/).
 ORACLE_SQL: dict[str, str] = {
+    "tpch_q8": SQL_TPCH_Q8,
     "tpch_q7": SQL_TPCH_Q7,
     "tpch_q15": SQL_TPCH_Q15,
     "tpch_q17": SQL_TPCH_Q17,

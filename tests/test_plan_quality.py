@@ -282,3 +282,11 @@ def test_tpch_q22_anti_join_on_pruned_orders(spark):
     plan = _plan(spark, "tpch_q22")
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed to the scan
+
+
+def test_tpch_q8_star_broadcasts_every_dimension(spark):
+    """Seven-table star: part, supplier-nation, customer-nation-region
+    all broadcast; only the orders-lineitem fact join may shuffle."""
+    plan = _plan(spark, "tpch_q8")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
