@@ -2696,6 +2696,16 @@ GROUP BY l_linestatus
 """
 
 
+def _discounted_revenue() -> F.Column:
+    """l_extendedprice * (1 - l_discount) accumulated in DECIMAL(18,6)
+    — the oracle-critical precision recipe shared by every TPC-H
+    revenue query; each Spark use must stay in lockstep with its SQL
+    twin's CAST(... AS DECIMAL(18,6)) arithmetic."""
+    return F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+
+
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promotion revenue share (TPC-H Q14 shape): one month of
     lineitem joins part (broadcast — part is the small side), revenue
@@ -2706,10 +2716,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01"))
     ).select("l_partkey", "l_extendedprice", "l_discount")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,6)")
-        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
-    )
+    rev = _discounted_revenue()
     joined = li.join(
         F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
     ).select(
@@ -2758,7 +2765,13 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("total_qty"))
     )
     return (
-        joined.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        # order by the ROUNDED price: DuckDB resolves the oracle's
+        # ORDER BY o_totalprice to the select alias ROUND(..., 2), so
+        # ordering by the raw double here would cut a different top-100
+        # at the rank boundary if totals ever carry >2 decimals
+        joined.orderBy(
+            F.round("o_totalprice", 2).desc(), F.col("o_orderkey")
+        )
         .limit(100)
         .select(
             "c_name",
@@ -2800,7 +2813,10 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     excluded = (
         load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
+        # < 2000 excludes a real subset at BOTH fixture scales (3/10
+        # suppliers at sf0.001), so the anti-join's behavior — not just
+        # its plan shape — is oracle-checked in CI
+        .filter(F.col("s_acctbal") < 2000)
         .select(F.col("s_suppkey").alias("l_suppkey"))
     )
     li = (
@@ -2825,7 +2841,7 @@ SELECT p_brand, p_type, p_size,
        COUNT(DISTINCT l_suppkey) AS supplier_cnt
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#1'
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
 GROUP BY p_brand, p_type, p_size
 """
 
@@ -2851,14 +2867,14 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,6)")
-        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
-    )
+    rev = _discounted_revenue()
+    # NATION_20/NATION_11: a pair with trade in BOTH sf0.001 and
+    # sf0.01 fixtures, so the oracle comparison is never vacuously
+    # empty==empty at CI scale
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+        (F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11")
     ) | (
-        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+        (F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_20")
     )
     return (
         li.join(F.broadcast(s_), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -2886,8 +2902,8 @@ FROM (
   WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
     AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
     AND c_nationkey = n2.n_nationkey
-    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+      OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
 ) GROUP BY supp_nation, cust_nation, l_year
 """
 
@@ -2927,10 +2943,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,6)")
-        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
-    )
+    rev = _discounted_revenue()
     base = (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -2976,23 +2989,27 @@ FROM (
 
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier(s) by revenue (TPC-H Q15 shape): per-supplier
-    revenue over a quarter, then keep the max — the scalar-max
-    subquery is a 1-row broadcast join against the SAME aggregate
-    subtree (AQE reuses the exchange, one fact pass), never a global
-    sort."""
+    revenue over a quarter, then keep the max — the scalar-max rides a
+    window over the per-supplier aggregate, so the fact table is
+    scanned once and nothing is globally sorted."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-04-01"))
     )
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,6)")
-        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
-    )
+    rev = _discounted_revenue()
     by_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("__rev"))
-    top = by_supp.agg(F.max("__rev").alias("__max_rev"))
+    # the scalar max rides a constant-partition window over the
+    # ALREADY-AGGREGATED per-supplier rows (|suppliers|, tiny), so the
+    # fact table is scanned and aggregated exactly ONCE — the naive
+    # agg-then-join-on-max formulation plans two independent lineitem
+    # subtrees (AQE does not reuse non-identical exchanges; pinned in
+    # tests/test_plan_quality.py). l_suppkey % 1: constant-valued but
+    # non-foldable, see similarity._rank_topk.
+    w = Window.partitionBy(F.col("l_suppkey") % 1)
     s_ = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        by_supp.join(F.broadcast(top), F.col("__rev") == F.col("__max_rev"))
+        by_supp.withColumn("__max_rev", F.max("__rev").over(w))
+        .filter(F.col("__rev") == F.col("__max_rev"))
         .join(F.broadcast(s_), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
@@ -3077,10 +3094,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
            & q.between(20, 30))
     )
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,6)")
-        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
-    )
+    rev = _discounted_revenue()
     return j.filter(cond).agg(
         F.sum(rev).cast("double").alias("revenue"),
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),

@@ -290,3 +290,17 @@ def test_tpch_q8_star_broadcasts_every_dimension(spark):
     plan = _plan(spark, "tpch_q8")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_tpch_q15_scans_lineitem_once(spark):
+    """The scalar-max must NOT re-plan the fact aggregation: exactly
+    one lineitem scan (the naive agg-then-join-on-max formulation
+    plans two independent subtrees that AQE cannot reuse)."""
+    plan = _plan(spark, "tpch_q15")
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_tpch_q17_broadcasts_part_and_threshold(spark):
+    plan = _plan(spark, "tpch_q17")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
