@@ -482,3 +482,78 @@ def test_streaming_rolling_stats_match_batch(spark, tmp_path):
         for r in rolling_user_stats(events).collect()
     }
     assert got == exp
+
+
+def test_streaming_funnel_state_survives_restart(spark, tmp_path):
+    """Funnel cursors recover from the checkpoint: step times resolved
+    before the restart stay resolved, progress continues across the
+    boundary, and the final per-user rollup equals the batch counts."""
+    import glob
+    import os
+    import shutil
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        funnel_counts,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming.event_stream import (
+        streaming_funnel_progress,
+    )
+
+    steps = ["view", "click", "purchase"]
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    staged = _ordered_stream_src(spark, events, tmp_path)
+    files = sorted(glob.glob(f"{staged}/file_*.parquet"))
+    src = str(tmp_path / "fr_src")
+    os.makedirs(src)
+    sink = str(tmp_path / "fr_sink")
+    ckpt = str(tmp_path / "fr_ckpt")
+    schema = spark.read.parquet(staged).schema
+
+    def run_until_drained():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        # update-mode stateful output + a file sink needs foreachBatch
+        q = (
+            streaming_funnel_progress(stream, steps)
+            .writeStream.foreachBatch(
+                lambda b, _bid: b.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def land(fs):
+        for f in fs:
+            dst = shutil.copy(f, src)
+            i = int(os.path.basename(f).split("_")[1].split(".")[0])
+            os.utime(dst, (1_900_000_000 + i * 10, 1_900_000_000 + i * 10))
+
+    land(files[: len(files) // 2])
+    run_until_drained()
+    land(files[len(files) // 2 :])
+    run_until_drained()
+
+    final = (
+        spark.read.parquet(sink)
+        .groupBy("user_id")
+        .agg(F.max("max_step").alias("max_step"))
+        .collect()
+    )
+    got = {
+        i + 1: sum(1 for r in final if r["max_step"] >= i + 1)
+        for i in range(len(steps))
+    }
+    exp = {
+        r["step"]: r["n_users"] for r in funnel_counts(events, steps).collect()
+    }
+    assert got == exp
