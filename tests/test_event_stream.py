@@ -557,3 +557,80 @@ def test_streaming_funnel_state_survives_restart(spark, tmp_path):
         r["step"]: r["n_users"] for r in funnel_counts(events, steps).collect()
     }
     assert got == exp
+
+
+def test_streaming_cohort_state_survives_restart(spark, tmp_path):
+    """Cohort assignment is fixed at first sight and emitted cells are
+    never re-emitted — both must hold ACROSS a checkpoint restart, and
+    the post-restart rollup must equal the batch retention matrix."""
+    import glob
+    import os
+    import shutil
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        cohort_retention,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming.event_stream import (
+        streaming_cohort_updates,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select("user_id", "ts")
+    staged = _ordered_stream_src(spark, events, tmp_path)
+    files = sorted(glob.glob(f"{staged}/file_*.parquet"))
+    src = str(tmp_path / "cr_src")
+    os.makedirs(src)
+    sink = str(tmp_path / "cr_sink")
+    ckpt = str(tmp_path / "cr_ckpt")
+    schema = spark.read.parquet(staged).schema
+
+    def run_until_drained():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_cohort_updates(stream, bucket_days=7)
+            .writeStream.foreachBatch(
+                lambda b, _bid: b.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def land(fs):
+        for f in fs:
+            dst = shutil.copy(f, src)
+            i = int(os.path.basename(f).split("_")[1].split(".")[0])
+            os.utime(dst, (2_000_000_000 + i * 10, 2_000_000_000 + i * 10))
+
+    land(files[: len(files) // 2])
+    run_until_drained()
+    land(files[len(files) // 2 :])
+    run_until_drained()
+
+    cells = spark.read.parquet(sink)
+    # no cell is ever emitted twice (restart must not re-announce)
+    assert (
+        cells.groupBy("cohort_start", "period_offset", "user_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
+    got = {
+        (str(r["cohort_start"]), r["period_offset"]): r["n"]
+        for r in cells.groupBy("cohort_start", "period_offset")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exp = {
+        (r["cohort_start"], r["period_offset"]): r["n_users"]
+        for r in cohort_retention(events, bucket_days=7).collect()
+    }
+    assert got == exp
