@@ -127,6 +127,63 @@ def bm25_topk(
     return topk.withColumn("rnk", F.row_number().over(w))
 
 
+def tfidf_topn(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-n feature terms by TF-IDF — the featurization
+    counterpart of `bm25_topk` (search ranks docs for one query; this
+    summarizes EVERY doc for downstream clustering / labeling / topic
+    slicing).
+
+    tfidf(t, d) = tf · (ln((1 + N)/(1 + df)) + 1)   (smoothed idf, so
+    a term in every document still scores > 0 and the log never sees 0).
+
+    Scale shape: tf is a map-side-combined ``groupBy(doc_id, term)``
+    count; df is a second partial/final count over the aggregated tf
+    table (|distinct (doc,term)| rows in, |vocab| out). The tf↔df join
+    keys on ``term`` — a full-vocabulary table is NOT broadcastable at
+    corpus scale, so this stays a shuffle join and AQE's skew split
+    handles stop-word-heavy terms. Top-n per doc is a window over
+    ``doc_id`` — parallelism |docs|, no salt needed. Everything is
+    exact integer counts + one ln, so the oracle comparison carries no
+    accumulation-order float drift.
+
+    Returns (doc_id, term, tf, tfidf, rnk) with tfidf rounded to 6 dp
+    and a deterministic (tfidf desc, term asc) tie-break.
+    """
+    toks = parallelize_narrow(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    ).select("doc_id", F.lower("tok").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_per_term, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df")))
+                    + 1.0
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= n
+    )
+
+
 def bm25_topk_many(
     docs: DataFrame,
     queries: dict[int, list[str]],

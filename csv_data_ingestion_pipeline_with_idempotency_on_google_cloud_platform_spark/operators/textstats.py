@@ -186,6 +186,91 @@ def lm_scores(
     )
 
 
+def term_cooccurrence(
+    docs: DataFrame,
+    vocab_size: int = 100,
+    top_pairs: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top co-occurring term pairs with PMI — the collocation signal a
+    corpus pipeline uses to surface boilerplate phrases, template
+    artifacts, and topic structure.
+
+    pmi(a, b) = ln(n_ab · N / (df_a · df_b)) over document-level
+    co-occurrence (n_ab = docs containing both, df = docs containing
+    the term, N = corpus size).
+
+    Scale shape: the naive pair space is |vocab|² — unbounded on a web
+    corpus — so co-occurrence is restricted to the top-`vocab_size`
+    terms by document frequency (the standard collocation practice,
+    and the cap that bounds everything downstream). The vocab is a
+    ≤`vocab_size`-row TakeOrderedAndProject over the df aggregate,
+    broadcast for the membership filter. Pairs are generated NARROWLY:
+    per-doc vocab terms are collected into a sorted set (≤`vocab_size`
+    entries by construction) and expanded to ordered pairs with an
+    array comprehension — no self-join, so the only shuffles are the
+    distinct, the per-doc collect, and the final (a, b) count, each
+    map-side combinable. Counts are exact integers, so the PMI oracle
+    comparison carries no accumulation-order drift.
+
+    Returns (term_a, term_b, n_ab, pmi) — top `top_pairs` by
+    (n_ab desc, term_a asc, term_b asc), pmi rounded to 6 dp.
+    """
+    from ..functions.text import tokens_col
+
+    docterms = (
+        parallelize_narrow(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(text_col)).alias("tok"),
+        )
+        .select("doc_id", F.lower("tok").alias("term"))
+        .distinct()
+    )
+    df_per_term = docterms.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = df_per_term.orderBy(F.desc("df"), F.asc("term")).limit(vocab_size)
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+
+    per_doc = (
+        docterms.join(F.broadcast(vocab.select("term")), "term")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("term")).alias("terms"))
+    )
+    pairs = per_doc.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(terms, (x, i) -> "
+                "transform(slice(terms, i + 2, size(terms)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+    n_ab = pairs.groupBy("term_a", "term_b").agg(F.count("*").alias("n_ab"))
+
+    dfa = vocab.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    dfb = vocab.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        n_ab.join(F.broadcast(dfa), "term_a")
+        .join(F.broadcast(dfb), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.col("n_docs")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("n_ab"), F.asc("term_a"), F.asc("term_b"))
+        .limit(top_pairs)
+    )
+
+
 def dup_passages(
     docs: DataFrame,
     n: int = 5,

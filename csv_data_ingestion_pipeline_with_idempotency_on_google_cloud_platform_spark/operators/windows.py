@@ -263,3 +263,72 @@ def rolling_user_stats(
         F.count(v).over(w_range).cast("bigint").alias("hour_n"),
         F.sum(v).over(w_range).cast("double").alias("hour_sum"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the path-mining primitive behind "what do users do
+    after X" questions and synthetic-sequence sanity checks on
+    behavioral training data.
+
+    One shuffle on the user key orders each user's history (event_id
+    breaks timestamp ties, so the LAG is deterministic); the
+    (prev, next) count is map-side combinable, and the row-probability
+    normalization runs over the AGGREGATED matrix — |event types|²
+    rows — so the second window is trivially small by construction.
+    Counts are exact integers and the probability is a single IEEE
+    division, so the oracle comparison carries no accumulation drift.
+
+    Returns (prev_type, next_type, n, prob) where prob is the row-
+    normalized transition probability, rounded to 6 dp.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            "event_id",
+            F.col(type_col).alias("next_type"),
+        )
+        .withColumn("prev_type", F.lag("next_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    w_row = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_row), 6).alias("prob"),
+    )
+
+
+def window_distinct_users(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Per tumbling window: event volume and EXACT distinct reach —
+    the dashboard pair (hits, uniques) every event pipeline serves.
+
+    Catalyst plans count(distinct) as a two-level aggregation — a
+    (window, user) pre-aggregate then the final count — so the shuffle
+    carries distinct pairs, not raw events, and both levels map-side
+    combine. The approximate twin at corpus scale is `approx_distinct`
+    (HLL++), which replaces the pre-aggregate with a mergeable sketch.
+    """
+    return (
+        events.groupBy(F.window("ts", duration).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+    )

@@ -3196,6 +3196,208 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 # are demoted past the window (pytest runs the identical parity check on
 # every ORACLE_SQL entry via tests/test_queries_oracle.py, so nothing loses
 # coverage — only the artifact that witnesses it changes).
+# --------------------------------------------------------------------------
+# round-3 session-2 additions: corpus featurization + event path mining
+# --------------------------------------------------------------------------
+
+
+def q_tfidf_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: per-document top-3 TF-IDF feature terms — the
+    featurization counterpart of bm25_search (operators/retrieval.py:
+    tfidf_topn for the scale shape)."""
+    from ..operators.retrieval import tfidf_topn
+
+    return tfidf_topn(load_table(spark, sf_dir, "documents"), n=3)
+
+
+SQL_TFIDF_TOPN = r"""
+WITH toks AS (
+  SELECT doc_id,
+         lower(unnest(regexp_split_to_array(
+             regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS term
+  FROM documents
+  WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT doc_id, term, tf, tfidf, rnk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0), 6) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0)
+                    , 6) DESC, tf.term ASC
+         ) AS rnk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+) WHERE rnk <= 3
+"""
+
+
+def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X11: top-20 co-occurring term pairs (PMI) over a top-100
+    document-frequency vocabulary — collocation/boilerplate mining
+    (operators/textstats.py:term_cooccurrence for the scale shape)."""
+    return textstats.term_cooccurrence(
+        load_table(spark, sf_dir, "documents"), vocab_size=100, top_pairs=20
+    )
+
+
+SQL_TERM_PMI = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         lower(unnest(regexp_split_to_array(
+             regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS term
+  FROM documents
+  WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
+), df AS (
+  SELECT term, COUNT(*) AS df FROM toks GROUP BY 1
+), vocab AS (
+  SELECT term, df FROM (
+    SELECT term, df,
+           ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS r
+    FROM df
+  ) WHERE r <= 100
+), vt AS (
+  SELECT t.doc_id, t.term FROM toks t JOIN vocab v USING (term)
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+), n_ab AS (
+  SELECT term_a, term_b, COUNT(*) AS n_ab FROM pairs GROUP BY 1, 2
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT term_a, term_b, n_ab,
+       round(ln(CAST(n_ab AS DOUBLE) * n.n_docs / (va.df * vb.df)), 6) AS pmi
+FROM n_ab
+JOIN vocab va ON va.term = n_ab.term_a
+JOIN vocab vb ON vb.term = n_ab.term_b
+CROSS JOIN n
+ORDER BY n_ab DESC, term_a ASC, term_b ASC
+LIMIT 20
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: first-order event-type transition matrix with row-normalized
+    probabilities (operators/windows.py:event_transitions)."""
+    return windows.event_transitions(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS next_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS prob
+FROM counts
+"""
+
+
+def q_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6/X9: per-hour event volume + exact distinct reach
+    (operators/windows.py:window_distinct_users; the HLL++ twin is
+    approx_distinct)."""
+    return windows.window_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+SQL_WINDOW_DISTINCT_USERS = """
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X11: per-language log2-bucketed document-length histogram —
+    the one-scan corpus shape diagnostic (truncation spikes, empty-doc
+    mass, long-tail share) run before any filter threshold is chosen.
+    Single map-side-combined aggregation; shuffle is |lang × buckets|."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.floor(F.log2(F.col("n_chars") + 1)).cast("bigint").alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+SQL_DOC_LENGTH_HISTOGRAM = """
+SELECT lang,
+       CAST(floor(log2(n_chars + 1)) AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9/V1: per-type z-score outliers over event values — the
+    distributional data-quality gate (sensor glitches, bot bursts,
+    unit-mix bugs) that row-count validation cannot see. The per-type
+    moments are ONE map-side-combined aggregate (|event types| rows,
+    broadcast back), so the scan stays narrow; top-50 by |z| is
+    TakeOrderedAndProject, never a global sort. Zero-variance types
+    are excluded (z undefined)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.avg("value").alias("mu"),
+            F.stddev_pop("value").alias("sd"),
+        )
+        .filter(F.col("sd") > 0)
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6).alias(
+                "zscore"
+            ),
+        )
+        .filter(F.abs(F.col("zscore")) >= 3.0)
+        .orderBy(F.abs(F.col("zscore")).desc(), F.asc("event_id"))
+        .limit(50)
+    )
+
+
+SQL_VALUE_OUTLIERS = """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, stddev_pop(value) AS sd
+  FROM events GROUP BY 1 HAVING stddev_pop(value) > 0
+)
+SELECT event_id, event_type, round(value, 6) AS value,
+       round((value - mu) / sd, 6) AS zscore
+FROM events JOIN stats USING (event_type)
+WHERE abs(round((value - mu) / sd, 6)) >= 3.0
+ORDER BY abs(round((value - mu) / sd, 6)) DESC, event_id ASC
+LIMIT 50
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # promoted round 3: previously oracle-backed but past the window
     "tpch_q5": q_tpch_q5,
@@ -3304,6 +3506,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_anti_join": q_bloom_anti_join,
     # rows-only: sketch output is engine-specific (error-bound test instead)
     "approx_quantiles": q_approx_quantiles,
+    # round-3 session-2 additions (oracle-backed, past the window —
+    # pytest runs the identical parity check)
+    "tfidf_topn": q_tfidf_topn,
+    "term_pmi": q_term_pmi,
+    "event_transitions": q_event_transitions,
+    "window_distinct_users": q_window_distinct_users,
+    "doc_length_histogram": q_doc_length_histogram,
+    "value_outliers": q_value_outliers,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
@@ -3393,4 +3603,10 @@ ORACLE_SQL: dict[str, str] = {
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "sessionize": SQL_SESSIONIZE,
+    "tfidf_topn": SQL_TFIDF_TOPN,
+    "term_pmi": SQL_TERM_PMI,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
+    "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
+    "value_outliers": SQL_VALUE_OUTLIERS,
 }
