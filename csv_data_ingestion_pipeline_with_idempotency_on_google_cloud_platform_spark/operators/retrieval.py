@@ -142,12 +142,19 @@ def tfidf_topn(
     a term in every document still scores > 0 and the log never sees 0).
 
     Scale shape: tf is a map-side-combined ``groupBy(doc_id, term)``
-    count; df is a second partial/final count over the aggregated tf
-    table (|distinct (doc,term)| rows in, |vocab| out). The tf↔df join
-    keys on ``term`` — a full-vocabulary table is NOT broadcastable at
-    corpus scale, so this stays a shuffle join and AQE's skew split
-    handles stop-word-heavy terms. Top-n per doc is a window over
-    ``doc_id`` — parallelism |docs|, no salt needed. Everything is
+    count; df is a partial/final count per term. Catalyst rewrites the
+    df branch (which never reads the tf value) into a distinct-count
+    with its own corpus scan — TWO scans total, the standard TF-IDF
+    fit/transform shape: re-tokenizing beats materializing the
+    |docs|×|terms| tf table, which is the thing that does NOT fit at
+    corpus scale (callers with a cheap-to-cache corpus can persist
+    upstream). The tf↔df join keys on ``term`` — the optimizer
+    broadcasts the vocabulary when its stats say it fits and falls
+    back to a shuffle join (AQE skew-splitting stop-word-heavy terms)
+    when it doesn't. Top-n per doc is a window over ``doc_id`` —
+    parallelism |docs|, no salt needed (planned as a partial+final
+    WindowGroupLimit, so only ≤n rows per doc reach the window
+    exchange). Everything is
     exact integer counts + one ln, so the oracle comparison carries no
     accumulation-order float drift.
 

@@ -206,7 +206,11 @@ def term_cooccurrence(
     terms by document frequency (the standard collocation practice,
     and the cap that bounds everything downstream). The vocab is a
     ≤`vocab_size`-row TakeOrderedAndProject over the df aggregate,
-    broadcast for the membership filter. Pairs are generated NARROWLY:
+    COLLECTED once to the driver (bounded state, like k-means
+    centroids) and re-planned as a literal — referencing the vocab
+    subtree three times (membership filter, df_a, df_b) would
+    otherwise re-scan and re-tokenize the corpus per reference.
+    Pairs are generated NARROWLY:
     per-doc vocab terms are collected into a sorted set (≤`vocab_size`
     entries by construction) and expanded to ordered pairs with an
     array comprehension — no self-join, so the only shuffles are the
@@ -229,7 +233,14 @@ def term_cooccurrence(
         .distinct()
     )
     df_per_term = docterms.groupBy("term").agg(F.count("*").alias("df"))
-    vocab = df_per_term.orderBy(F.desc("df"), F.asc("term")).limit(vocab_size)
+    vocab_rows = (
+        df_per_term.orderBy(F.desc("df"), F.asc("term"))
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = docs.sparkSession.createDataFrame(
+        [(r["term"], r["df"]) for r in vocab_rows], "term string, df long"
+    )
     n_docs = docs.select(F.count("*").alias("n_docs"))
 
     per_doc = (

@@ -304,3 +304,41 @@ def test_tpch_q17_broadcasts_part_and_threshold(spark):
     plan = _plan(spark, "tpch_q17")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_term_pmi_no_self_join_and_literal_vocab(spark):
+    """Pairs come from a narrow array expansion, never a doc_id
+    self-join, and the vocab is a collected literal — the corpus is
+    scanned at most twice (pair stream + corpus count), not once per
+    vocab reference."""
+    import re
+
+    plan = _plan(spark, "term_pmi")
+    assert "SortMergeJoin" not in plan
+    # formatted mode prints each node in the tree AND the detail list,
+    # so count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+
+
+def test_tfidf_topn_windowgrouplimit_and_takeordered_free(spark):
+    """Per-doc top-n must plan as a partial+final WindowGroupLimit so
+    only ~n rows per doc reach the window exchange; no global sort."""
+    plan = _plan(spark, "tfidf_topn")
+    assert "WindowGroupLimit" in plan
+    assert "Sort [tfidf" not in plan or "global=false" not in plan.split("Sort [tfidf")[0]
+
+
+def test_value_outliers_broadcast_stats_and_topk(spark):
+    """Per-type moments broadcast back over a narrow scan; top-50 is
+    TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, "value_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_window_distinct_users_two_level_distinct(spark):
+    """count(distinct) must plan as the two-level aggregation — the
+    shuffle carries distinct (window, user) pairs, not raw events."""
+    plan = _plan(spark, "window_distinct_users")
+    assert plan.count("HashAggregate") >= 3
