@@ -76,6 +76,12 @@ HEADLINE = [
     # skew stress: 90% of rows on one planted hot key, spread by salting
     "skewed_agg_rollup",
     "skewed_join_rollup",
+    # corpus featurization + event path mining (round-3 session 2)
+    "tfidf_topn",
+    "term_pmi",
+    "event_transitions",
+    "value_outliers",
+    "bm25_indexed",
 ]
 
 

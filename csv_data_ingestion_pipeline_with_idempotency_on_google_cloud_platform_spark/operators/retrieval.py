@@ -64,6 +64,49 @@ def term_postings(
     )
 
 
+def _bm25_rank_topk(
+    postings: DataFrame,
+    df_per_term: DataFrame,
+    stats: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Score (doc_id, term, tf, dl) postings against (term, df) and a
+    1-row (n_docs, avgdl) stats frame, and return the ranked top-k —
+    the shape shared by the corpus-scan form (`bm25_topk`) and the
+    materialized-index probe (text_index.bm25_search_indexed), so the
+    two stay score-identical by construction."""
+    scored = (
+        postings.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # rank attachment over ≤k rows; non-foldable constant partition so
+    # the single-partition window survives optimization without warnings
+    w = Window.partitionBy(F.col("doc_id").isNotNull()).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return topk.withColumn("rnk", F.row_number().over(w))
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -97,34 +140,7 @@ def bm25_topk(
     # plan: ReusedExchange), so there is no second corpus scan either.
     df_per_term = postings.groupBy("term").agg(F.count("*").alias("df"))
 
-    scored = (
-        postings.join(F.broadcast(df_per_term), "term")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            (
-                F.log(
-                    1.0
-                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                )
-                * (F.col("tf") * (k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + k1
-                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("part"),
-        )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("part"), 6).alias("score"))
-    )
-    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    # rank attachment over ≤k rows; non-foldable constant partition so
-    # the single-partition window survives optimization without warnings
-    w = Window.partitionBy(F.col("doc_id").isNotNull()).orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    return topk.withColumn("rnk", F.row_number().over(w))
+    return _bm25_rank_topk(postings, df_per_term, stats, k, k1, b)
 
 
 def tfidf_topn(

@@ -3201,6 +3201,29 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 # --------------------------------------------------------------------------
 
 
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 scale path — BM25 probe of a MATERIALIZED postings index
+    (operators/text_index.py), the third member of the index trio.
+    Bucket routing happens driver-side (engine-independent md5), so
+    the postings scan carries a literal `bucket IN (...)` partition
+    predicate plus a term filter that term-sorted row groups satisfy
+    from footer stats. Scores equal bm25_search exactly (same
+    tokenizer, counts, and formula — parity and pruning pinned in
+    tests/test_text_index.py), so it shares that oracle."""
+    from ..operators import text_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _cached_index(
+        sf_dir,
+        "bm25x",
+        lambda p: text_index.write_text_index(docs, p, n_buckets=64),
+        source_table="documents.parquet",
+    )
+    return text_index.bm25_search_indexed(
+        spark, path, ["vector", "hash", "join"], k=10
+    )
+
+
 def q_tfidf_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X13: per-document top-3 TF-IDF feature terms — the
     featurization counterpart of bm25_search (operators/retrieval.py:
@@ -3508,6 +3531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_quantiles": q_approx_quantiles,
     # round-3 session-2 additions (oracle-backed, past the window —
     # pytest runs the identical parity check)
+    "bm25_indexed": q_bm25_indexed,
     "tfidf_topn": q_tfidf_topn,
     "term_pmi": q_term_pmi,
     "event_transitions": q_event_transitions,
@@ -3603,6 +3627,7 @@ ORACLE_SQL: dict[str, str] = {
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "sessionize": SQL_SESSIONIZE,
+    "bm25_indexed": SQL_BM25_SEARCH,
     "tfidf_topn": SQL_TFIDF_TOPN,
     "term_pmi": SQL_TERM_PMI,
     "event_transitions": SQL_EVENT_TRANSITIONS,
