@@ -8,6 +8,7 @@ from .event_stream import (  # noqa: F401
     streaming_rolling_user_stats,
     streaming_sessionize,
     windowed_event_counts,
+    windowed_reach,
 )
 from .stateful_dedup import streaming_exact_dedup  # noqa: F401
 from .neardup_stream import start_neardup_stream  # noqa: F401

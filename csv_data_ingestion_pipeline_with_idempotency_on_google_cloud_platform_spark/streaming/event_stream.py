@@ -493,3 +493,32 @@ def streaming_rolling_user_stats(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def windowed_reach(
+    events_stream: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window distinct reach — the streaming twin
+    of operators.windows.window_distinct_users (n_users half; the raw
+    n_events half is windowed_event_counts).
+
+    Exact count_distinct is not a streaming aggregate, so reach is the
+    standard two-stateful-operator chain: dropDuplicates keyed on
+    (user, window) collapses each user's window presence to one row,
+    then the windowed count aggregates survivors. Both operators share
+    the watermark, so dedup state is evicted once a window's horizon
+    passes — state is bounded by (active windows × users active in
+    them), the exact-reach floor.
+    """
+    if dict(events_stream.dtypes).get("ts") == "timestamp_ntz":
+        events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .select("ts", "user_id", F.window("ts", duration).alias("w"))
+        .dropDuplicates(["user_id", "w"])
+        .groupBy("w")
+        .agg(F.count("*").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_users")
+    )

@@ -634,3 +634,54 @@ def test_streaming_cohort_state_survives_restart(spark, tmp_path):
         for r in cohort_retention(events, bucket_days=7).collect()
     }
     assert got == exp
+
+
+def test_streaming_reach_matches_batch(spark, tmp_path):
+    """dropDuplicates → windowed count (two chained stateful operators)
+    must reproduce the batch exact distinct reach window-for-window."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        window_distinct_users,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming import (
+        windowed_reach,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "reach_src")
+    events.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    # wide watermark: files stream in arbitrary time order, so keep
+    # every event on-time — the merged reach must equal batch exactly
+    agg = windowed_reach(stream, duration="1 hour", watermark="40 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("reachagg")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # append mode emits only watermark-finalized windows, and the
+        # 40-day tolerance means none are final yet: push one flush
+        # event 80 days past the end so every REAL window finalizes
+        # (the flush's own window stays open and is never emitted)
+        flush_ts = events.agg(F.max("ts")).first()[0] + __import__(
+            "datetime"
+        ).timedelta(days=80)
+        spark.createDataFrame(
+            [(10**9, flush_ts, 10**6, "flush", 0.0, "{}")], events.schema
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = spark.sql("select window_start, n_users from reachagg").collect()
+    finally:
+        q.stop()
+
+    expected = window_distinct_users(events).collect()
+    exp_map = {r["window_start"]: r["n_users"] for r in expected}
+    got_map = {r["window_start"]: r["n_users"] for r in got}
+    assert got_map == exp_map
