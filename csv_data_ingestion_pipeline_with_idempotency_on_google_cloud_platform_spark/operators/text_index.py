@@ -146,6 +146,15 @@ def append_to_text_index(
     never a corpus rescan, so the cost is proportional to the index's
     postings, and idf stays exact (an index serving stale df would
     drift from `bm25_topk` parity batch after batch).
+
+    Batches must be DISJOINT from already-indexed documents — route
+    ingest through the idempotency gate (operators/ingest.py), exactly
+    as the ledger write path does: re-appending a document lands its
+    postings twice, and every probe then double-counts its tf and
+    inflates N. A crash between the postings append and the sidecar
+    rebuild leaves df/meta stale for the new batch only; re-running
+    the sidecar rebuild (or the next successful append) repairs them,
+    since sidecars are always derived from the on-disk postings.
     """
     spark = docs.sparkSession
     meta = spark.read.parquet(f"{path}/_meta").first()

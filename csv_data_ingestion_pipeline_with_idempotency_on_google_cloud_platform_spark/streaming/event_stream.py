@@ -515,7 +515,11 @@ def windowed_reach(
     if dict(events_stream.dtypes).get("ts") == "timestamp_ntz":
         events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
-        events_stream.withWatermark("ts", watermark)
+        # NULL users are excluded up front: batch count_distinct skips
+        # NULL, but dropDuplicates would keep one NULL row per window
+        # and the count would tally it — an off-by-one vs the batch twin
+        events_stream.filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
         .select("ts", "user_id", F.window("ts", duration).alias("w"))
         .dropDuplicates(["user_id", "w"])
         .groupBy("w")
