@@ -4,6 +4,7 @@ from .event_stream import (  # noqa: F401
     interval_join_attribution,
     sessionized_event_counts,
     streaming_cohort_updates,
+    streaming_event_transitions,
     streaming_funnel_progress,
     streaming_rolling_user_stats,
     streaming_sessionize,

@@ -526,3 +526,74 @@ def windowed_reach(
         .agg(F.count("*").alias("n_users"))
         .select(F.col("w.start").alias("window_start"), "n_users")
     )
+
+
+def streaming_event_transitions(
+    events_stream: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of operators.windows.event_transitions, emitted
+    as per-batch transition INCREMENTS: (prev_type, next_type, n) rows
+    whose sink-side sum equals the batch matrix's counts (the
+    probability normalization is a trivial rollup over the summed
+    matrix, kept outside the stream like funnel_counts' totals).
+
+    State per user: the last event's (micros, event_id, type) — three
+    scalars, so state is bounded by |active users| regardless of
+    stream length. Same in-order-per-key delivery contract as
+    streaming_sessionize; within a batch, (ts, event_id) ordering
+    reproduces the batch LAG exactly.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_ddl = "prev_type STRING, next_type STRING, n BIGINT"
+    state_ddl = "last_us BIGINT, last_eid BIGINT, last_type STRING"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_type = state.get[2] if state.exists else None
+        last_us = state.get[0] if state.exists else None
+        last_eid = state.get[1] if state.exists else None
+        # chunks of one group can arrive in any order within the batch:
+        # concatenate before sorting (per-user groups are small)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(["ts", "event_id"])
+            counts: dict[tuple, int] = {}
+            us = pdf["ts"].astype("int64") // 1000
+            for cur_us, eid, cur in zip(
+                us, pdf["event_id"], pdf["event_type"]
+            ):
+                if last_type is not None:
+                    k = (last_type, cur)
+                    counts[k] = counts.get(k, 0) + 1
+                last_type, last_us, last_eid = cur, int(cur_us), int(eid)
+            state.update((last_us, last_eid, last_type))
+            if counts:
+                keys = sorted(counts)
+                yield pd.DataFrame(
+                    {
+                        "prev_type": [k[0] for k in keys],
+                        "next_type": [k[1] for k in keys],
+                        "n": [counts[k] for k in keys],
+                    }
+                )
+
+    if dict(events_stream.dtypes).get("ts") == "timestamp_ntz":
+        events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.select("user_id", "event_id", "event_type", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_ddl,
+            stateStructType=state_ddl,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -685,3 +685,116 @@ def test_streaming_reach_matches_batch(spark, tmp_path):
     exp_map = {r["window_start"]: r["n_users"] for r in expected}
     got_map = {r["window_start"]: r["n_users"] for r in got}
     assert got_map == exp_map
+
+
+def test_streaming_transitions_match_batch(spark, tmp_path):
+    """Summing the emitted per-batch increments must reproduce the
+    batch transition matrix exactly (counts; probabilities are a
+    deterministic rollup of those counts)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        event_transitions,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming.event_stream import (
+        streaming_event_transitions,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    src = _ordered_stream_src(spark, events, tmp_path)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_event_transitions(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("transitions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select prev_type, next_type, sum(n) as n "
+            "from transitions group by 1, 2"
+        ).collect()
+    finally:
+        q.stop()
+
+    exp = event_transitions(events).collect()
+    got_map = {(r["prev_type"], r["next_type"]): r["n"] for r in got}
+    exp_map = {(r["prev_type"], r["next_type"]): r["n"] for r in exp}
+    assert got_map == exp_map
+
+
+def test_streaming_transitions_survive_restart(spark, tmp_path):
+    """Kill the query mid-stream and restart from the checkpoint: each
+    user's last-event cursor recovers, so the transition spanning the
+    restart boundary is still counted and the summed increments equal
+    the batch matrix."""
+    import glob
+    import os
+    import shutil
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        event_transitions,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming.event_stream import (
+        streaming_event_transitions,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    staged = _ordered_stream_src(spark, events, tmp_path)
+    files = sorted(glob.glob(f"{staged}/file_*.parquet"))
+    src = str(tmp_path / "trans_restart_src")
+    os.makedirs(src)
+    sink = str(tmp_path / "trans_restart_sink")
+    ckpt = str(tmp_path / "trans_restart_ckpt")
+    schema = spark.read.parquet(staged).schema
+
+    def run_until_drained():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_event_transitions(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def land(fs):
+        for f in fs:
+            dst = shutil.copy(f, src)
+            i = int(os.path.basename(f).split("_")[1].split(".")[0])
+            os.utime(dst, (1_800_000_000 + i * 10, 1_800_000_000 + i * 10))
+
+    land(files[: len(files) // 2])
+    run_until_drained()
+    land(files[len(files) // 2 :])
+    run_until_drained()
+
+    got = (
+        spark.read.parquet(sink)
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    got_map = {(r["prev_type"], r["next_type"]): r["n"] for r in got}
+    exp_map = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in event_transitions(events).collect()
+    }
+    assert got_map == exp_map
