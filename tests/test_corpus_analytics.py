@@ -1,0 +1,153 @@
+"""Quality/invariant tests for the session-2 corpus and event
+analytics (tfidf_topn, term_cooccurrence, event_transitions) beyond
+their DuckDB oracle parity: brute-force equivalence on adversarial
+micro-corpora and algebraic invariants the oracle cannot state."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.retrieval import (
+    tfidf_topn,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+    term_cooccurrence,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+    event_transitions,
+)
+
+from .conftest import SF_DIR
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_tfidf_matches_bruteforce(spark):
+    texts = [
+        "alpha beta beta gamma",
+        "alpha alpha delta",
+        "  ",  # blank: contributes to N, produces no terms
+        "Gamma gamma GAMMA epsilon",  # case folding
+    ]
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["tfidf"])
+        for r in tfidf_topn(_docs(spark, texts), n=10).collect()
+    }
+    n_docs = len(texts)
+    toks = [t.lower().split() for t in texts]
+    df = Counter(term for ts in toks for term in set(ts))
+    exp = {}
+    for i, ts in enumerate(toks):
+        for term, tf in Counter(ts).items():
+            idf = math.log((1.0 + n_docs) / (1.0 + df[term])) + 1.0
+            exp[(i, term)] = (tf, round(tf * idf, 6))
+    assert got == exp
+
+
+def test_tfidf_rank_orders_within_doc(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = tfidf_topn(docs, n=3)
+    # rnk is 1..n, dense from 1, and tfidf non-increasing along it
+    bad = (
+        out.groupBy("doc_id")
+        .agg(
+            F.min("rnk").alias("lo"),
+            F.max("rnk").alias("hi"),
+            F.count("*").alias("c"),
+        )
+        .filter((F.col("lo") != 1) | (F.col("hi") != F.col("c")))
+        .count()
+    )
+    assert bad == 0
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("rnk")
+    dec = out.withColumn("prev", F.lag("tfidf").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("tfidf") > F.col("prev"))
+    )
+    assert dec.count() == 0
+
+
+def test_pmi_matches_bruteforce_and_sign(spark):
+    # 20 docs: a,b always together (pmi > 0); c,d never together is
+    # unobservable (no pair row), but c pairs with a in half the docs
+    texts = ["a b filler%d" % (i % 3) for i in range(10)] + [
+        "a c other%d" % (i % 3) for i in range(10)
+    ]
+    out = {
+        (r["term_a"], r["term_b"]): (r["n_ab"], r["pmi"])
+        for r in term_cooccurrence(
+            _docs(spark, texts), vocab_size=50, top_pairs=100
+        ).collect()
+    }
+    n = len(texts)
+    # brute force over doc-level distinct terms
+    toks = [set(t.split()) for t in texts]
+    df = Counter(t for s in toks for t in s)
+    pair = Counter()
+    for s in toks:
+        ss = sorted(s)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                pair[(ss[i], ss[j])] += 1
+    exp = {
+        p: (c, round(math.log(c * n / (df[p[0]] * df[p[1]])), 6))
+        for p, c in pair.items()
+    }
+    assert out == exp
+    # a is ubiquitous (df_a = N), so co-occurring with it carries NO
+    # information: pmi(a,b) = ln(n_ab·N / (N·df_b)) = ln(1) = 0
+    assert out[("a", "b")] == (10, 0.0)
+    # b and filler0 share 4 of 20 docs vs df_b=10, df_filler0=4:
+    # ln(4·20/(10·4)) = ln 2 > 0 — a genuine positive association
+    assert out[("b", "filler0")][1] > 0
+    assert ("c", "d") not in out
+
+
+def test_transition_probs_sum_to_one(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    ev = load_table(spark, str(SF_DIR), "events")
+    out = event_transitions(ev)
+    sums = (
+        out.groupBy("prev_type")
+        .agg(F.round(F.sum("prob"), 4).alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    # rounding each prob to 6dp keeps the row sum within 4dp of 1
+    assert sums and all(abs(r["s"] - 1.0) <= 1e-3 for r in sums)
+    # total transitions = events - users with >=1 event (first event of
+    # every user has no predecessor)
+    total = sum(r["n"] for r in sums)
+    n_events = ev.filter(F.col("user_id").isNotNull()).count()
+    n_users = ev.select("user_id").na.drop().distinct().count()
+    assert total == n_events - n_users
+
+
+def test_transitions_chain_edge_cases(spark):
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 1, 12, m)
+    rows = [
+        (1, 1, "a", t(0)),
+        (1, 2, "b", t(1)),
+        (1, 3, "a", t(1)),  # same-ts tie: event_id orders b -> a
+        (2, 4, "a", t(0)),  # single event: no transitions
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in event_transitions(ev).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 1}
