@@ -49,3 +49,102 @@ def merge_changes(
     untouched = snapshot.join(latest.select(key), key, "left_anti")
     applied = latest.filter(F.col(op_col) != F.lit("delete")).drop(op_col)
     return untouched.unionByName(applied.select(*snapshot.columns))
+
+
+def maintain_rollup(
+    rollup: DataFrame,
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incrementally maintain a materialized rollup under a CDC batch —
+    the counting algorithm of incremental view maintenance, for
+    rollups of shape ``groupBy(group_cols).agg(count(*) AS n_rows,
+    sum(c) AS sum_<c> ...)``.
+
+    At 100 TB the rollup's base table is exactly what you cannot
+    rescan per batch. This touches three SMALL things instead: the
+    change batch, the pre-images of the changed keys (one join of the
+    snapshot against the change keys — broadcast + partition-pruned
+    when the snapshot is key-clustered, sources/layout.py), and the
+    |affected groups| delta rows merged into the rollup with one
+    full-outer join. Each changed key contributes a −1/−value row for
+    its pre-image (if it existed) and a +1/+value row for its
+    post-image (unless the final op is a delete); groups whose count
+    reaches zero drop out, and a row moving between groups debits one
+    and credits the other. Sums run in DECIMAL(18,6), so the
+    maintained rollup is EXACTLY the from-scratch recompute over the
+    merged snapshot (the oracle states precisely that identity) —
+    NULL values sum as zero (count still counts the row); the
+    recompute twin must use the same convention.
+
+    Same `changes` contract as `merge_changes` (per-key latest wins by
+    `ts_col`; `op_col` in {'upsert','delete'}). Returns the new rollup
+    with columns ``group_cols + [n_rows] + [sum_<c>...]``.
+    """
+    dec = lambda c: F.coalesce(F.col(c).cast("decimal(18,6)"), F.lit(0).cast("decimal(18,6)"))
+    sum_names = [f"sum_{c}" for c in sum_cols]
+
+    row = F.struct(*[F.col(c) for c in changes.columns])
+    latest = (
+        changes.groupBy(key)
+        .agg(F.max_by(row, F.col(ts_col)).alias("__row"))
+        .select("__row.*")
+    )
+    pre = snapshot.join(latest.select(key), key, "inner")
+    minus = pre.select(
+        *group_cols,
+        F.lit(-1).cast("long").alias("__w"),
+        *[(-dec(c)).alias(n) for c, n in zip(sum_cols, sum_names)],
+    )
+    plus = latest.filter(F.col(op_col) != F.lit("delete")).select(
+        *group_cols,
+        F.lit(1).cast("long").alias("__w"),
+        *[dec(c).alias(n) for c, n in zip(sum_cols, sum_names)],
+    )
+    delta = (
+        minus.unionByName(plus)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__w").alias("__d_n"),
+            *[F.sum(n).alias(f"__d_{n}") for n in sum_names],
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    merged = rollup.join(delta, group_cols, "full_outer").select(
+        *group_cols,
+        (F.coalesce("n_rows", F.lit(0)) + F.coalesce("__d_n", F.lit(0))).alias(
+            "n_rows"
+        ),
+        *[
+            (
+                F.coalesce(F.col(n).cast("decimal(18,6)"), zero)
+                + F.coalesce(F.col(f"__d_{n}"), zero)
+            ).alias(n)
+            for n in sum_names
+        ],
+    )
+    return merged.filter(F.col("n_rows") > 0)
+
+
+def rollup_of(
+    table: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """The from-scratch rollup `maintain_rollup` maintains — split out
+    so build and maintenance provably share one aggregate shape (and
+    one NULL convention: values sum as zero via coalesce, counts count
+    every row)."""
+    zero = F.lit(0).cast("decimal(18,6)")
+    return table.groupBy(*group_cols).agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.coalesce(F.col(c).cast("decimal(18,6)"), zero)).alias(
+                f"sum_{c}"
+            )
+            for c in sum_cols
+        ],
+    )

@@ -3201,6 +3201,76 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 # --------------------------------------------------------------------------
 
 
+def q_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC incremental view maintenance (operators/cdc.py:
+    maintain_rollup): a per-priority orders rollup maintained under a
+    deterministic change batch — deletes (key % 20 == 0), upserts that
+    MOVE rows into a new '9-moved' group with +100 totals, and three
+    brand-new keys — touching only the changed keys' pre-images and
+    the affected groups, never rescanning the base table. The oracle
+    is the from-scratch recompute over the merged snapshot, so the
+    green row proves incremental == recompute exactly (DECIMAL sums)."""
+    from ..operators.cdc import maintain_rollup, rollup_of
+
+    snap = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = rollup_of(snap, ["o_orderpriority"], ["o_totalprice"])
+    changes = snap.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("9-moved").alias("o_orderpriority"),
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 20 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("o_orderkey").cast("timestamp").alias("ts"),
+    ).unionByName(
+        spark.range(3).select(
+            (F.col("id") + 10_000_000).alias("o_orderkey"),
+            F.lit("9-moved").alias("o_orderpriority"),
+            F.lit(42.5).alias("o_totalprice"),
+            F.lit("upsert").alias("op"),
+            F.col("id").cast("timestamp").alias("ts"),
+        )
+    )
+    out = maintain_rollup(
+        base,
+        snap,
+        changes,
+        key="o_orderkey",
+        group_cols=["o_orderpriority"],
+        sum_cols=["o_totalprice"],
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(F.col("sum_o_totalprice").cast("double"), 4).alias("sum_total"),
+    )
+
+
+SQL_ROLLUP_MAINTENANCE = """
+WITH changes AS (
+  SELECT o_orderkey, '9-moved' AS o_orderpriority,
+         o_totalprice + 100.0 AS o_totalprice,
+         CASE WHEN o_orderkey % 20 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT 10000000 + i, '9-moved', 42.5, 'upsert'
+  FROM generate_series(0, 2) AS t(i)
+), merged AS (
+  SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice FROM orders o
+  WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM changes WHERE op <> 'delete'
+)
+SELECT o_orderpriority, COUNT(*) AS n_rows,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS sum_total
+FROM merged GROUP BY 1
+"""
+
+
 def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X13 scale path — BM25 probe of a MATERIALIZED postings index
     (operators/text_index.py), the third member of the index trio.
@@ -3532,6 +3602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-3 session-2 additions (oracle-backed, past the window —
     # pytest runs the identical parity check)
     "bm25_indexed": q_bm25_indexed,
+    "rollup_maintenance": q_rollup_maintenance,
     "tfidf_topn": q_tfidf_topn,
     "term_pmi": q_term_pmi,
     "event_transitions": q_event_transitions,
@@ -3628,6 +3699,7 @@ ORACLE_SQL: dict[str, str] = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "sessionize": SQL_SESSIONIZE,
     "bm25_indexed": SQL_BM25_SEARCH,
+    "rollup_maintenance": SQL_ROLLUP_MAINTENANCE,
     "tfidf_topn": SQL_TFIDF_TOPN,
     "term_pmi": SQL_TERM_PMI,
     "event_transitions": SQL_EVENT_TRANSITIONS,
