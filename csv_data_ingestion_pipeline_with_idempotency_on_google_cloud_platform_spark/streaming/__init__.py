@@ -7,6 +7,7 @@ from .event_stream import (  # noqa: F401
     streaming_event_transitions,
     streaming_funnel_progress,
     streaming_rolling_user_stats,
+    streaming_rollup_updates,
     streaming_sessionize,
     windowed_event_counts,
     windowed_reach,

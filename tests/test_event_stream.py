@@ -798,3 +798,82 @@ def test_streaming_transitions_survive_restart(spark, tmp_path):
         for r in event_transitions(events).collect()
     }
     assert got_map == exp_map
+
+
+def test_streaming_rollup_updates_match_batch_ivm(spark, tmp_path):
+    """Bootstrap the snapshot as a first batch of upserts, then stream
+    a CDC batch with moves/deletes/inserts: base(empty) + summed
+    deltas must equal the from-scratch rollup of the merged table —
+    and therefore equal what batch maintain_rollup computes."""
+    import os
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.cdc import (
+        merge_changes,
+        rollup_of,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming.event_stream import (
+        streaming_rollup_updates,
+    )
+
+    snap = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    boot = snap.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.lit("upsert").alias("op"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    changes = snap.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("9-moved").alias("o_orderpriority"),
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 20 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.lit("2021-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    boot.coalesce(1).write.parquet(f"{src}/f0.parquet")
+    changes.coalesce(1).write.parquet(f"{src}/f1.parquet")
+    os.utime(f"{src}/f0.parquet", (1_800_000_000, 1_800_000_000))
+    os.utime(f"{src}/f1.parquet", (1_800_000_100, 1_800_000_100))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/f0.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*.parquet")
+    )
+    out = streaming_rollup_updates(
+        stream, key="o_orderkey", group_col="o_orderpriority",
+        sum_col="o_totalprice",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rollup_updates")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select o_orderpriority, sum(d_n) as n, sum(d_sum_micro) as s "
+            "from rollup_updates group by 1"
+        ).collect()
+    finally:
+        q.stop()
+
+    merged = merge_changes(snap, changes, key="o_orderkey")
+    exp = rollup_of(merged, ["o_orderpriority"], ["o_totalprice"]).collect()
+    got_map = {
+        r["o_orderpriority"]: (r["n"], round(r["s"] / 1e6, 6))
+        for r in got
+        if r["n"] != 0 or r["s"] != 0
+    }
+    exp_map = {
+        r["o_orderpriority"]: (r["n_rows"], round(float(r["sum_o_totalprice"]), 6))
+        for r in exp
+    }
+    assert got_map == exp_map
