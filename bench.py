@@ -82,6 +82,7 @@ HEADLINE = [
     "event_transitions",
     "value_outliers",
     "bm25_indexed",
+    "rollup_maintenance",
 ]
 
 

@@ -282,6 +282,70 @@ def term_cooccurrence(
     )
 
 
+def term_divergence(
+    docs: DataFrame,
+    slice_col: str,
+    slice_a: str,
+    slice_b: str,
+    top_k: int = 25,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top terms driving the Jensen-Shannon divergence between two
+    corpus slices — the distribution-drift diagnostic run between
+    crawl snapshots, sources, or time windows before a new slice is
+    admitted into a training mix.
+
+    Per term: p = freq in slice a, q = freq in slice b, m = (p+q)/2,
+    js_term = (p·ln(p/m) + q·ln(q/m)) / 2 with 0·ln(0) = 0; the total
+    JS divergence is the sum over terms (each row carries its share).
+
+    Scale shape: ONE scan — the slice filter pushes into it, the
+    (term, slice) count is map-side combinable, and the two slices
+    pivot into (c_a, c_b) columns via conditional aggregation (no
+    self-join). Totals are a broadcast 1-row aggregate over the same
+    counts; top-k is TakeOrderedAndProject. All inputs to the math are
+    exact integer counts, so the oracle comparison carries no
+    accumulation drift.
+
+    Returns (term, c_a, c_b, js_term) — top_k by (js_term desc, term
+    asc), js_term rounded to 9 dp (contributions are small; 6 dp would
+    flatten the ordering).
+    """
+    from ..functions.text import tokens_col
+
+    toks = (
+        parallelize_narrow(docs)
+        .filter(F.col(slice_col).isin([slice_a, slice_b]))
+        .select(
+            F.col(slice_col).alias("__slice"),
+            F.explode(tokens_col(text_col)).alias("tok"),
+        )
+        .select("__slice", F.lower("tok").alias("term"))
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("__slice") == slice_a, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("__slice") == slice_b, 1).otherwise(0)).alias("c_b"),
+    )
+    totals = counts.select(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    p = F.col("c_a") / F.col("n_a")
+    q = F.col("c_b") / F.col("n_b")
+    m = (p + q) / 2
+    term0 = lambda x: F.when(x > 0, x * F.log(x / m)).otherwise(F.lit(0.0))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "c_a",
+            "c_b",
+            F.round((term0(p) + term0(q)) / 2, 9).alias("js_term"),
+        )
+        .orderBy(F.desc("js_term"), F.asc("term"))
+        .limit(top_k)
+    )
+
+
 def dup_passages(
     docs: DataFrame,
     n: int = 5,

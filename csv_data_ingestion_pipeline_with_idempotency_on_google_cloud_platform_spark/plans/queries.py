@@ -3201,6 +3201,45 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 # --------------------------------------------------------------------------
 
 
+def q_term_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X11 drift diagnostic: top-25 terms driving the Jensen-
+    Shannon divergence between the English and German corpus slices
+    (operators/textstats.py:term_divergence) — one scan, conditional-
+    aggregation pivot, no self-join."""
+    return textstats.term_divergence(
+        load_table(spark, sf_dir, "documents"), "lang", "en", "de", top_k=25
+    )
+
+
+SQL_TERM_DIVERGENCE = r"""
+WITH toks AS (
+  SELECT lang AS s,
+         lower(unnest(regexp_split_to_array(
+             regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS term
+  FROM documents
+  WHERE lang IN ('en', 'de')
+    AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
+), counts AS (
+  SELECT term,
+         SUM(CASE WHEN s = 'en' THEN 1 ELSE 0 END) AS c_a,
+         SUM(CASE WHEN s = 'de' THEN 1 ELSE 0 END) AS c_b
+  FROM toks GROUP BY 1
+), totals AS (
+  SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM counts
+)
+SELECT term, c_a, c_b,
+       round((
+         CASE WHEN c_a > 0 THEN (c_a / n_a) * ln((c_a / n_a) /
+           ((c_a / n_a + c_b / n_b) / 2)) ELSE 0 END
+         + CASE WHEN c_b > 0 THEN (c_b / n_b) * ln((c_b / n_b) /
+           ((c_a / n_a + c_b / n_b) / 2)) ELSE 0 END
+       ) / 2, 9) AS js_term
+FROM counts CROSS JOIN totals
+ORDER BY js_term DESC, term ASC
+LIMIT 25
+"""
+
+
 def q_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC incremental view maintenance (operators/cdc.py:
     maintain_rollup): a per-priority orders rollup maintained under a
@@ -3603,6 +3642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pytest runs the identical parity check)
     "bm25_indexed": q_bm25_indexed,
     "rollup_maintenance": q_rollup_maintenance,
+    "term_divergence": q_term_divergence,
     "tfidf_topn": q_tfidf_topn,
     "term_pmi": q_term_pmi,
     "event_transitions": q_event_transitions,
@@ -3700,6 +3740,7 @@ ORACLE_SQL: dict[str, str] = {
     "sessionize": SQL_SESSIONIZE,
     "bm25_indexed": SQL_BM25_SEARCH,
     "rollup_maintenance": SQL_ROLLUP_MAINTENANCE,
+    "term_divergence": SQL_TERM_DIVERGENCE,
     "tfidf_topn": SQL_TFIDF_TOPN,
     "term_pmi": SQL_TERM_PMI,
     "event_transitions": SQL_EVENT_TRANSITIONS,

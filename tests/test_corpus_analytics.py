@@ -151,3 +151,40 @@ def test_transitions_chain_edge_cases(spark):
         for r in event_transitions(ev).collect()
     }
     assert got == {("a", "b"): 1, ("b", "a"): 1}
+
+
+def test_term_divergence_matches_bruteforce(spark):
+    import math as _math
+    from collections import Counter as _C
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        term_divergence,
+    )
+
+    rows = [
+        (0, "en", "the cat sat"),
+        (1, "en", "the dog ran"),
+        (2, "de", "der hund lief"),
+        (3, "de", "der the katze"),  # shared term 'the'
+        (4, "fr", "le chat"),  # other slice: excluded entirely
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["term"]: (r["c_a"], r["c_b"], r["js_term"])
+        for r in term_divergence(docs, "lang", "en", "de", top_k=100).collect()
+    }
+    ca = _C(t for _, l, x in rows if l == "en" for t in x.split())
+    cb = _C(t for _, l, x in rows if l == "de" for t in x.split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    exp = {}
+    for t in set(ca) | set(cb):
+        p, q = ca[t] / na, cb[t] / nb
+        m = (p + q) / 2
+        js = ((p * _math.log(p / m) if p else 0.0) + (q * _math.log(q / m) if q else 0.0)) / 2
+        exp[t] = (ca[t], cb[t], round(js, 9))
+    assert got == exp
+    # slice-exclusive terms carry more divergence than the shared one
+    assert got["the"][2] < got["cat"][2]
+    # total JS over all terms is within [0, ln 2]
+    total = sum(v[2] for v in got.values())
+    assert 0.0 <= total <= _math.log(2) + 1e-9
