@@ -110,12 +110,31 @@ def write_text_index(
 ) -> None:
     """Materialize `docs` as a BM25 postings index at `path`.
 
-    Layout: ``path/postings`` hive-partitioned by ``bucket`` (md5 of
-    term mod `n_buckets`), term-sorted within partitions for row-group
-    skipping; ``path/terms`` the per-term df under the same layout;
-    ``path/_meta`` the corpus scalars. One tokenize pass + the
-    partitioned write's routing shuffle; documents never move again.
+    Layout: ``path/postings/batch_id=N/bucket=M`` — the initial build
+    is batch 0; every append owns its own ``batch_id`` directory, so a
+    retried append REPLACES its partial attempt instead of duplicating
+    postings (the neardup_stream idempotency pattern). Probes filter
+    on ``bucket`` (md5 of term mod `n_buckets`) — a second-level
+    partition prunes exactly like a first-level one — and row groups
+    within a bucket are term-sorted for footer-stats skipping.
+    ``path/terms`` carries the per-term df under a plain bucket
+    layout (rebuilt whole on every append — it is derived, tiny, and
+    overwrite-idempotent); ``path/_meta`` the corpus scalars. One
+    tokenize pass + the partitioned write's routing shuffle; documents
+    never move again.
     """
+    _write_postings_batch(docs, path, 0, n_buckets, id_col, text_col)
+    _write_sidecars(docs.sparkSession, path, n_buckets)
+
+
+def _write_postings_batch(
+    docs: DataFrame,
+    path: str,
+    batch_id: int,
+    n_buckets: int,
+    id_col: str,
+    text_col: str,
+) -> None:
     post = _full_postings(docs, id_col, text_col)
     (
         post.withColumn("bucket", _bucket_col(F.col("term"), n_buckets))
@@ -123,10 +142,8 @@ def write_text_index(
         .sortWithinPartitions("term")
         .write.partitionBy("bucket")
         .mode("overwrite")
-        .parquet(f"{path}/postings")
+        .parquet(f"{path}/postings/batch_id={batch_id}")
     )
-    spark = docs.sparkSession
-    _write_sidecars(spark, path, n_buckets)
 
 
 def append_to_text_index(
@@ -134,6 +151,7 @@ def append_to_text_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: int | None = None,
 ) -> None:
     """Add a batch of new documents to an existing index — the
     ingest-time twin of `ann_index.append_to_ivf_index`.
@@ -155,21 +173,25 @@ def append_to_text_index(
     rebuild leaves df/meta stale for the new batch only; re-running
     the sidecar rebuild (or the next successful append) repairs them,
     since sidecars are always derived from the on-disk postings.
+
+    `batch_id` names the directory this append owns
+    (``postings/batch_id=N``, written with overwrite — a RETRIED
+    append replaces its own partial attempt instead of duplicating
+    postings, which is what makes the streaming wrapper's
+    at-least-once foreachBatch exactly-once in effect). None (the
+    batch/CLI case) allocates max existing + 1.
     """
     spark = docs.sparkSession
     meta = spark.read.parquet(f"{path}/_meta").first()
     if meta is None:
         raise ValueError(f"index at {path} has an empty _meta sidecar")
     n_buckets = int(meta["n_buckets"])
-    post = _full_postings(docs, id_col, text_col)
-    (
-        post.withColumn("bucket", _bucket_col(F.col("term"), n_buckets))
-        .repartition("bucket")
-        .sortWithinPartitions("term")
-        .write.partitionBy("bucket")
-        .mode("append")
-        .parquet(f"{path}/postings")
-    )
+    if batch_id is None:
+        existing = spark.read.parquet(f"{path}/postings").select(
+            F.max("batch_id").alias("m")
+        ).first()["m"]
+        batch_id = int(existing) + 1
+    _write_postings_batch(docs, path, batch_id, n_buckets, id_col, text_col)
     _write_sidecars(spark, path, n_buckets)
 
 

@@ -647,7 +647,8 @@ _INDEX_CACHE = os.path.join(
 
 # bump when an index builder's on-disk layout changes, so stale caches
 # from an older code version are never probed as if current
-_INDEX_CACHE_VERSION = 2
+# v3: text-index postings gained the batch_id partition level
+_INDEX_CACHE_VERSION = 3
 
 
 def _cached_index(sf_dir: str, kind: str, build, source_table: str = "") -> str:

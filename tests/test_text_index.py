@@ -44,7 +44,8 @@ def _rows(df):
 
 def test_layout_is_bucket_partitioned_with_sidecars(spark, tmp_path):
     docs, path = _index(spark, tmp_path)
-    assert glob.glob(f"{path}/postings/bucket=*")
+    # initial build owns batch_id=0; every append owns its own batch dir
+    assert glob.glob(f"{path}/postings/batch_id=0/bucket=*")
     assert glob.glob(f"{path}/terms/bucket=*")
     meta = spark.read.parquet(f"{path}/_meta").first()
     assert meta["n_docs"] == docs.count()
@@ -100,3 +101,50 @@ def test_repeated_query_terms_and_case_fold(spark, tmp_path):
     a = _rows(bm25_search_indexed(spark, path, ["Vector", "vector"], k=5))
     b = _rows(bm25_search_indexed(spark, path, ["vector"], k=5))
     assert a == b
+
+
+def test_streaming_index_maintenance_matches_scan(spark, tmp_path):
+    """Stream the corpus in as JSON-lines files: after the stream
+    drains, probing the maintained index must equal the corpus scan
+    over everything ingested — across the build batch, appends, and a
+    SIMULATED RETRY of a batch (at-least-once foreachBatch)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming.text_index_stream import (
+        _index_batch,
+        start_text_index_stream,
+    )
+
+    docs = load_table(spark, str(SF_DIR), "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_feed")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    half.coalesce(1).write.json(f"{src}/f0.json")
+    rest.coalesce(1).write.json(f"{src}/f1.json")
+
+    index_dir = str(tmp_path / "stream_index")
+    ckpt = str(tmp_path / "stream_index_ckpt")
+    q = start_text_index_stream(
+        spark, f"{src}/f*.json", index_dir, ckpt,
+        n_buckets=16, max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def rows(df):
+        return [(r["doc_id"], r["score"], r["rnk"]) for r in df.orderBy("rnk").collect()]
+
+    got = rows(bm25_search_indexed(spark, index_dir, QUERY, k=10))
+    exp = rows(bm25_topk(docs, QUERY, k=10))
+    assert got == exp
+
+    # retry the LAST batch (same batch_id, same rows): postings must be
+    # replaced, not duplicated, and the probe unchanged
+    max_bid = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .agg(F.max("batch_id"))
+        .first()[0]
+    )
+    retried = spark.read.json(f"{src}/f1.json")
+    _index_batch(spark, retried, int(max_bid), index_dir, 16)
+    assert rows(bm25_search_indexed(spark, index_dir, QUERY, k=10)) == exp
