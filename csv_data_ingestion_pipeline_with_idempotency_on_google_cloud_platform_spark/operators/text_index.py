@@ -239,3 +239,43 @@ def bm25_search_indexed(
         [(int(meta["n_docs"]), float(meta["avgdl"]))], "n_docs long, avgdl double"
     )
     return _bm25_rank_topk(postings, df_per_term, stats, k, k1, b)
+
+
+def compact_text_index(spark: SparkSession, path: str) -> int:
+    """Fold every batch's postings into a single batch_id=0 tree — the
+    small-file countermeasure for a long-running streaming index
+    (thousands of per-batch directories make probes pay file-open and
+    listing overhead that row-group skipping cannot recover).
+
+    Rewrite-then-swap via the ledger's ATOMIC directory exchange
+    (operators/ledger._exchange_dirs): a concurrent probe lists the
+    complete old tree or the complete new one. Postings content is
+    preserved row-for-row (same bucket routing, term-sorted within
+    partitions), so probe results are IDENTICAL across the cutover and
+    the sidecars stay valid without a rebuild — compaction moves
+    bytes, never meaning. Returns the number of postings rows.
+    """
+    import shutil
+
+    from .ledger import _exchange_dirs
+
+    meta = spark.read.parquet(f"{path}/_meta").first()
+    if meta is None:
+        raise ValueError(f"index at {path} has an empty _meta sidecar")
+    n_buckets = int(meta["n_buckets"])
+    post = spark.read.parquet(f"{path}/postings").select(
+        "doc_id", "term", "tf", "dl", "bucket"
+    )
+    tmp = path.rstrip("/") + "/postings.compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        post.repartition("bucket")
+        .sortWithinPartitions("term")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(f"{tmp}/batch_id=0")
+    )
+    n = spark.read.parquet(tmp).count()
+    _exchange_dirs(f"{path}/postings", tmp)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n

@@ -148,3 +148,32 @@ def test_streaming_index_maintenance_matches_scan(spark, tmp_path):
     retried = spark.read.json(f"{src}/f1.json")
     _index_batch(spark, retried, int(max_bid), index_dir, 16)
     assert rows(bm25_search_indexed(spark, index_dir, QUERY, k=10)) == exp
+
+
+def test_compaction_preserves_probes_and_merges_batches(spark, tmp_path):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.text_index import (
+        compact_text_index,
+    )
+
+    docs = load_table(spark, str(SF_DIR), "documents")
+    path = str(tmp_path / "bm25_compact")
+    thirds = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    write_text_index(thirds[0], path, n_buckets=8)
+    append_to_text_index(thirds[1], path)
+    append_to_text_index(thirds[2], path)
+
+    before = _rows(bm25_search_indexed(spark, path, QUERY, k=10))
+    n_post = spark.read.parquet(f"{path}/postings").count()
+
+    import glob
+
+    assert len(glob.glob(f"{path}/postings/batch_id=*")) == 3
+    n = compact_text_index(spark, path)
+    assert n == n_post
+    assert glob.glob(f"{path}/postings/batch_id=*") == [
+        f"{path}/postings/batch_id=0"
+    ]
+    after = _rows(bm25_search_indexed(spark, path, QUERY, k=10))
+    assert after == before
+    # and the compacted index still equals the full corpus scan
+    assert after == _rows(bm25_topk(docs, QUERY, k=10))
