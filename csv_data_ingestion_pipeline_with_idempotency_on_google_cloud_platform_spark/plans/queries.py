@@ -3561,32 +3561,45 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "contamination": q_contamination,
     "topk_cosine": q_topk_cosine,
-    "topk_cosine_batch": q_topk_cosine_batch,
-    "embedding_centroids": q_embedding_centroids,
     "bpe_token_stats": q_bpe_token_stats,
     "pii_redact": q_pii_redact,
     "top_terms": q_top_terms,
     "props_json_extract": q_props_json_extract,
     "media_features": q_media_features,
-    "media_frames": q_media_frames,
-    "media_resize": q_media_resize,
     "tumbling_window_agg": q_tumbling_window_agg,
-    "sliding_window_agg": q_sliding_window_agg,
     "session_window_agg": q_session_window_agg,
     "asof_join": q_asof_join,
     "range_join_count": q_range_join_count,
-    "distinct_agg": q_distinct_agg,
-    "pivot_event_counts": q_pivot_event_counts,
-    "percentile_value": q_percentile_value,
-    "cube_agg": q_cube_agg,
     "pack_sequences": q_pack_sequences,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
     "bm25_search": q_bm25_search,
-    # ---- entry 51+: driver-green in CORRECTNESS_r02.json, demoted this
-    # round to make room in the window; pytest keeps running the identical
+    # session-2 additions, promoted into the window so every
+    # oracle-backed query earns a driver-witnessed green row by the
+    # end of round 3 (the 9 entries they displace were all
+    # driver-green in CORRECTNESS_r02.json)
+    "bm25_indexed": q_bm25_indexed,
+    "rollup_maintenance": q_rollup_maintenance,
+    "term_divergence": q_term_divergence,
+    "tfidf_topn": q_tfidf_topn,
+    "term_pmi": q_term_pmi,
+    "event_transitions": q_event_transitions,
+    "window_distinct_users": q_window_distinct_users,
+    "doc_length_histogram": q_doc_length_histogram,
+    "value_outliers": q_value_outliers,
+    # ---- entry 51+: driver-green in CORRECTNESS_r02.json, demoted to
+    # make room in the window; pytest keeps running the identical
     # oracle parity check on each of these
+    "topk_cosine_batch": q_topk_cosine_batch,
+    "embedding_centroids": q_embedding_centroids,
+    "media_frames": q_media_frames,
+    "media_resize": q_media_resize,
+    "sliding_window_agg": q_sliding_window_agg,
+    "distinct_agg": q_distinct_agg,
+    "pivot_event_counts": q_pivot_event_counts,
+    "percentile_value": q_percentile_value,
+    "cube_agg": q_cube_agg,
     "tpch_q1": q_tpch_q1,
     "tpch_q6": q_tpch_q6,
     "tpch_q3": q_tpch_q3,
@@ -3639,17 +3652,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_anti_join": q_bloom_anti_join,
     # rows-only: sketch output is engine-specific (error-bound test instead)
     "approx_quantiles": q_approx_quantiles,
-    # round-3 session-2 additions (oracle-backed, past the window —
-    # pytest runs the identical parity check)
-    "bm25_indexed": q_bm25_indexed,
-    "rollup_maintenance": q_rollup_maintenance,
-    "term_divergence": q_term_divergence,
-    "tfidf_topn": q_tfidf_topn,
-    "term_pmi": q_term_pmi,
-    "event_transitions": q_event_transitions,
-    "window_distinct_users": q_window_distinct_users,
-    "doc_length_histogram": q_doc_length_histogram,
-    "value_outliers": q_value_outliers,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
