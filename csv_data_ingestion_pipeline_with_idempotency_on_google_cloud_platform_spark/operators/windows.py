@@ -265,6 +265,57 @@ def rolling_user_stats(
     )
 
 
+def user_value_trend(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user OLS trend of event value over time — the behavioral-
+    drift feature (is this user's spend/engagement rising?) computed
+    as closed-form regression sums, no UDF and ONE shuffle.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), with x = whole seconds
+    since the user's first event (a window over the same user
+    partitioning the aggregation uses — no second shuffle) and y the
+    value in DECIMAL(18,6). Flooring x to seconds keeps every product
+    inside DECIMAL range, so all five sums are EXACT and the oracle
+    comparison carries no accumulation-order drift — the one float op
+    is the final division. Users with fewer than 2 events or zero
+    time variance are excluded (slope undefined).
+
+    Returns (user_id, n_events, slope_per_hour) rounded to 6 dp.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col)
+    base = events.select(
+        F.col(user_col),
+        F.col(value_col).cast("decimal(18,6)").alias("__y"),
+        us.alias("__us"),
+    ).withColumn(
+        "__x", F.floor((F.col("__us") - F.min("__us").over(w)) / 1_000_000)
+    )
+    sums = base.groupBy(user_col).agg(
+        F.count("*").alias("n_events"),
+        F.sum("__x").alias("sx"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    den = sums["n_events"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = sums["n_events"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        sums.filter((F.col("n_events") >= 2) & (den > 0))
+        .select(
+            user_col,
+            "n_events",
+            F.round(
+                (num.cast("double") / den.cast("double")) * 3600.0, 6
+            ).alias("slope_per_hour"),
+        )
+    )
+
+
 def event_transitions(
     events: DataFrame,
     user_col: str = "user_id",

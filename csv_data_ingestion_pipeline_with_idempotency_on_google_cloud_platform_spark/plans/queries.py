@@ -3202,6 +3202,35 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 # --------------------------------------------------------------------------
 
 
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 behavioral drift: per-user OLS slope of event value over
+    time from exact DECIMAL regression sums — closed form, no UDF,
+    one shuffle (operators/windows.py:user_value_trend)."""
+    return windows.user_value_trend(load_table(spark, sf_dir, "events"))
+
+
+SQL_USER_VALUE_TREND = """
+WITH base AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,6)) AS y,
+         CAST(floor((epoch_us(ts) - MIN(epoch_us(ts)) OVER (
+             PARTITION BY user_id)) / 1000000.0) AS BIGINT) AS x
+  FROM events
+), sums AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         SUM(x) AS sx, SUM(x * x) AS sxx,
+         SUM(y) AS sy, SUM(CAST(x AS DECIMAL(18,0)) * y) AS sxy
+  FROM base GROUP BY 1
+)
+SELECT user_id, n_events,
+       round(CAST(n_events * sxy - sx * sy AS DOUBLE)
+             / CAST(n_events * sxx - sx * sx AS DOUBLE) * 3600.0, 6)
+         AS slope_per_hour
+FROM sums
+WHERE n_events >= 2 AND n_events * sxx - sx * sx > 0
+"""
+
+
 def q_term_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4/X11 drift diagnostic: top-25 terms driving the Jensen-
     Shannon divergence between the English and German corpus slices
@@ -3652,6 +3681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_anti_join": q_bloom_anti_join,
     # rows-only: sketch output is engine-specific (error-bound test instead)
     "approx_quantiles": q_approx_quantiles,
+    "user_value_trend": q_user_value_trend,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
@@ -3744,6 +3774,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_indexed": SQL_BM25_SEARCH,
     "rollup_maintenance": SQL_ROLLUP_MAINTENANCE,
     "term_divergence": SQL_TERM_DIVERGENCE,
+    "user_value_trend": SQL_USER_VALUE_TREND,
     "tfidf_topn": SQL_TFIDF_TOPN,
     "term_pmi": SQL_TERM_PMI,
     "event_transitions": SQL_EVENT_TRANSITIONS,

@@ -188,3 +188,55 @@ def test_term_divergence_matches_bruteforce(spark):
     # total JS over all terms is within [0, ln 2]
     total = sum(v[2] for v in got.values())
     assert 0.0 <= total <= _math.log(2) + 1e-9
+
+
+def test_user_value_trend_matches_numpy_ols(spark):
+    import numpy as np
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        user_value_trend,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    ev = load_table(spark, str(SF_DIR), "events")
+    got = {
+        r["user_id"]: (r["n_events"], r["slope_per_hour"])
+        for r in user_value_trend(ev).collect()
+    }
+    rows = ev.select("user_id", "ts", "value").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    exp = {}
+    for uid, rs in by_user.items():
+        us = np.array([int(r["ts"].timestamp() * 1e6) for r in rs], dtype="int64")
+        x = (us - us.min()) // 1_000_000  # whole seconds, floored
+        y = np.array([r["value"] for r in rs])
+        if len(rs) < 2 or np.all(x == x[0]):
+            continue
+        slope = np.polyfit(x.astype(float), y, 1)[0] * 3600.0
+        exp[uid] = (len(rs), slope)
+    assert set(got) == set(exp)
+    for uid in exp:
+        assert got[uid][0] == exp[uid][0]
+        assert abs(got[uid][1] - exp[uid][1]) < 1e-4, uid
+
+
+def test_user_value_trend_excludes_degenerate_users(spark):
+    from datetime import datetime
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        user_value_trend,
+    )
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t, 1.0),  # single event: excluded
+        (2, t, 1.0), (2, t, 5.0),  # two events, SAME second: zero x-variance
+        (3, t, 0.0), (3, datetime(2024, 1, 1, 13, 0, 0), 2.0),  # slope 2/hr
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r["user_id"]: r["slope_per_hour"] for r in user_value_trend(ev).collect()}
+    assert got == {3: 2.0}
