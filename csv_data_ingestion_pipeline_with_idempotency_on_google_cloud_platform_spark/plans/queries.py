@@ -3202,6 +3202,35 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 # --------------------------------------------------------------------------
 
 
+def q_queue_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 as a first-class source: read a base64-JSON queue dump
+    through the CUSTOM PySpark DataSource (sources/queue_source.py,
+    Spark 4 Python Data Source API) — one input partition per wire
+    file, Arrow-batched Python decode, fail-loud on malformed lines.
+    The dump is produced once per sf_dir from the ledger via the same
+    plan-level codec, so the decoded rows must equal the ledger's
+    (upload_id, bucket_name, file_name) exactly."""
+    from ..sources.queue_source import register_queue_source, write_queue_dump
+
+    led = ledger_df(spark, sf_dir).select(
+        "upload_id", "bucket_name", "file_name"
+    )
+    path = _cached_index(
+        sf_dir, "queuedump", lambda p: write_queue_dump(led, p, n_files=8)
+    )
+    register_queue_source(spark)
+    return (
+        spark.read.format("uploadqueue")
+        .load(path)
+        .select("upload_id", "bucket_name", "file_name")
+    )
+
+
+SQL_QUEUE_SOURCE_SCAN = f"""
+SELECT upload_id, bucket_name, file_name FROM ({{LEDGER}})
+""".replace("{LEDGER}", LEDGER_SQL)
+
+
 def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 behavioral drift: per-user OLS slope of event value over
     time from exact DECIMAL regression sums — closed form, no UDF,
@@ -3682,6 +3711,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only: sketch output is engine-specific (error-bound test instead)
     "approx_quantiles": q_approx_quantiles,
     "user_value_trend": q_user_value_trend,
+    "queue_source_scan": q_queue_source_scan,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
@@ -3775,6 +3805,7 @@ ORACLE_SQL: dict[str, str] = {
     "rollup_maintenance": SQL_ROLLUP_MAINTENANCE,
     "term_divergence": SQL_TERM_DIVERGENCE,
     "user_value_trend": SQL_USER_VALUE_TREND,
+    "queue_source_scan": SQL_QUEUE_SOURCE_SCAN,
     "tfidf_topn": SQL_TFIDF_TOPN,
     "term_pmi": SQL_TERM_PMI,
     "event_transitions": SQL_EVENT_TRANSITIONS,

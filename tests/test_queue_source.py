@@ -1,0 +1,70 @@
+"""Custom uploadqueue DataSource (sources/queue_source.py): decode
+parity with the column codec, per-file partitioning, provenance, and
+fail-loud malformed lines."""
+
+from __future__ import annotations
+
+import base64
+
+import pytest
+from pyspark.sql import functions as F
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.functions.json_codec import (
+    decode_queue_message,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.queue_source import (
+    register_queue_source,
+    write_queue_dump,
+)
+
+
+def _sample(spark, n=40):
+    return spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id")).alias("upload_id"),
+        F.lit("bkt").alias("bucket_name"),
+        F.concat(F.lit("f"), F.col("id"), F.lit(".csv")).alias("file_name"),
+    )
+
+
+def test_source_matches_column_codec(spark, tmp_path):
+    dump = str(tmp_path / "dump")
+    write_queue_dump(_sample(spark), dump, n_files=4)
+    register_queue_source(spark)
+
+    via_source = spark.read.format("uploadqueue").load(dump)
+    via_codec = (
+        spark.read.text(dump)
+        .select(decode_queue_message("value", wrapped_base64=True).alias("m"))
+        .select("m.upload_id", "m.bucket_name", "m.file_name")
+    )
+    key = lambda r: (r["upload_id"], r["bucket_name"], r["file_name"])
+    a = sorted(key(r) for r in via_source.collect())
+    b = sorted(key(r) for r in via_codec.collect())
+    assert a == b and len(a) == 40
+
+
+def test_one_partition_per_file_with_provenance(spark, tmp_path):
+    dump = str(tmp_path / "dump4")
+    write_queue_dump(_sample(spark), dump, n_files=4)
+    register_queue_source(spark)
+    df = spark.read.format("uploadqueue").load(dump)
+    assert df.rdd.getNumPartitions() == 4
+    prov = df.groupBy("source_file").agg(
+        F.count("*").alias("n"), F.min("line_no").alias("lo")
+    )
+    rows = prov.collect()
+    assert len(rows) == 4
+    assert all(r["lo"] == 0 for r in rows)  # line numbering per file
+    assert sum(r["n"] for r in rows) == 40
+
+
+def test_malformed_line_fails_with_position(spark, tmp_path):
+    dump = tmp_path / "bad"
+    dump.mkdir()
+    good = base64.b64encode(
+        b'{"upload_id":"u1","bucket_name":"b","file_name":"f"}'
+    )
+    (dump / "part-0.txt").write_bytes(good + b"\nnot-base64!!\n")
+    register_queue_source(spark)
+    with pytest.raises(Exception, match="part-0.txt:1"):
+        spark.read.format("uploadqueue").load(str(dump)).collect()
