@@ -115,8 +115,22 @@ def maintain_rollup(
         )
     )
     zero = F.lit(0).cast("decimal(18,6)")
-    merged = rollup.join(delta, group_cols, "full_outer").select(
-        *group_cols,
+    # NULL-safe group matching: a NULL group value is a real group in
+    # GROUP BY semantics, but a plain equi-join would never match it
+    # on both sides and the merge would emit two unmerged rows — use
+    # <=> and coalesce the key columns back together (the r2 ADVICE
+    # hard_negatives lesson applied here from the start)
+    d = delta.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        "__d_n",
+        *[F.col(f"__d_{n}") for n in sum_names],
+    )
+    cond = None
+    for c in group_cols:
+        clause = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        cond = clause if cond is None else (cond & clause)
+    merged = rollup.join(d, cond, "full_outer").select(
+        *[F.coalesce(F.col(c), F.col(f"__g_{c}")).alias(c) for c in group_cols],
         (F.coalesce("n_rows", F.lit(0)) + F.coalesce("__d_n", F.lit(0))).alias(
             "n_rows"
         ),

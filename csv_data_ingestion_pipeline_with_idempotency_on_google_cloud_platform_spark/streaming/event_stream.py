@@ -621,8 +621,10 @@ def streaming_rollup_updates(
     rollup. A delete removes the key's state entirely, so a
     delete-then-reinsert key costs nothing between. Sums ride as
     micros-style scaled longs (decimal(18,6) semantics) to keep the
-    emitted deltas exact across engines; the in-order-per-key contract
-    matches the other row-level twins.
+    emitted deltas exact across engines — values carrying more than
+    6 dp round half-to-even here vs the batch form's DECIMAL half-up,
+    a sub-micro divergence only on exact .5e-6 boundaries; the
+    in-order-per-key contract matches the other row-level twins.
     """
     from collections.abc import Iterator
 

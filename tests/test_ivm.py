@@ -113,3 +113,15 @@ def test_preimage_join_broadcasts_change_keys(spark):
     assert not any(
         re.search(r"SortMergeJoin \[k#\d+L\]", l) for l in final
     ), plan
+
+
+def test_null_group_is_one_group(spark):
+    """A NULL group value is a real group in GROUP BY semantics: the
+    rollup's NULL row and the delta's NULL row must MERGE (null-safe
+    join), not emit two unmerged rows."""
+    got = _check(
+        spark,
+        [(1, None, 10.0), (2, None, 4.0), (3, "a", 1.0)],
+        [(4, None, 6.0, "upsert"), (1, "a", 2.0, "upsert")],  # 1 moves NULL->a
+    )
+    assert got == {None: (2, 10.0), "a": (2, 3.0)}
