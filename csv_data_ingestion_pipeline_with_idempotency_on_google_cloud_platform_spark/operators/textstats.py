@@ -223,16 +223,14 @@ def term_cooccurrence(
     """
     from ..functions.text import tokens_col
 
-    docterms = (
-        parallelize_narrow(docs)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokens_col(text_col)).alias("tok"),
-        )
-        .select("doc_id", F.lower("tok").alias("term"))
-        .distinct()
+    raw = parallelize_narrow(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    ).select("doc_id", F.lower("tok").alias("term"))
+    # df pass: the one place the full-vocabulary distinct is needed
+    df_per_term = raw.distinct().groupBy("term").agg(
+        F.count("*").alias("df")
     )
-    df_per_term = docterms.groupBy("term").agg(F.count("*").alias("df"))
     vocab_rows = (
         df_per_term.orderBy(F.desc("df"), F.asc("term"))
         .limit(vocab_size)
@@ -243,8 +241,12 @@ def term_cooccurrence(
     )
     n_docs = docs.select(F.count("*").alias("n_docs"))
 
+    # pair pass: collect_set dedups for free, so it consumes the RAW
+    # token stream filtered to the broadcast vocab — the shuffle
+    # carries only vocab-term tokens, not a second full-vocabulary
+    # distinct (which a profile showed re-running here)
     per_doc = (
-        docterms.join(F.broadcast(vocab.select("term")), "term")
+        raw.join(F.broadcast(vocab.select("term")), "term")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("term")).alias("terms"))
     )
