@@ -877,3 +877,93 @@ def test_streaming_rollup_updates_match_batch_ivm(spark, tmp_path):
         for r in exp
     }
     assert got_map == exp_map
+
+
+def test_streaming_rollup_state_survives_restart(spark, tmp_path):
+    """Kill the query between CDC batches and restart from the
+    checkpoint: per-key (group, value) state recovers, so a change
+    that debits a pre-restart upsert still emits the right delta and
+    the prefix sum equals the from-scratch rollup."""
+    import os
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.cdc import (
+        merge_changes,
+        rollup_of,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming.event_stream import (
+        streaming_rollup_updates,
+    )
+
+    snap = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    boot = snap.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        F.lit("upsert").alias("op"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    changes = snap.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("9-moved").alias("o_orderpriority"),
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 20 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.lit("2021-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    src = str(tmp_path / "cdc_restart_src")
+    os.makedirs(src)
+    sink = str(tmp_path / "cdc_restart_sink")
+    ckpt = str(tmp_path / "cdc_restart_ckpt")
+    schema = boot.schema
+
+    def run_until_drained():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*.parquet")
+        )
+        q = (
+            streaming_rollup_updates(
+                stream, key="o_orderkey", group_col="o_orderpriority",
+                sum_col="o_totalprice",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # lifetime 1: the bootstrap snapshot only
+    boot.coalesce(1).write.parquet(f"{src}/f0.parquet")
+    os.utime(f"{src}/f0.parquet", (1_800_000_000, 1_800_000_000))
+    run_until_drained()
+    # lifetime 2: the CDC batch lands after the restart — its deltas
+    # must debit pre-images that live only in recovered state
+    changes.coalesce(1).write.parquet(f"{src}/f1.parquet")
+    os.utime(f"{src}/f1.parquet", (1_800_000_100, 1_800_000_100))
+    run_until_drained()
+
+    got = (
+        spark.read.parquet(sink)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("d_n").alias("n"), F.sum("d_sum_micro").alias("s"))
+        .filter((F.col("n") != 0) | (F.col("s") != 0))
+        .collect()
+    )
+    got_map = {
+        r["o_orderpriority"]: (r["n"], round(r["s"] / 1e6, 6)) for r in got
+    }
+    merged = merge_changes(snap, changes, key="o_orderkey")
+    exp_map = {
+        r["o_orderpriority"]: (
+            r["n_rows"], round(float(r["sum_o_totalprice"]), 6)
+        )
+        for r in rollup_of(merged, ["o_orderpriority"], ["o_totalprice"]).collect()
+    }
+    assert got_map == exp_map
