@@ -33,7 +33,13 @@ import base64
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 QUEUE_SOURCE_NAME = "uploadqueue"
 _SCHEMA = (
@@ -86,6 +92,68 @@ class _UploadQueueReader(DataSourceReader):
                 )
 
 
+class _QueueCommit(WriterCommitMessage):
+    def __init__(self, staged_path: str, n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows
+
+
+class _UploadQueueWriter(DataSourceWriter):
+    """S5 as a first-class sink with the API's two-phase commit: each
+    task stages its messages under a dot-prefixed directory (hidden
+    from the reader's file walk), the driver renames staged files into
+    place on `commit` and deletes them on `abort` — so a failed job
+    leaves NO torn message files visible, the same all-or-nothing
+    contract the ledger gets from its atomic directory exchange."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("uploadqueue sink requires a path")
+        self.staging = os.path.join(self.path, ".staging")
+
+    def write(self, iterator) -> _QueueCommit:
+        import uuid
+
+        os.makedirs(self.staging, exist_ok=True)
+        staged = os.path.join(self.staging, f"task-{uuid.uuid4().hex}.txt")
+        n = 0
+        with open(staged, "wb") as fh:
+            for row in iterator:
+                # same field order as the column codec's struct, compact
+                # separators, raw UTF-8 — byte-compatible with
+                # encode_queue_message on ASCII-safe payloads
+                payload = json.dumps(
+                    {
+                        "upload_id": row["upload_id"],
+                        "bucket_name": row["bucket_name"],
+                        "file_name": row["file_name"],
+                    },
+                    separators=(",", ":"),
+                    ensure_ascii=False,
+                ).encode("utf-8")
+                fh.write(base64.b64encode(payload) + b"\n")
+                n += 1
+        return _QueueCommit(staged, n)
+
+    def commit(self, messages) -> None:
+        for i, m in enumerate(m for m in messages if m is not None):
+            os.replace(
+                m.staged_path, os.path.join(self.path, f"part-{i:05d}.txt")
+            )
+        try:
+            os.rmdir(self.staging)
+        except OSError:
+            pass
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)
+
+
 class UploadQueueDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -96,6 +164,17 @@ class UploadQueueDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _UploadQueueReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        names = [f.name for f in schema.fields]
+        required = ["upload_id", "bucket_name", "file_name"]
+        missing = [c for c in required if c not in names]
+        if missing:
+            raise ValueError(
+                f"uploadqueue sink requires columns {required}; "
+                f"missing {missing}"
+            )
+        return _UploadQueueWriter(self.options)
 
 
 def register_queue_source(spark) -> None:

@@ -68,3 +68,63 @@ def test_malformed_line_fails_with_position(spark, tmp_path):
     register_queue_source(spark)
     with pytest.raises(Exception, match="part-0.txt:1"):
         spark.read.format("uploadqueue").load(str(dump)).collect()
+
+
+def test_sink_roundtrip_through_source(spark, tmp_path):
+    """df.write.format('uploadqueue') → spark.read.format('uploadqueue')
+    must be the identity on the three message fields, with staging
+    cleaned up and a _SUCCESS marker (two-phase commit)."""
+    import os
+
+    register_queue_source(spark)
+    out = str(tmp_path / "sink_out")
+    os.makedirs(out)
+    df = _sample(spark, 25)
+    df.repartition(3).write.format("uploadqueue").option("path", out).mode(
+        "append"
+    ).save()
+
+    assert os.path.exists(f"{out}/_SUCCESS")
+    assert not os.path.exists(f"{out}/.staging")
+    back = spark.read.format("uploadqueue").load(out)
+    key = lambda r: (r["upload_id"], r["bucket_name"], r["file_name"])
+    assert sorted(key(r) for r in back.collect()) == sorted(
+        key(r) for r in df.collect()
+    )
+
+
+def test_sink_rejects_missing_columns(spark, tmp_path):
+    register_queue_source(spark)
+    bad = spark.range(3).select(F.col("id").cast("string").alias("upload_id"))
+    with pytest.raises(Exception, match="bucket_name"):
+        bad.write.format("uploadqueue").option(
+            "path", str(tmp_path / "bad_out")
+        ).mode("append").save()
+
+
+def test_sink_wire_matches_column_codec_bytes(spark, tmp_path):
+    """The sink's stdlib encoding must be byte-identical to the
+    plan-level codec's wire format (so either end can produce or
+    consume the other's dumps)."""
+    import os
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.queue_source import (
+        write_queue_dump,
+    )
+
+    register_queue_source(spark)
+    df = _sample(spark, 10).coalesce(1)
+    a = str(tmp_path / "via_sink")
+    os.makedirs(a)
+    df.write.format("uploadqueue").option("path", a).mode("append").save()
+    b = str(tmp_path / "via_codec")
+    write_queue_dump(df, b, n_files=1)
+
+    lines = lambda d: sorted(
+        ln
+        for f in os.listdir(d)
+        if not f.startswith(("_", "."))  # _SUCCESS, .crc sidecars
+        for ln in open(os.path.join(d, f), "rb").read().splitlines()
+        if ln
+    )
+    assert lines(a) == lines(b)
