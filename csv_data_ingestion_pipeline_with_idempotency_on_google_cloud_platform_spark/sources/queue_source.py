@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -90,6 +91,61 @@ class _UploadQueueReader(DataSourceReader):
                     partition.path,
                     i,
                 )
+
+
+class _UploadQueueStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the source: the dump directory is treated as
+    an append-only log of wire files consumed in NAME order, so the
+    offset is simply the last consumed file name — a primitive-typed,
+    checkpointable cursor, with `readBetweenOffsets` giving exact
+    batch replay on recovery. Contract: producers append files with
+    monotonically increasing names (what queue archivers and the
+    `uploadqueue` sink's part-NNNNN naming both do); a file sorting
+    BELOW the cursor is never picked up. The simple-reader form is
+    deliberate — a queue dump's per-batch volume is message-sized; the
+    partition-planned batch reader covers bulk backfills."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("uploadqueue stream requires a path")
+
+    def _files(self):
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            f
+            for f in os.listdir(self.path)
+            if not f.startswith(("_", "."))
+            and os.path.isfile(os.path.join(self.path, f))
+        )
+
+    def _decode(self, names):
+        # materialized (not a generator): the runner pickles the batch
+        # to ship it from the driver-side prefetch to executors
+        rows = []
+        for name in names:
+            part = _QueueFilePartition(os.path.join(self.path, name))
+            rows.extend(_UploadQueueReader({"path": self.path}).read(part))
+        return iter(rows)  # list_iterator: an iterator AND picklable
+
+    def initialOffset(self) -> dict:
+        return {"consumed": ""}
+
+    def read(self, start: dict):
+        new = [f for f in self._files() if f > start["consumed"]]
+        if not new:
+            return iter(()), start
+        end = {"consumed": new[-1]}
+        return self._decode(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        names = [
+            f
+            for f in self._files()
+            if start["consumed"] < f <= end["consumed"]
+        ]
+        return self._decode(names)
 
 
 class _QueueCommit(WriterCommitMessage):
@@ -164,6 +220,9 @@ class UploadQueueDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _UploadQueueReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _UploadQueueStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         names = [f.name for f in schema.fields]

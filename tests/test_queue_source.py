@@ -128,3 +128,54 @@ def test_sink_wire_matches_column_codec_bytes(spark, tmp_path):
         if ln
     )
     assert lines(a) == lines(b)
+
+
+def test_stream_reader_consumes_incrementally(spark, tmp_path):
+    """readStream.format('uploadqueue'): files landing after the first
+    drain are picked up by the checkpointed name-cursor offset, and
+    nothing is delivered twice."""
+    import os
+
+    register_queue_source(spark)
+    dump = str(tmp_path / "stream_dump")
+    os.makedirs(dump)
+    sink = str(tmp_path / "stream_sink")
+    ckpt = str(tmp_path / "stream_ckpt")
+
+    def land(name, ids):
+        import base64 as b64
+        import json as js
+
+        with open(os.path.join(dump, name), "wb") as fh:
+            for i in ids:
+                payload = js.dumps(
+                    {"upload_id": f"u{i}", "bucket_name": "b",
+                     "file_name": f"f{i}.csv"},
+                    separators=(",", ":"),
+                ).encode()
+                fh.write(b64.b64encode(payload) + b"\n")
+
+    def drain():
+        q = (
+            spark.readStream.format("uploadqueue")
+            .load(dump)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    land("msg-00000.txt", range(5))
+    drain()
+    land("msg-00001.txt", range(5, 8))
+    drain()  # restart from checkpoint; only the new file may be read
+
+    got = sorted(
+        r["upload_id"] for r in spark.read.parquet(sink).collect()
+    )
+    assert got == sorted(f"u{i}" for i in range(8))
