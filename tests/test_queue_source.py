@@ -179,3 +179,46 @@ def test_stream_reader_consumes_incrementally(spark, tmp_path):
         r["upload_id"] for r in spark.read.parquet(sink).collect()
     )
     assert got == sorted(f"u{i}" for i in range(8))
+
+
+def test_source_composes_with_idempotency_gate(spark, tmp_path):
+    """End-to-end S2→F2 through the CUSTOM source: queue messages for
+    already-done uploads are filtered by the terminal-ledger anti-join;
+    only genuinely new messages survive as work."""
+    import os
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.ingest import (
+        ingest_batch,
+        terminal_upload_ids,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.ledger import (
+        read_ledger,
+    )
+
+    csv_dir = str(tmp_path / "csvs")
+    os.makedirs(csv_dir)
+    for i in range(3):
+        with open(f"{csv_dir}/data{i}.csv", "w") as fh:
+            fh.write("id,name\n1,a\n2,b\n")
+    ledger_dir = str(tmp_path / "ledger")
+    ingest_batch(spark, csv_dir, ledger_dir)  # all three become done
+
+    done = read_ledger(spark, ledger_dir).select(
+        "upload_id", "bucket_name", "file_name"
+    )
+    # queue dump: redeliveries of the three done files + two new ones
+    new = spark.createDataFrame(
+        [("ffffaaaa00000001", "bkt", "new1.csv"),
+         ("ffffaaaa00000002", "bkt", "new2.csv")],
+        "upload_id string, bucket_name string, file_name string",
+    )
+    dump = str(tmp_path / "gate_dump")
+    write_queue_dump(done.unionByName(new), dump, n_files=2)
+
+    register_queue_source(spark)
+    msgs = spark.read.format("uploadqueue").load(dump)
+    skip = terminal_upload_ids(read_ledger(spark, ledger_dir))
+    fresh = msgs.join(F.broadcast(skip), "upload_id", "left_anti")
+    assert sorted(r["file_name"] for r in fresh.collect()) == [
+        "new1.csv", "new2.csv",
+    ]
