@@ -83,6 +83,7 @@ HEADLINE = [
     "value_outliers",
     "bm25_indexed",
     "rollup_maintenance",
+    "pq_search",
 ]
 
 

@@ -1,0 +1,260 @@
+"""Product quantization — the memory-compression half of ANN at scale.
+
+IVF (similarity.py / ann_index.py) prunes WHICH vectors a probe reads;
+PQ shrinks WHAT each vector costs: split every (L2-normalized) vector
+into `m` subvectors, k-means each subspace into `k` codewords, and
+store only the m codeword ids — m bytes/vector at k ≤ 256 vs 4·dim
+for float32, a dim·4/m× compression (32× at dim 64, m 8). Queries
+score against codes with an asymmetric distance computation (ADC):
+the query's per-subspace distance to every codeword is a tiny m×k
+driver-side table, and a candidate's approximate distance is m table
+lookups — no float vector is ever touched at query time. (Jégou,
+Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011 — the standard composition is IVF for pruning + PQ for
+memory; both halves live in this package.)
+
+Distributed shape (the part that matters at 100 TB):
+
+- Assignment (train + encode) is a VECTORIZED Arrow pass
+  (`mapInPandas` + numpy einsum): an expression-tree argmin over m×k
+  literal codewords was measured to blow up Catalyst analysis past
+  m·k ≈ 256 (minutes of planning for zero execution win), which is
+  exactly the "built-ins genuinely can't express it" bar the package
+  doctrine sets for dropping to the Arrow seam. Nothing shuffles.
+- Training is Lloyd's over ALL m subspaces at once: each Arrow batch
+  emits per-(subspace, codeword) partial sums + counts, the merge is
+  a map-side-combined groupBy of m×k×(dim/m) = k×dim rows, and the
+  driver holds only the codebook tensor (k×dim floats) between
+  iterations. Codebook means are rounded to 9 dp each iteration so
+  partial-sum merge order cannot leak float drift into code
+  assignments across runs. Like IVF centroids, deployments train on
+  a sample.
+- ADC scoring is pure JVM: the m×k distance table rides as literal
+  arrays and scoring is m `element_at` lookups + a sum — zero Python
+  in the hot path, TakeOrderedAndProject top-k.
+
+Vectors are L2-normalized first, so squared-L2 ranking equals cosine
+ranking (‖a−b‖² = 2 − 2·cos on the unit sphere) and recall is
+measured directly against `topk_cosine`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_rows(x):
+    import numpy as np
+
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return x / n
+
+
+def _codes_for(x, books_arr):
+    """(n×dim normalized) → (n×m) argmin codes; ties to first codeword
+    (np.argmin), matching the k-means convention."""
+    import numpy as np
+
+    m, k, dsub = books_arr.shape
+    out = np.empty((x.shape[0], m), dtype="int32")
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        c = books_arr[s]  # k × dsub
+        d = (
+            (xs * xs).sum(axis=1, keepdims=True)
+            - 2.0 * xs @ c.T
+            + (c * c).sum(axis=1)
+        )
+        out[:, s] = np.argmin(d, axis=1)
+    return out
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train the m×k codebook tensor. Deterministic: subspace s of the
+    k lowest-id vectors initializes codebook s (k > n keeps the
+    surplus codewords at their init, i.e. duplicated vectors — they
+    simply never win an argmin tie-break). Dim must divide evenly by
+    m (a silent remainder would drop trailing dimensions from every
+    distance)."""
+    import numpy as np
+
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot train PQ on an empty frame")
+    dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    init = emb.orderBy(id_col).limit(k).select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    seed = _norm_rows(np.array([r["v"] for r in init], dtype="float64"))
+    if len(seed) < k:  # tiny corpus: cycle the available vectors
+        reps = -(-k // len(seed))
+        seed = np.tile(seed, (reps, 1))[:k]
+    books = np.stack(
+        [seed[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+    )  # m × k × dsub
+
+    sums_schema = "s int, c int, pos int, vsum double, cnt long"
+
+    for _ in range(iters):
+        books_now = books.copy()
+
+        def partial_sums(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                x = _norm_rows(
+                    np.array(pdf[vec_col].tolist(), dtype="float64")
+                )
+                codes = _codes_for(x, books_now)
+                rows = []
+                for s in range(m):
+                    xs = x[:, s * dsub : (s + 1) * dsub]
+                    for c in np.unique(codes[:, s]):
+                        mask = codes[:, s] == c
+                        vs = xs[mask].sum(axis=0)
+                        n = int(mask.sum())
+                        rows.extend(
+                            (s, int(c), p, float(vs[p]), n)
+                            for p in range(dsub)
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["s", "c", "pos", "vsum", "cnt"]
+                )
+
+        partials = (
+            emb.select(F.col(vec_col))
+            .mapInPandas(partial_sums, schema=sums_schema)
+            .groupBy("s", "c", "pos")
+            .agg(F.sum("vsum").alias("vs"), F.sum("cnt").alias("n"))
+            .collect()
+        )
+        for r in partials:
+            books[r["s"], r["c"], r["pos"]] = r["vs"] / r["n"]
+        # quantize driver state: merge order of float partials must not
+        # leak run-to-run drift into later argmin decisions
+        books = np.round(books, 9)
+    return [[list(map(float, cw)) for cw in sub] for sub in books]
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — one narrow Arrow pass, no shuffle."""
+    import numpy as np
+
+    books_arr = np.array(books, dtype="float64")
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = _norm_rows(np.array(pdf[vec_col].tolist(), dtype="float64"))
+            codes = _codes_for(x, books_arr)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes.tolist())}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by ADC distance from a PQ-coded table.
+
+    The m×k query→codeword distance table is computed on the driver
+    (m·k·dsub flops — planning state) and scored JVM-side as m literal
+    `element_at` lookups. Returns (id, approx_dist, rank) ascending,
+    deterministic (dist, id) tie-break.
+    """
+    import math
+
+    m = len(books)
+    dsub = len(books[0][0])
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / qn for x in query_vec]
+    table = [
+        [
+            sum(
+                (q[s * dsub + p] - books[s][j][p]) ** 2
+                for p in range(dsub)
+            )
+            for j in range(len(books[s]))
+        ]
+        for s in range(m)
+    ]
+    dist = None
+    for s in range(m):
+        lut = F.array(*[F.lit(float(x)) for x in table[s]])
+        term = F.element_at(lut, F.element_at("codes", s + 1) + 1)
+        dist = term if dist is None else dist + term
+    scored = codes_df.select(
+        F.col(id_col), F.round(dist, 9).alias("approx_dist")
+    )
+    out = scored.orderBy(F.asc("approx_dist"), F.asc(id_col)).limit(topk)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col(id_col).isNotNull()).orderBy(
+        F.asc("approx_dist"), F.asc(id_col)
+    )
+    return out.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def pq_topk_rerank(
+    codes_df: DataFrame,
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    topk: int = 10,
+    shortlist_factor: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The deployment form: ADC generates a `shortlist_factor`·topk
+    candidate set from codes alone, then ONLY those ids are re-scored
+    exactly against their float vectors (a broadcast semi-join — the
+    full-precision table is touched for shortlist-sized point reads,
+    the PQ memory win is preserved for the scan). Standard PQ practice:
+    quantization error costs recall at the top-k boundary, and a small
+    exact re-rank buys most of it back (Jégou et al. §V). Returns
+    (id, cos_sim, rank) like topk_cosine."""
+    from ..functions.vectors import cosine_similarity_col
+    from .similarity import _rank_topk
+
+    short = pq_topk(
+        codes_df, books, query_vec, topk=topk * shortlist_factor,
+        id_col=id_col,
+    ).select(id_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = (
+        emb.join(F.broadcast(short), id_col)
+        .select(
+            F.col(id_col),
+            cosine_similarity_col(
+                F.col(vec_col).cast("array<double>"), q
+            ).alias("__cos"),
+        )
+    )
+    return _rank_topk(scored, id_col, topk)

@@ -1,0 +1,129 @@
+"""Product quantization (operators/pq.py): code geometry, ADC scoring
+exactness, determinism, and recall — plain ADC on clusterable data,
+re-ranked ADC on the real embeddings table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators import (
+    pq,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.similarity import (
+    topk_cosine,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+    load_table,
+)
+
+from .conftest import SF_DIR
+
+M, K = 16, 64
+
+
+def _emb(spark):
+    return load_table(spark, str(SF_DIR), "embeddings")
+
+
+def test_codes_shape_and_bounds(spark):
+    emb = _emb(spark)
+    books = pq.pq_train(emb, m=M, k=K, iters=2)
+    codes = pq.pq_encode(emb, books)
+    bad = codes.filter(
+        (F.size("codes") != M)
+        | F.exists("codes", lambda c: (c < 0) | (c >= K))
+    )
+    assert bad.count() == 0
+    assert codes.count() == emb.count()
+
+
+def test_train_is_deterministic(spark):
+    emb = _emb(spark)
+    a = pq.pq_train(emb, m=8, k=16, iters=3)
+    b = pq.pq_train(emb, m=8, k=16, iters=3)
+    assert a == b
+
+
+def test_dim_not_divisible_raises(spark):
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.pq_train(emb, m=7)
+
+
+def test_adc_distance_matches_python_lookup(spark):
+    """The JVM element_at scoring must equal a Python recompute of the
+    same table lookups for every candidate."""
+    emb = _emb(spark)
+    books = pq.pq_train(emb, m=8, k=16, iters=2)
+    codes = pq.pq_encode(emb, books)
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    got = {
+        r["vec_id"]: r["approx_dist"]
+        for r in pq.pq_topk(codes, books, q, topk=50).collect()
+    }
+    qn = np.linalg.norm(q) or 1.0
+    qv = np.array(q) / qn
+    dsub = len(books[0][0])
+    table = [
+        [
+            float(((qv[s * dsub : (s + 1) * dsub] - np.array(cw)) ** 2).sum())
+            for cw in books[s]
+        ]
+        for s in range(len(books))
+    ]
+    code_map = {
+        r["vec_id"]: r["codes"] for r in codes.collect()
+    }
+    for vid, dist in got.items():
+        exp = round(sum(table[s][code_map[vid][s]] for s in range(len(books))), 9)
+        assert abs(dist - exp) < 1e-8, vid
+
+
+def test_planted_clusters_plain_adc_recall(spark):
+    """On clusterable data, raw ADC (no re-rank) must already rank the
+    query's own cluster first: 10 well-separated centers, 20 members
+    each, query = a member; its top-9 neighbors are its cluster."""
+    rng = np.random.RandomState(7)
+    centers = rng.normal(0, 1, (10, 64)) * 5
+    rows = []
+    for ci in range(10):
+        for j in range(20):
+            v = centers[ci] + rng.normal(0, 0.05, 64)
+            rows.append((ci * 100 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq.pq_train(emb, m=M, k=K, iters=4)
+    codes = pq.pq_encode(emb, books)
+    q = rows[0][1]  # member 0 of cluster 0
+    got = [
+        r["vec_id"]
+        for r in pq.pq_topk(codes, books, q, topk=20).collect()
+    ]
+    same_cluster = sum(1 for v in got[:10] if v // 100 == 0)
+    assert same_cluster >= 9
+
+
+def test_rerank_recall_on_real_embeddings(spark):
+    """The deployment form (ADC shortlist + exact re-rank) must reach
+    recall@10 >= 0.85 vs brute-force cosine at a 10x shortlist."""
+    emb = _emb(spark).cache()
+    books = pq.pq_train(emb, m=M, k=K, iters=5)
+    codes = pq.pq_encode(emb, books).cache()
+    codes.count()
+    recs = []
+    for qid in range(5):
+        qrow = emb.filter(F.col("vec_id") == qid).first()
+        q = [float(x) for x in qrow["embedding"]]
+        a = [
+            r["vec_id"]
+            for r in pq.pq_topk_rerank(
+                codes, emb, books, q, topk=11, shortlist_factor=10
+            ).collect()
+            if r["vec_id"] != qid
+        ][:10]
+        e = [r["vec_id"] for r in topk_cosine(emb, qid, k=10).collect()]
+        recs.append(len(set(a) & set(e)) / 10)
+    codes.unpersist()
+    emb.unpersist()
+    assert sum(recs) / len(recs) >= 0.85, recs
