@@ -258,3 +258,104 @@ def pq_topk_rerank(
         )
     )
     return _rank_topk(scored, id_col, topk)
+
+
+def write_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int | None = 16,
+    m: int = 16,
+    k: int = 64,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the full Jégou composition — IVF prunes WHICH cells
+    a probe reads, PQ shrinks WHAT each entry costs: codes are
+    hive-partitioned by coarse cell (``path/codes/cell=N``), with the
+    coarse centroids and the PQ codebooks as sidecars. The on-disk
+    entry is (id, m codes) — the float vectors stay in the SOURCE
+    table and are touched only for the final shortlist re-rank, which
+    is the whole point: the index a probe scans is dim·4/m× smaller
+    than the vectors it indexes."""
+    import json as _json
+    import os as _os
+
+    from .similarity import ivf_assignments
+
+    centroids, assigned = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    books = pq_train(emb, m=m, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    coded = pq_encode(
+        # ivf_assignments rebinds the vector as __vec
+        assigned.select(id_col, F.col("__vec").alias(vec_col), "cell"),
+        books,
+        id_col,
+        vec_col,
+    )
+    # one narrow re-join to carry the cell (pq_encode projects it away;
+    # the join side is the assignment's (id, cell) pair — key + int)
+    cells = assigned.select(id_col, "cell")
+    (
+        coded.join(cells, id_col)
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "books.json"), "w") as fh:
+        _json.dump(books, fh)
+
+
+def topk_ivfpq(
+    spark,
+    path: str,
+    emb: DataFrame,
+    query_vec: list[float],
+    topk: int = 10,
+    n_probe: int = 4,
+    shortlist_factor: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the materialized IVF-PQ index: pick `n_probe` cells
+    against the centroid sidecar (driver planning state), scan ONLY
+    those cells' code files (`cell IN (...)` partition filter), score
+    with JVM ADC lookups, and exact-re-rank the shortlist against the
+    source table (broadcast point reads). Probe cost scales with the
+    probed fraction × m bytes per entry — the smallest scan any ANN
+    form in this package does."""
+    import json as _json
+    import math
+    import os as _os
+
+    with open(_os.path.join(path, "books.json")) as fh:
+        books = _json.load(fh)
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    qnorm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def cos(cvec):
+        cn = math.sqrt(sum(x * x for x in cvec)) or 1.0
+        return sum(a * b for a, b in zip(query_vec, cvec)) / (cn * qnorm)
+
+    probe = sorted(cents, key=lambda r: (-cos(r["cvec"]), r["cell"]))[:n_probe]
+    cells = [r["cell"] for r in probe]
+    codes = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cell").isin(cells))
+        .select(id_col, "codes")
+    )
+    short = pq_topk(
+        codes, books, query_vec, topk=topk * shortlist_factor, id_col=id_col
+    ).select(id_col)
+    from ..functions.vectors import cosine_similarity_col
+    from .similarity import _rank_topk
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.join(F.broadcast(short), id_col).select(
+        F.col(id_col),
+        cosine_similarity_col(F.col(vec_col).cast("array<double>"), q).alias(
+            "__cos"
+        ),
+    )
+    return _rank_topk(scored, id_col, topk)
