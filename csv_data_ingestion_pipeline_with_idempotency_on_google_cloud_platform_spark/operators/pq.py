@@ -359,3 +359,52 @@ def topk_ivfpq(
         ),
     )
     return _rank_topk(scored, id_col, topk)
+
+
+def append_to_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add a batch to an existing IVF-PQ index — the ingest-time twin
+    of `ann_index.append_to_ivf_index`, with the same authority rule
+    doubled: the STORED coarse centroids assign cells and the STORED
+    codebooks encode (re-deriving either from the batch would scatter
+    one vector space across incompatible cells/codes). Per-batch cost
+    is two narrow passes + a partitioned append; dimensionality is
+    validated against the codebooks for every row. Quantization drift
+    applies to both quantizers — rebuild when probe recall decays."""
+    import json as _json
+    import os as _os
+
+    from .similarity import assign_cells
+
+    spark = emb.sparkSession
+    with open(_os.path.join(path, "books.json")) as fh:
+        books = _json.load(fh)
+    dim = len(books) * len(books[0][0])
+    bad_dims = [
+        r["d"]
+        for r in emb.select(F.size(F.col(vec_col)).alias("d")).distinct().collect()
+        if r["d"] != dim
+    ]
+    if bad_dims:
+        raise ValueError(
+            f"index at {path} encodes {dim}-dim vectors; refusing to "
+            f"append dim(s) {sorted(bad_dims)}"
+        )
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assigned = assign_cells(emb, centroids, id_col, vec_col)
+    coded = pq_encode(
+        assigned.select(id_col, F.col("__vec").alias(vec_col), "cell"),
+        books,
+        id_col,
+        vec_col,
+    )
+    (
+        coded.join(assigned.select(id_col, "cell"), id_col)
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(f"{path}/codes")
+    )

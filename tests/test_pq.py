@@ -154,3 +154,52 @@ def test_ivfpq_index_probe_prunes_and_recalls(spark, tmp_path):
     exact = [r["vec_id"] for r in topk_cosine(emb, qid, k=10).collect()]
     assert len(set(got) & set(exact)) / 10 >= 0.8
     emb.unpersist()
+
+
+def test_ivfpq_append_with_stored_quantizers(spark, tmp_path):
+    """Build on half the corpus, append the rest: appended entries land
+    under the stored cells/codebooks and a probe over the grown index
+    still recalls against brute force on the FULL corpus."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.pq import (
+        append_to_ivfpq_index,
+        topk_ivfpq,
+        write_ivfpq_index,
+    )
+
+    emb = _emb(spark).cache()
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq_grow")
+    write_ivfpq_index(half, path, n_centroids=16, m=M, k=K, iters=3)
+    append_to_ivfpq_index(rest, path)
+
+    total = spark.read.parquet(f"{path}/codes").count()
+    assert total == emb.count()
+    qid = 2
+    q = [float(x) for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+    got = [
+        r["vec_id"]
+        for r in topk_ivfpq(spark, path, emb, q, topk=11, n_probe=8).collect()
+        if r["vec_id"] != qid
+    ][:10]
+    exact = [r["vec_id"] for r in topk_cosine(emb, qid, k=10).collect()]
+    assert len(set(got) & set(exact)) / 10 >= 0.7
+    # odd ids (the appended half) must be findable
+    assert any(v % 2 == 1 for v in got)
+    emb.unpersist()
+
+
+def test_ivfpq_append_rejects_dim_mismatch(spark, tmp_path):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.pq import (
+        append_to_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivfpq_dim")
+    write_ivfpq_index(emb.limit(50), path, n_centroids=8, m=8, k=16, iters=1)
+    bad = emb.limit(5).select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="refusing to append"):
+        append_to_ivfpq_index(bad, path)
