@@ -124,3 +124,40 @@ def transitions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         status.alias("status"),
         F.col("l_shipdate").alias("ts"),
     )
+
+
+# ------------------------------------------------------------- partsupp
+# The driver testdata has no partsupp table, which TPC-H Q2/Q9/Q11/Q20
+# need. Derive one deterministically from `part` (same recipe as the
+# files/ledger stand-ins above): each part gets 4 supplier rows at
+# 25-apart supplier-key offsets — so the 4 keys per part are always
+# distinct over the 100-supplier key space — with integer-valued
+# availqty/supplycost both engines compute with exact integer
+# arithmetic (no float derivation, no rounding ambiguity).
+
+PARTSUPP_SQL = """
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey * 7 + j * 25) % 100 AS ps_suppkey,
+         (p_partkey * 17 + ((p_partkey * 7 + j * 25) % 100) * 31) % 9999 + 1
+           AS ps_availqty,
+         CAST((p_partkey * 13 + ((p_partkey * 7 + j * 25) % 100) * 7) % 900 + 1
+              AS DECIMAL(18,6)) AS ps_supplycost
+  FROM part CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+"""
+
+
+def partsupp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    ps = p.select(
+        "p_partkey",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("j"),
+    )
+    sk = (F.col("p_partkey") * 7 + F.col("j") * 25) % 100
+    return ps.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        sk.alias("ps_suppkey"),
+        ((F.col("p_partkey") * 17 + sk * 31) % 9999 + 1).alias("ps_availqty"),
+        ((F.col("p_partkey") * 13 + sk * 7) % 900 + 1)
+        .cast("decimal(18,6)")
+        .alias("ps_supplycost"),
+    )
