@@ -54,6 +54,11 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    # TPC-H completion (round-3 session 3): Q9's five-way star over the
+    # derived partsupp and Q21's folded exists/not-exists aggregate are
+    # the two with real shuffle work
+    "tpch_q9",
+    "tpch_q21",
     "pivot_event_counts",
     "cube_agg",
     "pack_sequences",

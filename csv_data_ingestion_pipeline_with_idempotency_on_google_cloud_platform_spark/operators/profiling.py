@@ -125,3 +125,118 @@ def run_checks(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def psi_drift(
+    base: DataFrame,
+    current: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per fixed-width bin — the standard
+    train-vs-serve / week-over-week feature-drift monitor (PSI < 0.1
+    stable, > 0.25 drifted).
+
+    Bin edges are FIXED by (lo, hi, n_bins), not quantile-derived, so
+    the two sides bin identically, re-runs are reproducible, and the
+    whole computation is oracle-exact. Out-of-range values clamp into
+    the edge bins. Probabilities are Laplace-smoothed
+    ((count + 0.5) / (total + 0.5·n_bins)) so an empty bin on either
+    side never produces ±inf.
+
+    Scale shape: one narrow aggregation pass per side (map-side
+    combined, ≤ n_bins rows out), a broadcast-sized full-outer join on
+    bin id, and two 1-row count frames broadcast back. Nothing
+    row-scale ever shuffles. Returns (bin, bin_lo, base_count,
+    cur_count, psi_contrib) with Σ psi_contrib = the PSI.
+    """
+    width = (hi - lo) / n_bins
+
+    def _binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(0)
+            ),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    bcnt = _binned(base, "base_count")
+    ccnt = _binned(current, "cur_count")
+    # all n_bins rows present even when empty on both sides: seed with
+    # the literal bin range so the report schema is total and stable
+    spark = base.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        bins.join(F.broadcast(bcnt), "bin", "left")
+        .join(F.broadcast(ccnt), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("base_count", F.lit(0)).alias("base_count"),
+            F.coalesce("cur_count", F.lit(0)).alias("cur_count"),
+        )
+    )
+    tb = base.agg(F.count(F.lit(1)).alias("__tb"))
+    tc = current.agg(F.count(F.lit(1)).alias("__tc"))
+    pb = (F.col("base_count") + 0.5) / (F.col("__tb") + 0.5 * n_bins)
+    pc = (F.col("cur_count") + 0.5) / (F.col("__tc") + 0.5 * n_bins)
+    return (
+        joined.crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(tc))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("bin_lo"),
+            "base_count",
+            "cur_count",
+            F.round((pc - pb) * F.log(pc / pb), 6).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """k-anonymity (and optional l-diversity) audit over a set of
+    quasi-identifier columns — the re-identification-risk gate run
+    before a dataset export.
+
+    Returns ONE summary row: (k, n_rows, n_groups, min_group_size,
+    violating_groups, violating_rows[, min_l]) where a violating group
+    is a quasi-identifier combination shared by fewer than k rows —
+    each of its members is re-identifiable within a set smaller than
+    k. With `sensitive_col`, min_l is the smallest number of distinct
+    sensitive values in any group (l-diversity: a group can be k-large
+    yet leak the sensitive value if all members share it).
+
+    Scale shape: one map-side-combined groupBy over the
+    quasi-identifiers (output is |distinct QI combos|, not |rows|)
+    followed by a 1-row rollup; no joins, no windows, nothing
+    collected.
+    """
+    per_group = [F.count(F.lit(1)).alias("__size")]
+    if sensitive_col is not None:
+        per_group.append(F.count_distinct(F.col(sensitive_col)).alias("__l"))
+    groups = df.groupBy(*qi_cols).agg(*per_group)
+    aggs = [
+        F.lit(k).alias("k"),
+        F.sum("__size").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("__size").cast("bigint").alias("min_group_size"),
+        F.sum((F.col("__size") < k).cast("long")).cast("bigint").alias(
+            "violating_groups"
+        ),
+        F.sum(F.when(F.col("__size") < k, F.col("__size")).otherwise(0))
+        .cast("bigint")
+        .alias("violating_rows"),
+    ]
+    if sensitive_col is not None:
+        aggs.append(F.min("__l").cast("bigint").alias("min_l"))
+    return groups.agg(*aggs)

@@ -3637,6 +3637,78 @@ LIMIT 50
 """
 
 
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 governance: Population Stability Index of the event value
+    distribution, first half of the month vs the second — the
+    train-vs-serve drift monitor (operators/profiling.py:psi_drift).
+    One narrow aggregation pass per slice, ≤10 rows after; nothing
+    row-scale shuffles."""
+    from ..operators.profiling import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    base = ev.filter(F.col("ts") < cutoff)
+    cur = ev.filter(F.col("ts") >= cutoff)
+    return psi_drift(base, cur, "value", lo=0.0, hi=500.0, n_bins=10)
+
+
+SQL_VALUE_DRIFT_PSI = """
+WITH base AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+cur  AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+bins AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+b AS (SELECT LEAST(GREATEST(CAST(floor(value / 50.0) AS INT), 0), 9) AS bin,
+             COUNT(*) AS c FROM base GROUP BY 1),
+c AS (SELECT LEAST(GREATEST(CAST(floor(value / 50.0) AS INT), 0), 9) AS bin,
+             COUNT(*) AS c FROM cur GROUP BY 1),
+tb AS (SELECT COUNT(*) AS t FROM base),
+tc AS (SELECT COUNT(*) AS t FROM cur)
+SELECT bin,
+       ROUND(CAST(bin AS DOUBLE) * 50.0, 6) AS bin_lo,
+       COALESCE(b.c, 0) AS base_count,
+       COALESCE(c.c, 0) AS cur_count,
+       ROUND(((COALESCE(c.c, 0) + 0.5) / (tc.t + 5.0)
+              - (COALESCE(b.c, 0) + 0.5) / (tb.t + 5.0))
+             * ln(((COALESCE(c.c, 0) + 0.5) / (tc.t + 5.0))
+                  / ((COALESCE(b.c, 0) + 0.5) / (tb.t + 5.0))), 6)
+         AS psi_contrib
+FROM bins LEFT JOIN b USING (bin) LEFT JOIN c USING (bin)
+CROSS JOIN tb CROSS JOIN tc
+ORDER BY bin
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 governance: k-anonymity + l-diversity audit over the customer
+    quasi-identifiers (segment, nation) with account balance as the
+    sensitive attribute (operators/profiling.py:k_anonymity). One
+    map-side-combined groupBy (|QI combos| rows) + a 1-row rollup."""
+    from ..operators.profiling import k_anonymity
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity(
+        cust, ["c_mktsegment", "c_nationkey"], k=10, sensitive_col="c_acctbal"
+    )
+
+
+SQL_K_ANONYMITY = """
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS gsize,
+         COUNT(DISTINCT c_acctbal) AS l
+  FROM customer GROUP BY 1, 2
+)
+SELECT 10 AS k,
+       CAST(SUM(gsize) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(gsize) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN gsize < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       CAST(SUM(CASE WHEN gsize < 10 THEN gsize ELSE 0 END) AS BIGINT)
+         AS violating_rows,
+       CAST(MIN(l) AS BIGINT) AS min_l
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # TPC-H completion: Q2 / Q9 / Q11 / Q20 over the derived partsupp
 # stand-in (plans/standins.py:PARTSUPP_SQL — the testdata ships no
@@ -4094,6 +4166,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q11": q_tpch_q11,
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
+    "value_drift_psi": q_value_drift_psi,
+    "k_anonymity": q_k_anonymity,
     "merge_changes": q_merge_changes,
     "rolling_user_stats": q_rolling_user_stats,
     "frequent_terms": q_frequent_terms,
@@ -4128,6 +4202,8 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_q11": SQL_TPCH_Q11,
     "tpch_q20": SQL_TPCH_Q20,
     "tpch_q21": SQL_TPCH_Q21,
+    "value_drift_psi": SQL_VALUE_DRIFT_PSI,
+    "k_anonymity": SQL_K_ANONYMITY,
     "merge_changes": SQL_MERGE_CHANGES,
     "rolling_user_stats": SQL_ROLLING_USER_STATS,
     "tpch_q4": SQL_TPCH_Q4,

@@ -342,3 +342,41 @@ def test_window_distinct_users_two_level_distinct(spark):
     shuffle carries distinct (window, user) pairs, not raw events."""
     plan = _plan(spark, "window_distinct_users")
     assert plan.count("HashAggregate") >= 3
+
+
+def test_tpch_q2_broadcasts_and_takeordered(spark):
+    plan = _plan(spark, "tpch_q2")
+    # part filter, supplier chain, and the per-part min all broadcast
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q9_only_shuffles_orders_join(spark):
+    plan = _plan(spark, "tpch_q9")
+    # partsupp/part/supplier broadcast; the orders join is the only
+    # row-data shuffle (plus its agg exchange)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters: [IsNotNull(p_name)" in plan or "StringContains" in plan
+
+
+def test_tpch_q11_reuses_per_part_aggregate(spark):
+    # the scalar threshold branch must not trigger a second partsupp
+    # derivation: at runtime AQE reuses the per-part aggregate's
+    # exchange (the two subtrees are identical by construction)
+    df = QUERIES["tpch_q11"](spark, SF_DIR)
+    df.collect()  # let AQE finalize so runtime exchange reuse is visible
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedSubquery" in plan, plan
+
+
+def test_tpch_q21_folds_self_joins_into_one_aggregate(spark):
+    plan = _plan(spark, "tpch_q21")
+    # the EXISTS/NOT-EXISTS pair must NOT appear as extra joins on
+    # lineitem: one lineitem-orders join, one supplier broadcast, and
+    # lineitem is scanned exactly once (the spec's formulation scans it
+    # three times)
+    # formatted explain names each node twice (tree + detail section)
+    assert plan.count("Scan parquet") <= 6  # lineitem + orders + supplier
+    n_joins = plan.count("HashJoin") + plan.count("SortMergeJoin")
+    assert n_joins <= 4  # 2 joins, each named in tree + detail lines
