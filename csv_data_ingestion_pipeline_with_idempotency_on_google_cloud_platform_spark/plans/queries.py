@@ -1326,6 +1326,20 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_train_assign(emb, k=8, iters=3)
 
 
+def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training over the documents corpus
+    (operators/tokenizer.py): 10 merges of the classic word-frequency
+    algorithm, each a pair-count aggregate + a JVM array-fold merge
+    over the |distinct words| table. Iterative driver-held merge state
+    (k-means shape) → rows-only check; exact parity with a reference
+    implementation is pinned in tests/test_tokenizer.py."""
+    from ..operators import tokenizer
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tokenizer.learn_bpe_merges(docs, n_merges=10)
+    return tokenizer.merge_table(spark, merges)
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid building blocks (k-means E-step shape):
     posexplode the vectors, sum each dimension exactly in integer
@@ -4174,6 +4188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skewed_agg_rollup": q_skewed_agg_rollup,
     "skewed_join_rollup": q_skewed_join_rollup,
     "kmeans_assign": q_kmeans_assign,
+    "bpe_merge_learn": q_bpe_merge_learn,
     "approx_distinct": q_approx_distinct,
     "temperature_mix": q_temperature_mix,
     "chunk_documents": q_chunk_documents,
