@@ -283,3 +283,58 @@ def bm25_topk_many(
     return survivors.withColumn("rnk", F.row_number().over(w_final)).filter(
         F.col("rnk") <= k
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    pool: int = 50,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
+    of BM25 keyword ranking and exact cosine vector ranking —
+    rrf(d) = Σ_systems 1/(k_rrf + rank_s(d)) over the systems that
+    retrieved d in their top-``pool``.
+
+    Rank fusion beats score fusion operationally because ranks need no
+    cross-system score calibration, and it keeps the whole fusion
+    exact: each branch is a top-``pool`` TakeOrderedAndProject, the
+    join fuses two ≤pool-row frames (broadcast-sized regardless of
+    corpus scale), and the RRF sum is two fixed-order double terms —
+    deterministic and oracle-checkable.
+
+    Returns (id, lex_rank, sem_rank, rrf_score, rnk); lex_rank /
+    sem_rank are NULL when that system did not retrieve the document.
+    """
+    from .similarity import topk_cosine
+
+    lex = bm25_topk(docs, query_terms, k=pool, id_col=id_col, text_col=text_col)
+    sem = topk_cosine(emb, query_vec_id, k=pool, id_col=vec_id_col, vec_col=vec_col)
+    l = lex.select(
+        F.col(id_col).alias("id"), F.col("rnk").cast("long").alias("lex_rank")
+    )
+    s = sem.select(
+        F.col(vec_id_col).alias("id"), F.col("rank").cast("long").alias("sem_rank")
+    )
+    fused = l.join(s, "id", "full_outer").select(
+        "id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k_rrf) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("sem_rank")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+    )
+    top = fused.orderBy(F.desc("rrf_score"), F.asc("id")).limit(k)
+    w = Window.partitionBy(F.col("id") % 1).orderBy(
+        F.desc("rrf_score"), F.asc("id")
+    )
+    return top.withColumn("rnk", F.row_number().over(w))

@@ -2448,6 +2448,77 @@ LIMIT 10
 """
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 hybrid retrieval: reciprocal-rank fusion of the BM25 top-50
+    for {vector, hash, join} and the exact cosine top-50 around vector
+    0 (operators/retrieval.py:hybrid_rrf_topk). Each branch is a
+    TakeOrderedAndProject pool; the fusion joins two ≤50-row frames —
+    broadcast-sized at any corpus scale."""
+    from ..operators.retrieval import hybrid_rrf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(
+        docs, emb, ["vector", "hash", "join"], query_vec_id=0, k=10, pool=50
+    )
+
+
+SQL_HYBRID_SEARCH = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+         END AS toks
+  FROM documents
+), post AS (
+  SELECT doc_id, len(toks) AS dl, lower(unnest(toks)) AS term FROM d
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, any_value(dl) AS dl
+  FROM post WHERE term IN ('vector', 'hash', 'join') GROUP BY 1, 2
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), lex_scored AS (
+  SELECT doc_id,
+         round(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+), lex AS (
+  SELECT doc_id AS id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+  FROM lex_scored QUALIFY lex_rank <= 50
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), sem_scored AS (
+  SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+           (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) *
+            sqrt(list_dot_product(qv, qv))) AS cos
+  FROM embeddings, q WHERE vec_id <> 0
+), sem AS (
+  SELECT vec_id AS id,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS sem_rank
+  FROM sem_scored QUALIFY sem_rank <= 50
+), fused AS (
+  SELECT COALESCE(lex.id, sem.id) AS id, lex_rank, sem_rank,
+         ROUND(COALESCE(1.0 / (60 + lex_rank), 0.0)
+               + COALESCE(1.0 / (60 + sem_rank), 0.0), 9) AS rrf_score
+  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+)
+SELECT id, lex_rank, sem_rank, rrf_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, id ASC) AS INT) AS rnk
+FROM fused
+ORDER BY rrf_score DESC, id ASC
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # analytics breadth: TPC-H Q6 / Q3-style
 # --------------------------------------------------------------------------
@@ -4182,6 +4253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q21": q_tpch_q21,
     "value_drift_psi": q_value_drift_psi,
     "k_anonymity": q_k_anonymity,
+    "hybrid_search": q_hybrid_search,
     "merge_changes": q_merge_changes,
     "rolling_user_stats": q_rolling_user_stats,
     "frequent_terms": q_frequent_terms,
@@ -4219,6 +4291,7 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_q21": SQL_TPCH_Q21,
     "value_drift_psi": SQL_VALUE_DRIFT_PSI,
     "k_anonymity": SQL_K_ANONYMITY,
+    "hybrid_search": SQL_HYBRID_SEARCH,
     "merge_changes": SQL_MERGE_CHANGES,
     "rolling_user_stats": SQL_ROLLING_USER_STATS,
     "tpch_q4": SQL_TPCH_Q4,

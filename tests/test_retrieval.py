@@ -165,3 +165,45 @@ def test_bm25_many_dedupes_repeated_query_terms(spark):
         for r in bm25_topk_many(docs, {7: ["hash", "hash", "join"]}, k=5).collect()
     }
     assert single == many
+
+
+def test_hybrid_rrf_fuses_both_systems(spark):
+    """A document ranked by BOTH systems outranks one of equal single-
+    system rank; single-system documents carry a NULL for the other
+    rank and still score."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.retrieval import (
+        hybrid_rrf_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "vector vector vector"),   # lexical hit only
+            (2, "vector hash join"),       # lexical hit + vector neighbor
+            (3, "nothing relevant here"),  # vector neighbor only
+            (4, "filler words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # query
+            (2, [0.9, 0.1]),
+            (3, [0.8, 0.2]),
+            (4, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_rrf_topk(
+        docs, emb, ["vector", "hash"], query_vec_id=0, k=4, pool=3
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    # doc 2 is in both pools → top fused rank
+    assert out[0]["id"] == 2
+    assert by_id[2]["lex_rank"] is not None and by_id[2]["sem_rank"] is not None
+    # single-system docs carry NULL for the missing system
+    assert by_id[1]["sem_rank"] is None and by_id[1]["lex_rank"] is not None
+    assert by_id[3]["lex_rank"] is None and by_id[3]["sem_rank"] is not None
+    # rrf of doc 2 is the sum of both reciprocal terms
+    r = by_id[2]
+    expect = 1.0 / (60 + r["lex_rank"]) + 1.0 / (60 + r["sem_rank"])
+    assert abs(r["rrf_score"] - round(expect, 9)) < 1e-12
