@@ -240,3 +240,24 @@ def k_anonymity(
     if sensitive_col is not None:
         aggs.append(F.min("__l").cast("bigint").alias("min_l"))
     return groups.agg(*aggs)
+
+
+def histogram_counts(
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int = 10
+) -> list[int]:
+    """The fixed-width histogram of `col` as n_bins driver-side ints —
+    the baseline artifact a streaming PSI monitor compares against
+    (bounded driver state, like k-means centroids). Same clamped
+    binning as psi_drift."""
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    rows = df.select(b.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("c")
+    ).collect()
+    counts = [0] * n_bins
+    for r in rows:
+        counts[r["bin"]] = r["c"]
+    return counts

@@ -689,3 +689,76 @@ def streaming_rollup_updates(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_psi_drift(
+    events_stream: DataFrame,
+    base_counts: list[int],
+    col: str = "value",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    duration: str = "6 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window PSI drift against a static baseline histogram — the
+    streaming twin of operators.profiling.psi_drift, continuously
+    answering "is the live feature distribution still the one we
+    trained on?".
+
+    ``base_counts`` is the precomputed baseline histogram
+    (profiling.histogram_counts on the reference slice — n_bins ints
+    of driver state, broadcast as literals). The per-window histogram
+    is ONE stateful aggregation: the bin dimension is folded into
+    n_bins conditional-count columns (streaming pivot is unsupported,
+    and a (window, bin) grouping would need a second stateful
+    aggregation for the window total), so state is |open windows| rows
+    × (n_bins+1) longs. PSI per bin is then a stateless projection
+    melted back to rows with stack().
+
+    Emits (window_start, bin, bin_lo, base_count, cur_count,
+    psi_contrib) once the watermark closes each window (append mode);
+    Σ psi_contrib per window is that window's PSI. Same clamped
+    binning and Laplace smoothing as the batch operator.
+    """
+    n_bins = len(base_counts)
+    width = (hi - lo) / n_bins
+    if dict(events_stream.dtypes).get("ts") == "timestamp_ntz":
+        events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    b = F.least(
+        F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    aggs = [
+        F.sum((F.col("__bin") == i).cast("long")).alias(f"__c{i}")
+        for i in range(n_bins)
+    ] + [F.count(F.lit(1)).alias("__total")]
+    wide = (
+        events_stream.withWatermark("ts", watermark)
+        .select("ts", b.alias("__bin"))
+        .groupBy(F.window("ts", duration).alias("w"))
+        .agg(*aggs)
+    )
+    total_base = sum(base_counts)
+    denom_b = float(total_base) + 0.5 * n_bins
+    cols = []
+    for i in range(n_bins):
+        pb = (base_counts[i] + 0.5) / denom_b
+        pc = (F.col(f"__c{i}") + 0.5) / (F.col("__total") + 0.5 * n_bins)
+        cols.append(
+            F.struct(
+                F.lit(i).alias("bin"),
+                F.round(F.lit(lo + i * width), 6).alias("bin_lo"),
+                F.lit(base_counts[i]).cast("long").alias("base_count"),
+                F.col(f"__c{i}").alias("cur_count"),
+                F.round((pc - F.lit(pb)) * F.log(pc / F.lit(pb)), 6).alias(
+                    "psi_contrib"
+                ),
+            )
+        )
+    return wide.select(
+        F.col("w.start").alias("window_start"),
+        F.explode(F.array(*cols)).alias("r"),
+    ).select(
+        "window_start", "r.bin", "r.bin_lo", "r.base_count", "r.cur_count",
+        "r.psi_contrib",
+    )

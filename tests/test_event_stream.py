@@ -967,3 +967,73 @@ def test_streaming_rollup_state_survives_restart(spark, tmp_path):
         for r in rollup_of(merged, ["o_orderpriority"], ["o_totalprice"]).collect()
     }
     assert got_map == exp_map
+
+
+def test_streaming_psi_drift_matches_reference(spark, tmp_path):
+    """Per-window PSI from the stream equals the closed-form reference
+    computed over the same windows with the same baseline histogram."""
+    import math
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.profiling import (
+        histogram_counts,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming.event_stream import (
+        streaming_psi_drift,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    # baseline: first half of the month
+    cutoff = "2024-01-16"
+    base = events.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+    base_counts = histogram_counts(base, "value", 0.0, 500.0, n_bins=10)
+
+    src = str(tmp_path / "psi_src")
+    live = events.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+    live.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(live.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_psi_drift(
+        stream, base_counts, duration="4 days", watermark="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("psidrift")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from psidrift").collect()
+    finally:
+        q.stop()
+
+    # closed-form reference over the same 4-day windows
+    rows = live.select("ts", "value").collect()
+    per_window: dict = {}
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    win_s = 4 * 86400
+    for r in rows:
+        sec = (r["ts"] - epoch).total_seconds()
+        wstart = epoch + datetime.timedelta(seconds=(sec // win_s) * win_s)
+        bins = per_window.setdefault(wstart, [0] * 10)
+        b = min(max(int(r["value"] // 50.0), 0), 9)
+        bins[b] += 1
+    tb = sum(base_counts)
+    got_map = {(r["window_start"], r["bin"]): r for r in got}
+    assert {w for w, _ in got_map} == set(per_window)
+    for wstart, bins in per_window.items():
+        tc = sum(bins)
+        for i in range(10):
+            r = got_map[(wstart, i)]
+            assert r["cur_count"] == bins[i]
+            assert r["base_count"] == base_counts[i]
+            pb = (base_counts[i] + 0.5) / (tb + 5.0)
+            pc = (bins[i] + 0.5) / (tc + 5.0)
+            want = round((pc - pb) * math.log(pc / pb), 6)
+            assert abs(r["psi_contrib"] - want) < 2e-6, (wstart, i)
