@@ -428,3 +428,82 @@ def dup_passages(
         return counted(base)
     cand = [r["h"] for r in rows[:cap] if r["c"] >= kth]
     return counted(base.filter(F.xxhash64("passage").isin(cand)))
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    min_df_frac: float = 0.5,
+    unit_delim: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/CCNet-style boilerplate removal: delete every text unit that
+    appears in at least ``min_df_frac`` of all documents (nav bars,
+    cookie banners, license footers — the cross-document repeated
+    lines that poison LM training data).
+
+    ``unit_delim`` picks the granularity: '\\n' (the production
+    line-level form) or ' ' (corpus-frequency stopword pruning — same
+    plumbing, useful for index building). Empty units are never
+    counted as boilerplate (blank lines are structure, not content)
+    and survive removal, so spacing round-trips.
+
+    Scale shape: unit document-frequency is a two-level distinct
+    ((doc, unit) dedup → map-side-combined count); the frequent-unit
+    set joins back by equality — left to AQE, which broadcasts it when
+    it is small (it usually is: units shared by half the corpus are
+    few) and shuffle-joins otherwise; the rebuild is ONE groupBy(doc)
+    with position-sorted reassembly (collect_list skips the removed
+    units' NULLs, array_sort orders by the unique position, so the
+    result is deterministic under any shuffle order).
+
+    Returns (id_col, clean_text, n_removed).
+    """
+    units = parallelize_narrow(docs).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), unit_delim)).alias(
+            "pos", "unit"
+        ),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    df_per_unit = (
+        units.filter(F.col("unit") != "")
+        .select(id_col, "unit")
+        .distinct()
+        .groupBy("unit")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    frequent = (
+        df_per_unit.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__df") >= F.lit(min_df_frac) * F.col("__n_docs"))
+        .select("unit", F.lit(True).alias("__rm"))
+    )
+    flagged = units.join(frequent, "unit", "left")
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            unit_delim,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rm").isNull(),
+                            F.struct(F.col("pos"), F.col("unit")),
+                        )
+                    )
+                ),
+                lambda x: x["unit"],
+            ),
+        ).alias("clean_text"),
+        F.sum(F.coalesce(F.col("__rm").cast("long"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+        )
+    )

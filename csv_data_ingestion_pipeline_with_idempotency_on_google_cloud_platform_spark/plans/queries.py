@@ -2448,6 +2448,45 @@ LIMIT 10
 """
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 cleaning: cross-document boilerplate removal
+    (operators/textstats.py:remove_boilerplate) at word granularity —
+    units appearing in ≥60% of documents are deleted, positions-sorted
+    reassembly keeps the remainder byte-exact. The production form is
+    line-level ('\\n' delimiter); the synthetic corpus is single-line,
+    so the query exercises the identical plumbing on words."""
+    from ..operators.textstats import remove_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_boilerplate(docs, min_df_frac=0.6, unit_delim=" ")
+
+
+SQL_BOILERPLATE_REMOVAL = """
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+units AS (
+  SELECT doc_id, pos, ls[pos] AS unit
+  FROM (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+       UNNEST(range(1, len(ls) + 1)) AS u(pos)
+),
+freq AS (
+  SELECT unit
+  FROM (SELECT unit, COUNT(DISTINCT doc_id) AS df FROM units
+        WHERE unit <> '' GROUP BY 1), n
+  WHERE df >= 0.6 * n_docs
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(unit, ' ' ORDER BY pos)
+           FILTER (WHERE unit NOT IN (SELECT unit FROM freq)) AS clean_text,
+         COUNT(*) FILTER (WHERE unit IN (SELECT unit FROM freq)) AS n_removed
+  FROM units GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(clean_text, '') AS clean_text,
+       CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X13 hybrid retrieval: reciprocal-rank fusion of the BM25 top-50
     for {vector, hash, join} and the exact cosine top-50 around vector
@@ -4254,6 +4293,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_drift_psi": q_value_drift_psi,
     "k_anonymity": q_k_anonymity,
     "hybrid_search": q_hybrid_search,
+    "boilerplate_removal": q_boilerplate_removal,
     "merge_changes": q_merge_changes,
     "rolling_user_stats": q_rolling_user_stats,
     "frequent_terms": q_frequent_terms,
@@ -4292,6 +4332,7 @@ ORACLE_SQL: dict[str, str] = {
     "value_drift_psi": SQL_VALUE_DRIFT_PSI,
     "k_anonymity": SQL_K_ANONYMITY,
     "hybrid_search": SQL_HYBRID_SEARCH,
+    "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
     "merge_changes": SQL_MERGE_CHANGES,
     "rolling_user_stats": SQL_ROLLING_USER_STATS,
     "tpch_q4": SQL_TPCH_Q4,

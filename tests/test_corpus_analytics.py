@@ -240,3 +240,32 @@ def test_user_value_trend_excludes_degenerate_users(spark):
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
     got = {r["user_id"]: r["slope_per_hour"] for r in user_value_trend(ev).collect()}
     assert got == {3: 2.0}
+
+
+def test_remove_boilerplate_strips_frequent_lines(spark):
+    """Line-level production form: the cookie banner shared by 3 of 4
+    docs is removed everywhere, unique lines and blank lines survive,
+    reassembly preserves order."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        remove_boilerplate,
+    )
+
+    banner = "accept all cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nreal content one\n\nmore text"),
+            (2, f"intro line\n{banner}\nreal content two"),
+            (3, f"{banner}"),
+            (4, "entirely unique document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(docs, min_df_frac=0.5).collect()
+    }
+    assert out[1]["clean_text"] == "real content one\n\nmore text"
+    assert out[2]["clean_text"] == "intro line\nreal content two"
+    assert out[3]["clean_text"] == ""  # banner-only doc empties out
+    assert out[4]["clean_text"] == "entirely unique document"
+    assert [out[i]["n_removed"] for i in (1, 2, 3, 4)] == [1, 1, 1, 0]
