@@ -444,3 +444,57 @@ def hard_negatives(
             F.round("__cos", 6).alias("cos_sim"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 4,
+    min_cosine: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+    max_cluster_size: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023):
+    cluster the embedding space with k-means, then compare vectors only
+    WITHIN a cluster and drop every vector that has a lower-id
+    τ-neighbor there. Returns the surviving rows of `emb` unchanged.
+
+    Scale shape: clustering makes the pair stage Σ|cluster|² instead of
+    n² — with k grown ~√n (the same sizing rule as the IVF index) the
+    expected cluster stays bounded, and `max_cluster_size` hard-caps
+    degenerate clusters the way the LSH hot-bucket cap does. The pair
+    stage reuses `_bucket_pairs` keyed by cluster id: one shuffle,
+    vectors cross the wire once, pairs expand inside the collected
+    cluster. Survivor choice is the deterministic min-id rule (one
+    pass, not transitive closure — a dropped vector can itself be the
+    lower-id witness for another drop, matching the one-shot pairwise
+    semantics of the paper rather than single-linkage clustering).
+
+    `assignments` overrides the built-in k-means (id_col, cluster) —
+    production would train centroids on a sample and assign with
+    `assign_cells`; tests use it to pin clustering for brute-force
+    parity.
+    """
+    from .dedup import _bucket_pairs
+
+    if assignments is None:
+        assignments = kmeans_train_assign(
+            emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    entries = emb.join(assignments, id_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        "cluster",
+    )
+    pairs = _bucket_pairs(entries, ["cluster"], ("id", "v"), max_cluster_size)
+    dropped = (
+        pairs.select(
+            "id_b", cosine_similarity_col("pa", "pb").alias("__cos")
+        )
+        .filter(F.col("__cos") >= min_cosine)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return emb.join(dropped, id_col, "left_anti")
