@@ -89,6 +89,17 @@ HEADLINE = [
     "bm25_indexed",
     "rollup_maintenance",
     "pq_search",
+    # round-3 session 3: TPC-H completion's heavy shapes, governance,
+    # hybrid retrieval, corpus cleaning, classifier, semantic dedup
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q20",
+    "value_drift_psi",
+    "k_anonymity",
+    "hybrid_search",
+    "boilerplate_removal",
+    "quality_classifier",
+    "semantic_dedup",
 ]
 
 

@@ -15,10 +15,13 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity_col
+from ..functions.vectors import cosine_similarity_col, l2_norm_col
 from ..utils import parallelize_narrow
 
 
@@ -249,37 +252,51 @@ def kmeans_train_assign(
     (ivf_assignments documents that deployments k-means a sample; this
     is that trainer). Distributed shape per iteration:
 
-    - centroids broadcast as literal arrays (k×dim doubles — tiny);
-      assignment is a narrow per-row argmin of squared L2, no shuffle;
+    - centroids ride to executors inside an Arrow-vectorized
+      pandas_udf closure (k×dim doubles — tiny); assignment is a
+      narrow per-row argmin of squared L2 computed as ONE numpy
+      matmul per Arrow batch, no shuffle. The earlier pure-expression
+      fold was bit-identical but HOFs don't codegen — ~10 µs per
+      (row, centroid, dim) element interpreted, i.e. minutes per
+      billion rows×k; dense linear algebra is exactly the seam the
+      Arrow batch path exists for (precedent: the bloom probe,
+      bloom.py).
     - update shuffles only k×dim (cluster, pos) partial averages
       (posexplode + avg, map-side combined), never raw vectors;
     - the driver holds k×dim floats between iterations — the only
       driver-side state an iterative algorithm genuinely needs.
 
     Deterministic: init = the k lowest-id vectors; argmin ties break to
-    the first centroid. Empty clusters keep their previous centroid.
-    Returns (id_col, cluster) assignments under the trained centroids.
+    the first centroid (np.argmin first-minimum, same rule as the old
+    array_position fold — though the expanded ‖c‖²−2v·c form can round
+    differently than the per-element fold on exact ties).
+    Empty clusters keep their previous centroid. Returns
+    (id_col, cluster) assignments under the trained centroids.
     """
     vec = F.col(vec_col).cast("array<double>")
     cents = [
         [float(x) for x in r["v"]]
         for r in emb.orderBy(id_col).limit(k).select(vec.alias("v")).collect()
     ]
+    # numpy releases the GIL inside matmul, but batches arrive per
+    # partition: spread a single-file input first (no-op at scale)
+    emb = parallelize_narrow(emb)
 
     def assign_col(cents_now: list[list[float]]):
-        dists = F.array(*[
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(x) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+        c = np.asarray(cents_now, dtype=np.float64)
+        c2 = (c * c).sum(axis=1)
+
+        @F.pandas_udf("int")
+        def assign(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="int32")
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+            # argmin ‖v−c‖² == argmin ‖c‖² − 2·v·c  (‖v‖² is constant per row)
+            return pd.Series(
+                np.argmin(c2[None, :] - 2.0 * (m @ c.T), axis=1).astype("int32")
             )
-            for c in cents_now
-        ])
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+        return assign(vec)
 
     for _ in range(iters):
         assigned = emb.withColumn("cluster", assign_col(cents))
@@ -448,7 +465,7 @@ def hard_negatives(
 
 def semantic_dedup(
     emb: DataFrame,
-    k: int = 16,
+    k: int | None = 16,
     iters: int = 4,
     min_cosine: float = 0.97,
     id_col: str = "vec_id",
@@ -475,24 +492,38 @@ def semantic_dedup(
     `assignments` overrides the built-in k-means (id_col, cluster) —
     production would train centroids on a sample and assign with
     `assign_cells`; tests use it to pin clustering for brute-force
-    parity.
+    parity. k=None derives the cluster count by the same √n rule as
+    the IVF quantizer, which is what keeps Σ|cluster|² ≈ n^1.5 rather
+    than n²/const as the corpus grows.
+
+    Vectors are L2-normalized ONCE before pair expansion, so each
+    pair costs a single dot-product fold instead of dot + two norms —
+    the pair stage is the quadratic-ish part, the normalization the
+    linear part; do the 3× less work on the quadratic side.
     """
     from .dedup import _bucket_pairs
 
+    if k is None:
+        k = max(16, int(emb.count() ** 0.5))
     if assignments is None:
         assignments = kmeans_train_assign(
             emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
         )
+    vec = F.col(vec_col).cast("array<double>")
+    norm = F.greatest(l2_norm_col(vec), F.lit(1e-12))
     entries = emb.join(assignments, id_col).select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+        F.transform(vec, lambda x: x / norm).alias("v"),
         "cluster",
     )
     pairs = _bucket_pairs(entries, ["cluster"], ("id", "v"), max_cluster_size)
+    dot = F.aggregate(
+        F.zip_with("pa", "pb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     dropped = (
-        pairs.select(
-            "id_b", cosine_similarity_col("pa", "pb").alias("__cos")
-        )
+        pairs.select("id_b", dot.alias("__cos"))
         .filter(F.col("__cos") >= min_cosine)
         .select(F.col("id_b").alias(id_col))
         .distinct()

@@ -4177,16 +4177,16 @@ LIMIT 20
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 semantic dedup (SemDeDup): k-means the embedding space, drop
-    vectors with a lower-id cos≥0.9 neighbor in their cluster
-    (operators/similarity.py:semantic_dedup). Rows-only: clustering is
-    iterative k-means; within-cluster brute-force parity and planted
-    exact-duplicate recall are pinned in tests/test_classifier.py.
-    Returns surviving (vec_id, label) rows."""
+    """X2 semantic dedup (SemDeDup): k-means the embedding space with
+    √n clusters, drop vectors with a lower-id cos≥0.9 neighbor in
+    their cluster (operators/similarity.py:semantic_dedup). Rows-only:
+    clustering is iterative k-means; within-cluster brute-force parity
+    and planted exact-duplicate recall are pinned in
+    tests/test_classifier.py. Returns surviving (vec_id, label) rows."""
     from ..operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, k=16, iters=3, min_cosine=0.9).select(
+    return semantic_dedup(emb, k=None, iters=3, min_cosine=0.9).select(
         "vec_id", "label"
     )
 
