@@ -380,3 +380,29 @@ def test_tpch_q21_folds_self_joins_into_one_aggregate(spark):
     assert plan.count("Scan parquet") <= 6  # lineitem + orders + supplier
     n_joins = plan.count("HashJoin") + plan.count("SortMergeJoin")
     assert n_joins <= 4  # 2 joins, each named in tree + detail lines
+
+
+def test_quality_classifier_broadcast_weights_and_no_global_window(spark):
+    """Classifier scale shape: the (≤ vocab_size)-row weight table and
+    the 1-row prior must broadcast; the vocab cap must finish with
+    TakeOrderedAndProject, never a single-partition rank window."""
+    plan = _plan(spark, "quality_classifier")
+    assert "TakeOrderedAndProject" in plan
+    # weight join + prior join + totals join all broadcast
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert plan.count("BroadcastNestedLoopJoin") >= 1  # 1-row prior/totals
+    # no global (empty-spec) window anywhere in the plan
+    assert "Window [" not in plan or "windowspecdefinition()" not in plan
+
+
+def test_semantic_dedup_pairs_only_within_clusters(spark):
+    """SemDeDup: the pair stage must be the bucketed collect_list
+    expansion (one shuffle keyed by cluster), and the survivor filter a
+    broadcast anti-join — no cross join anywhere."""
+    plan = _plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "collect_list" in plan
+    # survivor filter is an anti-join; strategy is left to the optimizer
+    # (the dropped-id side can be a large corpus fraction at scale, so
+    # forcing a broadcast would be the wrong 100 TB shape)
+    assert "LeftAnti" in plan
