@@ -4191,6 +4191,55 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21-adjacent featurization: hashing-trick document embedding
+    (operators/embed.py) — md5 hex-digit bucket + parity sign, exact
+    integer weights, two map-side-combined shuffles. Sparse surface is
+    the oracle-checked one; the dense twin feeds the embedding-family
+    operators."""
+    from ..operators.embed import hash_embed_sparse
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_embed_sparse(docs, dim=16)
+
+
+SQL_HASH_EMBEDDING = r"""
+WITH toks AS (
+  SELECT doc_id,
+         lower(unnest(regexp_split_to_array(
+             regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS term
+  FROM documents
+  WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
+), sig AS (
+  SELECT doc_id,
+         CAST(strpos('0123456789abcdef', substring(md5(term), 1, 1)) - 1
+              AS INT) AS dim,
+         CASE WHEN substring(md5(term), 2, 1) IN
+                   ('0','2','4','6','8','a','c','e')
+              THEN 1 ELSE -1 END AS s
+  FROM toks
+)
+SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS weight
+FROM sig GROUP BY 1, 2 HAVING SUM(s) <> 0
+"""
+
+
+def q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: documents → hash_embed (operators/embed.py) →
+    semantic_dedup — semantic deduplication of a TEXT corpus with no
+    model in the loop. Rows-only (k-means); the planted-duplicate and
+    brute-force-parity guarantees ride on the component tests.
+    Returns surviving doc ids."""
+    from ..operators.embed import hash_embed
+    from ..operators.similarity import semantic_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hash_embed(docs, dim=16)
+    return semantic_dedup(
+        emb, k=None, iters=3, min_cosine=0.95, id_col="doc_id", vec_col="embedding"
+    ).select("doc_id")
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4/X14 curation: fastText-style linear quality/domain classifier
     (operators/classify.py) trained and applied in one plan — Naive
@@ -4385,8 +4434,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_anti_join": q_bloom_anti_join,
     "approx_quantiles": q_approx_quantiles,
     "quality_classifier": q_quality_classifier,
+    "hash_embedding": q_hash_embedding,
     # rows-only: k-means clustering is iterative (parity + recall in tests/)
     "semantic_dedup": q_semantic_dedup,
+    "text_semantic_dedup": q_text_semantic_dedup,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
@@ -4497,4 +4548,5 @@ ORACLE_SQL: dict[str, str] = {
     "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
     "value_outliers": SQL_VALUE_OUTLIERS,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "hash_embedding": SQL_HASH_EMBEDDING,
 }
