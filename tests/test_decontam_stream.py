@@ -116,3 +116,39 @@ def test_decontam_batch_commit_is_idempotent(spark, tmp_path):
         _gate_batch(batch, 0, eval_grams, clean_dir, quarantine_dir, 5, 1)
     assert spark.read.parquet(clean_dir).count() == 1
     assert spark.read.parquet(quarantine_dir).count() == 1
+
+
+def test_decontam_stream_restart_resumes(spark, tmp_path):
+    """Checkpoint restart: a restarted stream must not reprocess
+    committed batches (no duplicate output) and must keep gating new
+    ones against the same eval set."""
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    clean_dir = str(tmp_path / "clean")
+    quarantine_dir = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    eval_set = _eval_df(spark)
+
+    _write_jsonl(docs_dir / "b1.jsonl", [{"doc_id": 1, "text": CLEAN_DOC}])
+    q = start_decontam_stream(
+        spark, str(docs_dir), eval_set, clean_dir, quarantine_dir, ckpt, n=5
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    _write_jsonl(
+        docs_dir / "b2.jsonl", [{"doc_id": 2, "text": "prefix " + EVAL_Q}]
+    )
+    q = start_decontam_stream(
+        spark, str(docs_dir), eval_set, clean_dir, quarantine_dir, ckpt, n=5
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    clean = [r["doc_id"] for r in spark.read.parquet(clean_dir).collect()]
+    assert sorted(clean) == [1]  # batch 1 not re-emitted, doc 2 gated
+    assert [r["doc_id"] for r in spark.read.parquet(quarantine_dir).collect()] == [2]

@@ -92,3 +92,36 @@ def test_registry_queries_run(spark):
     total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     n = q_text_semantic_dedup(spark, SF_DIR).count()
     assert 0 < n <= total
+
+
+def test_hash_embed_additivity_property(spark):
+    """Linearity of the hashing trick: embedding(a ⊕ " " ⊕ b) =
+    embedding(a) + embedding(b) for non-blank a, b — the invariant
+    that makes hashed features mergeable across chunks/shards."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    WORD = st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=8)
+    PIECE = st.lists(WORD, min_size=1, max_size=6).map(" ".join)
+    collected = []
+
+    @settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(PIECE, PIECE)
+    def collect(a, b):
+        collected.append((a, b))
+
+    collect()
+    rows = []
+    for i, (a, b) in enumerate(collected):
+        rows += [
+            Row(doc_id=3 * i, text=a),
+            Row(doc_id=3 * i + 1, text=b),
+            Row(doc_id=3 * i + 2, text=a + " " + b),
+        ]
+    dense = {
+        r["doc_id"]: r["embedding"]
+        for r in hash_embed(spark.createDataFrame(rows)).collect()
+    }
+    for i, (a, b) in enumerate(collected):
+        ea, eb, eab = dense[3 * i], dense[3 * i + 1], dense[3 * i + 2]
+        assert [x + y for x, y in zip(ea, eb)] == eab, (a, b)
