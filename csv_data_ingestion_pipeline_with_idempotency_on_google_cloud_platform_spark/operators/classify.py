@@ -105,16 +105,18 @@ def train_token_weights(
 def prior_milli(
     docs: DataFrame, label_col: str = "lang", positive: str = "en"
 ) -> DataFrame:
-    """1-row class-prior log-odds in milli units: round(1000·(ln p⁺ − ln p⁻))."""
+    """1-row class-prior log-odds in milli units:
+    round(1000·(ln p⁺ − ln p⁻)) with add-one smoothing on the class
+    counts — a single-class corpus yields a large finite prior instead
+    of ln(0) = NULL cascading into every document score."""
     is_pos = (F.col(label_col) == F.lit(positive)).cast("long")
+    n = F.count(F.lit(1)).cast("double")
     return docs.agg(
         F.round(
             F.lit(1000.0)
             * (
-                F.log(F.sum(is_pos) / F.count(F.lit(1)).cast("double"))
-                - F.log(
-                    F.sum(F.lit(1) - is_pos) / F.count(F.lit(1)).cast("double")
-                )
+                F.log((F.sum(is_pos) + 1.0) / (n + 2.0))
+                - F.log((F.sum(F.lit(1) - is_pos) + 1.0) / (n + 2.0))
             )
         )
         .cast("bigint")

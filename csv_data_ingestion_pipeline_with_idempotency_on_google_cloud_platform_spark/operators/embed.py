@@ -38,7 +38,11 @@ def _bucket_sign(tok, dim: int):
     if dim == 16:
         bucket = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
     else:
-        bucket = (F.conv(F.substring(h, 1, 6), 16, 10) % dim).cast("int")
+        # conv returns a STRING; cast before the modulo so the bucket is
+        # integer arithmetic, not a string→double coercion
+        bucket = (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % dim).cast(
+            "int"
+        )
     sign = F.when(
         F.substring(h, 7 if dim != 16 else 2, 1).isin(*_EVEN_HEX), F.lit(1)
     ).otherwise(F.lit(-1))

@@ -4285,10 +4285,10 @@ WITH toks AS (
   FROM vocab CROSS JOIN tot
 ), prior AS (
   SELECT CAST(round(1000.0 * (
-             ln(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-                / CAST(COUNT(*) AS DOUBLE))
-           - ln(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
-                / CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS pm
+             ln((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1.0)
+                / (CAST(COUNT(*) AS DOUBLE) + 2.0))
+           - ln((SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 1.0)
+                / (CAST(COUNT(*) AS DOUBLE) + 2.0)))) AS BIGINT) AS pm
   FROM documents
 ), doc_scores AS (
   SELECT t.doc_id, SUM(w.wm) AS tok_score

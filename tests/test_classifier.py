@@ -175,3 +175,12 @@ def test_semantic_dedup_registry_query_runs(spark):
     n = out.count()
     total = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     assert 0 < n <= total
+
+
+def test_single_class_corpus_yields_finite_scores(spark):
+    """Degenerate corpus (every doc positive): the smoothed prior must
+    keep scores finite and positive, never NULL."""
+    docs = _docs(spark, [("all english words here", "en"), ("more english", "en")])
+    rows = classify_corpus(docs).collect()
+    assert all(r["score_milli"] is not None for r in rows)
+    assert all(r["pred_pos"] == 1 for r in rows)
