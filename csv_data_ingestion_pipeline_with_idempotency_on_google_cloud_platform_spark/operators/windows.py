@@ -383,3 +383,47 @@ def window_distinct_users(events: DataFrame, duration: str = "1 hour") -> DataFr
             "n_users",
         )
     )
+
+
+def event_paths_topk(
+    events: DataFrame, n: int = 3, k: int = 20
+) -> DataFrame:
+    """Sequential pattern mining: the k most common length-`n` event-type
+    paths across users (e.g. "view > click > purchase") — the
+    product-analytics primitive behind "what do users actually do",
+    complementing the Markov `event_transitions` (order-1) with
+    arbitrary-order paths.
+
+    Shape: ONE shuffle keyed by user collects each user's ordered type
+    sequence (per-user arrays are bounded by per-user activity, the
+    same bound sessionize/funnel rely on); n-gram expansion is a narrow
+    slice+concat fold (identical machinery to word_shingles_col); the
+    path count map-side combines; top-k is orderBy+limit →
+    TakeOrderedAndProject. Deterministic (ts, event_id) event order and
+    (count desc, path asc) tie-break.
+    """
+    seqs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("es")
+        )
+        .select(F.transform("es", lambda e: e["event_type"]).alias("s"))
+        .filter(F.size("s") >= n)
+    )
+    grams = seqs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("s") - (n - 1)),
+                lambda i: F.concat_ws(" > ", F.slice(F.col("s"), i, n)),
+            )
+        ).alias("path")
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(k)
+    )

@@ -4191,6 +4191,27 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6/X11 sequential pattern mining: top-20 3-step event-type paths
+    (operators/windows.py:event_paths_topk) — arbitrary-order journey
+    mining beside the order-1 Markov event_transitions."""
+    return windows.event_paths_topk(load_table(spark, sf_dir, "events"), n=3, k=20)
+
+
+SQL_EVENT_PATHS = """
+WITH seqs AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+  FROM events GROUP BY 1
+), grams AS (
+  SELECT array_to_string(list_slice(s, i, i + 2), ' > ') AS path
+  FROM seqs, UNNEST(range(1, len(s) - 1)) AS t(i)
+  WHERE len(s) >= 3
+)
+SELECT path, COUNT(*) AS n FROM grams GROUP BY 1
+ORDER BY n DESC, path ASC LIMIT 20
+"""
+
+
 def q_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X21-adjacent featurization: hashing-trick document embedding
     (operators/embed.py) — md5 hex-digit bucket + parity sign, exact
@@ -4435,6 +4456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_quantiles": q_approx_quantiles,
     "quality_classifier": q_quality_classifier,
     "hash_embedding": q_hash_embedding,
+    "event_paths": q_event_paths,
     # rows-only: k-means clustering is iterative (parity + recall in tests/)
     "semantic_dedup": q_semantic_dedup,
     "text_semantic_dedup": q_text_semantic_dedup,
@@ -4549,4 +4571,5 @@ ORACLE_SQL: dict[str, str] = {
     "value_outliers": SQL_VALUE_OUTLIERS,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "hash_embedding": SQL_HASH_EMBEDDING,
+    "event_paths": SQL_EVENT_PATHS,
 }
