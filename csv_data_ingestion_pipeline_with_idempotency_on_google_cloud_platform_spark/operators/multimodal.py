@@ -293,3 +293,110 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return parallelize_narrow(media).mapInPandas(batches, schema=FRAME_DDL)
+
+
+def ahash_bits(payload: bytes, media_type: str, n_bits: int = 16) -> int:
+    """Average-hash of DECODED content: split the flattened sample/pixel
+    array into `n_bits` contiguous chunks, mean each, set bit i iff
+    chunk i's mean exceeds the average of the chunk means — the
+    classic aHash, generalized to any modality the decode seam
+    handles. A one-pixel/-sample perturbation moves one chunk mean
+    marginally (hamming ≈ 0); structural changes (inversion, reorder)
+    flip many bits. Undecodable payloads fall back to md5 bits —
+    exact-content matching, conservative but correct."""
+    import numpy as np
+
+    try:
+        arr = decode_media(payload, media_type).astype("float64")
+    except NotImplementedError:
+        digest = hashlib.md5(payload).digest()
+        return int.from_bytes(digest, "big") & ((1 << n_bits) - 1)
+    flat = arr.ravel()
+    if flat.size == 0:
+        return 0
+    means = np.array([c.mean() for c in np.array_split(flat, n_bits)])
+    bits = means > means.mean()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def media_phash(media: DataFrame, n_bits: int = 16) -> DataFrame:
+    """Per-payload perceptual hash (ahash_bits) with metadata — the
+    multimodal analogue of the text SimHash signature. One
+    Arrow-batched pass; returns (doc_id, media_type, byte_len, phash).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "phash": [
+                        ahash_bits(bytes(b), mt, n_bits)
+                        for b, mt in zip(payloads, pdf["media_type"])
+                    ],
+                }
+            )
+
+    return parallelize_narrow(media).mapInPandas(
+        batches, schema="doc_id BIGINT, media_type STRING, byte_len BIGINT, phash BIGINT"
+    )
+
+
+def media_phash_near_dup(
+    media: DataFrame,
+    n_bits: int = 16,
+    radius: int = 2,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Multimodal near-dup pairs by perceptual hash: (id_a, id_b,
+    hamming) for payloads within `radius` bits.
+
+    Same block-decomposition trick as SimHash text dedup (pigeonhole:
+    two hashes within `radius` bits agree exactly on ≥1 of radius+1
+    bit blocks), and the same one-shuffle bucketed pair expansion
+    (`dedup._bucket_pairs`) with a hot-bucket cap — so the multimodal
+    path inherits the text path's 100 TB posture instead of inventing
+    a second pair pipeline.
+    """
+    from .dedup import _bucket_pairs
+
+    n_blocks = radius + 1
+    block_bits = (n_bits + n_blocks - 1) // n_blocks
+    ph = media_phash(media, n_bits)
+    blocks = []
+    for b in range(n_blocks):
+        shift = b * block_bits
+        width = min(block_bits, n_bits - shift)
+        if width <= 0:
+            continue
+        mask = (1 << width) - 1
+        blocks.append(
+            F.struct(
+                F.lit(b).alias("block_id"),
+                F.shiftrightunsigned("phash", shift).bitwiseAND(F.lit(mask)).alias(
+                    "block_val"
+                ),
+            )
+        )
+    entries = ph.select(
+        F.col("doc_id").alias("id"),
+        F.col("phash").alias("ph"),
+        F.explode(F.array(*blocks)).alias("e"),
+    ).select("id", "ph", "e.block_id", "e.block_val")
+    pairs = _bucket_pairs(
+        entries, ["block_id", "block_val"], ("id", "ph"), max_bucket_size
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= radius)
+    )

@@ -1207,6 +1207,27 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5×X2 composition: multimodal near-dup pairs by perceptual hash
+    (operators/multimodal.py:media_phash_near_dup) over REAL decoded
+    PGM bytes (same wrapping as media_decode_stats). Rows-only (binary
+    decode); pixel-perturbation recall is pinned in
+    tests/test_multimodal.py. Returns (id_a, id_b, hamming)."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.encode(F.lit("P5\n16 4\n255\n"), "UTF-8"),
+        F.substring(F.rpad(F.encode(F.col("text"), "UTF-8"), 64, b"\x20"), 1, 64),
+    )
+    media = docs.select(
+        "doc_id",
+        F.lit("image/x-portable-graymap").alias("media_type"),
+        payload.alias("payload"),
+    )
+    return multimodal.media_phash_near_dup(media, n_bits=16, radius=2)
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 (BPE-ish budgeting): GPT-2-style pretokenizer match counts vs
     whitespace tokens per language — the cheap token-budget estimator
@@ -4460,6 +4481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only: k-means clustering is iterative (parity + recall in tests/)
     "semantic_dedup": q_semantic_dedup,
     "text_semantic_dedup": q_text_semantic_dedup,
+    "media_phash_dedup": q_media_phash_dedup,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are

@@ -173,3 +173,55 @@ def test_real_features_empty_decode_degrades_to_zeros():
         f.setframerate(8000)
         f.writeframes(b"")
     assert real_features(buf.getvalue(), "audio/x-wav", 8) == [0.0] * 8
+
+
+def test_media_phash_near_dup_on_real_pixels(spark):
+    """Perceptual-hash dedup over REAL decoded PGM images: an exact
+    duplicate is hamming-0, a one-pixel perturbation stays within the
+    radius, a structurally different image does not pair."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.multimodal import (
+        media_phash,
+        media_phash_near_dup,
+    )
+
+    w, h = 8, 8
+    base = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+    perturbed = bytearray(base)
+    perturbed[17] = (perturbed[17] + 3) % 256  # one pixel, tiny delta
+    different = bytes((255 - b) % 256 for b in base)  # inverted image
+
+    def pgm(pixels):
+        return b"P5\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+    rows = [
+        (0, "image/x-portable-graymap", pgm(base)),
+        (1, "image/x-portable-graymap", pgm(base)),       # exact dup
+        (2, "image/x-portable-graymap", pgm(perturbed)),  # near dup
+        (3, "image/x-portable-graymap", pgm(different)),  # distinct
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in media_phash_near_dup(media, n_bits=16, radius=2).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 2
+    assert not any(3 in p for p in pairs)
+
+    # phash determinism: identical payloads share the signature
+    ph = {r["doc_id"]: r["phash"] for r in media_phash(media, n_bits=16).collect()}
+    assert ph[0] == ph[1]
+    assert ph[0] != ph[3]
+
+
+def test_media_phash_registry_query_runs(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.plans.queries import (
+        q_media_phash_dedup,
+    )
+    from .conftest import SF_DIR
+
+    out = q_media_phash_dedup(spark, SF_DIR)
+    assert out.columns == ["id_a", "id_b", "hamming"]
+    assert out.count() >= 0
