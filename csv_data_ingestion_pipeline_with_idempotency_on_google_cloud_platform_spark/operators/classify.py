@@ -64,9 +64,13 @@ def train_token_weights(
 
     Smoothing denominators use the *realized* vocabulary size (which
     can be < vocab_size on small corpora) so the formula is exactly
-    reproducible from the weight table alone.
+    reproducible from the weight table alone. A NULL label counts as
+    negative (an unlabeled document is not a positive example), which
+    also keeps the DuckDB oracle's CASE-ELSE arithmetic exact.
     """
-    is_pos = (F.col(label_col) == F.lit(positive)).cast("long")
+    is_pos = F.coalesce(
+        (F.col(label_col) == F.lit(positive)).cast("long"), F.lit(0)
+    )
     toks = docs.select(
         is_pos.alias("is_pos"),
         F.explode(tokens_col(text_col)).alias("tok"),
@@ -108,8 +112,11 @@ def prior_milli(
     """1-row class-prior log-odds in milli units:
     round(1000·(ln p⁺ − ln p⁻)) with add-one smoothing on the class
     counts — a single-class corpus yields a large finite prior instead
-    of ln(0) = NULL cascading into every document score."""
-    is_pos = (F.col(label_col) == F.lit(positive)).cast("long")
+    of ln(0) = NULL cascading into every document score. NULL labels
+    count as negative, as in train_token_weights."""
+    is_pos = F.coalesce(
+        (F.col(label_col) == F.lit(positive)).cast("long"), F.lit(0)
+    )
     n = F.count(F.lit(1)).cast("double")
     return docs.agg(
         F.round(
@@ -150,7 +157,10 @@ def score_documents(
     )
     return (
         docs.select(
-            id_col, (F.col(label_col) == F.lit(positive)).cast("int").alias("is_pos")
+            id_col,
+            F.coalesce(
+                (F.col(label_col) == F.lit(positive)).cast("int"), F.lit(0)
+            ).alias("is_pos"),
         )
         .join(doc_scores, id_col, "left")
         .crossJoin(F.broadcast(prior))

@@ -302,18 +302,25 @@ def ahash_bits(payload: bytes, media_type: str, n_bits: int = 16) -> int:
     classic aHash, generalized to any modality the decode seam
     handles. A one-pixel/-sample perturbation moves one chunk mean
     marginally (hamming ≈ 0); structural changes (inversion, reorder)
-    flip many bits. Undecodable payloads fall back to md5 bits —
-    exact-content matching, conservative but correct."""
+    flip many bits. Payloads that cannot produce a meaningful content
+    hash — no decoder, CORRUPT bytes (a decoder raising on truncated
+    input must not kill the whole pass), or fewer samples than bits
+    (empty chunks would NaN-collide every small payload to hash 0) —
+    fall back to md5 bits: exact-content matching, conservative but
+    correct."""
     import numpy as np
+
+    def md5_fallback():
+        digest = hashlib.md5(payload).digest()
+        return int.from_bytes(digest, "big") & ((1 << n_bits) - 1)
 
     try:
         arr = decode_media(payload, media_type).astype("float64")
-    except NotImplementedError:
-        digest = hashlib.md5(payload).digest()
-        return int.from_bytes(digest, "big") & ((1 << n_bits) - 1)
+    except Exception:
+        return md5_fallback()
     flat = arr.ravel()
-    if flat.size == 0:
-        return 0
+    if flat.size < n_bits:
+        return md5_fallback()
     means = np.array([c.mean() for c in np.array_split(flat, n_bits)])
     bits = means > means.mean()
     out = 0
@@ -367,14 +374,18 @@ def media_phash_near_dup(
     from .dedup import _bucket_pairs
 
     n_blocks = radius + 1
-    block_bits = (n_bits + n_blocks - 1) // n_blocks
+    if n_bits < n_blocks:
+        raise ValueError(
+            f"n_bits={n_bits} < radius+1={n_blocks}: every block needs ≥1 bit "
+            "or the pigeonhole recall guarantee breaks"
+        )
     ph = media_phash(media, n_bits)
     blocks = []
     for b in range(n_blocks):
-        shift = b * block_bits
-        width = min(block_bits, n_bits - shift)
-        if width <= 0:
-            continue
+        # balanced partition (⌊i·n/k⌋ boundaries): every block non-empty,
+        # together covering all n_bits — the pigeonhole invariant
+        shift = b * n_bits // n_blocks
+        width = (b + 1) * n_bits // n_blocks - shift
         mask = (1 << width) - 1
         blocks.append(
             F.struct(

@@ -522,8 +522,13 @@ def semantic_dedup(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # identical normalized vectors score exactly 1.0 — this both removes
+    # float-rounding flutter on true duplicates AND covers zero-norm
+    # rows (two all-zero embeddings ARE duplicates of each other, but
+    # their clamped-norm dot product is 0)
+    score = F.when(F.col("pa") == F.col("pb"), F.lit(1.0)).otherwise(dot)
     dropped = (
-        pairs.select("id_b", dot.alias("__cos"))
+        pairs.select("id_b", score.alias("__cos"))
         .filter(F.col("__cos") >= min_cosine)
         .select(F.col("id_b").alias(id_col))
         .distinct()

@@ -1174,28 +1174,35 @@ SELECT doc_id,
 FROM documents
 """
 
-def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 with the decode seam ENGAGED on real bytes: each document's
-    text is wrapped into a genuine binary PGM image (header + utf-8
-    payload bytes as pixels), then decoded_media_features decodes it
-    (operators/multimodal.py:decode_media — numpy Netpbm decoder, no
-    media libs needed) and emits content statistics. Rows-only: the
-    byte-level decode is not expressible in SQL; decode-exactness is
-    pinned against numpy in tests/test_multimodal.py."""
-    from ..operators import multimodal
-
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    # 16x4 grayscale image from the first 64 utf-8 bytes (padded);
-    # header is literal so the payload is a real decodable PGM
+def _text_as_pgm_media(docs: DataFrame) -> DataFrame:
+    """Wrap each document's text into a genuine binary PGM image: a
+    literal P5 header + the first 64 utf-8 bytes as 16×4 pixels
+    (space-padded), so the numpy Netpbm decoder runs on REAL bytes.
+    Shared by every decode-seam query — a change to the wrapping
+    (dimensions, padding byte) must reach all of them together."""
     payload = F.concat(
         F.encode(F.lit("P5\n16 4\n255\n"), "UTF-8"),
         F.substring(F.rpad(F.encode(F.col("text"), "UTF-8"), 64, b"\x20"), 1, 64),
     )
-    media = docs.select(
+    return docs.select(
         "doc_id",
         F.lit("image/x-portable-graymap").alias("media_type"),
         payload.alias("payload"),
     )
+
+
+def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 with the decode seam ENGAGED on real bytes
+    (_text_as_pgm_media wrapping): decoded_media_features decodes the
+    PGM payloads (operators/multimodal.py:decode_media — numpy Netpbm
+    decoder, no media libs needed) and emits content statistics.
+    Rows-only: the byte-level decode is not expressible in SQL;
+    decode-exactness is pinned against numpy in
+    tests/test_multimodal.py."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = _text_as_pgm_media(docs)
     feats = multimodal.decoded_media_features(media, dim=8)
     return feats.select(
         "doc_id",
@@ -1216,15 +1223,7 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
-    payload = F.concat(
-        F.encode(F.lit("P5\n16 4\n255\n"), "UTF-8"),
-        F.substring(F.rpad(F.encode(F.col("text"), "UTF-8"), 64, b"\x20"), 1, 64),
-    )
-    media = docs.select(
-        "doc_id",
-        F.lit("image/x-portable-graymap").alias("media_type"),
-        payload.alias("payload"),
-    )
+    media = _text_as_pgm_media(docs)
     return multimodal.media_phash_near_dup(media, n_bits=16, radius=2)
 
 
@@ -4339,7 +4338,7 @@ WITH toks AS (
 SELECT d.doc_id,
        CAST(pm + COALESCE(tok_score, 0) AS BIGINT) AS score_milli,
        CAST(pm + COALESCE(tok_score, 0) > 0 AS INT) AS pred_pos,
-       CAST(d.lang = 'en' AS INT) AS is_pos
+       CAST(COALESCE(d.lang = 'en', FALSE) AS INT) AS is_pos
 FROM documents d
 LEFT JOIN doc_scores ON d.doc_id = doc_scores.doc_id
 CROSS JOIN prior

@@ -55,15 +55,22 @@ def _gate_batch(
             F.col("top.eval_id").alias("matched_eval_id"),
             F.col("top.n_shared").alias("n_shared"),
         )
+        # tiny (one row per contaminated doc) but derived from the
+        # expensive gram-explode + join + groupBy — persist so the
+        # clean write and the quarantine write don't each recompute it
+        .persist()
     )
-    clean = batch.join(
-        F.broadcast(contaminated.select("doc_id")), "doc_id", "left_anti"
-    )
-    quarantined = batch.join(contaminated, "doc_id")
-    clean.write.mode("overwrite").parquet(f"{clean_dir}/batch_id={batch_id}")
-    quarantined.write.mode("overwrite").parquet(
-        f"{quarantine_dir}/batch_id={batch_id}"
-    )
+    try:
+        clean = batch.join(
+            F.broadcast(contaminated.select("doc_id")), "doc_id", "left_anti"
+        )
+        quarantined = batch.join(contaminated, "doc_id")
+        clean.write.mode("overwrite").parquet(f"{clean_dir}/batch_id={batch_id}")
+        quarantined.write.mode("overwrite").parquet(
+            f"{quarantine_dir}/batch_id={batch_id}"
+        )
+    finally:
+        contaminated.unpersist()
 
 
 def start_decontam_stream(
@@ -88,9 +95,13 @@ def start_decontam_stream(
             F.col("doc_id").alias("eval_id"),
             F.explode(word_shingles_col("text", n)).alias("gram"),
         )
-        # eval suites are small; materialize so every batch reuses the
-        # computed gram set instead of re-deriving it from source
-        .localCheckpoint(eager=True)
+        # eval suites are small; cache so batches reuse the computed
+        # gram set. persist() (NOT localCheckpoint) on purpose: the
+        # lineage stays intact, so losing an executor's cached blocks
+        # mid-stream recomputes them instead of permanently failing
+        # every subsequent micro-batch — this frame lives for the whole
+        # stream lifetime, unlike the intra-job checkpoints elsewhere.
+        .persist()
     )
     stream = (
         spark.readStream.schema("doc_id long, text string")

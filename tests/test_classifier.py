@@ -184,3 +184,12 @@ def test_single_class_corpus_yields_finite_scores(spark):
     rows = classify_corpus(docs).collect()
     assert all(r["score_milli"] is not None for r in rows)
     assert all(r["pred_pos"] == 1 for r in rows)
+
+
+def test_semantic_dedup_zero_vectors_are_duplicates(spark):
+    """All-zero embeddings (blank docs under hash_embed) are exact
+    duplicates of each other and must dedup to the lowest id."""
+    vecs = [[0.0, 0.0, 0.0], [1.0, 2.0, 3.0], [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]]
+    out = semantic_dedup(_emb_df(spark, vecs), k=2, iters=2, min_cosine=0.99)
+    kept = sorted(r["vec_id"] for r in out.collect())
+    assert kept == [0, 1]

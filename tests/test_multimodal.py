@@ -225,3 +225,35 @@ def test_media_phash_registry_query_runs(spark):
     out = q_media_phash_dedup(spark, SF_DIR)
     assert out.columns == ["id_a", "id_b", "hamming"]
     assert out.count() >= 0
+
+
+def test_ahash_degrades_on_corrupt_and_tiny_payloads(spark):
+    """Corrupt bytes of a decodable type and media smaller than n_bits
+    must fall back to md5 (exact-content) hashing, not crash or
+    NaN-collide to 0."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.multimodal import (
+        ahash_bits,
+    )
+
+    corrupt = b"P5\n4 4\n255\nxx"  # truncated pixel data
+    h = ahash_bits(corrupt, "image/x-portable-graymap", 16)
+    assert h == ahash_bits(corrupt, "image/x-portable-graymap", 16)
+
+    tiny_a = b"P5\n2 2\n255\n" + bytes([10, 200, 30, 250])
+    tiny_b = b"P5\n2 2\n255\n" + bytes([250, 1, 99, 7])
+    ha = ahash_bits(tiny_a, "image/x-portable-graymap", 16)
+    hb = ahash_bits(tiny_b, "image/x-portable-graymap", 16)
+    assert ha != hb  # distinct tiny images must not collide at 0
+
+
+def test_phash_near_dup_rejects_degenerate_params(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.multimodal import (
+        media_phash_near_dup,
+    )
+    import pytest as _pytest
+
+    media = spark.createDataFrame(
+        [(0, "text/plain", b"x")], "doc_id long, media_type string, payload binary"
+    )
+    with _pytest.raises(ValueError):
+        media_phash_near_dup(media, n_bits=3, radius=3)
