@@ -33,12 +33,22 @@ def prepare_corpus(
     min_tokens: int = 3,
     near_dup_jaccard: float = 0.8,
     with_report: bool = True,
+    eval_set: DataFrame | None = None,
+    decontam_ngram: int = 5,
+    classifier_weights: DataFrame | None = None,
+    classifier_prior: DataFrame | None = None,
+    min_score_milli: int = 0,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Returns (clean_docs, report).
 
     clean_docs: (doc_id, text, lang_pred) surviving exact dedup,
     near-dup removal (higher id of each candidate pair dropped), token
-    floor, and quality floor.
+    floor, quality floor, and — when the optional model/benchmark
+    inputs are supplied — benchmark decontamination (`eval_set`:
+    drop any doc sharing a word `decontam_ngram`-gram with it, the
+    cross_set_ngram_overlap broadcast shape) and a trained-classifier
+    score floor (`classifier_weights`/`classifier_prior` from
+    operators/classify; docs scoring < `min_score_milli` drop).
     report: one row per pipeline stage with rows_in/rows_out, or None
     with ``with_report=False``.
 
@@ -72,19 +82,52 @@ def prepare_corpus(
         )
         .select("doc_id", "text", lang_id_col("text").alias("lang_pred"))
     )
+    n_quality = clean.count() if with_report else 0
+    stages = [
+        ("input", total, total),
+        ("exact_dedup", total, n_exact),
+        ("near_dedup", n_exact, n_near),
+        ("quality_filter", n_near, n_quality),
+    ]
+    prev = n_quality
+
+    # 4. optional benchmark decontamination (eval side broadcasts;
+    #    the corpus side never shuffles — dedup.cross_set_ngram_overlap)
+    if eval_set is not None:
+        hits = dedup.cross_set_ngram_overlap(
+            clean, eval_set, n=decontam_ngram
+        ).select(F.col("train_id").alias("doc_id")).distinct()
+        clean = clean.join(F.broadcast(hits), "doc_id", "left_anti")
+        if with_report:
+            n_decontam = clean.count()
+            stages.append(("decontamination", prev, n_decontam))
+            prev = n_decontam
+
+    # 5. optional trained-classifier score floor (weights table is
+    #    ≤ vocab_size rows → broadcast; one doc-keyed shuffle)
+    if classifier_weights is not None:
+        from .classify import score_documents
+
+        keep = (
+            score_documents(
+                clean.withColumn("__lbl", F.lit(None).cast("string")),
+                classifier_weights,
+                classifier_prior,
+                label_col="__lbl",
+            )
+            .filter(F.col("score_milli") >= min_score_milli)
+            .select("doc_id")
+        )
+        clean = clean.join(keep, "doc_id", "semi")
+        if with_report:
+            n_cls = clean.count()
+            stages.append(("classifier_filter", prev, n_cls))
+            prev = n_cls
+
     if not with_report:
         return clean, None
-    n_clean = clean.count()
-
-    spark = docs.sparkSession
-    report = spark.createDataFrame(
-        [
-            ("input", total, total),
-            ("exact_dedup", total, n_exact),
-            ("near_dedup", n_exact, n_near),
-            ("quality_filter", n_near, n_clean),
-        ],
-        "stage string, rows_in long, rows_out long",
+    report = docs.sparkSession.createDataFrame(
+        stages, "stage string, rows_in long, rows_out long"
     )
     return clean, report
 

@@ -125,3 +125,53 @@ def test_prepare_corpus_without_report_is_lazy(spark):
     clean, report = prepare_corpus(docs, with_report=False)
     assert report is None
     assert clean.count() > 0
+
+
+def test_prepare_corpus_with_decontam_and_classifier_stages(spark):
+    """The optional stages: a doc leaking an eval 5-gram is dropped by
+    decontamination; a doc the trained classifier scores below floor is
+    dropped by the classifier filter; the report records both."""
+    from pyspark.sql import Row
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.classify import (
+        prior_milli,
+        train_token_weights,
+    )
+
+    eval_q = "what is the capital of france and which river flows through paris"
+    good = "the quick brown fox jumps over the lazy dog near the river bank today"
+    frish = "le chat noir dort ici pres de la fenetre ouverte ce matin calme"
+    leaked = "intro " + eval_q + " outro words to pad this document out properly"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text=leaked),
+            Row(doc_id=3, text=frish),
+        ]
+    )
+    eval_set = spark.createDataFrame([Row(doc_id=100, text=eval_q)])
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=good, lang="en"),
+            Row(doc_id=1, text="the dog ran over the bank near the fox", lang="en"),
+            Row(doc_id=2, text=frish, lang="fr"),
+            Row(doc_id=3, text="le chien brun court vite ce matin", lang="fr"),
+        ]
+    )
+    weights = train_token_weights(train, vocab_size=200)
+    prior = prior_milli(train)
+
+    clean, report = prepare_corpus(
+        docs,
+        min_quality=0.0,
+        min_tokens=1,
+        eval_set=eval_set,
+        classifier_weights=weights,
+        classifier_prior=prior,
+        min_score_milli=0,
+    )
+    kept = sorted(r["doc_id"] for r in clean.collect())
+    assert kept == [1]  # 2 decontaminated, 3 classifier-rejected
+    stages = {r["stage"]: (r["rows_in"], r["rows_out"]) for r in report.collect()}
+    assert stages["decontamination"] == (3, 2)
+    assert stages["classifier_filter"] == (2, 1)
