@@ -1227,6 +1227,25 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_phash_near_dup(media, n_bits=16, radius=2)
 
 
+def q_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24×X12 composition: perceptual-hash pair candidates resolved
+    into connected components (operators/dedup.py:near_dup_clusters —
+    the same min-label propagation the text path uses), yielding one
+    canonical `keep` member per multimodal duplicate cluster.
+    Tighter signature than the pair query (32 bits, radius 1):
+    transitive closure amplifies any pair-stage looseness, so the
+    cluster view wants higher precision than the candidate view.
+    Rows-only (binary decode + iterative propagation)."""
+    from ..operators import multimodal
+    from ..operators.dedup import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = multimodal.media_phash_near_dup(
+        _text_as_pgm_media(docs), n_bits=32, radius=1
+    )
+    return near_dup_clusters(pairs)
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 (BPE-ish budgeting): GPT-2-style pretokenizer match counts vs
     whitespace tokens per language — the cheap token-budget estimator
@@ -4481,6 +4500,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "text_semantic_dedup": q_text_semantic_dedup,
     "media_phash_dedup": q_media_phash_dedup,
+    "media_dup_clusters": q_media_dup_clusters,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
