@@ -4230,6 +4230,35 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25 fuzzy matching / record linkage: every customer-name pair
+    within edit distance 1, via SymSpell deletion-neighborhood
+    blocking + exact Levenshtein verify (operators/fuzzy.py) — the
+    near-duplicate-entity primitive without the O(n²) cross join the
+    DuckDB oracle uses. (The documents vocabulary has no edit-1 pairs
+    — its word pool is small and well-separated — so the entity-name
+    table is where fuzzy matching has real work to do.)"""
+    from ..operators.fuzzy import fuzzy_self_pairs
+
+    names = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_name").alias("s"))
+        .distinct()
+    )
+    return fuzzy_self_pairs(names)
+
+
+SQL_FUZZY_NAME_PAIRS = r"""
+WITH names AS (SELECT DISTINCT c_name AS s FROM customer)
+SELECT a.s AS s_a, b.s AS s_b,
+       CAST(levenshtein(a.s, b.s) AS INT) AS dist
+FROM names a JOIN names b
+  ON a.s < b.s
+ AND abs(length(a.s) - length(b.s)) <= 1
+ AND levenshtein(a.s, b.s) = 1
+"""
+
+
 def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6/X11 sequential pattern mining: top-20 3-step event-type paths
     (operators/windows.py:event_paths_topk) — arbitrary-order journey
@@ -4496,6 +4525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "hash_embedding": q_hash_embedding,
     "event_paths": q_event_paths,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     # rows-only: k-means clustering is iterative (parity + recall in tests/)
     "semantic_dedup": q_semantic_dedup,
     "text_semantic_dedup": q_text_semantic_dedup,
@@ -4613,4 +4643,5 @@ ORACLE_SQL: dict[str, str] = {
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "hash_embedding": SQL_HASH_EMBEDDING,
     "event_paths": SQL_EVENT_PATHS,
+    "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
 }
