@@ -100,6 +100,8 @@ HEADLINE = [
     "boilerplate_removal",
     "quality_classifier",
     "semantic_dedup",
+    "event_paths",
+    "fuzzy_name_pairs",
 ]
 
 
