@@ -87,3 +87,40 @@ def typo_candidates(
     return pairs.join(F.broadcast(na), "s_a").join(F.broadcast(nb), "s_b").select(
         "s_a", "s_b", "dist", "n_a", "n_b"
     )
+
+
+def fuzzy_join(
+    probe: DataFrame,
+    canonical: DataFrame,
+    probe_col: str,
+    canon_col: str,
+) -> DataFrame:
+    """Two-table record linkage: match each probe string to every
+    canonical string within edit distance 1 (exact matches included,
+    dist 0). Returns (probe value, canonical value, dist) with columns
+    named after the inputs.
+
+    Same neighborhood-key blocking as fuzzy_self_pairs, but as a plain
+    equi-join on the key: both sides emit |s|+1 keys, candidates are
+    key-collisions, `F.levenshtein` verifies. Shuffle volume is keys;
+    at scale the canonical side (a dictionary/gazetteer) is usually
+    small enough that Catalyst broadcasts its exploded keys and the
+    probe side never shuffles at all.
+    """
+    p = probe.select(F.col(probe_col).alias("__p")).distinct().select(
+        "__p", F.explode(deletion_variants_col("__p")).alias("__key")
+    )
+    c = canonical.select(F.col(canon_col).alias("__c")).distinct().select(
+        "__c", F.explode(deletion_variants_col("__c")).alias("__key")
+    )
+    return (
+        p.join(c, "__key")
+        .select("__p", "__c")
+        .dropDuplicates(["__p", "__c"])
+        .select(
+            F.col("__p").alias(probe_col),
+            F.col("__c").alias(canon_col),
+            F.levenshtein("__p", "__c").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )

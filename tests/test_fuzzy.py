@@ -75,3 +75,26 @@ def test_typo_candidates_surfaces_planted_misspelling(spark):
     assert ("quic", "quick") in out
     n_a, n_b = out[("quic", "quick")]
     assert n_a == 1 and n_b == 20  # rare-vs-frequent: the typo signal
+
+
+def test_fuzzy_join_links_misspellings_to_canonical(spark):
+    canonical = spark.createDataFrame(
+        [Row(name=n) for n in ["london", "paris", "berlin", "madrid"]]
+    )
+    probe = spark.createDataFrame(
+        [Row(q=n) for n in ["londn", "paris", "berlinn", "tokyo", "madird"]]
+    )
+    got = {
+        (r["q"], r["name"]): r["dist"]
+        for r in __import__(
+            "csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.fuzzy",
+            fromlist=["fuzzy_join"],
+        ).fuzzy_join(probe, canonical, "q", "name").collect()
+    }
+    assert got == {
+        ("londn", "london"): 1,   # deletion typo
+        ("paris", "paris"): 0,    # exact
+        ("berlinn", "berlin"): 1, # insertion typo
+        # 'madird' is a transposition (2 edits) → correctly unmatched
+        # 'tokyo' has no canonical neighbor → unmatched
+    }
