@@ -161,3 +161,51 @@ def range_join_trailing_count(
         .agg(F.count(F.when(hit, F.lit(1))).alias(out_col))
         .select(*lcols, out_col)
     )
+
+
+def multi_touch_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    model: str = "position",
+) -> DataFrame:
+    """Multi-touch attribution over the interval join: split each
+    purchase's value across the clicks that preceded it within
+    `horizon`. Models:
+
+    - ``linear``: every touch gets 1/n of the credit;
+    - ``position`` (U-shaped 40/20/40): first and last touch get 0.4
+      each, the middle touches split 0.2 (n=1 → 1.0, n=2 → 0.5/0.5).
+
+    Shape: the interval join's one user-keyed shuffle, then per-purchase
+    windows (fanout bounded by the horizon, so no skewed partitions).
+    Deterministic touch order: (click_ts, click_id). Returns
+    (purchase_id, click_id, n_touches, touch_rank, credit,
+    credited_value) with credit/credited_value rounded to 6 dp.
+    """
+    from pyspark.sql import Window
+
+    j = interval_join_batch(clicks, purchases, horizon)
+    w = Window.partitionBy("purchase_id")
+    w_ord = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    n = F.count(F.lit(1)).over(w)
+    rnk = F.row_number().over(w_ord)
+    if model == "linear":
+        credit = F.lit(1.0) / n
+    elif model == "position":
+        credit = (
+            F.when(n == 1, F.lit(1.0))
+            .when(n == 2, F.lit(0.5))
+            .when((rnk == 1) | (rnk == n), F.lit(0.4))
+            .otherwise(F.lit(0.2) / (n - 2))
+        )
+    else:
+        raise ValueError(f"unknown attribution model: {model!r}")
+    return j.select(
+        "purchase_id",
+        "click_id",
+        n.alias("n_touches"),
+        rnk.alias("touch_rank"),
+        F.round(credit, 6).alias("credit"),
+        F.round(credit * F.col("value"), 6).alias("credited_value"),
+    )

@@ -4230,6 +4230,52 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7/X26: U-shaped (40/20/40) multi-touch attribution over the
+    click→purchase interval join (operators/temporal.py:
+    multi_touch_attribution) — credit per touch with deterministic
+    (click_ts, click_id) ordering, windows bounded by the horizon."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return temporal.multi_touch_attribution(
+        clicks, purchases, horizon="1 hour", model="position"
+    )
+
+
+SQL_ATTRIBUTION_CREDIT = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         c.ts AS click_ts, p.value
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+), ranked AS (
+  SELECT purchase_id, click_id, value,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches,
+         ROW_NUMBER() OVER (
+           PARTITION BY purchase_id ORDER BY click_ts, click_id
+         ) AS touch_rank
+  FROM j
+)
+SELECT purchase_id, click_id, n_touches, touch_rank,
+       round(CASE WHEN n_touches = 1 THEN 1.0
+                  WHEN n_touches = 2 THEN 0.5
+                  WHEN touch_rank = 1 OR touch_rank = n_touches THEN 0.4
+                  ELSE 0.2 / (n_touches - 2) END, 6) AS credit,
+       round(CASE WHEN n_touches = 1 THEN 1.0
+                  WHEN n_touches = 2 THEN 0.5
+                  WHEN touch_rank = 1 OR touch_rank = n_touches THEN 0.4
+                  ELSE 0.2 / (n_touches - 2) END * value, 6) AS credited_value
+FROM ranked
+"""
+
+
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X25 fuzzy matching / record linkage: every customer-name pair
     within edit distance 1, via SymSpell deletion-neighborhood
@@ -4526,6 +4572,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_embedding": q_hash_embedding,
     "event_paths": q_event_paths,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "attribution_credit": q_attribution_credit,
     # rows-only: k-means clustering is iterative (parity + recall in tests/)
     "semantic_dedup": q_semantic_dedup,
     "text_semantic_dedup": q_text_semantic_dedup,
@@ -4644,4 +4691,5 @@ ORACLE_SQL: dict[str, str] = {
     "hash_embedding": SQL_HASH_EMBEDDING,
     "event_paths": SQL_EVENT_PATHS,
     "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
+    "attribution_credit": SQL_ATTRIBUTION_CREDIT,
 }

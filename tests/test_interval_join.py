@@ -208,3 +208,50 @@ def test_streaming_interval_join_evicts_click_state_past_watermark(spark, tmp_pa
     # passed them, and the final state holds only the recent horizon
     assert removed > 0, [p.get("stateOperators") for p in q.recentProgress]
     assert state_rows < 8
+
+
+def test_multi_touch_attribution_models(spark):
+    """Planted touch counts: position model gives 40/20/40 (n=1 → 1,
+    n=2 → .5/.5, n=4 → .4/.1/.1/.4), linear gives 1/n; credit always
+    sums to 1 per purchase."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        multi_touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, minutes):
+        return Row(event_id=eid, user_id=uid, ts=t0 + dt.timedelta(minutes=minutes))
+
+    # user 1: one touch; user 2: two; user 3: four
+    clicks = spark.createDataFrame(
+        [ev(10, 1, 0)]
+        + [ev(20 + i, 2, i) for i in range(2)]
+        + [ev(30 + i, 3, i) for i in range(4)]
+    )
+    purchases = spark.createDataFrame(
+        [
+            Row(event_id=100, user_id=1, ts=t0 + dt.timedelta(minutes=30), value=10.0),
+            Row(event_id=200, user_id=2, ts=t0 + dt.timedelta(minutes=30), value=20.0),
+            Row(event_id=300, user_id=3, ts=t0 + dt.timedelta(minutes=30), value=40.0),
+        ]
+    )
+    pos = multi_touch_attribution(clicks, purchases, model="position").collect()
+    by_touch = {(r["purchase_id"], r["touch_rank"]): r for r in pos}
+    assert by_touch[(100, 1)]["credit"] == 1.0
+    assert by_touch[(200, 1)]["credit"] == 0.5
+    assert [by_touch[(300, i)]["credit"] for i in (1, 2, 3, 4)] == [0.4, 0.1, 0.1, 0.4]
+    assert by_touch[(300, 1)]["credited_value"] == 16.0
+
+    lin = multi_touch_attribution(clicks, purchases, model="linear").collect()
+    for r in lin:
+        assert abs(r["credit"] - round(1.0 / r["n_touches"], 6)) < 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multi_touch_attribution(clicks, purchases, model="bogus")
