@@ -102,6 +102,7 @@ HEADLINE = [
     "semantic_dedup",
     "event_paths",
     "fuzzy_name_pairs",
+    "attribution_credit",
 ]
 
 
