@@ -2853,8 +2853,8 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q12 = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -3491,8 +3491,8 @@ WITH toks AS (
     AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
 ), counts AS (
   SELECT term,
-         SUM(CASE WHEN s = 'en' THEN 1 ELSE 0 END) AS c_a,
-         SUM(CASE WHEN s = 'de' THEN 1 ELSE 0 END) AS c_b
+         CAST(SUM(CASE WHEN s = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN s = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
   FROM toks GROUP BY 1
 ), totals AS (
   SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM counts

@@ -19,6 +19,58 @@ from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark
 from .conftest import SF_DIR
 
 
+def _type_category(type_str: str) -> str:
+    """Coarse type family for Spark<->DuckDB parity.
+
+    The driver's value hash is width-sensitive (a DuckDB HUGEINT sum
+    hashes differently from a Spark BIGINT even when the values are
+    equal — the exact bug behind the r3 `tpch_q12`/`term_divergence`
+    failures), while pandas-based comparison silently coerces both to
+    int64. So before comparing values we require every oracle column
+    to be *representable* in the Spark column's family."""
+    t = type_str.strip().lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t in {"tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte",
+             "utinyint", "usmallint", "uinteger", "ubigint"}:
+        return "int"
+    if t in {"float", "double", "real"}:
+        return "float"
+    if t in {"string", "varchar", "text"}:
+        return "string"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "date":
+        return "date"
+    if t in {"boolean", "bool"}:
+        return "bool"
+    return t
+
+
+def assert_oracle_dtypes_representable(name, spark_df, duck_rel):
+    """Fail when a DuckDB oracle column cannot round-trip into the
+    Spark column's type without narrowing (HUGEINT/INT128, UBIGINT,
+    oversized DECIMAL) or sits in a different type family entirely."""
+    spark_types = dict(spark_df.dtypes)
+    duck_types = {c: str(t) for c, t in zip(duck_rel.columns, duck_rel.types)}
+    for col in spark_types:
+        dt = duck_types.get(col)
+        if dt is None:
+            continue
+        dtl = dt.lower()
+        assert "hugeint" not in dtl, (
+            f"{name}.{col}: oracle returns {dt} (int128) — not representable as "
+            f"Spark {spark_types[col]}; CAST the SQL aggregate to BIGINT"
+        )
+        assert dtl != "ubigint", (
+            f"{name}.{col}: oracle returns {dt} — exceeds Spark bigint range"
+        )
+        assert _type_category(dt) == _type_category(spark_types[col]), (
+            f"{name}.{col}: oracle type {dt} vs Spark type {spark_types[col]} "
+            f"are different families — the driver's value hash will mismatch"
+        )
+
+
 def canonical(df: pd.DataFrame) -> pd.DataFrame:
     out = df[sorted(df.columns)].copy()
     for c in out.columns:
@@ -30,8 +82,11 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_query_matches_oracle(name, spark, duck):
-    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
-    duck_pdf = duck.execute(ORACLE_SQL[name]).df()
+    spark_df = QUERIES[name](spark, SF_DIR)
+    duck_rel = duck.sql(ORACLE_SQL[name])
+    assert_oracle_dtypes_representable(name, spark_df, duck_rel)
+    spark_pdf = spark_df.toPandas()
+    duck_pdf = duck_rel.df()
 
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
     assert len(spark_pdf) == len(duck_pdf), f"{name}: {len(spark_pdf)} vs {len(duck_pdf)}"
