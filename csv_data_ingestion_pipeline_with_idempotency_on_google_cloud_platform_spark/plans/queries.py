@@ -4440,63 +4440,18 @@ CROSS JOIN prior
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- entries 1-50: the round-3 correctness window. Every entry here
-    # is oracle-backed and had NO driver-witnessed row in
-    # CORRECTNESS_r01/r02.json; after this round every oracle-backed
-    # query in the registry has driver-artifact evidence from some round.
-    "tpch_q5": q_tpch_q5,
-    "tpch_q10": q_tpch_q10,
-    "interval_join": q_interval_join,
-    "dup_passages": q_dup_passages,
-    "table_profile": q_table_profile,
-    "constraint_checks": q_constraint_checks,
-    "funnel_counts": q_funnel_counts,
-    "cohort_retention": q_cohort_retention,
-    "sessionize": q_sessionize,
-    "source_quality_rollup": q_source_quality_rollup,
-    "quantize_embeddings": q_quantize_embeddings,
-    "global_row_ids": q_global_row_ids,
-    "hard_negatives": q_hard_negatives,
-    "kfold_assign": q_kfold_assign,
-    "corpus_diff": q_corpus_diff,
-    "bm25_indexed": q_bm25_indexed,
-    "rollup_maintenance": q_rollup_maintenance,
+    # ---- entries 1-50: the round-4 correctness window (driver checks
+    # only this prefix). Leads with the 7 oracle-backed queries that had
+    # no driver-green row in r01-r03 (5 landed after the r3 window froze;
+    # term_divergence/tpch_q12 carried the now-fixed HUGEINT oracle bug),
+    # then r4 additions, then backfill re-confirming r1/r2-green queries.
+    "quality_classifier": q_quality_classifier,
+    "hash_embedding": q_hash_embedding,
+    "event_paths": q_event_paths,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "attribution_credit": q_attribution_credit,
     "term_divergence": q_term_divergence,
-    "tfidf_topn": q_tfidf_topn,
-    "term_pmi": q_term_pmi,
-    "event_transitions": q_event_transitions,
-    "window_distinct_users": q_window_distinct_users,
-    "doc_length_histogram": q_doc_length_histogram,
-    "value_outliers": q_value_outliers,
-    "tpch_q4": q_tpch_q4,
     "tpch_q12": q_tpch_q12,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q7": q_tpch_q7,
-    "tpch_q8": q_tpch_q8,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q19": q_tpch_q19,
-    "tpch_q22": q_tpch_q22,
-    "tpch_q2": q_tpch_q2,
-    "tpch_q9": q_tpch_q9,
-    "tpch_q11": q_tpch_q11,
-    "tpch_q20": q_tpch_q20,
-    "tpch_q21": q_tpch_q21,
-    "value_drift_psi": q_value_drift_psi,
-    "k_anonymity": q_k_anonymity,
-    "hybrid_search": q_hybrid_search,
-    "boilerplate_removal": q_boilerplate_removal,
-    "merge_changes": q_merge_changes,
-    "rolling_user_stats": q_rolling_user_stats,
-    "skewed_agg_rollup": q_skewed_agg_rollup,
-    "skewed_join_rollup": q_skewed_join_rollup,
-    "user_value_trend": q_user_value_trend,
-    "queue_source_scan": q_queue_source_scan,
-    # ---- entry 51+: driver-green in CORRECTNESS_r01/r02.json (or
-    # rows-only by design); pytest keeps running the identical oracle
-    # parity / recall checks on each of these every session.
     "set_ops": q_set_ops,
     "order_quartiles": q_order_quartiles,
     "join_revenue_rollup": q_join_revenue_rollup,
@@ -4540,6 +4495,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suffix_filter": q_suffix_filter,
     "sha256_key": q_sha256_key,
     "json_roundtrip": q_json_roundtrip,
+    # ---- entry 51+: driver-green in r01-r03 (or rows-only by design);
+    # pytest runs the identical oracle parity checks on all of these.
+    "tpch_q5": q_tpch_q5,
+    "tpch_q10": q_tpch_q10,
+    "interval_join": q_interval_join,
+    "dup_passages": q_dup_passages,
+    "table_profile": q_table_profile,
+    "constraint_checks": q_constraint_checks,
+    "funnel_counts": q_funnel_counts,
+    "cohort_retention": q_cohort_retention,
+    "sessionize": q_sessionize,
+    "source_quality_rollup": q_source_quality_rollup,
+    "quantize_embeddings": q_quantize_embeddings,
+    "global_row_ids": q_global_row_ids,
+    "hard_negatives": q_hard_negatives,
+    "kfold_assign": q_kfold_assign,
+    "corpus_diff": q_corpus_diff,
+    "bm25_indexed": q_bm25_indexed,
+    "rollup_maintenance": q_rollup_maintenance,
+    "tfidf_topn": q_tfidf_topn,
+    "term_pmi": q_term_pmi,
+    "event_transitions": q_event_transitions,
+    "window_distinct_users": q_window_distinct_users,
+    "doc_length_histogram": q_doc_length_histogram,
+    "value_outliers": q_value_outliers,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q22": q_tpch_q22,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    "value_drift_psi": q_value_drift_psi,
+    "k_anonymity": q_k_anonymity,
+    "hybrid_search": q_hybrid_search,
+    "boilerplate_removal": q_boilerplate_removal,
+    "merge_changes": q_merge_changes,
+    "rolling_user_stats": q_rolling_user_stats,
+    "skewed_agg_rollup": q_skewed_agg_rollup,
+    "skewed_join_rollup": q_skewed_join_rollup,
+    "user_value_trend": q_user_value_trend,
+    "queue_source_scan": q_queue_source_scan,
     "point_lookup": q_point_lookup,
     "status_filter_limit": q_status_filter_limit,
     "row_count_validation": q_row_count_validation,
@@ -4568,12 +4573,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score": q_lm_score,
     "bloom_anti_join": q_bloom_anti_join,
     "approx_quantiles": q_approx_quantiles,
-    "quality_classifier": q_quality_classifier,
-    "hash_embedding": q_hash_embedding,
-    "event_paths": q_event_paths,
-    "fuzzy_name_pairs": q_fuzzy_name_pairs,
-    "attribution_credit": q_attribution_credit,
-    # rows-only: k-means clustering is iterative (parity + recall in tests/)
     "semantic_dedup": q_semantic_dedup,
     "text_semantic_dedup": q_text_semantic_dedup,
     "media_phash_dedup": q_media_phash_dedup,
