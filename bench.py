@@ -172,25 +172,56 @@ def main() -> None:
     }
 
     total = round(sum(best.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": best,
-                "queries_cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "queries_warm": [warm1, warm2, warm3],
-                "warm_totals": [
-                    round(sum(warm1.values()), 3),
-                    round(sum(warm2.values()), 3),
-                    round(sum(warm3.values()), 3),
-                ],
-                "sf": sf,
-            }
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": best,
+        "queries_cold": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "queries_warm": [warm1, warm2, warm3],
+        "warm_totals": [
+            round(sum(warm1.values()), 3),
+            round(sum(warm2.values()), 3),
+            round(sum(warm3.values()), 3),
+        ],
+        "sf": sf,
+    }
+    # Full per-pass breakdown goes to a file + stderr; stdout gets ONE
+    # compact line (per-query minima + totals only). The driver captures
+    # a bounded tail of stdout — rounds 1-3 overflowed it with the
+    # per-pass dicts and every BENCH_rN.json came back "parsed": null.
+    detail_path = os.path.join("spark-warehouse", "bench_detail.json")
+    os.makedirs("spark-warehouse", exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(f"# full per-pass detail written to {detail_path}", file=sys.stderr)
+    print("# " + json.dumps(detail), file=sys.stderr)
+    # The driver preserves only a ~2000-char tail of stdout; emit the
+    # most detailed summary that still fits, degrading gracefully
+    # (3dp -> 2dp minima -> drop the pass totals) so the line is always
+    # parseable end-to-end.
+    candidates = [
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": q,
+            **extra,
+            "sf": sf,
+        }
+        for q, extra in (
+            (best, {"cold_total": detail["cold_total"], "warm_totals": detail["warm_totals"]}),
+            ({k: round(v, 2) for k, v in best.items()},
+             {"cold_total": detail["cold_total"], "warm_totals": detail["warm_totals"]}),
+            ({k: round(v, 2) for k, v in best.items()}, {}),
         )
-    )
+    ]
+    for cand in candidates:
+        line = json.dumps(cand, separators=(",", ":"))
+        if len(line) <= 1900:
+            break
+    print(line)
     spark.stop()
 
 
