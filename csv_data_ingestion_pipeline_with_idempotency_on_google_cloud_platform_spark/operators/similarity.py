@@ -252,15 +252,28 @@ def kmeans_train_assign(
     (ivf_assignments documents that deployments k-means a sample; this
     is that trainer). Distributed shape per iteration:
 
-    - centroids ride to executors inside an Arrow-vectorized
-      pandas_udf closure (k×dim doubles — tiny); assignment is a
-      narrow per-row argmin of squared L2 computed as ONE numpy
-      matmul per Arrow batch, no shuffle. The earlier pure-expression
-      fold was bit-identical but HOFs don't codegen — ~10 µs per
-      (row, centroid, dim) element interpreted, i.e. minutes per
-      billion rows×k; dense linear algebra is exactly the seam the
-      Arrow batch path exists for (precedent: the bloom probe,
-      bloom.py).
+    - centroids ship as an explicit SparkContext.broadcast of the
+      k×dim numpy matrix — ONE torrent transfer per executor per
+      iteration, cached for every task on that executor (a closure
+      capture would re-serialize the matrix into every task: at
+      SemDeDup's √n sizing, n=10⁹ → k≈31.6k×dim ≈ hundreds of MB
+      per task per iteration). Assignment is a narrow per-row argmin
+      of squared L2 computed as ONE numpy matmul per Arrow batch, no
+      shuffle. The earlier pure-expression fold was bit-identical but
+      HOFs don't codegen — ~10 µs per (row, centroid, dim) element
+      interpreted, i.e. minutes per billion rows×k; dense linear
+      algebra is exactly the seam the Arrow batch path exists for
+      (precedent: the bloom probe, bloom.py). Each iteration's
+      broadcast is unpersisted once its partial-average collect
+      lands (executors drop the stale matrix; the driver copy
+      remains, so the lazily-evaluated final assignment can still
+      re-fetch).
+    - k ceiling: the driver and every executor hold k×dim doubles,
+      and the per-iteration update collects k×dim partial averages —
+      practical to k≈10⁴ (10⁴×256×8B ≈ 20 MB). Past that, use
+      kmeans_two_level: two √k-sized Lloyd stages whose per-row cost
+      is O(√k) and whose broadcast at any moment is ≤ k×dim shipped
+      once (not per task).
     - update shuffles only k×dim (cluster, pos) partial averages
       (posexplode + avg, map-side combined), never raw vectors;
     - the driver holds k×dim floats between iterations — the only
@@ -281,31 +294,37 @@ def kmeans_train_assign(
     # numpy releases the GIL inside matmul, but batches arrive per
     # partition: spread a single-file input first (no-op at scale)
     emb = parallelize_narrow(emb)
+    sc = emb.sparkSession.sparkContext
 
     def assign_col(cents_now: list[list[float]]):
-        c = np.asarray(cents_now, dtype=np.float64)
-        c2 = (c * c).sum(axis=1)
+        bc = sc.broadcast(np.asarray(cents_now, dtype=np.float64))
 
         @F.pandas_udf("int")
         def assign(vs: pd.Series) -> pd.Series:
             if len(vs) == 0:
                 return pd.Series([], dtype="int32")
+            c = bc.value
+            c2 = (c * c).sum(axis=1)
             m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
             # argmin ‖v−c‖² == argmin ‖c‖² − 2·v·c  (‖v‖² is constant per row)
             return pd.Series(
                 np.argmin(c2[None, :] - 2.0 * (m @ c.T), axis=1).astype("int32")
             )
 
-        return assign(vec)
+        return assign(vec), bc
 
     for _ in range(iters):
-        assigned = emb.withColumn("cluster", assign_col(cents))
+        col, bc = assign_col(cents)
+        assigned = emb.withColumn("cluster", col)
         partials = (
             assigned.select("cluster", F.posexplode(vec).alias("pos", "v"))
             .groupBy("cluster", "pos")
             .agg(F.avg("v").alias("m"))
             .collect()
         )
+        # executors drop this iteration's matrix; the driver copy stays
+        # (non-blocking), so nothing here races the collect above
+        bc.unpersist()
         by_cluster: dict[int, dict[int, float]] = {}
         for r in partials:
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
@@ -315,7 +334,163 @@ def kmeans_train_assign(
             else cents[ci]
             for ci in range(k)
         ]
-    return emb.withColumn("cluster", assign_col(cents)).select(id_col, "cluster")
+    # final broadcast stays alive: the returned DataFrame is lazy and the
+    # consumer's action re-fetches it on demand
+    col, _bc = assign_col(cents)
+    return emb.withColumn("cluster", col).select(id_col, "cluster")
+
+
+def kmeans_two_level(
+    emb: DataFrame,
+    k1: int = 8,
+    k2: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hierarchical (two-level) Lloyd for k = k1·k2 total clusters —
+    the scale path past the flat trainer's k≈10⁴ ceiling (SemDeDup's
+    √n sizing reaches k≈31.6k at n=10⁹ docs).
+
+    Why two levels: flat Lloyd pays O(k) argmin work per row per
+    iteration and holds one k×dim matrix everywhere. Splitting into a
+    coarse k1-means followed by a per-cell k2-means makes the per-row
+    cost O(k1)+O(k2) = O(√k) when k1≈k2≈√k, while total centroid state
+    stays k×dim and ships via ONE torrent broadcast per iteration
+    (never per task). The per-iteration driver collect is still ≤k×dim
+    partial averages — same bound as flat, just reached with √k-sized
+    matmuls.
+
+    Level 2 trains all k1 cells' sub-centroids JOINTLY: each row
+    argmins only over its own cell's k2×dim slice of the broadcast
+    (k1,k2,dim) tensor, grouped per Arrow batch by cell id — no
+    per-cell driver loop, no per-cell job. The coarse assignment is a
+    narrow deterministic matmul column and is recomputed per level-2
+    iteration rather than materialized (recompute is O(k1)=O(√k) per
+    row; at 100 TB you'd persist the assigned frame to cluster-local
+    storage instead — same plan, one extra checkpoint).
+
+    Deterministic throughout: coarse init = k1 lowest-id vectors, sub
+    init = each cell's k2 lowest-id members (cells with fewer than k2
+    members repeat their first member; argmin's first-minimum rule
+    collapses the duplicates), empty (cell, sub) keeps its previous
+    centroid. Returns (id_col, cluster) with cluster = coarse·k2 + sub
+    ∈ [0, k1·k2).
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    emb = parallelize_narrow(emb)
+    sc = emb.sparkSession.sparkContext
+
+    # ---- level 1: coarse k1-means (flat trainer's loop, centroids kept)
+    coarse_cents = [
+        [float(x) for x in r["v"]]
+        for r in emb.orderBy(id_col).limit(k1).select(vec.alias("v")).collect()
+    ]
+
+    def coarse_col(cents_now: list[list[float]]):
+        bc = sc.broadcast(np.asarray(cents_now, dtype=np.float64))
+
+        @F.pandas_udf("int")
+        def assign(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="int32")
+            c = bc.value
+            c2 = (c * c).sum(axis=1)
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+            return pd.Series(
+                np.argmin(c2[None, :] - 2.0 * (m @ c.T), axis=1).astype("int32")
+            )
+
+        return assign(vec), bc
+
+    for _ in range(iters):
+        col, bc = coarse_col(coarse_cents)
+        partials = (
+            emb.withColumn("coarse", col)
+            .select("coarse", F.posexplode(vec).alias("pos", "v"))
+            .groupBy("coarse", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        bc.unpersist()
+        by_c: dict[int, dict[int, float]] = {}
+        for r in partials:
+            by_c.setdefault(r["coarse"], {})[r["pos"]] = r["m"]
+        coarse_cents = [
+            [by_c[ci][p] for p in range(len(coarse_cents[ci]))]
+            if ci in by_c
+            else coarse_cents[ci]
+            for ci in range(k1)
+        ]
+
+    col, _bc1 = coarse_col(coarse_cents)
+    assigned = emb.withColumn("coarse", col)
+    dim = len(coarse_cents[0])
+
+    # ---- level 2 init: each cell's k2 lowest-id members (≤ k1·k2 = k
+    # rows collected — the same k×dim driver bound as the flat trainer)
+    w = Window.partitionBy("coarse").orderBy(id_col)
+    seeds = (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k2)
+        .select("coarse", "__rn", vec.alias("v"))
+        .collect()
+    )
+    sub = np.zeros((k1, k2, dim), dtype=np.float64)
+    seen: dict[int, list[int]] = {}
+    for r in seeds:
+        sub[r["coarse"], r["__rn"] - 1] = np.asarray(r["v"], dtype=np.float64)
+        seen.setdefault(r["coarse"], []).append(r["__rn"] - 1)
+    for ci, slots in seen.items():
+        if len(slots) < k2:  # short cell: repeat its first member
+            for j in range(k2):
+                if j not in slots:
+                    sub[ci, j] = sub[ci, slots[0]]
+
+    def sub_col(sub_now: np.ndarray):
+        bc = sc.broadcast(sub_now)
+
+        @F.pandas_udf("int")
+        def assign(coarse: pd.Series, vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="int32")
+            S = bc.value
+            S2 = (S * S).sum(axis=2)
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+            co = coarse.to_numpy()
+            out = np.empty(len(vs), dtype=np.int32)
+            for ci in np.unique(co):
+                idx = co == ci
+                out[idx] = np.argmin(
+                    S2[ci][None, :] - 2.0 * (m[idx] @ S[ci].T), axis=1
+                ).astype("int32")
+            return pd.Series(out)
+
+        return assign(F.col("coarse"), vec), bc
+
+    for _ in range(iters):
+        col2, bc = sub_col(sub)
+        partials = (
+            assigned.withColumn("sub", col2)
+            .select("coarse", "sub", F.posexplode(vec).alias("pos", "v"))
+            .groupBy("coarse", "sub", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        bc.unpersist()
+        nxt = sub.copy()
+        touched = set()
+        for r in partials:
+            if (r["coarse"], r["sub"]) not in touched:
+                touched.add((r["coarse"], r["sub"]))
+            nxt[r["coarse"], r["sub"], r["pos"]] = r["m"]
+        sub = nxt
+
+    col2, _bc2 = sub_col(sub)
+    return assigned.withColumn("sub", col2).select(
+        F.col(id_col),
+        (F.col("coarse").cast("long") * k2 + F.col("sub")).alias("cluster"),
+    )
 
 
 def topk_cosine_ivf(
