@@ -103,6 +103,8 @@ HEADLINE = [
     "event_paths",
     "fuzzy_name_pairs",
     "attribution_credit",
+    # round 4: the composite ingest→dedup→quality→pack corpus flow
+    "corpus_pipeline",
 ]
 
 

@@ -1795,6 +1795,135 @@ FROM packed GROUP BY lang, pack_id
 """
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus composition witnessed as ONE
+    oracle-backed plan — the flow the individual operators exist for:
+
+        ingest → exact dedup (min-id per content hash) →
+        near-dup survivor filter (exact 3-gram Jaccard ≥ 0.5 — the
+        oracle-checkable twin of the MinHash-LSH path, which stays
+        rows-only in `near_dedup`) → quality + token floor →
+        offset-pack survivors into 4000-char packs per language.
+
+    Output is the per-(lang, pack) utilization of the SURVIVORS, so a
+    value mismatch in ANY stage (wrong dedup winner, wrong drop set,
+    wrong floor, wrong pack boundary) shifts pack membership and fails
+    the hash — composition is what's being verified, not one operator.
+
+    Scale shape: every stage is the already-audited operator plan —
+    broadcast semi/anti joins for the drop sets (survivor ids ≪
+    corpus), bucketed-capped pair expansion, narrow quality signals,
+    and the per-stream running-sum pack (one shuffle per stage key,
+    nothing quadratic; at 100 TB the LSH stage replaces the exact pair
+    stage via prepare_corpus, same composition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(docs).select("doc_id")
+    exact_kept = docs.join(F.broadcast(kept), "doc_id", "semi")
+    pairs = dedup.ngram_jaccard_pairs(exact_kept, n=3, min_jaccard=0.5)
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    near_kept = exact_kept.join(F.broadcast(drops), "doc_id", "left_anti")
+    q = textstats.quality_scores(near_kept).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    clean = (
+        near_kept.join(q, "doc_id")
+        .filter((F.col("quality_score") >= 0.3) & (F.col("n_tokens") >= 3))
+        .select("doc_id", "lang", "n_chars")
+    )
+    packed = packing.pack_sequences(
+        clean, cost_col="n_chars", budget=4000, stream_col="lang"
+    )
+    return packing.pack_stats(packed, cost_col="n_chars", stream_col="lang")
+
+
+SQL_CORPUS_PIPELINE = r"""
+WITH h AS (
+  SELECT doc_id,
+         sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+  FROM documents
+),
+exact_kept AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+    FROM h
+  ) WHERE rn = 1
+),
+docs1 AS (
+  SELECT d.doc_id, d.lang, d.n_chars, d.text
+  FROM documents d JOIN exact_kept USING (doc_id)
+),
+toks AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS t
+  FROM docs1
+),
+starts AS (
+  SELECT doc_id, t, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+  FROM toks
+),
+shingles AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM starts
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+drops AS (
+  SELECT DISTINCT i.id_b AS doc_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.n_inter AS DOUBLE) /
+        CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+),
+docs2 AS (
+  SELECT * FROM docs1 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+),
+qbase AS (
+  SELECT doc_id,
+         length(text) AS n_chars_q,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks,
+         CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha
+  FROM docs2
+),
+quality AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         ROUND(0.4 * (n_alpha / greatest(CAST(n_chars_q AS DOUBLE), 1.0))
+             + 0.4 * least((CAST(len(list_filter(toks, x -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it'], lower(x))))
+                 AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) * 2, 1.0)
+             + 0.2 * (1.0 - least((n_punct / greatest(CAST(n_chars_q AS DOUBLE), 1.0)) * 4, 1.0)),
+           4) AS quality_score
+  FROM qbase
+),
+clean AS (
+  SELECT d.doc_id, d.lang, d.n_chars
+  FROM docs2 d JOIN quality q USING (doc_id)
+  WHERE q.quality_score >= 0.3 AND q.n_tokens >= 3
+),
+packed AS (
+    SELECT lang, n_chars,
+           CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 4000.0) AS BIGINT) AS pack_id
+    FROM clean
+)
+SELECT lang, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_cost
+FROM packed GROUP BY lang, pack_id
+"""
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 terms per language (grouped top-k): explode → count →
     salted two-phase rank. The count is map-side combinable so ranking
@@ -4452,6 +4581,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_credit": q_attribution_credit,
     "term_divergence": q_term_divergence,
     "tpch_q12": q_tpch_q12,
+    # r4 additions
+    "corpus_pipeline": q_corpus_pipeline,
     "set_ops": q_set_ops,
     "order_quartiles": q_order_quartiles,
     "join_revenue_rollup": q_join_revenue_rollup,
@@ -4494,8 +4625,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_scan": q_csv_scan,
     "suffix_filter": q_suffix_filter,
     "sha256_key": q_sha256_key,
-    "json_roundtrip": q_json_roundtrip,
     # ---- entry 51+: driver-green in r01-r03 (or rows-only by design);
+    "json_roundtrip": q_json_roundtrip,
     # pytest runs the identical oracle parity checks on all of these.
     "tpch_q5": q_tpch_q5,
     "tpch_q10": q_tpch_q10,
@@ -4691,4 +4822,5 @@ ORACLE_SQL: dict[str, str] = {
     "event_paths": SQL_EVENT_PATHS,
     "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
     "attribution_credit": SQL_ATTRIBUTION_CREDIT,
+    "corpus_pipeline": SQL_CORPUS_PIPELINE,
 }
