@@ -55,6 +55,32 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def exact_dedup_weights(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup with duplicate-count reweighting: one surviving
+    (min-id) row per distinct normalized content, carrying `n_copies`
+    — how many raw documents collapsed into it. Training loaders use
+    the count to upweight the survivor (or temper it, n^α), so dedup
+    doesn't silently change the corpus distribution it was cleaning.
+
+    Same plan as exact_dedup with the count riding the SAME map-side-
+    combined aggregate — duplicates still reduce in parallel on the
+    hot hash, and the count is free (no second scan, no window).
+    """
+    hashed = docs.select(
+        F.col(id_col), content_hash_col(text_col).alias("content_hash")
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+        .select(id_col, "content_hash", "n_copies")
+    )
+
+
 def word_shingles_col(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column (pure expression:
     sequence → transform → concat_ws over an array slice)."""

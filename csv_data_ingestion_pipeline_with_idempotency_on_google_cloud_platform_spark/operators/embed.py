@@ -102,3 +102,49 @@ def hash_embed(
         .join(dense, id_col, "left")
         .select(id_col, F.coalesce("embedding", zero).alias("embedding"))
     )
+
+
+def truncate_embeddings(
+    emb: DataFrame,
+    dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style embedding truncation: keep the first `dims`
+    components and L2-renormalize — the storage/compute cut (e.g.
+    64→16 = 4×) that MRL-trained embedding models are built to
+    survive. Returns the truncated+renormalized vector plus the
+    audit scalars retrieval tuning needs:
+
+      norm_full      ‖v‖ of the original vector
+      norm_trunc     ‖v[:dims]‖ before renormalization
+      retained_frac  norm_trunc² / norm_full² — the energy kept; a
+                     corpus-wide histogram of this column is the
+                     "how low can dims go" decision input
+
+    Pure codegen expressions (slice/transform/aggregate) — narrow,
+    zero shuffle, no Python. Zero vectors renormalize to zero (not
+    NaN) via the same clamped-norm rule as the cosine fold.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    t = F.slice(v, 1, dims)
+
+    def l2(col):
+        return F.sqrt(
+            F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+
+    norm_full = l2(v)
+    norm_trunc = l2(t)
+    safe = F.greatest(norm_trunc, F.lit(1e-12))
+    return emb.select(
+        F.col(id_col),
+        F.transform(t, lambda x: x / safe).alias("embedding_trunc"),
+        F.round(norm_full, 6).alias("norm_full"),
+        F.round(norm_trunc, 6).alias("norm_trunc"),
+        F.round(
+            (norm_trunc * norm_trunc)
+            / F.greatest(norm_full * norm_full, F.lit(1e-12)),
+            6,
+        ).alias("retained_frac"),
+    )

@@ -20,7 +20,7 @@ builtin for).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -182,3 +182,85 @@ def kfold_assign(
         8,
     )
     return df.withColumn(fold_col, (F.conv(h, 16, 10).cast("bigint") % k).cast("int"))
+
+
+def budget_select(
+    scored: DataFrame,
+    budget: int,
+    score_col: str = "quality_score",
+    cost_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy token-budget subset selection: take documents in
+    descending `score_col` order (ties to the lower id) until the
+    cumulative `cost_col` would exceed `budget` — the "best corpus
+    that fits the training budget" primitive behind data-constrained
+    scaling recipes.
+
+    The cumulative sum needs a total order over ALL candidates, so the
+    running total is computed the same way assign_global_ids ranks:
+    range-partition by the (negated score, id) key, per-partition
+    partial sums, broadcast prefix offsets — never a single-partition
+    window. Here the partial sums come from one extra per-partition
+    aggregate (partitions × 1 longs to the driver, the bounded class).
+    Greedy-prefix semantics: a document is kept iff its INCLUSIVE
+    running cost ≤ budget, so selection stops at the first overflow —
+    one oversized document ends the prefix even if smaller documents
+    behind it would still fit. Skip-and-continue would pack tighter
+    but is knapsack-shaped and order-dependent; the prefix form is the
+    deterministic, oracle-checkable contract (and the standard
+    data-budget recipe: rank, then cut).
+    """
+    keyed = scored.select(
+        id_col,
+        score_col,
+        cost_col,
+        F.struct(
+            (-F.col(score_col)).alias("k"), F.col(id_col).alias("u")
+        ).alias("__k"),
+    )
+    p = (
+        keyed.repartitionByRange(32, F.col("__k"))
+        .sortWithinPartitions("__k")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # per-partition cost totals -> exclusive prefix offsets (broadcast)
+    totals = (
+        p.groupBy("__pid").agg(F.sum(cost_col).alias("t")).orderBy("__pid").collect()
+    )
+    offsets, running = {}, 0
+    for row in totals:
+        offsets[row["__pid"]] = running
+        running += row["t"] or 0
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w_local = Window.partitionBy("__pid").orderBy("__k")
+    cum = off[F.col("__pid")] + F.sum(cost_col).over(w_local)
+    return (
+        p.withColumn("cum_cost", cum.cast("long"))
+        .filter(F.col("cum_cost") <= budget)
+        .select(id_col, score_col, cost_col, "cum_cost")
+    )
+
+
+def class_weights(
+    df: DataFrame, label_col: str = "lang", weight_col: str = "class_weight"
+) -> DataFrame:
+    """Balanced inverse-frequency class weights — sklearn's
+    'balanced' recipe: weight(c) = n_total / (n_classes · n_c), so a
+    uniformly weighted loss sees every class equally. One map-side-
+    combined groupBy over the label (null label = a real class), the
+    totals derived from the ≤|classes|-row aggregate itself (window
+    over the tiny frame, no second scan). Returns one row per class;
+    broadcast-join it back to rows at train time."""
+    counts = df.groupBy(label_col).agg(F.count("*").alias("n"))
+    wall = Window.partitionBy(F.lit(1))
+    return counts.select(
+        label_col,
+        F.col("n").alias("n_rows"),
+        F.round(
+            F.sum("n").over(wall)
+            / (F.count("*").over(wall) * F.col("n")),
+            6,
+        ).alias(weight_col),
+    )

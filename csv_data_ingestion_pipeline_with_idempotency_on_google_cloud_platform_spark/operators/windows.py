@@ -385,6 +385,82 @@ def window_distinct_users(events: DataFrame, duration: str = "1 hour") -> DataFr
     )
 
 
+def rfm_segments(events: DataFrame, n_tiles: int = 4) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic value-segmentation rollup: per user, the last-seen
+    timestamp, event count, and value sum, each quartiled into
+    1..n_tiles with 1 = best (most recent / most frequent / highest
+    spend), plus the concatenated segment code ("111" = champions).
+
+    Scale shape: ONE map-side-combined groupBy(user) carrying three
+    partial aggregates, then — instead of three `ntile` windows,
+    which would each drag every user row through a single partition —
+    three range-partitioned global ranks (packing.assign_global_ids:
+    per-partition counts become broadcast prefix offsets, no global
+    sort) fed into ntile's closed form: with n users and t tiles, the
+    first n % t tiles get ⌈n/t⌉ rows, the rest ⌊n/t⌋, exactly the
+    SQL-standard split. Ordering keys are encoded as ascending
+    (negated metric, user_id) structs so each rank is total and
+    deterministic, and the monetary metric is ranked on its ROUNDED
+    value so engines that sum doubles in different orders still rank
+    identically. Driver state: three partition-count lists plus one
+    1-row count — the same bounded class as the k-means partials.
+    """
+    from .packing import assign_global_ids
+
+    per_user = events.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    keyed = per_user.select(
+        "user_id",
+        "n_events",
+        "total_value",
+        F.struct(
+            # cast handles TIMESTAMP_NTZ inputs (the nanos-truncated
+            # events source); any fixed-offset reinterpretation is
+            # order-preserving, which is all the rank key needs
+            (-F.unix_micros(F.col("last_ts").cast("timestamp"))).alias("k"),
+            F.col("user_id").alias("u"),
+        ).alias("__k_r"),
+        F.struct(
+            (-F.col("n_events")).alias("k"), F.col("user_id").alias("u")
+        ).alias("__k_f"),
+        F.struct(
+            (-F.col("total_value")).alias("k"), F.col("user_id").alias("u")
+        ).alias("__k_m"),
+    )
+    ranked = keyed
+    for key, rank in (("__k_r", "__r_r"), ("__k_f", "__r_f"), ("__k_m", "__r_m")):
+        ranked = assign_global_ids(ranked, key, num_partitions=32, id_col=rank)
+    n = ranked.count()
+    q, r = divmod(n, n_tiles)
+    boundary = r * (q + 1)
+
+    def tile(rank_col: str):
+        i = F.col(rank_col)
+        return (
+            F.when(i < F.lit(boundary), F.floor(i / F.lit(q + 1)))
+            .otherwise(
+                F.lit(r) + F.floor((i - F.lit(boundary)) / F.lit(max(q, 1)))
+            )
+            + 1
+        ).cast("long")
+
+    return ranked.select(
+        "user_id",
+        "n_events",
+        "total_value",
+        tile("__r_r").alias("r_tile"),
+        tile("__r_f").alias("f_tile"),
+        tile("__r_m").alias("m_tile"),
+        F.concat_ws(
+            "", tile("__r_r"), tile("__r_f"), tile("__r_m")
+        ).alias("segment"),
+    )
+
+
 def event_paths_topk(
     events: DataFrame, n: int = 3, k: int = 20
 ) -> DataFrame:

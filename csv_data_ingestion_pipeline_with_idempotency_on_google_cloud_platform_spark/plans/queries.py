@@ -1924,6 +1924,153 @@ FROM packed GROUP BY lang, pack_id
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27 user segmentation: RFM (recency/frequency/monetary)
+    quartiles + segment code (operators/windows.py:rfm_segments) —
+    ntile computed in closed form over three range-partitioned global
+    ranks instead of three single-partition ntile windows; the oracle
+    runs the ntile the operator is semantically equal to but never
+    executes (same pattern as global_row_ids)."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.rfm_segments(ev, n_tiles=4)
+
+
+SQL_RFM_SEGMENTS = """
+WITH per_user AS (
+  SELECT user_id, max(ts) AS last_ts, COUNT(*) AS n_events,
+         round(SUM(value), 6) AS total_value
+  FROM events GROUP BY user_id
+), t AS (
+  SELECT user_id, n_events, total_value,
+         CAST(ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS BIGINT) AS r_tile,
+         CAST(ntile(4) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS f_tile,
+         CAST(ntile(4) OVER (ORDER BY total_value DESC, user_id) AS BIGINT) AS m_tile
+  FROM per_user
+)
+SELECT user_id, n_events, total_value, r_tile, f_tile, m_tile,
+       concat(r_tile, f_tile, m_tile) AS segment
+FROM t
+"""
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28 budget-constrained corpus selection: greedy quality-ordered
+    prefix under a 10k-token budget (operators/sampling.py:
+    budget_select) — running total via range-partitioned partial sums
+    + broadcast prefix offsets, never a single-partition window."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textstats.quality_scores(docs).select(
+        "doc_id", "quality_score", "n_tokens"
+    )
+    from ..operators.sampling import budget_select
+
+    return budget_select(scored, budget=10_000)
+
+
+SQL_BUDGET_SELECT = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks,
+         CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha
+  FROM documents
+),
+quality AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         ROUND(0.4 * (n_alpha / greatest(CAST(n_chars AS DOUBLE), 1.0))
+             + 0.4 * least((CAST(len(list_filter(toks, x -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it'], lower(x))))
+                 AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0)) * 2, 1.0)
+             + 0.2 * (1.0 - least((n_punct / greatest(CAST(n_chars AS DOUBLE), 1.0)) * 4, 1.0)),
+           4) AS quality_score
+  FROM base
+),
+cum AS (
+  SELECT doc_id, quality_score, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+             ORDER BY quality_score DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_cost
+  FROM quality
+)
+SELECT doc_id, quality_score, n_tokens, cum_cost
+FROM cum WHERE cum_cost <= 10000
+"""
+
+
+def q_exact_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1b dedup reweighting: exact-dedup survivors carrying their
+    duplicate multiplicity (operators/dedup.py:exact_dedup_weights)
+    — the count rides the same map-side-combined aggregate as the
+    min-id winner, so the hot hash still reduces in parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_weights(docs)
+
+
+SQL_EXACT_DEDUP_WEIGHTS = r"""
+WITH h AS (
+  SELECT doc_id,
+         sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+  FROM documents
+)
+SELECT MIN(doc_id) AS doc_id, content_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM h GROUP BY content_hash
+"""
+
+
+def q_embedding_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29 Matryoshka truncation audit: 64→16-dim truncation with the
+    retained-energy scalars retrieval tuning reads (operators/
+    embed.py:truncate_embeddings). The query projects the scalar
+    audit columns; the truncated vector itself is the operator's
+    output for downstream ANN (arrays stay out of the driver hash,
+    same rule as quantize_embeddings)."""
+    from ..operators.embed import truncate_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return truncate_embeddings(emb, dims=16).select(
+        "vec_id", "norm_full", "norm_trunc", "retained_frac"
+    )
+
+
+SQL_EMBEDDING_TRUNCATE = """
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_full,
+       ROUND(sqrt(list_sum(list_transform(embedding[1:16],
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_trunc,
+       ROUND(list_sum(list_transform(embedding[1:16],
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+           / greatest(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 1e-12), 6) AS retained_frac
+FROM embeddings
+"""
+
+
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30 loss balancing: sklearn-style 'balanced' inverse-frequency
+    class weights per language (operators/sampling.py:class_weights)
+    — one map-side-combined groupBy; totals derived from the tiny
+    aggregate itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.sampling import class_weights
+
+    return class_weights(docs, "lang")
+
+
+SQL_CLASS_WEIGHTS = """
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang)
+SELECT lang, n AS n_rows,
+       ROUND(CAST((SELECT SUM(n) FROM c) AS DOUBLE)
+           / (CAST((SELECT COUNT(*) FROM c) AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS class_weight
+FROM c
+"""
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 terms per language (grouped top-k): explode → count →
     salted two-phase rank. The count is map-side combinable so ranking
@@ -4583,6 +4730,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q12": q_tpch_q12,
     # r4 additions
     "corpus_pipeline": q_corpus_pipeline,
+    "rfm_segments": q_rfm_segments,
+    "budget_select": q_budget_select,
+    "exact_dedup_weights": q_exact_dedup_weights,
+    "embedding_truncate": q_embedding_truncate,
+    "class_weights": q_class_weights,
     "set_ops": q_set_ops,
     "order_quartiles": q_order_quartiles,
     "join_revenue_rollup": q_join_revenue_rollup,
@@ -4620,14 +4772,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_agg": q_cube_agg,
     "tpch_q1": q_tpch_q1,
     "tpch_q6": q_tpch_q6,
+    # ---- entry 51+: driver-green in r01-r03 (or rows-only by design);
+    # pytest runs the identical oracle parity checks on all of these.
     "tpch_q3": q_tpch_q3,
     "tpch_q13": q_tpch_q13,
     "csv_scan": q_csv_scan,
     "suffix_filter": q_suffix_filter,
     "sha256_key": q_sha256_key,
-    # ---- entry 51+: driver-green in r01-r03 (or rows-only by design);
     "json_roundtrip": q_json_roundtrip,
-    # pytest runs the identical oracle parity checks on all of these.
     "tpch_q5": q_tpch_q5,
     "tpch_q10": q_tpch_q10,
     "interval_join": q_interval_join,
@@ -4823,4 +4975,9 @@ ORACLE_SQL: dict[str, str] = {
     "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
     "attribution_credit": SQL_ATTRIBUTION_CREDIT,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
+    "rfm_segments": SQL_RFM_SEGMENTS,
+    "budget_select": SQL_BUDGET_SELECT,
+    "exact_dedup_weights": SQL_EXACT_DEDUP_WEIGHTS,
+    "embedding_truncate": SQL_EMBEDDING_TRUNCATE,
+    "class_weights": SQL_CLASS_WEIGHTS,
 }

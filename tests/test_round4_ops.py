@@ -1,0 +1,154 @@
+"""Round-4 training-pipeline operators: RFM segmentation, budget
+selection, dedup reweighting, Matryoshka truncation, class weights.
+Oracle parity runs in test_queries_oracle; these pin the semantics the
+oracle can't see (closed-form ntile == SQL ntile on awkward sizes,
+prefix-stop behavior, zero-vector rules, null labels)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators import (
+    dedup,
+    windows,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.embed import (
+    truncate_embeddings,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sampling import (
+    budget_select,
+    class_weights,
+)
+
+
+def _events(spark, n_users=10, per_user=3):
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        for j in range(per_user):
+            rows.append(
+                (eid, f"2024-01-0{1 + u % 9} 0{j}:00:00", u, "click", float(u + j))
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_rfm_tile_sizes_match_ntile_contract(spark):
+    """n=10 users, 4 tiles -> SQL ntile sizes are 3,3,2,2; the closed
+    form must reproduce exactly that split for every metric."""
+    out = windows.rfm_segments(_events(spark, n_users=10), n_tiles=4).collect()
+    assert len(out) == 10
+    for col in ("r_tile", "f_tile", "m_tile"):
+        sizes = {}
+        for r in out:
+            sizes[r[col]] = sizes.get(r[col], 0) + 1
+        assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}, (col, sizes)
+    for r in out:
+        assert r["segment"] == f"{r['r_tile']}{r['f_tile']}{r['m_tile']}"
+
+
+def test_rfm_fewer_users_than_tiles(spark):
+    """n=2 users, 4 tiles -> ntile gives each row its own tile (1, 2)."""
+    out = windows.rfm_segments(_events(spark, n_users=2), n_tiles=4).collect()
+    assert sorted(r["r_tile"] for r in out) == [1, 2]
+
+
+def test_rfm_best_user_is_tile_one(spark):
+    """The user with the most events and highest spend lands in f=1, m=1."""
+    rows = [(i, "2024-01-01 00:00:00", 0, "click", 100.0) for i in range(5)]
+    rows += [(10 + u, "2024-01-02 00:00:00", u, "click", 1.0) for u in range(1, 4)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: r for r in windows.rfm_segments(ev).collect()}
+    assert got[0]["f_tile"] == 1 and got[0]["m_tile"] == 1
+    # user 0's last event is OLDER than everyone else's -> worst recency tile
+    assert got[0]["r_tile"] == max(r["r_tile"] for r in got.values())
+
+
+def test_budget_select_prefix_stops_at_first_overflow(spark):
+    scored = spark.createDataFrame(
+        [
+            (1, 0.9, 40),
+            (2, 0.8, 100),  # overflows a 60-token budget...
+            (3, 0.7, 5),    # ...and blocks this smaller doc too (prefix!)
+        ],
+        "doc_id long, quality_score double, n_tokens long",
+    )
+    out = budget_select(scored, budget=60).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["cum_cost"] == 40
+
+
+def test_budget_select_order_and_cumsum(spark):
+    scored = spark.createDataFrame(
+        [(i, 1.0 - i / 100.0, 10) for i in range(10)],
+        "doc_id long, quality_score double, n_tokens long",
+    )
+    out = sorted(budget_select(scored, budget=35).collect(), key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in out] == [0, 1, 2]
+    assert [r["cum_cost"] for r in out] == [10, 20, 30]
+
+
+def test_budget_select_ties_break_to_lower_id(spark):
+    scored = spark.createDataFrame(
+        [(5, 0.5, 10), (1, 0.5, 10), (3, 0.5, 10)],
+        "doc_id long, quality_score double, n_tokens long",
+    )
+    out = budget_select(scored, budget=20).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3]
+
+
+def test_exact_dedup_weights_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (5, "  SAME   text "), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dedup_weights(docs).collect()}
+    # normalization folds case+whitespace: ids 1,2,5 collapse to min-id 1
+    assert out == {1: 3, 3: 1}
+
+
+def test_exact_dedup_weights_matches_exact_dedup_survivors(spark, docs_small=None):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i % 4}") for i in range(12)], "doc_id long, text string"
+    )
+    survivors = {r["doc_id"] for r in dedup.exact_dedup(docs).collect()}
+    weighted = dedup.exact_dedup_weights(docs).collect()
+    assert {r["doc_id"] for r in weighted} == survivors
+    assert sum(r["n_copies"] for r in weighted) == 12
+
+
+def test_truncate_embeddings_renormalizes(spark):
+    emb = spark.createDataFrame(
+        [(0, [3.0, 4.0, 100.0, 100.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in truncate_embeddings(emb, dims=2).collect()}
+    v0 = out[0]
+    assert [round(x, 6) for x in v0["embedding_trunc"]] == [0.6, 0.8]
+    assert v0["norm_trunc"] == 5.0
+    assert math.isclose(v0["norm_full"], math.sqrt(9 + 16 + 20000), rel_tol=1e-9)
+    assert math.isclose(v0["retained_frac"], 25 / 20025, abs_tol=1e-6)
+    # zero vector: stays zero, no NaN
+    v1 = out[1]
+    assert v1["embedding_trunc"] == [0.0, 0.0]
+    assert v1["retained_frac"] == 0.0
+
+
+def test_class_weights_balanced_recipe(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i < 6 else ("de" if i < 9 else None)) for i in range(10)],
+        "doc_id long, lang string",
+    )
+    out = {r["lang"]: r for r in class_weights(df, "lang").collect()}
+    # 3 classes (null is a real class), n_total=10
+    assert math.isclose(out["en"]["class_weight"], 10 / (3 * 6), abs_tol=1e-6)
+    assert math.isclose(out["de"]["class_weight"], 10 / (3 * 3), abs_tol=1e-6)
+    assert math.isclose(out[None]["class_weight"], 10 / (3 * 1), abs_tol=1e-6)
+    assert out["en"]["n_rows"] == 6

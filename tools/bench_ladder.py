@@ -1,0 +1,76 @@
+"""Scale ladder: measure the dedup/similarity families at sf0.1 and at
+the 10x generated corpus (tools/gen_scale_ladder.py), and print the
+sf0.1 -> 10x wall-clock ratios.
+
+A linear-scaling operator shows ratio ~10 (same per-row cost); the
+bucketed pair stages are allowed ratio > 10 only as far as their
+capped expansion predicts. Run AFTER generating the ladder data:
+
+    python tools/gen_scale_ladder.py
+    python tools/bench_ladder.py [passes]
+
+Results land in SCALE.md's measured-scaling table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+LADDER_QUERIES = [
+    "near_dedup",
+    "semantic_dedup",
+    "fuzzy_name_pairs",
+    "bm25_indexed",
+    "topk_cosine_indexed",
+]
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join("spark-warehouse", "ladder_sf1")
+
+
+def main() -> None:
+    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    if not os.path.isdir(SF1):
+        raise SystemExit(f"{SF1} missing — run tools/gen_scale_ladder.py first")
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.plans import (
+        QUERIES,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark(app_name="bench_ladder", cpus="32")
+    spark.range(1000).count()
+    spark.range(0, 10_000, 1, 32).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict[str, float]] = {}
+    for name in LADDER_QUERIES:
+        results[name] = {}
+        for label, sf_dir in (("sf0.1", SF01), ("10x", SF1)):
+            best = float("inf")
+            for p in range(passes):
+                t0 = time.monotonic()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.monotonic() - t0
+                best = min(best, dt)
+                print(f"# {name} @ {label} pass {p}: {dt:.2f}s", file=sys.stderr)
+            results[name][label] = round(best, 3)
+
+    print(f"{'query':24} {'sf0.1':>8} {'10x':>8} {'ratio':>7}")
+    for name, r in results.items():
+        ratio = r["10x"] / r["sf0.1"] if r["sf0.1"] > 0 else float("nan")
+        print(f"{name:24} {r['sf0.1']:>8.2f} {r['10x']:>8.2f} {ratio:>7.2f}")
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
