@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 LADDER_QUERIES = [
     "near_dedup",
     "semantic_dedup",
