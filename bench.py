@@ -103,8 +103,15 @@ HEADLINE = [
     "event_paths",
     "fuzzy_name_pairs",
     "attribution_credit",
-    # round 4: the composite ingest→dedup→quality→pack corpus flow
+    # round 4: the composite ingest→dedup→quality→pack corpus flow,
+    # plus the new training-pipeline rollups (RFM's three global ranks
+    # and budget_select's prefix sums are the interesting plans)
     "corpus_pipeline",
+    "rfm_segments",
+    "budget_select",
+    "exact_dedup_weights",
+    "embedding_truncate",
+    "class_weights",
 ]
 
 

@@ -1365,6 +1365,18 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_train_assign(emb, k=8, iters=3)
 
 
+def q_kmeans_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (two-level) Lloyd's k-means: coarse k1=4 then a
+    joint per-cell k2=2 stage, composite cluster ∈ [0,8)
+    (operators/similarity.py:kmeans_two_level) — the O(√k)-per-row
+    scale path past the flat trainer's k≈10⁴ ceiling. Rows-only
+    (iterative, driver-held centroid tensor); planted-cluster
+    recovery, determinism, and inertia-parity-vs-flat are pinned in
+    tests/test_kmeans.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_two_level(emb, k1=4, k2=2, iters=3)
+
+
 def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training over the documents corpus
     (operators/tokenizer.py): 10 merges of the classic word-frequency
@@ -4849,6 +4861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_stats": q_media_decode_stats,
     "frequent_terms": q_frequent_terms,
     "kmeans_assign": q_kmeans_assign,
+    "kmeans_two_level_assign": q_kmeans_two_level_assign,
     "bpe_merge_learn": q_bpe_merge_learn,
     "approx_distinct": q_approx_distinct,
     "temperature_mix": q_temperature_mix,
