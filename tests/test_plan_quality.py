@@ -406,3 +406,51 @@ def test_semantic_dedup_pairs_only_within_clusters(spark):
     # (the dropped-id side can be a large corpus fraction at scale, so
     # forcing a broadcast would be the wrong 100 TB shape)
     assert "LeftAnti" in plan
+
+
+def test_corpus_pipeline_broadcast_gates_no_cartesian(spark):
+    """The composite pipeline's drop-set joins must broadcast (survivor
+    ids ≪ corpus on both gates) and nothing in the five-stage plan may
+    degenerate into a cartesian product."""
+    plan = _plan(spark, "corpus_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin LeftSemi" in plan      # exact-dedup survivors
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan  # near-dup drops
+
+
+def test_rfm_segments_no_ntile_window(spark):
+    """RFM's tiles must come from the range-partitioned rank + closed
+    form — the plan may not contain ntile or any empty-spec (global)
+    window that would funnel all users through one task."""
+    plan = _plan(spark, "rfm_segments")
+    assert "ntile" not in plan
+    assert "windowspecdefinition()" not in plan
+
+
+def test_budget_select_window_is_partition_local(spark):
+    """budget_select's running sum may only window WITHIN a range
+    partition (spec carries __pid); the global order comes from the
+    broadcast prefix offsets, never a global sort-everything window."""
+    plan = _plan(spark, "budget_select")
+    assert "windowspecdefinition(__pid" in plan
+    assert "windowspecdefinition()" not in plan
+
+
+def test_exact_dedup_weights_single_aggregate_pass(spark):
+    """The multiplicity count must ride the same partial aggregate as
+    the min-id winner: one shuffle, no window, no second scan."""
+    plan = _plan(spark, "exact_dedup_weights")
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2  # one shuffle + possible AQE read
+    # exactly one file scan (each scan prints one Location: line)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_min" in plan and "partial_count" in plan
+
+
+def test_embedding_truncate_narrow_and_pruned(spark):
+    """Truncation is a pure narrow projection: zero exchanges, and the
+    scan reads only (vec_id, embedding)."""
+    plan = _plan(spark, "embedding_truncate")
+    assert "Exchange" not in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "label" not in read_schema
