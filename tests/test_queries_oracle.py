@@ -36,7 +36,9 @@ def _type_category(type_str: str) -> str:
         return "int"
     if t in {"float", "double", "real"}:
         return "float"
-    if t in {"string", "varchar", "text"}:
+    if t in {"string", "varchar", "text", "json"}:
+        # DuckDB's to_json returns the JSON logical type, which reaches
+        # pandas/the driver as a plain string — same hash family
         return "string"
     if t.startswith("timestamp"):
         return "timestamp"
