@@ -478,11 +478,10 @@ def kmeans_two_level(
             .collect()
         )
         bc.unpersist()
+        # empty (coarse, sub) cells simply stay at their previous
+        # centroid — the copy carries them, partials overwrite the rest
         nxt = sub.copy()
-        touched = set()
         for r in partials:
-            if (r["coarse"], r["sub"]) not in touched:
-                touched.add((r["coarse"], r["sub"]))
             nxt[r["coarse"], r["sub"], r["pos"]] = r["m"]
         sub = nxt
 
