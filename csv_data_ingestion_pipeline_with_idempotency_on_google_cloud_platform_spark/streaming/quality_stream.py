@@ -25,7 +25,15 @@ from ..functions.text import tokens_col
 
 def collect_model(weights: DataFrame, prior: DataFrame) -> tuple[list, int]:
     """Materialize a trained model to driver values: ≤vocab_size
-    (term, weight_milli) rows + the scalar prior."""
+    (term, weight_milli) rows + the scalar prior.
+
+    Size guard: the weight table is bounded by the trainer's vocab cap
+    (classify.py trains on a top-V TakeOrdered vocabulary), so this
+    collect is O(vocab) — tens of thousands of small rows, the same
+    bounded-driver-state class as k-means centroids. If a caller ever
+    feeds an uncapped weight table, cap it upstream; do NOT lift this
+    into per-batch joins — the broadcast-once-per-stream shape is the
+    point."""
     w = [
         (r["term"], r["weight_milli"])
         for r in weights.select("term", "weight_milli").collect()
