@@ -110,3 +110,14 @@ def test_all_queries_run(spark):
         df = fn(spark, SF_DIR)
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_bench_headline_is_subset_of_registry():
+    """Every bench HEADLINE entry must exist in the registry — a
+    renamed/removed query would otherwise only fail at bench runtime,
+    i.e. in the driver's per-round artifact instead of in CI."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"bench.HEADLINE names not in QUERIES: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline"
