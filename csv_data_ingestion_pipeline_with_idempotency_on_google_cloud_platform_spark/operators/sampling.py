@@ -254,7 +254,12 @@ def class_weights(
     over the tiny frame, no second scan). Returns one row per class;
     broadcast-join it back to rows at train time."""
     counts = df.groupBy(label_col).agg(F.count("*").alias("n"))
-    wall = Window.partitionBy(F.lit(1))
+    # n % 1: constant-valued but non-foldable partition key — the
+    # window input is the ≤|classes|-row aggregate (single tiny
+    # partition by intent); a bare literal would constant-fold to an
+    # empty spec and trip the single-partition WindowExec warning
+    # (same trick as similarity._rank_topk)
+    wall = Window.partitionBy(F.col("n") % 1)
     return counts.select(
         label_col,
         F.col("n").alias("n_rows"),
