@@ -1,0 +1,225 @@
+"""Model-evaluation operators: confusion metrics, decile lift, NDCG.
+
+A curation pipeline that trains quality classifiers (classify.py) and
+ranking functions (retrieval.py) needs to EVALUATE them at corpus
+scale — precision/recall of the quality gate, lift curves for
+threshold selection, ranking quality against a relevance signal.
+These close that loop as first-class distributed operators.
+
+Determinism contract (the driver value-hashes results): every metric
+is either pure integer arithmetic (confusion counts, milli-metrics
+via integer division) or a ≤3-decimal rounding of a ≤10-term float
+sum — no order-sensitive float aggregation reaches an output column.
+
+Scale shape:
+* ``classifier_eval`` — one groupBy over the scored corpus carrying
+  four conditional-count partials; metrics derived per group. The
+  join back to the dimension column broadcasts nothing and shuffles
+  once on the group key.
+* ``decile_lift`` — the global score ranking uses
+  packing.assign_global_ids (range-partition + broadcast prefix
+  offsets, NO single-partition row_number window); deciles come from
+  ntile's closed form; the cumulative pass runs over the 10-row
+  aggregate (tiny window, non-foldable constant partition key).
+* ``ndcg_at_k`` — per-query top-k via a window partitioned by query
+  term (parallel across terms), DCG over ≤k rows per term.
+
+No analogue exists in the reference (csv-processor-function/main.py
+is ingest glue only); semantics follow the standard IR/ML
+definitions (Järvelin & Kekäläinen 2002 for DCG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def classifier_eval(
+    scored: DataFrame,
+    group_col: str | None = None,
+    pred_col: str = "pred_pos",
+    label_col: str = "is_pos",
+) -> DataFrame:
+    """Confusion counts + precision/recall/F1 (milli-int, exact
+    integer division) per ``group_col`` (or one global row).
+
+    Input: one row per example with integer/boolean prediction and
+    label columns. Output columns: group, tp, fp, fn, tn,
+    precision_milli, recall_milli, f1_milli (0 where undefined —
+    sklearn's zero_division=0 convention).
+    """
+    p = F.col(pred_col).cast("int")
+    y = F.col(label_col).cast("int")
+    keys = [group_col] if group_col else []
+    agg = scored.groupBy(*keys).agg(
+        F.sum(p * y).cast("long").alias("tp"),
+        F.sum(p * (1 - y)).cast("long").alias("fp"),
+        F.sum((1 - p) * y).cast("long").alias("fn"),
+        F.sum((1 - p) * (1 - y)).cast("long").alias("tn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.expr("(1000 * tp) div (tp + fp)"),
+    ).otherwise(F.lit(0).cast("long"))
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.expr("(1000 * tp) div (tp + fn)"),
+    ).otherwise(F.lit(0).cast("long"))
+    out = agg.withColumn("precision_milli", prec).withColumn("recall_milli", rec)
+    f1 = F.when(
+        F.col("precision_milli") + F.col("recall_milli") > 0,
+        F.expr(
+            "(2 * precision_milli * recall_milli)"
+            " div (precision_milli + recall_milli)"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return out.withColumn("f1_milli", f1)
+
+
+def decile_lift(
+    scored: DataFrame,
+    score_col: str = "score_milli",
+    label_col: str = "is_pos",
+    id_col: str = "doc_id",
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Gains/lift table: rank by score descending (id ascending as the
+    deterministic tiebreak), split into ``n_tiles`` SQL-ntile-exact
+    tiles, report per-tile and cumulative capture + lift in milli-ints.
+
+    lift_milli(t) = 1000 · (cum_pos/cum_n) / (total_pos/total_n),
+    computed as (1000·cum_pos·total_n) div (cum_n·total_pos) — exact.
+    """
+    from .packing import assign_global_ids
+
+    keyed = scored.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("long").alias("__y"),
+        F.struct(
+            (-F.col(score_col)).cast("long").alias("k"),
+            F.col(id_col).alias("u"),
+        ).alias("__k"),
+    )
+    ranked = assign_global_ids(keyed, "__k", num_partitions=32, id_col="__r")
+    n = ranked.count()
+    q, r = divmod(n, n_tiles)
+    boundary = r * (q + 1)
+    i = F.col("__r")
+    tile = (
+        F.when(i < F.lit(boundary), F.floor(i / F.lit(q + 1)))
+        .otherwise(F.lit(r) + F.floor((i - F.lit(boundary)) / F.lit(max(q, 1))))
+        + 1
+    ).cast("long")
+    per_tile = (
+        ranked.select(tile.alias("decile"), "__y")
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_rows"), F.sum("__y").alias("n_pos"))
+    )
+    # cumulative over the ≤n_tiles-row aggregate; decile % 1 is the
+    # non-foldable constant partition key (class_weights convention)
+    wall = Window.partitionBy(F.col("decile") % 1).orderBy("decile")
+    wtot = Window.partitionBy(F.col("decile") % 1)
+    cum = per_tile.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.sum("n_rows").over(wall).alias("cum_n"),
+        F.sum("n_pos").over(wall).alias("cum_pos"),
+        F.sum("n_rows").over(wtot).alias("tot_n"),
+        F.sum("n_pos").over(wtot).alias("tot_pos"),
+    )
+    return cum.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        "cum_pos",
+        F.expr("(1000 * cum_pos) div greatest(tot_pos, 1L)").alias(
+            "capture_milli"
+        ),
+        F.expr(
+            "(1000 * cum_pos * tot_n) div greatest(cum_n * tot_pos, 1L)"
+        ).alias("lift_milli"),
+    )
+
+
+def ndcg_at_k(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    rel_col_expr=None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NDCG@k of the term-frequency ranking against an independent
+    relevance signal (default: rel = 1 when lang = 'en').
+
+    For each query term: rank docs containing the term by
+    (tf desc, id asc) — integer keys, so the ranking is identical in
+    any engine — take the top k, and score
+    DCG = Σ rel/log2(pos+1) against the ideal reordering. Output:
+    (term, dcg_milli, idcg_milli, ndcg_milli) — DCG is a ≤k-term sum
+    rounded to milli, safely inside float reproducibility.
+    """
+    if rel_col_expr is None:
+        rel_col_expr = (F.col("lang") == "en").cast("int")
+    lit_terms = F.array(*[F.lit(t) for t in terms])
+    # tokenize once per doc (the repo's whitespace-token convention,
+    # same as top_terms), then fan out over the literal term list —
+    # |terms| is a small constant, so the array duplication is bounded
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        rel_col_expr.alias("__rel"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    ).filter(F.length(F.trim(F.col(text_col))) > 0)
+    with_tf = (
+        toks.select(
+            "__id",
+            "__rel",
+            "__toks",
+            F.explode(lit_terms).alias("term"),
+        )
+        .select(
+            "term",
+            "__id",
+            "__rel",
+            F.expr("size(filter(__toks, x -> x = term))")
+            .cast("long")
+            .alias("__tf"),
+        )
+        .filter(F.col("__tf") > 0)
+    )
+    w_rank = Window.partitionBy("term").orderBy(
+        F.col("__tf").desc(), F.col("__id").asc()
+    )
+    w_ideal = Window.partitionBy("term").orderBy(
+        F.col("__rel").desc(), F.col("__id").asc()
+    )
+    topk = (
+        with_tf.withColumn("pos", F.row_number().over(w_rank))
+        .withColumn("ideal_pos", F.row_number().over(w_ideal))
+        .filter((F.col("pos") <= k) | (F.col("ideal_pos") <= k))
+    )
+    dcg_term = F.when(
+        F.col("pos") <= k, F.col("__rel") / F.log2(F.col("pos") + 1)
+    ).otherwise(F.lit(0.0))
+    idcg_term = F.when(
+        F.col("ideal_pos") <= k, F.col("__rel") / F.log2(F.col("ideal_pos") + 1)
+    ).otherwise(F.lit(0.0))
+    agg = topk.groupBy("term").agg(
+        F.round(1000 * F.sum(dcg_term)).cast("long").alias("dcg_milli"),
+        F.round(1000 * F.sum(idcg_term)).cast("long").alias("idcg_milli"),
+    )
+    return agg.select(
+        "term",
+        "dcg_milli",
+        "idcg_milli",
+        F.when(
+            F.col("idcg_milli") > 0,
+            F.round(1000.0 * F.col("dcg_milli") / F.col("idcg_milli")).cast(
+                "long"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("ndcg_milli"),
+    )

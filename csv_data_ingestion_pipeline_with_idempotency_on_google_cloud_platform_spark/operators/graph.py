@@ -1,0 +1,108 @@
+"""Graph analytics over relationship tables: fixed-point PageRank.
+
+The reference pipeline has no graph operator; this extends the engine
+the same way the dedup/similarity families do — a capability a
+100 TB training-data platform needs (link-graph importance for crawl
+prioritisation, supplier/part centrality for procurement analytics).
+
+Design notes (scale-first):
+
+* **Edges are the only big thing.** The bipartite part↔supplier graph
+  is derived from `DISTINCT (l_partkey, l_suppkey)` — one map-side-
+  combined distinct over the fact table, after which every iteration
+  touches only the edge list (|E|) and the rank vector (|V|).
+* **Iterations are join + map-side-combined aggregate.** Each step is
+  `edges ⋈ ranks ON src` (rank lookup) → `groupBy(dst).sum(contrib)`.
+  AQE handles skewed hub nodes; the rank vector shuffles on the same
+  key every iteration so Spark reuses the exchange where possible.
+* **Fixed-point integer arithmetic end-to-end.** Ranks are BIGINT
+  nano-units (1e12 = total mass); contributions use integer division
+  `rank div degree` and the damping update is
+  ``base + (85 * Σcontrib) div 100``. Integer division is exact and
+  identical across engines — the result is bit-reproducible and
+  oracle-provable with no float-summation-order caveats (the
+  classic float PageRank diverges in the last ulp per iteration).
+  Max intermediate: 85 × 1e12 ≪ 2^63, overflow-safe by ~6 orders.
+* **No driver state.** Unlike the k-means trainer there is no
+  per-iteration collect; the rank vector lives distributed. The
+  iteration count is a literal (unrolled logical plan), which also
+  makes the whole thing one Catalyst-optimised DAG.
+
+Nothing here derives from the reference implementation (its only
+executable is GCP Functions CSV glue, ``csv-processor-function/
+main.py:15-157``); PageRank follows Brin & Page (1998), damping 0.85.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 10**12  # total rank mass, in integer nano-units
+
+
+def bipartite_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected part↔supplier edges from the fact table, as a
+    directed edge list with both orientations (node ids are prefixed
+    strings so the two key spaces cannot collide)."""
+    pairs = lineitem.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("p"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+    ).distinct()
+    return pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list (src, dst).
+
+    Returns (node, rank_nano) — BIGINT nano-unit ranks summing to ~UNIT
+    (floor-division mass loss only). Every node in the edge list
+    appears as a source here (the bipartite constructor guarantees
+    degree ≥ 1 both ways), so there is no dangling-mass term.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    n_nodes = nodes.count()  # 1-row driver agg, same class as rfm's count
+    init = UNIT // n_nodes
+    base = (100 - damping_pct) * init // 100
+
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_nano"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks.join(nodes, "node"), edges.src == F.col("node"))
+            .select("dst", F.expr("rank_nano div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank_nano"),
+            )
+        )
+    return ranks
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-node in/out degree — the cheap companion profile."""
+    out_d = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return out_d.join(in_d, "node", "full").select(
+        "node",
+        F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+    )

@@ -25,6 +25,7 @@ from ..functions.json_codec import decode_queue_message, encode_queue_message
 from ..functions.text import lang_id_col
 from ..operators import (
     dedup,
+    graph,
     multimodal,
     packing,
     sampling,
@@ -4768,6 +4769,206 @@ CROSS JOIN prior
 """
 
 
+# --------------------------------------------------------------------------
+# X32 graph analytics: fixed-point PageRank
+# --------------------------------------------------------------------------
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32 graph analytics: 3-iteration PageRank over the bipartite
+    part↔supplier graph (operators/graph.py:pagerank). Fixed-point
+    BIGINT nano-unit arithmetic — integer division is exact in both
+    engines, so the iterative result is oracle-provable bit-for-bit
+    (float PageRank would drift in summation order). Each iteration is
+    edges⋈ranks + one map-side-combined aggregate; no driver state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return graph.pagerank(graph.bipartite_edges(li), iterations=3)
+
+
+SQL_PAGERANK = """
+WITH pairs AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS p,
+                  's' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM lineitem
+), edges AS (
+  SELECT p AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, p AS dst FROM pairs
+), deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), n AS ( SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg ),
+consts AS (
+  SELECT CAST(1000000000000 AS BIGINT) // n_nodes AS init,
+         (CAST(15 AS BIGINT) * (CAST(1000000000000 AS BIGINT) // n_nodes)) // 100 AS base
+  FROM n
+), r0 AS ( SELECT node, init AS r FROM deg CROSS JOIN consts ),
+it1 AS (
+  SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+), r1 AS (
+  SELECT d.node, base + (CAST(85 AS BIGINT) * COALESCE(i.s, 0)) // 100 AS r
+  FROM deg d LEFT JOIN it1 i ON d.node = i.node CROSS JOIN consts
+), it2 AS (
+  SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+), r2 AS (
+  SELECT d.node, base + (CAST(85 AS BIGINT) * COALESCE(i.s, 0)) // 100 AS r
+  FROM deg d LEFT JOIN it2 i ON d.node = i.node CROSS JOIN consts
+), it3 AS (
+  SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+), r3 AS (
+  SELECT d.node, base + (CAST(85 AS BIGINT) * COALESCE(i.s, 0)) // 100 AS r
+  FROM deg d LEFT JOIN it3 i ON d.node = i.node CROSS JOIN consts
+)
+SELECT node, CAST(r AS BIGINT) AS rank_nano FROM r3
+"""
+
+
+# --------------------------------------------------------------------------
+# X33 model evaluation: confusion metrics, decile lift, NDCG
+# --------------------------------------------------------------------------
+
+
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33 model evaluation: per-source precision/recall/F1 of the
+    corpus quality classifier (operators/evaluate.py:classifier_eval)
+    — confusion counts from one map-side-combined groupBy, metrics as
+    exact integer milli-divisions (no float drift in the hash)."""
+    from ..operators.classify import classify_corpus
+    from ..operators.evaluate import classifier_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = classify_corpus(
+        docs, label_col="lang", positive="en", vocab_size=4096
+    )
+    with_src = scored.join(docs.select("doc_id", "source"), "doc_id")
+    return classifier_eval(with_src, group_col="source")
+
+
+SQL_CLASSIFIER_EVAL = f"""
+WITH scored AS ({SQL_QUALITY_CLASSIFIER}),
+conf AS (
+  SELECT d.source,
+         CAST(SUM(s.pred_pos * s.is_pos) AS BIGINT) AS tp,
+         CAST(SUM(s.pred_pos * (1 - s.is_pos)) AS BIGINT) AS fp,
+         CAST(SUM((1 - s.pred_pos) * s.is_pos) AS BIGINT) AS fn,
+         CAST(SUM((1 - s.pred_pos) * (1 - s.is_pos)) AS BIGINT) AS tn
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+  GROUP BY d.source
+), pr AS (
+  SELECT source, tp, fp, fn, tn,
+         CASE WHEN tp + fp > 0 THEN (CAST(1000 AS BIGINT) * tp) // (tp + fp)
+              ELSE CAST(0 AS BIGINT) END AS precision_milli,
+         CASE WHEN tp + fn > 0 THEN (CAST(1000 AS BIGINT) * tp) // (tp + fn)
+              ELSE CAST(0 AS BIGINT) END AS recall_milli
+  FROM conf
+)
+SELECT source, tp, fp, fn, tn, precision_milli, recall_milli,
+       CASE WHEN precision_milli + recall_milli > 0
+            THEN (CAST(2 AS BIGINT) * precision_milli * recall_milli)
+                 // (precision_milli + recall_milli)
+            ELSE CAST(0 AS BIGINT) END AS f1_milli
+FROM pr
+"""
+
+
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33 model evaluation: gains/lift table of the quality
+    classifier (operators/evaluate.py:decile_lift) — the global score
+    ranking runs through assign_global_ids (range partition +
+    broadcast prefix offsets, never a single-partition row_number),
+    deciles from ntile's closed form, cumulative pass over the 10-row
+    aggregate. The oracle runs the ntile the operator is semantically
+    equal to but never executes."""
+    from ..operators.classify import classify_corpus
+    from ..operators.evaluate import decile_lift
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = classify_corpus(
+        docs, label_col="lang", positive="en", vocab_size=4096
+    )
+    return decile_lift(scored, score_col="score_milli", label_col="is_pos")
+
+
+SQL_DECILE_LIFT = f"""
+WITH scored AS ({SQL_QUALITY_CLASSIFIER}),
+tiled AS (
+  SELECT CAST(is_pos AS BIGINT) AS y,
+         CAST(NTILE(10) OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT)
+           AS decile
+  FROM scored
+), per_tile AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM tiled GROUP BY decile
+), cum AS (
+  SELECT decile, n_rows, n_pos,
+         CAST(SUM(n_rows) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+         CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+         CAST(SUM(n_rows) OVER () AS BIGINT) AS tot_n,
+         CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+  FROM per_tile
+)
+SELECT decile, n_rows, n_pos, cum_pos,
+       (CAST(1000 AS BIGINT) * cum_pos) // greatest(tot_pos, 1) AS capture_milli,
+       (CAST(1000 AS BIGINT) * cum_pos * tot_n)
+         // greatest(cum_n * tot_pos, 1) AS lift_milli
+FROM cum
+"""
+
+
+NDCG_TERMS = ["scan", "join", "merge", "window", "query"]
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33 model evaluation: NDCG@10 of the term-frequency ranking
+    against the lang='en' relevance signal (operators/evaluate.py:
+    ndcg_at_k) — integer rank keys make the ordering engine-exact;
+    DCG is a ≤10-term float sum rounded to milli (inside float
+    reproducibility). Per-term windows parallelise across terms."""
+    from ..operators.evaluate import ndcg_at_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ndcg_at_k(docs, NDCG_TERMS, k=10)
+
+
+SQL_NDCG_EVAL = r"""
+WITH toks AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS rel,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS tarr
+  FROM documents WHERE length(trim(text)) > 0
+), terms AS (
+  SELECT unnest(['scan', 'join', 'merge', 'window', 'query']) AS term
+), tf AS (
+  SELECT t.term, d.doc_id, d.rel,
+         CAST(len(list_filter(d.tarr, x -> x = t.term)) AS BIGINT) AS tf
+  FROM toks d CROSS JOIN terms t
+), hits AS (
+  SELECT term, doc_id, rel, tf,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS pos,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY rel DESC, doc_id ASC) AS ideal_pos
+  FROM tf WHERE tf > 0
+), agg AS (
+  SELECT term,
+         CAST(round(1000 * SUM(CASE WHEN pos <= 10
+              THEN rel / log2(pos + 1) ELSE 0.0 END)) AS BIGINT) AS dcg_milli,
+         CAST(round(1000 * SUM(CASE WHEN ideal_pos <= 10
+              THEN rel / log2(ideal_pos + 1) ELSE 0.0 END)) AS BIGINT) AS idcg_milli
+  FROM hits WHERE pos <= 10 OR ideal_pos <= 10
+  GROUP BY term
+)
+SELECT term, dcg_milli, idcg_milli,
+       CASE WHEN idcg_milli > 0
+            THEN CAST(round(1000.0 * dcg_milli / idcg_milli) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS ndcg_milli
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entries 1-50: the round-4 correctness window (driver checks
     # only this prefix). Leads with the 7 oracle-backed queries that had
@@ -4789,6 +4990,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_truncate": q_embedding_truncate,
     "class_weights": q_class_weights,
     "entity_resolution": q_entity_resolution,
+    # r4 session-5 additions (still inside the 50-entry driver window)
+    "pagerank": q_pagerank,
+    "classifier_eval": q_classifier_eval,
+    "decile_lift": q_decile_lift,
+    "ndcg_eval": q_ndcg_eval,
     "set_ops": q_set_ops,
     "order_quartiles": q_order_quartiles,
     "join_revenue_rollup": q_join_revenue_rollup,
@@ -5036,4 +5242,8 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_truncate": SQL_EMBEDDING_TRUNCATE,
     "class_weights": SQL_CLASS_WEIGHTS,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
+    "pagerank": SQL_PAGERANK,
+    "classifier_eval": SQL_CLASSIFIER_EVAL,
+    "decile_lift": SQL_DECILE_LIFT,
+    "ndcg_eval": SQL_NDCG_EVAL,
 }
