@@ -1,0 +1,79 @@
+"""Market-basket co-occurrence: support / confidence / lift over
+within-order item pairs — the association-rule primitive (Agrawal &
+Srikant 1994's frequent-pair stage) a commerce-scale pipeline runs for
+recommendations and for training-data co-occurrence features.
+
+Scale design — the pair explosion is the whole problem:
+
+* Pairs are generated per ORDER, never across the corpus: distinct
+  (order, item-group) first (map-side-combined), then a self-join on
+  the order key with ``a < b`` ordering. With g groups per order the
+  expansion is C(g,2) ≤ C(|groups|,2) rows per order — bounded by the
+  attribute's cardinality (brand: 25 → ≤300 pairs/order), NOT by
+  order size. This is the same bucket-bounded-expansion contract as
+  dedup._bucket_pairs.
+* Marginals (per-group order counts) come from the same distinct
+  relation and broadcast back onto the pair counts — the fact table
+  is scanned once, shuffled once (on the order key).
+* All metrics are exact integer milli-units: lift_milli =
+  (1000·N·c_ab) div (c_a·c_b) — bit-identical in any engine, no
+  float division in the hash. Max intermediate ~1000·N·c_ab fits
+  BIGINT through ~10¹⁵ orders.
+
+No analogue in the reference (ingest glue only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def copurchase_lift(
+    lineitem: DataFrame,
+    part: DataFrame,
+    group_col: str = "p_brand",
+    min_pair_orders: int = 2,
+) -> DataFrame:
+    """Support/confidence/lift for within-order brand pairs.
+
+    Returns (group_a, group_b, n_orders_pair, n_orders_a, n_orders_b,
+    support_milli, confidence_milli, lift_milli) for unordered pairs
+    a < b seen in at least ``min_pair_orders`` orders.
+    """
+    # one distinct (order, group) relation feeds pairs AND marginals
+    og = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", group_col)),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col(group_col).alias("g"))
+        .distinct()
+    )
+    n_orders = og.select("ok").distinct().count()  # 1-row driver agg
+    marg = og.groupBy("g").agg(F.count("*").alias("n_g"))
+    a = og.select("ok", F.col("g").alias("ga"))
+    b = og.select("ok", F.col("g").alias("gb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_orders)
+    )
+    out = (
+        pairs.join(F.broadcast(marg.select(F.col("g").alias("ga"), F.col("n_g").alias("n_a"))), "ga")
+        .join(F.broadcast(marg.select(F.col("g").alias("gb"), F.col("n_g").alias("n_b"))), "gb")
+    )
+    return out.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.col("n_ab").alias("n_orders_pair"),
+        F.col("n_a").alias("n_orders_a"),
+        F.col("n_b").alias("n_orders_b"),
+        F.expr(f"(1000 * n_ab) div {n_orders}").alias("support_milli"),
+        F.expr("(1000 * n_ab) div n_a").alias("confidence_milli"),
+        F.expr(f"(1000 * cast({n_orders} as bigint) * n_ab) div (n_a * n_b)").alias(
+            "lift_milli"
+        ),
+    )

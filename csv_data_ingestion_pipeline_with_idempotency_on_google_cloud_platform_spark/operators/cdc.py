@@ -162,3 +162,46 @@ def rollup_of(
             for c in sum_cols
         ],
     )
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change stream into
+    validity intervals — the warehouse-standard historization of the
+    ledger's latest-wins state (the reference tracks only the current
+    status, ``main.py:61-68``; SCD2 is what lets you ask "what was the
+    state at time T" with a plain BETWEEN instead of replaying).
+
+    Consecutive duplicate values ARE collapsed (a change record that
+    doesn't change the attribute extends the current interval instead
+    of opening a redundant one) — the textbook SCD2 compaction.
+
+    Scale shape: one shuffle on the key; both windows (the
+    change-detection lag and the interval lead) share that partitioning
+    so Catalyst plans a single exchange + sort. Deterministic
+    (ts, tiebreak) ordering; open intervals carry valid_to = NULL and
+    is_current = true.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev_attr = F.lag(attr_col).over(w)
+    starts = changes.select(
+        key_col,
+        attr_col,
+        F.col(ts_col).alias("valid_from"),
+        F.col(tiebreak_col).alias("__tb"),
+        (prev_attr.isNull() | (prev_attr != F.col(attr_col))).alias("__start"),
+    ).filter(F.col("__start"))
+    w2 = Window.partitionBy(key_col).orderBy("valid_from", "__tb")
+    return starts.select(
+        key_col,
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

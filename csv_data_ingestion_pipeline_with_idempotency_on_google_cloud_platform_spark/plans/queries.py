@@ -4969,6 +4969,90 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# X34 SCD2 historization; X35 market-basket association
+# --------------------------------------------------------------------------
+
+
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34 warehouse historization: slowly-changing-dimension type 2
+    intervals from the event stream (operators/cdc.py:scd2_build) —
+    consecutive-duplicate collapse + validity lead, both windows on
+    the same user partitioning (one exchange). The point-in-time
+    companion to the ledger's latest-wins current state."""
+    from ..operators.cdc import scd2_build
+
+    ev = load_table(spark, sf_dir, "events")
+    out = scd2_build(ev, key_col="user_id", attr_col="event_type",
+                     ts_col="ts", tiebreak_col="event_id")
+    # registry convention: timestamps serialize to strings at the
+    # boundary (nullable valid_to stays NULL for open intervals)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format(F.col("valid_from").cast("timestamp"), fmt).alias("valid_from"),
+        F.date_format(F.col("valid_to").cast("timestamp"), fmt).alias("valid_to"),
+        "is_current",
+    )
+
+
+SQL_SCD2_BUILD = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+), starts AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id AS tb
+  FROM marked WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(LEAD(valid_from) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       (LEAD(valid_from) OVER w IS NULL) AS is_current
+FROM starts
+WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, tb)
+"""
+
+
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35 market-basket association: within-order brand pairs with
+    support/confidence/lift (operators/basket.py:copurchase_lift).
+    Pair expansion is per-order and bounded by brand cardinality
+    (≤C(25,2)), marginals broadcast, metrics exact integer milli."""
+    from ..operators.basket import copurchase_lift
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    return copurchase_lift(li, pt, group_col="p_brand", min_pair_orders=2)
+
+
+SQL_COPURCHASE_LIFT = """
+WITH og AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS g
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS ( SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM og ),
+marg AS ( SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g FROM og GROUP BY g ),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM og a JOIN og b ON a.ok = b.ok AND a.g < b.g
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT ga AS group_a, gb AS group_b,
+       n_ab AS n_orders_pair,
+       ma.n_g AS n_orders_a, mb.n_g AS n_orders_b,
+       (CAST(1000 AS BIGINT) * n_ab) // n_orders AS support_milli,
+       (CAST(1000 AS BIGINT) * n_ab) // ma.n_g AS confidence_milli,
+       (CAST(1000 AS BIGINT) * n_orders * n_ab) // (ma.n_g * mb.n_g)
+         AS lift_milli
+FROM pairs
+JOIN marg ma ON ga = ma.g
+JOIN marg mb ON gb = mb.g
+CROSS JOIN n
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entries 1-50: the round-4 correctness window (driver checks
     # only this prefix). Leads with the 7 oracle-backed queries that had
@@ -4995,6 +5079,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_eval": q_classifier_eval,
     "decile_lift": q_decile_lift,
     "ndcg_eval": q_ndcg_eval,
+    "scd2_build": q_scd2_build,
+    "copurchase_lift": q_copurchase_lift,
     "set_ops": q_set_ops,
     "order_quartiles": q_order_quartiles,
     "join_revenue_rollup": q_join_revenue_rollup,
@@ -5246,4 +5332,6 @@ ORACLE_SQL: dict[str, str] = {
     "classifier_eval": SQL_CLASSIFIER_EVAL,
     "decile_lift": SQL_DECILE_LIFT,
     "ndcg_eval": SQL_NDCG_EVAL,
+    "scd2_build": SQL_SCD2_BUILD,
+    "copurchase_lift": SQL_COPURCHASE_LIFT,
 }
