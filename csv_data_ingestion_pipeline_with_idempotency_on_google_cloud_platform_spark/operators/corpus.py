@@ -173,3 +173,56 @@ def corpus_diff(
             .alias("status"),
         )
     )
+
+
+def preference_pairs(
+    scored: DataFrame,
+    group_cols: list[str] | None = None,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Build (chosen, rejected) preference pairs per group — the
+    DPO/RLHF-style pair construction applied to corpus curation: in
+    every (source, lang) bucket the best-scoring document is `chosen`,
+    the worst is `rejected`, and the integer margin is the training
+    weight. Groups need ≥2 documents and a non-degenerate pair.
+
+    Determinism: scores are 4-dp-rounded floats upstream, so
+    round(score·10⁴) is an EXACT integer key both engines agree on;
+    ordering ties break to the lower id for chosen / higher id for
+    rejected, so a group of identical scores still yields a stable,
+    non-degenerate pair. One map-side-combined groupBy carrying two
+    max(struct) partials — no window, no second shuffle.
+    """
+    if group_cols is None:
+        group_cols = ["source", "lang"]
+    si = F.round(F.col(score_col) * 10000).cast("long")
+    keyed = scored.select(
+        *group_cols,
+        F.col(id_col).alias("__id"),
+        si.alias("__si"),
+    )
+    agg = keyed.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        # chosen: max score, tie -> LOWER id (negate id inside max)
+        F.max(F.struct(F.col("__si").alias("s"), (-F.col("__id")).alias("ni"))).alias(
+            "__c"
+        ),
+        # rejected: min score, tie -> HIGHER id
+        F.min(F.struct(F.col("__si").alias("s"), (-F.col("__id")).alias("ni"))).alias(
+            "__r"
+        ),
+    )
+    return (
+        agg.filter(F.col("n_docs") >= 2)
+        .select(
+            *group_cols,
+            "n_docs",
+            (-F.col("__c.ni")).cast("long").alias("chosen_id"),
+            (-F.col("__r.ni")).cast("long").alias("rejected_id"),
+            F.col("__c.s").alias("chosen_score_dm"),
+            F.col("__r.s").alias("rejected_score_dm"),
+            (F.col("__c.s") - F.col("__r.s")).cast("long").alias("margin_dm"),
+        )
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+    )

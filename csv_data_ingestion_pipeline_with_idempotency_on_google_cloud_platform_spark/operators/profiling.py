@@ -13,7 +13,7 @@ anti-join, never a collect of data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -261,3 +261,127 @@ def histogram_counts(
     for r in rows:
         counts[r["bin"]] = r["c"]
     return counts
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information (nats, milli-rounded) between two
+    categorical columns, plus both marginal entropies — the
+    feature-dependence screen (is `source` informative about `lang`?
+    is a quasi-identifier leaking the sensitive column?).
+
+    One map-side-combined groupBy builds the joint contingency table;
+    marginals come from windows over that |A|·|B|-row aggregate (tiny
+    relative to the data), and the final row is one sum over it. The
+    float log terms sum over ≤|A|·|B| values before a milli rounding —
+    far inside float reproducibility; all counts stay exact BIGINT.
+    """
+    joint = df.groupBy(col_a, col_b).agg(F.count("*").alias("c_ab"))
+    w_a = Window.partitionBy(col_a)
+    w_b = Window.partitionBy(col_b)
+    w_all = Window.partitionBy(F.col("c_ab") % 1)
+    with_m = joint.select(
+        "c_ab",
+        F.sum("c_ab").over(w_a).alias("c_a"),
+        F.sum("c_ab").over(w_b).alias("c_b"),
+        F.sum("c_ab").over(w_all).alias("n"),
+    )
+    # MI from the joint cells; entropies accumulate the same cells
+    # weighted by the joint mass (Σ_b c_ab/n · ln(n/c_a) = H(A))
+    terms = with_m.select(
+        "n",
+        (
+            (F.col("c_ab") / F.col("n"))
+            * F.log(
+                F.col("n").cast("double")
+                * F.col("c_ab")
+                / (F.col("c_a") * F.col("c_b"))
+            )
+        ).alias("mi_term"),
+        ((F.col("c_ab") / F.col("n")) * F.log(F.col("n") / F.col("c_a"))).alias(
+            "ha_term"
+        ),
+        ((F.col("c_ab") / F.col("n")) * F.log(F.col("n") / F.col("c_b"))).alias(
+            "hb_term"
+        ),
+    )
+    return terms.groupBy("n").agg(
+        F.round(1000 * F.sum("mi_term")).cast("long").alias("mi_milli"),
+        F.round(1000 * F.sum("ha_term")).cast("long").alias("h_a_milli"),
+        F.round(1000 * F.sum("hb_term")).cast("long").alias("h_b_milli"),
+    ).select(
+        F.col("n").cast("long").alias("n_rows"),
+        "mi_milli",
+        "h_a_milli",
+        "h_b_milli",
+    )
+
+
+def skyline_pareto(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    id_col: str,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows not strictly dominated in
+    (minimize ``min_col``, maximize ``max_col``). Strict dominance: s
+    dominates r iff s is ≤ in the min-dimension, ≥ in the
+    max-dimension, and strictly better in at least one; equal points
+    are mutually non-dominating and all stay on the frontier.
+
+    Scale shape — the classic sort-scan skyline, distributed without a
+    single-partition window:
+    1. per-``min_col`` group maxima (map-side-combined groupBy);
+       frontier candidates are rows matching their group's max.
+    2. the strictly-smaller-prices prefix max runs over the GROUP
+       relation via the budget_select machinery: range-partition by
+       the min-dimension, per-partition maxima collected (bounded
+       driver state: |partitions| values), exclusive prefix-max
+       broadcast back, within-partition prefix via a partition-local
+       window. A group survives iff its max strictly beats every
+       smaller-key group's max.
+    3. survivors broadcast back onto the row relation (frontier is
+       small by construction).
+    """
+    groups = df.groupBy(min_col).agg(F.max(max_col).alias("__gmax"))
+    p = (
+        groups.repartitionByRange(32, F.col(min_col))
+        .sortWithinPartitions(min_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        p.groupBy("__pid").agg(F.max("__gmax").alias("m")).orderBy("__pid").collect()
+    )
+    offsets, running = {}, None
+    for row in totals:
+        if running is not None:
+            offsets[row["__pid"]] = running
+        running = row["m"] if running is None else max(running, row["m"])
+    # exclusive prefix max per partition; a pid absent from the map
+    # (the first non-empty partition, or an empty offsets dict when
+    # only one partition holds data) looks up to NULL = "no earlier
+    # partition", which greatest() then ignores
+    if offsets:
+        off = F.create_map(
+            *[F.lit(x) for pid, m in offsets.items() for x in (pid, m)]
+        )[F.col("__pid")]
+    else:
+        off = F.lit(None)
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(min_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.greatest(off, F.max("__gmax").over(w_local))
+    frontier_groups = p.withColumn("__before", before).filter(
+        F.col("__before").isNull() | (F.col("__gmax") > F.col("__before"))
+    )
+    return (
+        df.join(
+            F.broadcast(frontier_groups.select(min_col, "__gmax")), min_col
+        )
+        .filter(F.col(max_col) == F.col("__gmax"))
+        .select(id_col, min_col, max_col)
+    )

@@ -7,7 +7,7 @@ map-side partial aggregation — shuffle volume is |groups|, not |docs|.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -506,4 +506,51 @@ def remove_boilerplate(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
         )
+    )
+
+
+def bigram_lm_topk(docs: DataFrame, top_n: int = 50, text_col: str = "text") -> DataFrame:
+    """Bigram language model with add-1 smoothing — the count-based LM
+    primitive (n-gram corpus statistics for contamination screens,
+    fertility checks, classic perplexity baselines). Returns the
+    ``top_n`` bigrams by count with their smoothed conditional
+    probability P(w2|w1) = (c₁₂+1)/(c₁+V) in exact milli-units.
+
+    Everything derives from ONE bigram-count aggregate: the history
+    count c₁ is Σ_w2 c₁₂ (window over w1 — thousands of keys, well
+    partitioned), V is the distinct-successor count (1-row aggregate
+    cross-joined back), and the probability is integer division —
+    bit-identical in any engine. Top-n runs through
+    TakeOrderedAndProject on the total (count desc, w1, w2) order.
+
+    Scale: bigram generation is a per-row array transform (no
+    self-join); the single shuffle is the map-side-combined
+    (w1, w2) count.
+    """
+    toks = docs.select(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t")
+    ).filter((F.length(F.trim(F.col(text_col))) > 0) & (F.expr("size(t)") >= 2))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    w_hist = Window.partitionBy("w1")
+    with_hist = counts.withColumn("c1", F.sum("c12").over(w_hist).cast("long"))
+    v = counts.agg(F.countDistinct("w2").cast("long").alias("v"))
+    return (
+        with_hist.crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c_bigram"),
+            "c1",
+            F.expr("(1000 * (c12 + 1)) div (c1 + v)").alias("condprob_milli"),
+        )
+        .orderBy(F.col("c_bigram").desc(), "w1", "w2")
+        .limit(top_n)
     )

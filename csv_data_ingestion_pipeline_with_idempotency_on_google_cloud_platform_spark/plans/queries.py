@@ -5053,6 +5053,153 @@ CROSS JOIN n
 """
 
 
+# --------------------------------------------------------------------------
+# X36 bigram LM; X37 preference pairs; X38 mutual information;
+# X39 Pareto skyline
+# --------------------------------------------------------------------------
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36 n-gram LM: top-50 bigrams with add-1-smoothed conditional
+    probability (operators/textstats.py:bigram_lm_topk) — one bigram
+    count shuffle, history counts via a w1-partitioned window,
+    integer-milli probabilities, TakeOrderedAndProject top-n."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.bigram_lm_topk(docs, top_n=50)
+
+
+SQL_BIGRAM_LM = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), tt AS ( SELECT t FROM toks WHERE len(t) >= 2 ),
+bigrams AS (
+  SELECT b.w1 AS w1, b.w2 AS w2
+  FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+    FROM tt
+  )
+), counts AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM bigrams GROUP BY w1, w2
+), hist AS (
+  SELECT w1, w2, c12,
+         CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+  FROM counts
+), v AS ( SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM counts )
+SELECT w1, w2, c12 AS c_bigram, c1,
+       (CAST(1000 AS BIGINT) * (c12 + 1)) // (c1 + v) AS condprob_milli
+FROM hist CROSS JOIN v
+ORDER BY c_bigram DESC, w1, w2
+LIMIT 50
+"""
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37 preference-pair construction: per (source, lang) bucket the
+    best/worst quality-scored docs become a (chosen, rejected) DPO
+    pair with an exact integer margin (operators/corpus.py:
+    preference_pairs) — one groupBy carrying two max(struct)
+    partials, no window."""
+    from ..operators.corpus import preference_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textstats.quality_scores(docs).select("doc_id", "quality_score")
+    joined = scored.join(docs.select("doc_id", "source", "lang"), "doc_id")
+    return preference_pairs(joined, group_cols=["source", "lang"])
+
+
+SQL_PREFERENCE_PAIRS = f"""
+WITH qs AS ({SQL_QUALITY_SCORE}),
+scored AS (
+  SELECT q.doc_id, CAST(round(q.quality_score * 10000) AS BIGINT) AS si,
+         d.source, d.lang
+  FROM qs q JOIN documents d ON q.doc_id = d.doc_id
+), ranked AS (
+  SELECT source, lang, doc_id, si,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY si DESC, doc_id ASC) AS rc,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY si ASC, doc_id DESC) AS rr,
+         COUNT(*) OVER (PARTITION BY source, lang) AS n_docs
+  FROM scored
+), chosen AS (
+  SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+         doc_id AS chosen_id, si AS chosen_score_dm
+  FROM ranked WHERE rc = 1
+), rejected AS (
+  SELECT source, lang, doc_id AS rejected_id, si AS rejected_score_dm
+  FROM ranked WHERE rr = 1
+)
+SELECT c.source, c.lang, c.n_docs, c.chosen_id, r.rejected_id,
+       c.chosen_score_dm, r.rejected_score_dm,
+       c.chosen_score_dm - r.rejected_score_dm AS margin_dm
+FROM chosen c
+JOIN rejected r ON c.source = r.source AND c.lang = r.lang
+WHERE c.n_docs >= 2 AND c.chosen_id <> r.rejected_id
+"""
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38 feature dependence: mutual information + marginal entropies
+    (nats, milli) between document lang and source (operators/
+    profiling.py:mutual_information) — one joint-count groupBy,
+    marginals via windows over the tiny contingency table."""
+    from ..operators.profiling import mutual_information
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mutual_information(docs, "lang", "source")
+
+
+SQL_MUTUAL_INFO = """
+WITH joint AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM documents GROUP BY lang, source
+), with_m AS (
+  SELECT c_ab,
+         CAST(SUM(c_ab) OVER (PARTITION BY lang) AS BIGINT) AS c_a,
+         CAST(SUM(c_ab) OVER (PARTITION BY source) AS BIGINT) AS c_b,
+         CAST(SUM(c_ab) OVER () AS BIGINT) AS n
+  FROM joint
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(round(1000 * SUM((c_ab / CAST(n AS DOUBLE))
+            * ln(CAST(n AS DOUBLE) * c_ab / (c_a * c_b)))) AS BIGINT)
+         AS mi_milli,
+       CAST(round(1000 * SUM((c_ab / CAST(n AS DOUBLE))
+            * ln(CAST(n AS DOUBLE) / c_a))) AS BIGINT) AS h_a_milli,
+       CAST(round(1000 * SUM((c_ab / CAST(n AS DOUBLE))
+            * ln(CAST(n AS DOUBLE) / c_b))) AS BIGINT) AS h_b_milli
+FROM with_m GROUP BY n
+"""
+
+
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39 Pareto skyline: parts not strictly dominated in (minimize
+    retail price, maximize size) — the sort-scan skyline distributed
+    via per-price group maxima + the budget_select prefix machinery
+    (range partition, bounded driver prefix state, partition-local
+    window); the oracle runs the O(n²) NOT EXISTS dominance query the
+    engine plan strictly beats (operators/profiling.py:
+    skyline_pareto)."""
+    from ..operators.profiling import skyline_pareto
+
+    pt = load_table(spark, sf_dir, "part")
+    return skyline_pareto(pt, "p_retailprice", "p_size", "p_partkey")
+
+
+SQL_SKYLINE_PARETO = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part r
+WHERE NOT EXISTS (
+  SELECT 1 FROM part s
+  WHERE s.p_retailprice <= r.p_retailprice AND s.p_size >= r.p_size
+    AND (s.p_retailprice < r.p_retailprice OR s.p_size > r.p_size)
+)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entries 1-50: the round-4 correctness window (driver checks
     # only this prefix). Leads with the 7 oracle-backed queries that had
@@ -5081,6 +5228,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ndcg_eval": q_ndcg_eval,
     "scd2_build": q_scd2_build,
     "copurchase_lift": q_copurchase_lift,
+    "bigram_lm": q_bigram_lm,
+    "preference_pairs": q_preference_pairs,
+    "mutual_info": q_mutual_info,
+    "skyline_pareto": q_skyline_pareto,
     "set_ops": q_set_ops,
     "order_quartiles": q_order_quartiles,
     "join_revenue_rollup": q_join_revenue_rollup,
@@ -5334,4 +5485,8 @@ ORACLE_SQL: dict[str, str] = {
     "ndcg_eval": SQL_NDCG_EVAL,
     "scd2_build": SQL_SCD2_BUILD,
     "copurchase_lift": SQL_COPURCHASE_LIFT,
+    "bigram_lm": SQL_BIGRAM_LM,
+    "preference_pairs": SQL_PREFERENCE_PAIRS,
+    "mutual_info": SQL_MUTUAL_INFO,
+    "skyline_pareto": SQL_SKYLINE_PARETO,
 }
