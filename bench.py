@@ -112,6 +112,18 @@ HEADLINE = [
     "exact_dedup_weights",
     "embedding_truncate",
     "class_weights",
+    # round 4 session 5: graph analytics, model evaluation, SCD2,
+    # market basket, n-gram LM, preference pairs, MI, skyline
+    "pagerank",
+    "classifier_eval",
+    "decile_lift",
+    "ndcg_eval",
+    "scd2_build",
+    "copurchase_lift",
+    "bigram_lm",
+    "preference_pairs",
+    "mutual_info",
+    "skyline_pareto",
 ]
 
 
@@ -224,6 +236,9 @@ def main() -> None:
             ({k: round(v, 2) for k, v in best.items()},
              {"cold_total": detail["cold_total"], "warm_totals": detail["warm_totals"]}),
             ({k: round(v, 2) for k, v in best.items()}, {}),
+            # last resort for a growing suite: 1-dp minima, no totals —
+            # still per-query, still one parseable line
+            ({k: round(v, 1) for k, v in best.items()}, {}),
         )
     ]
     for cand in candidates:

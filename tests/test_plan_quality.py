@@ -454,3 +454,99 @@ def test_embedding_truncate_narrow_and_pruned(spark):
     assert "Exchange" not in plan
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "label" not in read_schema
+
+
+def test_pagerank_no_cartesian_and_bounded_shuffles(spark):
+    """Every PageRank iteration is join + map-side-combined aggregate
+    over (edges, ranks) — the unrolled 3-iteration plan may not
+    contain a cartesian product or a window, and partial aggregation
+    must be present (partial_sum for the contribution combine)."""
+    plan = _plan(spark, "pagerank")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan
+
+
+def test_classifier_eval_single_confusion_aggregate(spark):
+    """The confusion counts ride ONE map-side-combined groupBy over
+    the scored corpus. The classifier's own train plan contributes its
+    (salted, keyed) windows — but no empty global spec and no
+    cartesian may appear anywhere."""
+    plan = _plan(spark, "classifier_eval")
+    assert "windowspecdefinition()" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_decile_lift_window_is_partition_local(spark):
+    """The global score ranking must come from assign_global_ids'
+    range partitioning (windows carry __pid or the tiny per-decile
+    frame's non-foldable key) — never an empty global spec."""
+    plan = _plan(spark, "decile_lift")
+    assert "windowspecdefinition()" not in plan
+    assert "ntile" not in plan
+
+
+def test_ndcg_windows_partition_by_term(spark):
+    """Both rank windows partition by the query term — parallel across
+    terms, no global ordering funnel."""
+    plan = _plan(spark, "ndcg_eval")
+    assert "windowspecdefinition(term" in plan
+    assert "windowspecdefinition()" not in plan
+
+
+def test_scd2_single_exchange_for_both_windows(spark):
+    """Change-detection lag and validity lead share the user_id
+    partitioning: exactly one shuffle in the whole plan."""
+    plan = _plan(spark, "scd2_build")
+    assert plan.count("Exchange") <= 2  # one shuffle + possible AQE read
+    assert "windowspecdefinition()" not in plan
+
+
+def test_copurchase_broadcasts_dims_and_marginals(spark):
+    """part (the dimension) and both marginal lookups broadcast; the
+    ONE shuffle join is the intentional pair self-join keyed on the
+    order id (og is fact-sized at scale — it must shuffle, never
+    broadcast or go cartesian)."""
+    plan = _plan(spark, "copurchase_lift")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    # formatted mode prints each node twice (tree + detail): one SMJ
+    assert plan.count("SortMergeJoin") <= 2
+    assert "partial_count" in plan
+
+
+def test_bigram_lm_takeordered_and_history_window_by_w1(spark):
+    """Top-n runs through TakeOrderedAndProject (never a global sort);
+    the history-count window partitions by w1."""
+    plan = _plan(spark, "bigram_lm")
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition(w1" in plan
+    assert "windowspecdefinition()" not in plan
+
+
+def test_preference_pairs_no_window_two_struct_partials(spark):
+    """Chosen/rejected come from max/min struct partials on ONE
+    groupBy — no window, no self-join of the scored relation."""
+    plan = _plan(spark, "preference_pairs")
+    assert "Window" not in plan
+    assert "partial_max" in plan and "partial_min" in plan
+
+
+def test_mutual_info_windows_over_contingency_only(spark):
+    """The joint count is the only full-data shuffle; every window
+    partitions the tiny contingency table (lang / source / the
+    non-foldable constant key) — no empty spec."""
+    plan = _plan(spark, "mutual_info")
+    assert "windowspecdefinition()" not in plan
+    assert "partial_count" in plan
+
+
+def test_skyline_broadcast_joinback_and_local_window(spark):
+    """The frontier-group join-back must broadcast (the frontier is
+    small by construction) and the prefix window must be partition-
+    local (__pid spec), never global."""
+    plan = _plan(spark, "skyline_pareto")
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition(__pid" in plan
+    assert "windowspecdefinition()" not in plan
