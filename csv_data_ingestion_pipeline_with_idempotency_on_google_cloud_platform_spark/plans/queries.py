@@ -5205,7 +5205,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # only this prefix). Leads with the 7 oracle-backed queries that had
     # no driver-green row in r01-r03 (5 landed after the r3 window froze;
     # term_divergence/tpch_q12 carried the now-fixed HUGEINT oracle bug),
-    # then r4 additions, then backfill re-confirming r1/r2-green queries.
+    # then r4 additions (sessions 1-4 at 8-14, session 5's X32-X39 at
+    # 15-24), then backfill re-confirming r1/r2-green queries (the ten
+    # backfill entries the session-5 block displaced past position 50
+    # all keep their r1/r2 driver-green rows — verified).
     "quality_classifier": q_quality_classifier,
     "hash_embedding": q_hash_embedding,
     "event_paths": q_event_paths,
@@ -5258,6 +5261,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
     "bm25_search": q_bm25_search,
+    # ---- entry 51+ (session-5 rotation): everything below either has
+    # a driver-green row from r01-r03 or is rows-only by design;
+    # pytest runs the identical oracle parity on all of it.
     "topk_cosine_batch": q_topk_cosine_batch,
     "embedding_centroids": q_embedding_centroids,
     "media_frames": q_media_frames,
@@ -5268,9 +5274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentile_value": q_percentile_value,
     "cube_agg": q_cube_agg,
     "tpch_q1": q_tpch_q1,
-    # ---- entry 51+: driver-green in r01-r03 (or rows-only by design);
     "tpch_q6": q_tpch_q6,
-    # pytest runs the identical oracle parity checks on all of these.
     "tpch_q3": q_tpch_q3,
     "tpch_q13": q_tpch_q13,
     "csv_scan": q_csv_scan,
