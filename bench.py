@@ -124,6 +124,8 @@ HEADLINE = [
     "preference_pairs",
     "mutual_info",
     "skyline_pareto",
+    "triangle_count",
+    "gap_fill",
 ]
 
 

@@ -106,3 +106,102 @@ def degree_stats(edges: DataFrame) -> DataFrame:
         F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
         F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
     )
+
+
+def cooccurrence_edges(lineitem: DataFrame) -> DataFrame:
+    """Supplier co-occurrence graph: an undirected edge (a < b) for
+    supplier pairs that appear together in STRICTLY more orders than
+    the average pair — a data-derived threshold that yields a
+    non-degenerate graph at every scale factor (a fixed count would be
+    all-pairs at sf0.1 and near-empty at sf0.001). The comparison is
+    the integer cross-multiplied form n·cnt > sum, exact in any
+    engine. Pair expansion is per-order and bounded by
+    suppliers-per-order (single-digit for TPC-H-shaped data) — the
+    basket.py contract."""
+    os_ = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = os_.select("ok", F.col("s").alias("a"))
+    b = os_.select("ok", F.col("s").alias("b"))
+    counts = (
+        a.join(b, "ok")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    stats = counts.agg(
+        F.sum("n_orders").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .filter(F.col("n_orders") * F.col("cnt") > F.col("tot"))
+        .select("a", "b")
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count + clustering coefficient over an
+    undirected edge list (a < b, deduplicated).
+
+    Scale shape — the degree-ordered wedge join (the standard
+    distributed triangle algorithm): edges are re-oriented from the
+    lower-(degree, id) endpoint to the higher, so every node's
+    out-degree is bounded by √(2|E|) regardless of skew (a celebrity
+    hub generates wedges on its LOW-degree neighbors, not on itself).
+    Wedges = oriented⋈oriented on the middle node; closing edges
+    verified with one more join on the (a,c) key. Each triangle is
+    counted exactly once, so the COUNT is identical to the naive
+    a<b<c three-way self-join the DuckDB oracle runs — orientation
+    changes the join sizes, never the result.
+
+    Returns one row: (n_nodes, n_edges, n_triangles,
+    clustering_milli) where clustering_milli = 1000·3·triangles /
+    wedges (integer division, exact).
+    """
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    )
+    oriented = e.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+        )
+        .otherwise(F.struct(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .alias("o")
+    ).select("o.src", "o.dst")
+    w1 = oriented.select(F.col("src").alias("m"), F.col("dst").alias("x"))
+    w2 = oriented.select(F.col("src").alias("m"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "m").filter(F.col("x") < F.col("y"))
+    # closing edge lookup on the UNDIRECTED key (x < y by construction)
+    tri = wedges.join(
+        edges.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
+    )
+    n_nodes = deg.count()
+    n_edges = edges.count()
+    n_tri = tri.count()
+    # open wedges: sum over nodes of C(d, 2) on the undirected degrees
+    n_wedge = (
+        deg.select(F.sum(F.expr("d * (d - 1) div 2")).alias("w")).collect()[0]["w"]
+        or 0
+    )
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_nodes,
+                n_edges,
+                n_tri,
+                (1000 * 3 * n_tri) // n_wedge if n_wedge else 0,
+            )
+        ],
+        "n_nodes long, n_edges long, n_triangles long, clustering_milli long",
+    )

@@ -209,3 +209,46 @@ def multi_touch_attribution(
         F.round(credit, 6).alias("credit"),
         F.round(credit * F.col("value"), 6).alias("credited_value"),
     )
+
+
+def gap_fill_hourly(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-series gap fill: a dense hourly grid per group between the
+    corpus-wide min and max hour, with explicit zero rows for silent
+    hours — the resample step every downstream window/trend operator
+    assumes (a missing bucket is NOT the same as a zero bucket).
+
+    Scale shape: the fact table aggregates once (map-side-combined
+    (group, hour) counts); the dense grid is |groups| × |hours| —
+    dimension-sized, built from a 1-row bounds aggregate exploded
+    through `sequence()` and cross-joined against the distinct groups
+    (both sides broadcast-small; the grid then broadcast-left-joins
+    the counts ... which shuffles nothing at all when counts are
+    aggregate-sized, and one exchange otherwise). Counts stay exact
+    BIGINT; the hour label serializes to a string at the boundary.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col).cast("timestamp"))
+    counts = (
+        events.select(F.col(group_col).alias("g"), hour.alias("h"))
+        .groupBy("g", "h")
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = events.select(hour.alias("h")).agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    groups = events.select(F.col(group_col).alias("g")).distinct()
+    grid = groups.crossJoin(F.broadcast(hours))
+    out = grid.join(counts, ["g", "h"], "left")
+    return out.select(
+        F.col("g").alias(group_col),
+        F.date_format(F.col("h").cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+    )

@@ -5200,6 +5200,89 @@ WHERE NOT EXISTS (
 """
 
 
+# --------------------------------------------------------------------------
+# X40 triangle counting; X41 time-series gap fill
+# --------------------------------------------------------------------------
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X40 graph analytics: global triangle count + clustering
+    coefficient over the supplier co-occurrence graph (operators/
+    graph.py:triangle_count) — degree-ordered wedge join bounds
+    per-node work by √(2|E|) under skew; the count is provably
+    identical to the naive a<b<c three-way self-join the oracle runs,
+    so orientation is pure plan optimization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return graph.triangle_count(graph.cooccurrence_edges(li))
+
+
+SQL_TRIANGLE_COUNT = """
+WITH os AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+), pair_counts AS (
+  SELECT a.s AS a, b.s AS b, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+  GROUP BY 1, 2
+), stats AS (
+  SELECT CAST(SUM(n_orders) AS BIGINT) AS tot,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pair_counts
+), edges AS (
+  SELECT a, b FROM pair_counts CROSS JOIN stats
+  WHERE n_orders * cnt > tot
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  ) GROUP BY v
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+), wedge AS (
+  SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN (CAST(3000 AS BIGINT) * n_triangles) // n_wedges
+            ELSE CAST(0 AS BIGINT) END AS clustering_milli
+FROM tri CROSS JOIN wedge
+"""
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41 time-series resampling: dense hourly grid per event type
+    with explicit zero rows for silent hours (operators/temporal.py:
+    gap_fill_hourly) — one fact aggregate + a dimension-sized grid
+    from a 1-row bounds aggregate, broadcast join-back."""
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.gap_fill_hourly(ev)
+
+
+SQL_GAP_FILL = """
+WITH counts AS (
+  SELECT event_type AS g, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(date_trunc('hour', ts)) AS h0,
+         MAX(date_trunc('hour', ts)) AS h1
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), grid AS (
+  SELECT g, h FROM (SELECT DISTINCT event_type AS g FROM events)
+  CROSS JOIN hours
+)
+SELECT grid.g AS event_type,
+       strftime(grid.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_events
+FROM grid LEFT JOIN counts ON grid.g = counts.g AND grid.h = counts.h
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entries 1-50: the round-4 correctness window (driver checks
     # only this prefix). Leads with the 7 oracle-backed queries that had
@@ -5235,6 +5318,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "preference_pairs": q_preference_pairs,
     "mutual_info": q_mutual_info,
     "skyline_pareto": q_skyline_pareto,
+    "triangle_count": q_triangle_count,
+    "gap_fill": q_gap_fill,
     "set_ops": q_set_ops,
     "order_quartiles": q_order_quartiles,
     "join_revenue_rollup": q_join_revenue_rollup,
@@ -5493,4 +5578,6 @@ ORACLE_SQL: dict[str, str] = {
     "preference_pairs": SQL_PREFERENCE_PAIRS,
     "mutual_info": SQL_MUTUAL_INFO,
     "skyline_pareto": SQL_SKYLINE_PARETO,
+    "triangle_count": SQL_TRIANGLE_COUNT,
+    "gap_fill": SQL_GAP_FILL,
 }

@@ -107,3 +107,30 @@ def test_copurchase_min_pair_orders_filter(spark):
     li = _li(spark, [(1, 10), (1, 20)])
     part = _part(spark, [(10, "X"), (20, "Y")])
     assert copurchase_lift(li, part, min_pair_orders=2).count() == 0
+
+
+def test_gap_fill_inserts_zero_hours(spark):
+    """Events at hours 0 and 2 (type A), hour 1 (type B) -> a 2x3
+    dense grid with explicit zeros for the silent cells."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        gap_fill_hourly,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 1, "A"),
+        (2, "2024-01-01 02:20:00", 1, "A"),
+        (3, "2024-01-01 01:30:00", 1, "B"),
+        (4, "2024-01-01 01:40:00", 1, "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r["event_type"], r["hour_start"]): r["n_events"]
+           for r in gap_fill_hourly(df).collect()}
+    assert len(out) == 6
+    assert out[("A", "2024-01-01 00:00:00")] == 1
+    assert out[("A", "2024-01-01 01:00:00")] == 0
+    assert out[("A", "2024-01-01 02:00:00")] == 1
+    assert out[("B", "2024-01-01 00:00:00")] == 0
+    assert out[("B", "2024-01-01 01:00:00")] == 2
+    assert out[("B", "2024-01-01 02:00:00")] == 0

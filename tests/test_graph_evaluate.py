@@ -177,3 +177,51 @@ def test_ndcg_skips_docs_without_term(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     out = evaluate.ndcg_at_k(docs, ["alpha"], k=10).collect()
     assert len(out) == 1 and out[0]["term"] == "alpha"
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 minus one edge: nodes a,b,c,d; edges ab,ac,ad,bc,bd (no cd).
+    Triangles: abc, abd = 2. Wedges: deg a=3,b=3,c=2,d=2 ->
+    3+3+1+1 = 8; clustering = 3*2/8 = 750 milli."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")],
+        "a string, b string",
+    )
+    r = graph.triangle_count(edges).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 5, 2)
+    assert r["clustering_milli"] == 750
+
+
+def test_triangle_count_no_triangles(spark):
+    """A path graph has wedges but zero triangles."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "a string, b string"
+    )
+    r = graph.triangle_count(edges).collect()[0]
+    assert r["n_triangles"] == 0 and r["clustering_milli"] == 0
+
+
+def test_triangle_count_complete_graph(spark):
+    """K5: C(5,3)=10 triangles, clustering exactly 1000."""
+    nodes = ["a", "b", "c", "d", "e"]
+    edges = spark.createDataFrame(
+        [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]],
+        "a string, b string",
+    )
+    r = graph.triangle_count(edges).collect()[0]
+    assert r["n_triangles"] == 10 and r["clustering_milli"] == 1000
+
+
+def test_cooccurrence_edges_above_mean_rule(spark):
+    """Pair (1,2) co-occurs in 3 orders, (1,3) in 1 -> mean pair count
+    2; only the strictly-above-mean pair (1,2) becomes an edge."""
+    from pyspark.sql import functions as F  # noqa: F811
+    rows = [
+        (1, 1), (1, 2),
+        (2, 1), (2, 2),
+        (3, 1), (3, 2),
+        (4, 1), (4, 3),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_suppkey long")
+    out = {(r["a"], r["b"]) for r in graph.cooccurrence_edges(li).collect()}
+    assert out == {(1, 2)}

@@ -550,3 +550,23 @@ def test_skyline_broadcast_joinback_and_local_window(spark):
     assert "BroadcastHashJoin" in plan
     assert "windowspecdefinition(__pid" in plan
     assert "windowspecdefinition()" not in plan
+
+
+def test_triangle_count_no_cartesian_or_window(spark):
+    """The wedge join and closing-edge join are keyed joins; the
+    above-mean edge filter is a 1-row broadcast (nested-loop cross of
+    a single row is the threshold-frame pattern, not a cartesian of
+    data). No window anywhere."""
+    plan = _plan(spark, "triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_gap_fill_grid_broadcasts(spark):
+    """The dense grid is dimension-sized: the groups×hours cross join
+    and the join back onto the counts must both be broadcast —
+    the fact table shuffles only for its own aggregate."""
+    plan = _plan(spark, "gap_fill")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition()" not in plan
