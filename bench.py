@@ -126,6 +126,7 @@ HEADLINE = [
     "skyline_pareto",
     "triangle_count",
     "gap_fill",
+    "bfs_reachability",
 ]
 
 

@@ -205,3 +205,38 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         ],
         "n_nodes long, n_edges long, n_triangles long, clustering_milli long",
     )
+
+
+def bfs_hops(edges: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Multi-hop BFS distances from a deterministic seed (the minimum
+    node id) over an undirected (a < b) edge list — the reachability /
+    "distance to hub" primitive. Returns (node, hops) for every node
+    within ``max_hops``; unreachable nodes are absent.
+
+    Same execution contract as pagerank: each hop is one keyed join +
+    one map-side-combined MIN aggregate over integer distances
+    (bit-exact in any engine), the hop count is a literal (one
+    Catalyst DAG), and no driver state beyond the 1-row seed
+    aggregate. At 100 TB the frontier join shuffles on the node key
+    every hop — the standard distributed BFS; bounded depth keeps the
+    plan finite (unbounded BFS would iterate to a fixpoint with a
+    driver-side convergence check instead).
+    """
+    und = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seed = edges.agg(F.min("a").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("hops")
+    )
+    dist = seed
+    for _ in range(max_hops):
+        expanded = (
+            und.join(dist, und.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionAll(expanded)
+            .groupBy("node")
+            .agg(F.min("hops").cast("long").alias("hops"))
+        )
+    return dist

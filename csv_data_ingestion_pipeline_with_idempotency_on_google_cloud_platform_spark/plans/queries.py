@@ -5283,6 +5283,62 @@ FROM grid LEFT JOIN counts ON grid.g = counts.g AND grid.h = counts.h
 """
 
 
+def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42 graph reachability: 3-hop BFS distances from the minimum
+    supplier node over the co-occurrence graph (operators/graph.py:
+    bfs_hops) — per hop one keyed join + one MIN aggregate, integer
+    distances, no driver state; depth is a literal so the whole
+    traversal is one Catalyst DAG."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return graph.bfs_hops(graph.cooccurrence_edges(li), max_hops=3)
+
+
+SQL_BFS_REACHABILITY = """
+WITH os AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+), pair_counts AS (
+  SELECT a.s AS a, b.s AS b, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+  GROUP BY 1, 2
+), stats AS (
+  SELECT CAST(SUM(n_orders) AS BIGINT) AS tot,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pair_counts
+), edges AS (
+  SELECT a, b FROM pair_counts CROSS JOIN stats
+  WHERE n_orders * cnt > tot
+), und AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL
+  SELECT b AS src, a AS dst FROM edges
+), seed AS (
+  SELECT MIN(a) AS node, CAST(0 AS BIGINT) AS hops FROM edges
+), d1 AS (
+  SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+    SELECT node, hops FROM seed
+    UNION ALL
+    SELECT u.dst AS node, s.hops + 1 AS hops
+    FROM und u JOIN seed s ON u.src = s.node
+  ) GROUP BY node
+), d2 AS (
+  SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+    SELECT node, hops FROM d1
+    UNION ALL
+    SELECT u.dst AS node, s.hops + 1 AS hops
+    FROM und u JOIN d1 s ON u.src = s.node
+  ) GROUP BY node
+), d3 AS (
+  SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+    SELECT node, hops FROM d2
+    UNION ALL
+    SELECT u.dst AS node, s.hops + 1 AS hops
+    FROM und u JOIN d2 s ON u.src = s.node
+  ) GROUP BY node
+)
+SELECT node, hops FROM d3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entries 1-50: the round-4 correctness window (driver checks
     # only this prefix). Leads with the 7 oracle-backed queries that had
@@ -5320,6 +5376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_pareto": q_skyline_pareto,
     "triangle_count": q_triangle_count,
     "gap_fill": q_gap_fill,
+    "bfs_reachability": q_bfs_reachability,
     "set_ops": q_set_ops,
     "order_quartiles": q_order_quartiles,
     "join_revenue_rollup": q_join_revenue_rollup,
@@ -5580,4 +5637,5 @@ ORACLE_SQL: dict[str, str] = {
     "skyline_pareto": SQL_SKYLINE_PARETO,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "gap_fill": SQL_GAP_FILL,
+    "bfs_reachability": SQL_BFS_REACHABILITY,
 }

@@ -225,3 +225,29 @@ def test_cooccurrence_edges_above_mean_rule(spark):
     li = spark.createDataFrame(rows, "l_orderkey long, l_suppkey long")
     out = {(r["a"], r["b"]) for r in graph.cooccurrence_edges(li).collect()}
     assert out == {(1, 2)}
+
+
+def test_bfs_hops_path_graph(spark):
+    """Path 1-2-3-4-5 (a<b edges): seed=1; hops 0..3 reach nodes
+    1..4, node 5 absent at max_hops=3."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    out = {r["node"]: r["hops"] for r in graph.bfs_hops(edges, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_shortest_wins_over_longer_route(spark):
+    """Triangle 1-2-3 plus tail 3-4: node 3 is 1 hop via the direct
+    edge even though 1-2-3 offers a 2-hop route."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long"
+    )
+    out = {r["node"]: r["hops"] for r in graph.bfs_hops(edges, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_bfs_hops_disconnected_component_absent(spark):
+    edges = spark.createDataFrame([(1, 2), (8, 9)], "a long, b long")
+    out = {r["node"]: r["hops"] for r in graph.bfs_hops(edges, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1}

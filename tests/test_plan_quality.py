@@ -570,3 +570,13 @@ def test_gap_fill_grid_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "windowspecdefinition()" not in plan
+
+
+def test_bfs_no_cartesian_no_window(spark):
+    """Each hop is a keyed join + MIN aggregate; the seed is a 1-row
+    broadcast. No cartesian of data, no window, partial aggregation
+    present."""
+    plan = _plan(spark, "bfs_reachability")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_min" in plan
