@@ -4787,8 +4787,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PAGERANK = """
 WITH pairs AS (
-  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS p,
-                  's' || CAST(l_suppkey AS VARCHAR) AS s
+  SELECT DISTINCT CAST(2 * l_partkey AS BIGINT) AS p,
+                  CAST(2 * l_suppkey + 1 AS BIGINT) AS s
   FROM lineitem
 ), edges AS (
   SELECT p AS src, s AS dst FROM pairs
@@ -5216,8 +5216,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(graph.cooccurrence_edges(li))
 
 
-SQL_TRIANGLE_COUNT = """
-WITH os AS (
+# shared oracle CTE prefix for the supplier co-occurrence kNN graph
+# (mirrors graph.cooccurrence_edges: above-mean floor + top-10 rank
+# per endpoint + undirected reconstruction)
+_SQL_KNN_EDGE_CTES = """os AS (
   SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
 ), pair_counts AS (
   SELECT a.s AS a, b.s AS b, CAST(COUNT(*) AS BIGINT) AS n_orders
@@ -5227,10 +5229,28 @@ WITH os AS (
   SELECT CAST(SUM(n_orders) AS BIGINT) AS tot,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM pair_counts
-), edges AS (
-  SELECT a, b FROM pair_counts CROSS JOIN stats
+), strong AS (
+  SELECT a, b, n_orders FROM pair_counts CROSS JOIN stats
   WHERE n_orders * cnt > tot
-), deg AS (
+), incident AS (
+  SELECT a AS node, b AS other, n_orders FROM strong
+  UNION ALL
+  SELECT b AS node, a AS other, n_orders FROM strong
+), kept AS (
+  SELECT node, other FROM (
+    SELECT node, other,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY n_orders DESC, other ASC) AS r
+    FROM incident
+  ) WHERE r <= 10
+), edges AS (
+  SELECT DISTINCT least(node, other) AS a, greatest(node, other) AS b
+  FROM kept
+)"""
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH {_SQL_KNN_EDGE_CTES}, deg AS (
   SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
     SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
   ) GROUP BY v
@@ -5293,21 +5313,8 @@ def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_hops(graph.cooccurrence_edges(li), max_hops=3)
 
 
-SQL_BFS_REACHABILITY = """
-WITH os AS (
-  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
-), pair_counts AS (
-  SELECT a.s AS a, b.s AS b, CAST(COUNT(*) AS BIGINT) AS n_orders
-  FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
-  GROUP BY 1, 2
-), stats AS (
-  SELECT CAST(SUM(n_orders) AS BIGINT) AS tot,
-         CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM pair_counts
-), edges AS (
-  SELECT a, b FROM pair_counts CROSS JOIN stats
-  WHERE n_orders * cnt > tot
-), und AS (
+SQL_BFS_REACHABILITY = f"""
+WITH {_SQL_KNN_EDGE_CTES}, und AS (
   SELECT a AS src, b AS dst FROM edges
   UNION ALL
   SELECT b AS src, a AS dst FROM edges

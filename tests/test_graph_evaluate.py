@@ -77,11 +77,14 @@ def test_pagerank_uniform_on_regular_graph(spark):
 
 
 def test_bipartite_edges_both_orientations(spark):
+    """Parts live at 2k (even), suppliers at 2k+1 (odd): part 1 -> 2,
+    part 2 -> 4, supplier 10 -> 21. Both orientations, duplicates
+    collapsed."""
     li = spark.createDataFrame(
         [(1, 10), (1, 10), (2, 10)], "l_partkey long, l_suppkey long"
     )
     out = {(r["src"], r["dst"]) for r in graph.bipartite_edges(li).collect()}
-    assert out == {("p1", "s10"), ("s10", "p1"), ("p2", "s10"), ("s10", "p2")}
+    assert out == {(2, 21), (21, 2), (4, 21), (21, 4)}
 
 
 def test_degree_stats(spark):
