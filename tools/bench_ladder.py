@@ -27,6 +27,12 @@ LADDER_QUERIES = [
     "fuzzy_name_pairs",
     "bm25_indexed",
     "topk_cosine_indexed",
+    # round-4 session 5: the graph/basket families (10x lineitem —
+    # 10x orders x 10x suppliers, constant per-order density)
+    "pagerank",
+    "triangle_count",
+    "bfs_reachability",
+    "copurchase_lift",
 ]
 
 SF01 = "/root/testdata/sf0.1"

@@ -140,6 +140,85 @@ def gen_customer(scale: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+def gen_lineitem(scale: int, rng: np.random.Generator) -> pa.Table:
+    """10× lineitem with 10× DISTINCT orders/parts/suppliers, preserving
+    the structural distributions the graph/basket families depend on:
+    lines-per-order, supplier-frequency skew (resampled marginal shape
+    re-instantiated over a 10× key space), and the per-line numeric
+    columns (empirical resample). Co-occurrence density per order stays
+    constant while the pair UNIVERSE grows 100× — exactly how a real
+    marketplace scales, and the regime the kNN sparsification must
+    survive."""
+    li = load("lineitem")
+    ok = np.array(li.column("l_orderkey").to_pylist())
+    n_orders_src = len(np.unique(ok))
+    _, lines_per_order = np.unique(ok, return_counts=True)
+    supp = np.array(li.column("l_suppkey").to_pylist())
+    supp_vals, supp_counts = np.unique(supp, return_counts=True)
+    n_supp = len(supp_vals) * scale
+    # supplier popularity: tile the empirical count shape across the
+    # 10x key space, then normalize (preserves skew profile)
+    shape = np.sort(supp_counts)[::-1].astype(np.float64)
+    pop = np.tile(shape, scale)[:n_supp]
+    pop /= pop.sum()
+    supp_ids = rng.permutation(n_supp)  # decorrelate popularity from id
+    n_parts = len(np.unique(np.array(li.column("l_partkey").to_pylist()))) * scale
+    n_orders = n_orders_src * scale
+    counts = rng.choice(lines_per_order, size=n_orders)
+    total = int(counts.sum())
+    orderkeys = np.repeat(np.arange(n_orders, dtype=np.int64), counts)
+    suppkeys = supp_ids[rng.choice(n_supp, size=total, p=pop)].astype(np.int64)
+    partkeys = rng.integers(0, n_parts, size=total).astype(np.int64)
+    qty = np.array(li.column("l_quantity").to_pylist())
+    price = np.array(li.column("l_extendedprice").to_pylist())
+    idx = rng.integers(0, len(qty), size=total)
+    epoch = np.datetime64("1994-01-01")
+    return pa.table(
+        {
+            "l_orderkey": pa.array(orderkeys),
+            "l_partkey": pa.array(partkeys),
+            "l_suppkey": pa.array(suppkeys),
+            "l_linenumber": pa.array(
+                np.concatenate([np.arange(1, c + 1) for c in counts]).astype(
+                    np.int32
+                )
+            ),
+            "l_quantity": pa.array(qty[idx]),
+            "l_extendedprice": pa.array(price[idx]),
+            "l_discount": pa.array(np.round(rng.uniform(0, 0.1, size=total), 2)),
+            "l_tax": pa.array(np.round(rng.uniform(0, 0.08, size=total), 2)),
+            "l_returnflag": pa.array(rng.choice(["A", "N", "R"], size=total)),
+            "l_linestatus": pa.array(rng.choice(["F", "O"], size=total)),
+            "l_shipdate": pa.array(
+                epoch + rng.integers(0, 2000, size=total).astype("timedelta64[D]")
+            ),
+        }
+    )
+
+
+def gen_part(scale: int, rng: np.random.Generator) -> pa.Table:
+    """10× part dimension keyed to gen_lineitem's part id space, with
+    the empirical brand/type/size marginals (what copurchase_lift and
+    skyline read)."""
+    pt = load("part")
+    n = pt.num_rows * scale
+    brands = np.array(pt.column("p_brand").to_pylist())
+    types = np.array(pt.column("p_type").to_pylist())
+    sizes = np.array(pt.column("p_size").to_pylist())
+    prices = np.array(pt.column("p_retailprice").to_pylist())
+    idx = rng.integers(0, pt.num_rows, size=n)
+    return pa.table(
+        {
+            "p_partkey": pa.array(np.arange(n, dtype=np.int64)),
+            "p_name": pa.array([f"part {i}" for i in range(n)]),
+            "p_brand": pa.array(brands[idx]),
+            "p_type": pa.array(types[idx]),
+            "p_size": pa.array(sizes[idx], type=pa.int32()),
+            "p_retailprice": pa.array(prices[idx]),
+        }
+    )
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "spark-warehouse/ladder_sf1"
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -149,6 +228,8 @@ def main() -> None:
         ("documents", gen_documents),
         ("embeddings", gen_embeddings),
         ("customer", gen_customer),
+        ("lineitem", gen_lineitem),
+        ("part", gen_part),
     ):
         t = fn(scale, rng)
         pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"))
