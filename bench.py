@@ -127,6 +127,16 @@ HEADLINE = [
     "triangle_count",
     "gap_fill",
     "bfs_reachability",
+    # round 4 session 6: statistics/experimentation + survival/EWMA/MAD
+    "corr_matrix",
+    "column_entropy",
+    "gini_concentration",
+    "ab_conversion_ztest",
+    "target_encoding",
+    "kaplan_meier",
+    "ewma_smooth",
+    "anomaly_mad",
+    "zipf_fit",
 ]
 
 

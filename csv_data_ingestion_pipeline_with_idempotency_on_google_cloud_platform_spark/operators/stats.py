@@ -1,0 +1,278 @@
+"""Statistical profiling & experimentation operators.
+
+A training-data pipeline is also a measurement pipeline: before a
+corpus snapshot ships, someone asks "are these features correlated",
+"did the new ingest arm move conversion", "how concentrated is the
+traffic", "how uncertain is user retention". These close that loop as
+distributed closed-form aggregations — no sampling, no driver math
+beyond literals.
+
+Determinism contract (the driver value-hashes results): inputs are
+summed as DECIMAL (exact, order-free) or integers wherever a sum
+crosses rows; floats appear only as scalar arithmetic on those exact
+sums (deterministic IEEE ops on identical operands in any engine),
+rounded at the output boundary. The Gini and EWMA paths are pure
+integer arithmetic end to end.
+
+Scale shape:
+* ``corr_matrix`` — ONE scan, one 1-row aggregate carrying all
+  O(k²) moment sums for k columns; the pair expansion happens on
+  that single row (inline of a literal-shaped array), never on data.
+* ``column_entropy`` — one stack() melt scan, two map-side-combined
+  groupBys ((column, value) counts, then per-column moments).
+* ``gini_concentration`` — per-group ranks via a window partitioned
+  by the group key (parallel across groups; for a single monster
+  group use packing.assign_global_ids like rfm_segments does).
+* ``ab_conversion_ztest`` — arms are an md5-prefix hash of the unit
+  key (same engine-agnostic split as sampling.hash_split), so
+  assignment is a pure projection: one distinct on (type, user) and
+  one tiny conditional-count aggregate; no join against an
+  assignment table.
+* ``target_encoding`` — one fact-to-dim equi-join (AQE picks
+  broadcast when the dim fits) and a groupBy on the category; the
+  global prior comes from re-aggregating the per-category partials,
+  not a second scan.
+
+No analogue exists in the reference (csv-processor-function/main.py
+is ingest glue only); semantics follow the standard definitions
+(two-proportion pooled z-test; Gini via the rank formula
+G = (2·Σr·x − (n+1)·Σx)/(n·Σx) on ascending x; smoothed target
+encoding per Micci-Barreca 2001).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket_col
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over ``cols`` in ONE pass.
+
+    Every moment (Σx, Σx², Σxy) is an exact DECIMAL(18,6) sum, so the
+    aggregate is reproducible regardless of partition order; the
+    correlation itself is scalar double arithmetic on those exact
+    sums. Output: (col_a, col_b, n, corr) for each unordered pair
+    with col_a < col_b, corr rounded to 6 dp (NULL when a column has
+    zero variance).
+    """
+    dec = {c: F.col(c).cast("decimal(18,6)") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, a in enumerate(cols):
+        aggs.append(F.sum(dec[a]).alias(f"__s_{i}"))
+        for j in range(i, len(cols)):
+            aggs.append(
+                F.sum(dec[a] * dec[cols[j]]).alias(f"__p_{i}_{j}")
+            )
+    wide = df.select(*[dec[c].alias(c) for c in cols]).agg(*aggs)
+
+    nd = F.col("__n").cast("double")
+
+    def _var(i: int) -> Column:
+        s = F.col(f"__s_{i}").cast("double")
+        return nd * F.col(f"__p_{i}_{i}").cast("double") - s * s
+
+    pairs = []
+    for i, a in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            num = (
+                nd * F.col(f"__p_{i}_{j}").cast("double")
+                - F.col(f"__s_{i}").cast("double")
+                * F.col(f"__s_{j}").cast("double")
+            )
+            den = F.sqrt(_var(i) * _var(j))
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(cols[j]).alias("col_b"),
+                    F.col("__n").alias("n"),
+                    F.round(
+                        F.when(den > 0, num / den), 6
+                    ).alias("corr"),
+                )
+            )
+    return wide.select(F.inline(F.array(*pairs)))
+
+
+def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column Shannon entropy + cardinality profile.
+
+    One stack() melt (single scan), then (column, value) counts and a
+    per-column rollup using H = ln(n) − (Σ c·ln c)/n — the count-side
+    identity that needs no per-row probability column. Counts are
+    exact; the Σ c·ln c float sum is rounded to 6 dp at the boundary.
+    Output: (column, n, n_distinct, entropy).
+    """
+    stack_args = []
+    for c in cols:
+        label = c.replace("'", "\\'")
+        stack_args.append(f"'{label}'")
+        stack_args.append(f"CAST(`{c}` AS STRING)")
+    melted = df.select(
+        F.expr(
+            f"stack({len(cols)}, {', '.join(stack_args)}) AS (column, value)"
+        )
+    ).filter(F.col("value").isNotNull())
+    counts = melted.groupBy("column", "value").agg(F.count(F.lit(1)).alias("c"))
+    per_col = counts.groupBy("column").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "__clnc"
+        ),
+    )
+    n = F.col("n").cast("double")
+    return per_col.select(
+        "column",
+        "n",
+        "n_distinct",
+        F.round(F.log(n) - F.col("__clnc") / n, 6).alias("entropy"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Per-group Gini coefficient of how ``weight`` (default: row
+    count) concentrates across units — "do 1% of users generate 90%
+    of the traffic" as one number per group.
+
+    Pure integer pipeline: unit totals are exact longs, units are
+    ranked ascending inside each group by (total, unit) — total and
+    deterministic — and the classic rank formula
+    ``G = (2·Σr·x − (n+1)·Σx) / (n·Σx)`` is evaluated in milli-units
+    with integer division, so the output is engine-exact. The rank
+    window partitions by the group key (parallel across groups; a
+    single monster group would use the rfm_segments range-partitioned
+    rank instead). Output: (group, n_units, total, gini_milli).
+    """
+    w = weight if weight is not None else F.lit(1)
+    per_unit = df.groupBy(
+        F.col(group_col).alias("g"), F.col(unit_col).alias("u")
+    ).agg(F.sum(w).cast("long").alias("x"))
+    rw = Window.partitionBy("g").orderBy("x", "u")
+    ranked = per_unit.withColumn("r", F.row_number().over(rw).cast("long"))
+    sums = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("x").alias("total"),
+        F.sum(F.col("r") * F.col("x")).alias("__srx"),
+    )
+    # integer `div` keeps the quotient exact past 2^53 (a double
+    # division would not); numerator ≥ 0 because ranks ascend with x,
+    # so truncating div == floor div == DuckDB's `//`
+    return sums.select(
+        F.col("g").alias(group_col),
+        "n_units",
+        "total",
+        F.expr(
+            "(1000 * (2 * __srx - (n_units + 1) * total))"
+            " div (n_units * total)"
+        ).alias("gini_milli"),
+    )
+
+
+def ab_conversion_ztest(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Two-proportion pooled z-test of per-unit conversion between two
+    deterministic hash arms, one row per event type.
+
+    The arm is a projection of md5(unit) — the same engine-agnostic
+    split sampling.hash_split uses — so there is no assignment table
+    to join. Conversion = "unit emitted ≥1 event of this type". All
+    counts are exact integers; rates and the z statistic are scalar
+    double arithmetic on them, rounded to 6 dp (z = 0 where the
+    pooled variance degenerates). Output: (event_type, users_a,
+    users_b, conv_a, conv_b, rate_a, rate_b, z_score).
+    """
+    arm = F.when(
+        hash_bucket_col(F.col("u"), 1) < F.lit("8"), F.lit("a")
+    ).otherwise(F.lit("b"))
+    units = (
+        events.select(F.col(unit_col).alias("u"))
+        .distinct()
+        .select(arm.alias("arm"))
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("arm") == "a", 1).otherwise(0)).alias("users_a"),
+            F.sum(F.when(F.col("arm") == "b", 1).otherwise(0)).alias("users_b"),
+        )
+    )
+    conv = (
+        events.select(F.col(type_col).alias("event_type"), F.col(unit_col).alias("u"))
+        .distinct()
+        .select("event_type", arm.alias("arm"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("arm") == "a", 1).otherwise(0)).alias("conv_a"),
+            F.sum(F.when(F.col("arm") == "b", 1).otherwise(0)).alias("conv_b"),
+        )
+    )
+    j = conv.crossJoin(F.broadcast(units))
+    na = F.col("users_a").cast("double")
+    nb = F.col("users_b").cast("double")
+    pa = F.col("conv_a").cast("double") / na
+    pb = F.col("conv_b").cast("double") / nb
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
+    var = pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb)
+    z = F.when(var > 0, (pa - pb) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return j.select(
+        "event_type",
+        "users_a",
+        "users_b",
+        "conv_a",
+        "conv_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+def target_encoding(
+    facts: DataFrame,
+    dims: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    category_col: str,
+    value_col: str,
+    smoothing: float = 20.0,
+) -> DataFrame:
+    """Smoothed mean target encoding of a categorical column — the
+    leak-resistant replacement for one-hot on high-cardinality
+    features: ``enc = (Σy + m·global_mean) / (n + m)``.
+
+    One equi-join fact→dim (AQE broadcasts when the dim fits), one
+    groupBy on the category with an exact DECIMAL(18,2) value sum,
+    and the global prior re-aggregated FROM those per-category
+    partials (window over the tiny aggregate — no second scan).
+    Output: (category, n, raw_mean, encoded), means rounded to 6 dp.
+    """
+    joined = facts.join(
+        dims.select(F.col(dim_key), F.col(category_col)),
+        facts[fact_key] == dims[dim_key],
+    )
+    per_cat = joined.groupBy(F.col(category_col).alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__s"),
+    )
+    wall = Window.partitionBy(F.col("n") % 1)
+    glob_mean = (
+        F.sum(F.col("__s")).over(wall).cast("double")
+        / F.sum(F.col("n")).over(wall).cast("double")
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("__s").cast("double")
+    m = F.lit(float(smoothing))
+    return per_cat.select(
+        "category",
+        "n",
+        F.round(sd / nd, 6).alias("raw_mean"),
+        F.round((sd + m * glob_mean) / (nd + m), 6).alias("encoded"),
+    )

@@ -252,3 +252,206 @@ def gap_fill_hourly(
         ),
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_horizon_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier survival curve of unit "lifetimes" — per user, the
+    days between first and last activity; a unit still active within
+    ``censor_horizon_days`` of the corpus end is right-censored (its
+    true lifetime is only known to exceed the observed one). This is
+    the standard retention estimator when the observation window cuts
+    churn off mid-flight.
+
+    Scale shape: ONE groupBy(unit) for (first, last) dates, a 1-row
+    global max broadcast, then everything runs on the per-duration
+    aggregate (≤ observation-window-days rows) — the cumulative
+    product is a window over that tiny frame (non-foldable constant
+    partition key, class_weights convention). The estimator
+    S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) is computed as
+    exp(Σ ln(1 − d/n)): d, n are exact integers, the ln/exp chain runs
+    on identical operands in any engine, and the output rounds to
+    6 dp. A duration that kills the whole risk set (d == n) pins S to
+    exactly 0 from there on (ln(0) is never evaluated).
+
+    Output: (duration_days, n_risk, n_events, n_censored, survival).
+    """
+    per_unit = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.min(F.to_date(ts_col)).alias("d0"),
+        F.max(F.to_date(ts_col)).alias("d1"),
+    )
+    horizon = per_unit.agg(F.max("d1").alias("dmax"))
+    lifet = per_unit.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("d1", "d0").cast("long").alias("duration_days"),
+        (
+            F.col("d1") <= F.date_sub(F.col("dmax"), censor_horizon_days)
+        )
+        .cast("long")
+        .alias("observed"),
+    )
+    per_dur = lifet.groupBy("duration_days").agg(
+        F.sum("observed").alias("n_events"),
+        F.sum(F.lit(1) - F.col("observed")).alias("n_censored"),
+    )
+    wall = Window.partitionBy(F.col("duration_days") % 1).orderBy("duration_days")
+    wcum = wall.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wprev = wall.rowsBetween(Window.unboundedPreceding, -1)
+    wtot = Window.partitionBy(F.col("duration_days") % 1)
+    cum = per_dur.select(
+        "duration_days",
+        "n_events",
+        "n_censored",
+        (
+            F.sum(F.col("n_events") + F.col("n_censored")).over(wtot)
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(wprev),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    frac = F.col("n_events").cast("double") / F.col("n_risk").cast("double")
+    ln_term = F.when(F.col("n_events") < F.col("n_risk"), F.log(1.0 - frac))
+    hit_zero = F.max((F.col("n_events") == F.col("n_risk")).cast("int")).over(wcum)
+    return cum.select(
+        "duration_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(
+            F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum(ln_term).over(wcum))
+            ),
+            6,
+        ).alias("survival"),
+    )
+
+
+# EWMA milli-weights: round(1000 * 0.3 * 0.7^k) for lag k = 0..13.
+# Baked as literals so no runtime pow() has to agree across engines —
+# the whole smoothing path is integer arithmetic.
+EWMA_MILLI_WEIGHTS = [300, 210, 147, 103, 72, 50, 35, 25, 18, 12, 8, 6, 4, 3]
+
+
+def ewma_smooth(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially-weighted moving average of each group's daily
+    value series (α = 0.3, 14-day support) — the trend line behind
+    volume-drift alerts, computed gap-aware (missing days contribute
+    no weight, the classic adjust=True normalization).
+
+    Integer-exact end to end: daily totals are DECIMAL(18,6) sums
+    (order-free) integerized to millis, the weight for lag k is a
+    baked milli literal (no runtime pow()), and the EWMA is an
+    integer-weighted integer sum divided with `div`. Scale shape: one
+    map-side-combined groupBy(group, day) collapses events to a tiny
+    per-day frame; each day then explodes its ≤14 contributing lags
+    and an equi-join on (group, exact day) pulls them in — a shuffle
+    of the AGGREGATE (days × 14), never of raw events, and no range
+    join.
+
+    Output: (group, day, y_milli, ewma_milli); day formatted as a
+    string for stable cross-engine hashing.
+    """
+    daily = events.groupBy(
+        F.col(group_col).alias("g"), F.to_date(ts_col).alias("d")
+    ).agg(
+        (F.sum(F.col(value_col).cast("decimal(18,6)")) * 1000)
+        .cast("long")
+        .alias("y_milli")
+    )
+    wlit = F.array(*[F.lit(w) for w in EWMA_MILLI_WEIGHTS])
+    anchors = daily.select(
+        "g",
+        F.col("d").alias("anchor_d"),
+        F.explode(F.sequence(F.lit(0), F.lit(len(EWMA_MILLI_WEIGHTS) - 1))).alias(
+            "k"
+        ),
+    ).select(
+        "g",
+        "anchor_d",
+        "k",
+        F.date_sub(F.col("anchor_d"), F.col("k")).alias("d"),
+    )
+    contrib = anchors.join(daily, ["g", "d"]).select(
+        "g",
+        "anchor_d",
+        (F.col("y_milli") * F.element_at(wlit, F.col("k") + 1)).alias("wy"),
+        F.element_at(wlit, F.col("k") + 1).alias("w"),
+    )
+    sm = contrib.groupBy("g", "anchor_d").agg(
+        F.sum("wy").alias("__swy"), F.sum("w").alias("__sw")
+    )
+    out = sm.join(
+        daily.select("g", F.col("d").alias("anchor_d"), "y_milli"),
+        ["g", "anchor_d"],
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        F.date_format(F.col("anchor_d"), "yyyy-MM-dd").alias("day"),
+        "y_milli",
+        F.expr("__swy div __sw").alias("ewma_milli"),
+    )
+
+
+def anomaly_mad(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier profile via the median absolute
+    deviation: modified z-score 0.6745·(x − median)/MAD, the
+    Iglewicz-Hodges rule that a mean/stddev gate fails on exactly the
+    heavy-tailed data it is meant to police.
+
+    Two exact-percentile passes over the fact table (median, then MAD
+    on deviations — an irreducible data dependency) plus one scoring
+    pass; each pass is a map-side-combined aggregate and the tiny
+    per-group medians travel by broadcast. At corpus scale the same
+    shape runs on approx_percentile sketches (see `approx_quantiles`)
+    — exact percentile here keeps the oracle comparison sharp.
+
+    Output: (group, n, median, mad, n_outliers, max_score).
+    """
+    med = events.groupBy(F.col(group_col).alias("g")).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = events.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).join(F.broadcast(med), "g")
+    mad = dev.groupBy("g").agg(
+        F.expr("percentile(abs(v - med), 0.5)").alias("mad")
+    )
+    scored = dev.join(F.broadcast(mad), "g").withColumn(
+        "score",
+        F.when(
+            F.col("mad") > 0,
+            F.lit(0.6745) * (F.col("v") - F.col("med")) / F.col("mad"),
+        ).otherwise(F.lit(0.0)),
+    )
+    out = scored.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.max("med").alias("__med"),
+        F.max("mad").alias("__mad"),
+        F.sum((F.abs(F.col("score")) > threshold).cast("long")).alias(
+            "n_outliers"
+        ),
+        F.max(F.abs(F.col("score"))).alias("__maxs"),
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.round("__med", 6).alias("median"),
+        F.round("__mad", 6).alias("mad"),
+        "n_outliers",
+        F.round("__maxs", 6).alias("max_score"),
+    )

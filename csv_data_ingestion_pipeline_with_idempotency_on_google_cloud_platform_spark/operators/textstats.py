@@ -554,3 +554,65 @@ def bigram_lm_topk(docs: DataFrame, top_n: int = 50, text_col: str = "text") -> 
         .orderBy(F.col("c_bigram").desc(), "w1", "w2")
         .limit(top_n)
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    slice_col: str = "lang",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Zipf-law fit per corpus slice: OLS slope of ln(freq) on
+    ln(rank) over the slice's ``top_k`` terms. Natural text sits near
+    slope −1; a slice that strays far (template spam ≈ flat, boiler-
+    plate ≈ cliff) is the kind of distribution anomaly a corpus audit
+    wants surfaced per source/language before training.
+
+    Scale shape: ONE scan — (slice, term) counts map-side combine,
+    per-slice ranks run in a window partitioned by the slice key
+    (parallel across slices), and the regression sums aggregate the
+    ≤top_k surviving rows per slice. Counts and ranks are exact
+    integers; ln() of those integers is deterministic per engine
+    operand, the ≤top_k-term float sums drift below 1e-12, and the
+    output rounds to 6 dp.
+
+    Returns (slice, n_terms, slope, r2).
+    """
+    from ..functions.text import tokens_col
+
+    toks = parallelize_narrow(docs).select(
+        F.col(slice_col).alias("s"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    )
+    counts = toks.groupBy("s", F.lower("tok").alias("term")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("s").orderBy(F.col("c").desc(), F.col("term"))
+    ranked = counts.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= top_k
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    sums = ranked.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n_terms").cast("double")
+    cov = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.filter(F.col("n_terms") >= 3).select(
+        F.col("s").alias(slice_col),
+        "n_terms",
+        F.round(cov / varx, 6).alias("slope"),
+        F.round(
+            F.when(vary > 0, (cov * cov) / (varx * vary)).otherwise(
+                F.lit(None).cast("double")
+            ),
+            6,
+        ).alias("r2"),
+    )

@@ -5346,6 +5346,357 @@ SELECT node, hops FROM d3
 """
 
 
+# --------------------------------------------------------------------------
+# X43 statistical profiling & experimentation; X44 survival/EWMA/MAD
+# time-series robustness (operators/stats.py, operators/temporal.py,
+# operators/textstats.py:zipf_fit)
+# --------------------------------------------------------------------------
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 statistics: pairwise Pearson matrix over the lineitem
+    numerics in ONE scan / one 1-row aggregate (operators/stats.py:
+    corr_matrix) — every moment an exact DECIMAL sum, the pair
+    expansion on the single aggregated row."""
+    from ..operators.stats import corr_matrix
+
+    return corr_matrix(load_table(spark, sf_dir, "lineitem"), CORR_COLS)
+
+
+def _corr_pair_sql(a: str, b: str, sa: str, sb: str, pab: str, paa: str, pbb: str) -> str:
+    num = f"(CAST(n AS DOUBLE) * CAST({pab} AS DOUBLE) - CAST({sa} AS DOUBLE) * CAST({sb} AS DOUBLE))"
+    va = f"(CAST(n AS DOUBLE) * CAST({paa} AS DOUBLE) - CAST({sa} AS DOUBLE) * CAST({sa} AS DOUBLE))"
+    vb = f"(CAST(n AS DOUBLE) * CAST({pbb} AS DOUBLE) - CAST({sb} AS DOUBLE) * CAST({sb} AS DOUBLE))"
+    return (
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, "
+        f"round(CASE WHEN sqrt({va} * {vb}) > 0 THEN {num} / sqrt({va} * {vb}) END, 6) AS corr FROM s"
+    )
+
+
+SQL_CORR_MATRIX = """
+WITH d AS (
+  -- DECIMAL(19,6): same values as the engine's DECIMAL(18,6) casts,
+  -- but forces DuckDB onto INT128 storage so the moment products
+  -- (precision 38, scale 12) don't overflow its INT64 decimal path
+  SELECT CAST(l_quantity AS DECIMAL(19,6)) AS q,
+         CAST(l_extendedprice AS DECIMAL(19,6)) AS e,
+         CAST(l_discount AS DECIMAL(19,6)) AS di,
+         CAST(l_tax AS DECIMAL(19,6)) AS t
+  FROM lineitem
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(q) AS sq, SUM(e) AS se, SUM(di) AS sdi, SUM(t) AS st,
+         SUM(q*q) AS pqq, SUM(q*e) AS pqe, SUM(q*di) AS pqdi, SUM(q*t) AS pqt,
+         SUM(e*e) AS pee, SUM(e*di) AS pedi, SUM(e*t) AS pet,
+         SUM(di*di) AS pdidi, SUM(di*t) AS pdit, SUM(t*t) AS ptt
+  FROM d
+)
+{PAIRS}
+""".replace(
+    "{PAIRS}",
+    "\nUNION ALL\n".join(
+        [
+            _corr_pair_sql("l_quantity", "l_extendedprice", "sq", "se", "pqe", "pqq", "pee"),
+            _corr_pair_sql("l_quantity", "l_discount", "sq", "sdi", "pqdi", "pqq", "pdidi"),
+            _corr_pair_sql("l_quantity", "l_tax", "sq", "st", "pqt", "pqq", "ptt"),
+            _corr_pair_sql("l_extendedprice", "l_discount", "se", "sdi", "pedi", "pee", "pdidi"),
+            _corr_pair_sql("l_extendedprice", "l_tax", "se", "st", "pet", "pee", "ptt"),
+            _corr_pair_sql("l_discount", "l_tax", "sdi", "st", "pdit", "pdidi", "ptt"),
+        ]
+    ),
+)
+
+
+ENTROPY_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+
+
+def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 statistics: per-column Shannon entropy / cardinality
+    profile of orders (operators/stats.py:column_entropy) — one
+    stack() melt scan, count-side identity H = ln n − Σc·ln c / n."""
+    from ..operators.stats import column_entropy
+
+    return column_entropy(load_table(spark, sf_dir, "orders"), ENTROPY_COLS)
+
+
+SQL_COLUMN_ENTROPY = """
+WITH m AS (
+  SELECT 'o_orderstatus' AS "column", CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+), c AS (
+  SELECT "column", value, CAST(COUNT(*) AS BIGINT) AS c
+  FROM m WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT "column", CAST(SUM(c) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       round(ln(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+FROM c GROUP BY 1
+"""
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 statistics: per-event-type Gini of traffic concentration
+    across users (operators/stats.py:gini_concentration) — integer
+    rank formula, engine-exact milli output."""
+    from ..operators.stats import gini_concentration
+
+    return gini_concentration(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+SQL_GINI_CONCENTRATION = """
+WITH pu AS (
+  SELECT event_type AS g, user_id AS u, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT g, x, CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, u) AS BIGINT) AS r
+  FROM pu
+), s AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_units, CAST(SUM(x) AS BIGINT) AS total,
+         CAST(SUM(r * x) AS BIGINT) AS srx
+  FROM r GROUP BY 1
+)
+SELECT g AS event_type, n_units, total,
+       (CAST(1000 AS BIGINT) * (2 * srx - (n_units + 1) * total))
+         // (n_units * total) AS gini_milli
+FROM s
+"""
+
+
+def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 experimentation: two-proportion pooled z-test per event
+    type between md5-hash arms (operators/stats.py:
+    ab_conversion_ztest) — assignment is a projection, counts exact."""
+    from ..operators.stats import ab_conversion_ztest
+
+    return ab_conversion_ztest(load_table(spark, sf_dir, "events"))
+
+
+SQL_AB_CONVERSION_ZTEST = """
+WITH armed AS (
+  SELECT u, CASE WHEN substring(md5(CAST(u AS VARCHAR)), 1, 1) < '8'
+                 THEN 'a' ELSE 'b' END AS arm
+  FROM (SELECT DISTINCT user_id AS u FROM events)
+), tot AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS users_a,
+         CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS users_b
+  FROM armed
+), conv AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN substring(md5(CAST(u AS VARCHAR)), 1, 1) < '8'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN substring(md5(CAST(u AS VARCHAR)), 1, 1) >= '8'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+  FROM (SELECT DISTINCT event_type, user_id AS u FROM events) GROUP BY 1
+), z AS (
+  SELECT event_type, users_a, users_b, conv_a, conv_b,
+         CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE) AS pa,
+         CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE) AS pb,
+         CAST(conv_a + conv_b AS DOUBLE) / (CAST(users_a AS DOUBLE) + CAST(users_b AS DOUBLE)) AS pp
+  FROM conv CROSS JOIN tot
+)
+SELECT event_type, users_a, users_b, conv_a, conv_b,
+       round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+       round(CASE WHEN pp * (1.0 - pp) * (1.0 / CAST(users_a AS DOUBLE) + 1.0 / CAST(users_b AS DOUBLE)) > 0
+                  THEN (pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(users_a AS DOUBLE) + 1.0 / CAST(users_b AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS z_score
+FROM z
+"""
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 feature engineering: smoothed mean target encoding of
+    market segment against order totals (operators/stats.py:
+    target_encoding) — one fact→dim join, exact DECIMAL partials,
+    global prior re-aggregated from them."""
+    from ..operators.stats import target_encoding
+
+    return target_encoding(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+        "c_mktsegment",
+        "o_totalprice",
+    )
+
+
+SQL_TARGET_ENCODING = """
+WITH j AS (
+  SELECT c.c_mktsegment AS category, CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), pc AS (
+  SELECT category, CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS s FROM j GROUP BY 1
+), g AS (
+  SELECT category, n, s,
+         CAST(SUM(s) OVER () AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS gmean
+  FROM pc
+)
+SELECT category, n,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_mean,
+       round((CAST(s AS DOUBLE) + 20.0 * gmean) / (CAST(n AS DOUBLE) + 20.0), 6) AS encoded
+FROM g
+"""
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44 survival analysis: Kaplan-Meier retention curve over user
+    activity lifetimes with right-censoring (operators/temporal.py:
+    kaplan_meier) — one groupBy(user), then windows over the tiny
+    per-duration aggregate."""
+    return temporal.kaplan_meier(load_table(spark, sf_dir, "events"))
+
+
+SQL_KAPLAN_MEIER = """
+WITH pu AS (
+  SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events GROUP BY 1
+), mx AS (SELECT MAX(d1) AS dmax FROM pu),
+lf AS (
+  SELECT CAST(datediff('day', d0, d1) AS BIGINT) AS duration_days,
+         CASE WHEN d1 <= dmax - INTERVAL 7 DAY THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS obs
+  FROM pu CROSS JOIN mx
+), pd AS (
+  SELECT duration_days, CAST(SUM(obs) AS BIGINT) AS n_events,
+         CAST(SUM(1 - obs) AS BIGINT) AS n_censored
+  FROM lf GROUP BY 1
+), cum AS (
+  SELECT duration_days, n_events, n_censored,
+         CAST(SUM(n_events + n_censored) OVER ()
+              - COALESCE(SUM(n_events + n_censored) OVER (
+                  ORDER BY duration_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM pd
+)
+SELECT duration_days, n_risk, n_events, n_censored,
+       round(CASE WHEN MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END) OVER (
+                    ORDER BY duration_days
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                  THEN 0.0
+                  ELSE exp(SUM(CASE WHEN n_events < n_risk
+                                    THEN ln(1.0 - CAST(n_events AS DOUBLE)
+                                            / CAST(n_risk AS DOUBLE)) END) OVER (
+                             ORDER BY duration_days
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             END, 6) AS survival
+FROM cum
+"""
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44 time series: gap-aware EWMA of per-type daily value totals
+    (operators/temporal.py:ewma_smooth) — baked integer milli-weights,
+    equi-join lag expansion over the aggregate, exact end to end."""
+    return temporal.ewma_smooth(load_table(spark, sf_dir, "events"))
+
+
+SQL_EWMA_SMOOTH = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000 AS BIGINT) AS y_milli
+  FROM events GROUP BY 1, 2
+), w(k, wt) AS (
+  VALUES (0,300),(1,210),(2,147),(3,103),(4,72),(5,50),(6,35),
+         (7,25),(8,18),(9,12),(10,8),(11,6),(12,4),(13,3)
+), contrib AS (
+  SELECT a.g, a.d AS anchor_d,
+         dd.y_milli * CAST(w.wt AS BIGINT) AS wy, CAST(w.wt AS BIGINT) AS w
+  FROM daily a CROSS JOIN w
+  JOIN daily dd ON dd.g = a.g AND dd.d = a.d - w.k
+), sm AS (
+  SELECT g, anchor_d, CAST(SUM(wy) AS BIGINT) AS swy, CAST(SUM(w) AS BIGINT) AS sw
+  FROM contrib GROUP BY 1, 2
+)
+SELECT sm.g AS event_type, strftime(sm.anchor_d, '%Y-%m-%d') AS day,
+       d.y_milli, sm.swy // sm.sw AS ewma_milli
+FROM sm JOIN daily d ON d.g = sm.g AND d.d = sm.anchor_d
+"""
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44 robust statistics: per-type MAD outlier profile with the
+    Iglewicz-Hodges modified z-score (operators/temporal.py:
+    anomaly_mad) — exact percentiles, broadcast medians."""
+    return temporal.anomaly_mad(load_table(spark, sf_dir, "events"))
+
+
+SQL_ANOMALY_MAD = """
+WITH med AS (
+  SELECT event_type AS g, quantile_cont(value, 0.5) AS med,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type AS g, e.value AS v, m.med, m.n
+  FROM events e JOIN med m ON m.g = e.event_type
+), mad AS (
+  SELECT g, quantile_cont(abs(v - med), 0.5) AS mad FROM dev GROUP BY 1
+), scored AS (
+  SELECT d.g, d.n, d.med, ma.mad,
+         CASE WHEN ma.mad > 0 THEN 0.6745 * (d.v - d.med) / ma.mad
+              ELSE 0.0 END AS score
+  FROM dev d JOIN mad ma ON ma.g = d.g
+)
+SELECT g AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+       round(MAX(med), 6) AS median, round(MAX(mad), 6) AS mad,
+       CAST(SUM(CASE WHEN abs(score) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(MAX(abs(score)), 6) AS max_score
+FROM scored GROUP BY 1
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 corpus statistics: per-language Zipf slope + fit quality
+    over the top-100 terms (operators/textstats.py:zipf_fit) — one
+    scan, per-slice rank windows, closed-form log-log OLS."""
+    return textstats.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+SQL_ZIPF_FIT = r"""
+WITH toks AS (
+  SELECT lang AS s,
+         lower(unnest(regexp_split_to_array(
+             regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS term
+  FROM documents
+  WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
+), counts AS (
+  SELECT s, term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT s, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY c DESC, term ASC) AS BIGINT) AS r
+  FROM counts
+), top AS (SELECT * FROM ranked WHERE r <= 100),
+sums AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         SUM(ln(CAST(r AS DOUBLE))) AS sx,
+         SUM(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx,
+         SUM(ln(CAST(c AS DOUBLE))) AS sy,
+         SUM(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS syy,
+         SUM(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxy
+  FROM top GROUP BY 1
+)
+SELECT s AS lang, n_terms,
+       round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+       round(CASE WHEN (CAST(n_terms AS DOUBLE) * syy - sy * sy) > 0
+                  THEN ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                        * (CAST(n_terms AS DOUBLE) * sxy - sx * sy))
+                       / ((CAST(n_terms AS DOUBLE) * sxx - sx * sx)
+                          * (CAST(n_terms AS DOUBLE) * syy - sy * sy))
+             END, 6) AS r2
+FROM sums WHERE n_terms >= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entries 1-50: the round-4 correctness window (driver checks
     # only this prefix). Leads with the 7 oracle-backed queries that had
@@ -5384,6 +5735,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "gap_fill": q_gap_fill,
     "bfs_reachability": q_bfs_reachability,
+    # r4 session-6 additions (X43/X44 — still inside the driver window)
+    "corr_matrix": q_corr_matrix,
+    "column_entropy": q_column_entropy,
+    "gini_concentration": q_gini_concentration,
+    "ab_conversion_ztest": q_ab_conversion_ztest,
+    "target_encoding": q_target_encoding,
+    "kaplan_meier": q_kaplan_meier,
+    "ewma_smooth": q_ewma_smooth,
+    "anomaly_mad": q_anomaly_mad,
+    "zipf_fit": q_zipf_fit,
     "set_ops": q_set_ops,
     "order_quartiles": q_order_quartiles,
     "join_revenue_rollup": q_join_revenue_rollup,
@@ -5645,4 +6006,13 @@ ORACLE_SQL: dict[str, str] = {
     "triangle_count": SQL_TRIANGLE_COUNT,
     "gap_fill": SQL_GAP_FILL,
     "bfs_reachability": SQL_BFS_REACHABILITY,
+    "corr_matrix": SQL_CORR_MATRIX,
+    "column_entropy": SQL_COLUMN_ENTROPY,
+    "gini_concentration": SQL_GINI_CONCENTRATION,
+    "ab_conversion_ztest": SQL_AB_CONVERSION_ZTEST,
+    "target_encoding": SQL_TARGET_ENCODING,
+    "kaplan_meier": SQL_KAPLAN_MEIER,
+    "ewma_smooth": SQL_EWMA_SMOOTH,
+    "anomaly_mad": SQL_ANOMALY_MAD,
+    "zipf_fit": SQL_ZIPF_FIT,
 }

@@ -580,3 +580,86 @@ def test_bfs_no_cartesian_no_window(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "partial_min" in plan
+
+
+def test_corr_matrix_one_scan_one_row_aggregate(spark):
+    """All O(k²) moments ride ONE aggregate over ONE scan; the pair
+    expansion (inline) never touches the fact table again."""
+    plan = _plan(spark, "corr_matrix")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema  # pruned to the 4 numerics
+
+
+def test_column_entropy_single_melt_scan(spark):
+    """stack() melt is one scan of orders; both groupBys map-side
+    combine (partial_ aggregates present), no join."""
+    plan = _plan(spark, "column_entropy")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert "partial_" in plan
+
+
+def test_gini_rank_window_partitions_by_group(spark):
+    """The rank window must partition by the group key (parallel
+    across groups), never an empty/global spec."""
+    plan = _plan(spark, "gini_concentration")
+    assert "partial_" in plan
+    import re
+    wins = [l for l in plan.splitlines() if "row_number" in l]
+    assert wins and all("partitionBy" not in l or "g" in l for l in wins)
+
+
+def test_ab_ztest_no_assignment_join(spark):
+    """Arms are a projection of md5(user) — the only join is the
+    1-row totals broadcast; nothing shuffles an assignment table."""
+    plan = _plan(spark, "ab_conversion_ztest")
+    assert "SortMergeJoin" not in plan
+    # the only join in the tree is the 1-row totals broadcast cross
+    assert plan.count("BroadcastNestedLoopJoin Cross BuildRight (") <= 1
+
+
+def test_target_encoding_prior_from_partials_no_second_scan(spark):
+    """Global mean re-aggregates the per-category partials: orders is
+    scanned once, and the category rollup map-side combines."""
+    plan = _plan(spark, "target_encoding")
+    lines = [l for l in plan.splitlines() if "Location: InMemoryFileIndex" in l]
+    assert sum("orders.parquet" in l for l in lines) == 1
+    assert "partial_" in plan
+    assert "BroadcastHashJoin" in plan  # dim side broadcasts at this SF
+
+
+def test_kaplan_meier_windows_over_aggregate_only(spark):
+    """Raw events collapse in the per-unit groupBy; every window runs
+    over the per-duration aggregate (exchange before the window reads
+    the aggregated side, not events)."""
+    plan = _plan(spark, "kaplan_meier")
+    lines = [l for l in plan.splitlines() if "Location: InMemoryFileIndex" in l]
+    assert 1 <= sum("events.parquet" in l for l in lines) <= 2  # per-unit + horizon
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ewma_no_range_join(spark):
+    """The lag expansion is an equi-join of aggregates — never a
+    BroadcastNestedLoop range join, never a cartesian on events."""
+    plan = _plan(spark, "ewma_smooth")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anomaly_mad_medians_broadcast(spark):
+    """Per-group medians/MADs join back by broadcast — the fact table
+    is never shuffled for the join."""
+    plan = _plan(spark, "anomaly_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zipf_rank_window_partitions_by_slice(spark):
+    """Per-slice ranks parallelise across slices; the regression sums
+    aggregate the ≤top_k survivors with map-side combine."""
+    plan = _plan(spark, "zipf_fit")
+    assert "row_number" in plan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan

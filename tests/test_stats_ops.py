@@ -1,0 +1,201 @@
+"""Session-6 statistics/experimentation operators: correlation matrix,
+entropy profile, Gini concentration, hash-armed z-test, target
+encoding, Kaplan-Meier, integer EWMA, MAD outliers, Zipf fit.
+Oracle parity runs in test_queries_oracle; these pin the closed-form
+semantics on planted inputs where the right answer is known by hand."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+    ab_conversion_ztest,
+    column_entropy,
+    corr_matrix,
+    gini_concentration,
+    target_encoding,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+    anomaly_mad,
+    ewma_smooth,
+    kaplan_meier,
+    EWMA_MILLI_WEIGHTS,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+    zipf_fit,
+)
+
+
+def test_corr_matrix_perfect_and_anti(spark):
+    """y = 2x -> corr 1; z = -x -> corr -1; w constant -> NULL corr."""
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i, -float(i), 5.0) for i in range(1, 21)],
+        "x double, y double, z double, w double",
+    )
+    out = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in corr_matrix(df, ["x", "y", "z", "w"]).collect()
+    }
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0
+    assert out[("x", "w")] is None and out[("z", "w")] is None
+    assert len(out) == 6
+
+
+def test_column_entropy_uniform_and_constant(spark):
+    """Uniform over 4 values -> ln 4; constant column -> 0; NULLs are
+    excluded from both n and the distribution."""
+    rows = [(str(i % 4), "k", None if i % 2 else "x") for i in range(40)]
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    out = {r["column"]: r for r in column_entropy(df, ["a", "b", "c"]).collect()}
+    assert out["a"]["n_distinct"] == 4
+    assert abs(out["a"]["entropy"] - math.log(4)) < 1e-6
+    assert out["b"]["entropy"] == 0.0
+    assert out["c"]["n"] == 20 and out["c"]["n_distinct"] == 1
+
+
+def test_gini_equal_and_concentrated(spark):
+    """Equal per-unit weights -> exactly 0; all weight on one unit of
+    n -> floor(1000*(n-1)/n)."""
+    eq = [("t", u) for u in range(10) for _ in range(3)]
+    conc = [("c", 0)] * 97 + [("c", 1), ("c", 2), ("c", 3)]
+    df = spark.createDataFrame(eq + conc, "event_type string, user_id long")
+    out = {
+        r["event_type"]: r
+        for r in gini_concentration(df, "event_type", "user_id").collect()
+    }
+    assert out["t"]["gini_milli"] == 0
+    # units (1,1,1,97): G = (2*(1*1+2*1+3*1+4*97) - 5*100) / (4*100)
+    assert out["c"]["gini_milli"] == (1000 * (2 * (1 + 2 + 3 + 4 * 97) - 5 * 100)) // 400
+
+
+def test_ab_ztest_identical_arms_z_zero(spark):
+    """Every unit converts -> both rates 1.0, pooled variance 0 -> z=0."""
+    rows = [(i, "buy", i % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, user_id long")
+    out = ab_conversion_ztest(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["users_a"] + r["users_b"] == 50
+    assert r["conv_a"] == r["users_a"] and r["conv_b"] == r["users_b"]
+    assert r["rate_a"] == 1.0 and r["rate_b"] == 1.0 and r["z_score"] == 0.0
+
+
+def test_target_encoding_closed_form(spark):
+    """Two categories with known means; smoothing pulls toward the
+    global mean by exactly m/(n+m)."""
+    facts = spark.createDataFrame(
+        [(1, 10.0)] * 8 + [(2, 30.0)] * 2, "k long, y double"
+    )
+    dims = spark.createDataFrame([(1, "lo"), (2, "hi")], "dk long, cat string")
+    out = {
+        r["category"]: r
+        for r in target_encoding(facts, dims, "k", "dk", "cat", "y", smoothing=2.0).collect()
+    }
+    gmean = (8 * 10.0 + 2 * 30.0) / 10  # 14.0
+    assert out["lo"]["raw_mean"] == 10.0
+    assert abs(out["lo"]["encoded"] - (80 + 2 * gmean) / 10) < 1e-6
+    assert abs(out["hi"]["encoded"] - (60 + 2 * gmean) / 4) < 1e-6
+
+
+def test_kaplan_meier_textbook(spark):
+    """Durations 0,0,1,2 all observed (horizon 0): S = 1/2, 1/3·... —
+    the classic product-limit table, checked row by row."""
+    rows = []
+    eid = 0
+    # users with (first, last) day pairs -> durations 0,0,1,2
+    spans = [(1, 1), (2, 2), (3, 4), (5, 7)]
+    for u, (d0, d1) in enumerate(spans):
+        rows.append((eid, f"2024-01-0{d0} 00:00:00", u)); eid += 1
+        rows.append((eid, f"2024-01-0{d1} 12:00:00", u)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        r["duration_days"]: r
+        for r in kaplan_meier(df, censor_horizon_days=0).collect()
+    }
+    # t=0: n=4, d=2 -> S=0.5 ; t=1: n=2, d=1 -> S=0.25 ; t=2: n=1, d=1 -> S=0
+    assert out[0]["n_risk"] == 4 and out[0]["n_events"] == 2
+    assert abs(out[0]["survival"] - 0.5) < 1e-6
+    assert out[1]["n_risk"] == 2 and abs(out[1]["survival"] - 0.25) < 1e-6
+    assert out[2]["n_risk"] == 1 and out[2]["survival"] == 0.0
+
+
+def test_kaplan_meier_censoring_reduces_risk_not_survival(spark):
+    """A censored unit leaves the risk set but contributes no event:
+    with horizon 7 the last-active user is censored and survival never
+    reaches 0."""
+    rows = []
+    eid = 0
+    for u, (d0, d1) in enumerate([(1, 2), (3, 28)]):
+        rows.append((eid, f"2024-01-{d0:02d} 00:00:00", u)); eid += 1
+        rows.append((eid, f"2024-01-{d1:02d} 00:00:00", u)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r["duration_days"]: r for r in kaplan_meier(df).collect()}
+    assert out[1]["n_events"] == 1 and out[1]["n_censored"] == 0
+    assert out[25]["n_censored"] == 1 and out[25]["n_events"] == 0
+    assert out[25]["survival"] == out[1]["survival"] > 0.0
+
+
+def test_ewma_constant_series_is_identity(spark):
+    """Constant daily totals -> EWMA == the daily value, every day,
+    regardless of how many lags are present."""
+    rows = [
+        (i, f"2024-01-{d:02d} 00:00:00", 1, "t", 5.0)
+        for i, d in enumerate(range(1, 21))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ewma_smooth(df).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["y_milli"] == 5000 and r["ewma_milli"] == 5000
+
+
+def test_ewma_gap_skips_weights(spark):
+    """Two observed days 5 apart: the second day's EWMA mixes only
+    lags 0 and 5 — (y1*w0 + y0*w5) div (w0 + w5), integer-exact."""
+    rows = [(0, "2024-01-01 00:00:00", 1, "t", 10.0), (1, "2024-01-06 00:00:00", 1, "t", 40.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["day"]: r["ewma_milli"] for r in ewma_smooth(df).collect()}
+    w0, w5 = EWMA_MILLI_WEIGHTS[0], EWMA_MILLI_WEIGHTS[5]
+    assert out["2024-01-01"] == 10000
+    assert out["2024-01-06"] == (40000 * w0 + 10000 * w5) // (w0 + w5)
+
+
+def test_anomaly_mad_flags_planted_outlier(spark):
+    """99 values near 10, one at 1000: the outlier is counted, the
+    median/MAD stay at the bulk (robustness), max_score is huge."""
+    vals = [10.0 + (i % 5) * 0.5 for i in range(99)] + [1000.0]
+    df = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    r = anomaly_mad(df).collect()[0]
+    assert r["n"] == 100
+    assert 10.0 <= r["median"] <= 12.0 and r["mad"] <= 1.0
+    assert r["n_outliers"] == 1 and r["max_score"] > 100
+
+
+def test_zipf_fit_recovers_minus_one(spark):
+    """Counts c(r) = 2^20 / r over 50 distinct terms -> log-log slope
+    -1 within rounding, r2 ~ 1."""
+    rows = []
+    for r in range(1, 51):
+        term = f"w{r:03d}"
+        rows.extend((f"{term} " * (2 ** 20 // r // 1000),) for _ in range(1))
+    df = spark.createDataFrame([(i, t[0], "en") for i, t in enumerate(rows)],
+                               "doc_id long, text string, lang string")
+    out = zipf_fit(df, top_k=50).collect()
+    assert len(out) == 1
+    assert abs(out[0]["slope"] + 1.0) < 0.05
+    assert out[0]["r2"] > 0.995
