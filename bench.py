@@ -137,6 +137,12 @@ HEADLINE = [
     "ewma_smooth",
     "anomaly_mad",
     "zipf_fit",
+    "chi2_independence",
+    "mann_whitney",
+    "benford_profile",
+    "autocorrelation",
+    "seasonal_profile",
+    "cusum_drift",
 ]
 
 
@@ -249,11 +255,30 @@ def main() -> None:
             ({k: round(v, 2) for k, v in best.items()},
              {"cold_total": detail["cold_total"], "warm_totals": detail["warm_totals"]}),
             ({k: round(v, 2) for k, v in best.items()}, {}),
-            # last resort for a growing suite: 1-dp minima, no totals —
-            # still per-query, still one parseable line
             ({k: round(v, 1) for k, v in best.items()}, {}),
         )
     ]
+    # Past ~95 queries even 1-dp named minima overflow the budget: the
+    # names dominate. Final fallback keeps EVERY per-query minimum as a
+    # decisecond array in bench.py HEADLINE order (self-described), plus
+    # the slowest few by name for orientation.
+    slowest = dict(sorted(best.items(), key=lambda kv: -kv[1])[:8])
+    candidates.append(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(HEADLINE),
+            "queries_ds_in_headline_order": [
+                int(round(best[n] * 10)) for n in HEADLINE
+            ],
+            "slowest": {k: round(v, 1) for k, v in slowest.items()},
+            "cold_total": detail["cold_total"],
+            "warm_totals": detail["warm_totals"],
+            "detail": detail_path,
+        }
+    )
     for cand in candidates:
         line = json.dumps(cand, separators=(",", ":"))
         if len(line) <= 1900:

@@ -276,3 +276,171 @@ def target_encoding(
         F.round(sd / nd, 6).alias("raw_mean"),
         F.round((sd + m * glob_mean) / (nd + m), 6).alias("encoded"),
     )
+
+
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Chi-square test of independence between two categorical
+    columns, with Cramér's V effect size — the categorical twin of
+    `mutual_info` (is language independent of source, is event type
+    independent of arm).
+
+    One map-side-combined groupBy builds the contingency table; the
+    marginals come from windows over that tiny aggregate (mutual_info
+    convention), so nothing rescans the fact table. Counts are exact
+    integers; expected frequencies and the statistic are scalar
+    double arithmetic on them, rounded to 6 dp. One output row:
+    (n, n_a, n_b, dof, chi2, cramers_v).
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wall = Window.partitionBy(F.col("c") % 1)
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    with_marg = cells.select(
+        "a",
+        "b",
+        "c",
+        F.sum("c").over(wa).alias("ra"),
+        F.sum("c").over(wb).alias("cb"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    # the groupBy materializes only OBSERVED cells; zero cells still
+    # owe their (0−e)²/e = e to the statistic. Expanding (c−e)²/e and
+    # using Σ_all e = n gives χ² = Σ_observed c²/e − n — exact over
+    # the full grid while only touching observed cells.
+    e = (
+        F.col("ra").cast("double")
+        * F.col("cb").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = F.col("c").cast("double") * F.col("c").cast("double") / e
+    out = with_marg.groupBy().agg(
+        F.max("n").alias("n"),
+        F.count_distinct("a").alias("n_a"),
+        F.count_distinct("b").alias("n_b"),
+        (F.sum(term) - F.max("n").cast("double")).alias("__chi2"),
+    )
+    dof = (F.col("n_a") - 1) * (F.col("n_b") - 1)
+    mindim = F.least(F.col("n_a"), F.col("n_b")) - 1
+    v = F.sqrt(
+        F.col("__chi2") / (F.col("n").cast("double") * mindim.cast("double"))
+    )
+    return out.select(
+        "n",
+        "n_a",
+        "n_b",
+        dof.cast("long").alias("dof"),
+        F.round("__chi2", 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def mann_whitney(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test of ``value`` between the two md5
+    hash arms, per event type — the nonparametric companion to
+    `ab_conversion_ztest` for metrics too heavy-tailed for a means
+    test.
+
+    Tie-aware and integer-exact: values collapse to (type, value)
+    groups, average ranks are carried DOUBLED (2·rank is an integer,
+    so every rank sum is a long), and the normal approximation uses
+    the tie-corrected variance — all scalar double math on exact
+    integer sums, rounded to 6 dp. The rank window partitions by the
+    type key (parallel across types). Output: (event_type, n_a, n_b,
+    u_a, z_score).
+    """
+    base = events.select(
+        F.col(type_col).alias("t"),
+        F.col(value_col).alias("v"),
+        F.when(
+            hash_bucket_col(F.col(unit_col), 1) < F.lit("8"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_a"),
+    )
+    grp = base.groupBy("t", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("is_a").cast("long").alias("cnt_a"),
+    )
+    w = Window.partitionBy("t").orderBy("v")
+    ranked = grp.withColumn(
+        "start", F.sum("cnt").over(w) - F.col("cnt") + 1
+    )
+    # doubled average rank of the tie group: 2*start + cnt - 1 (integer)
+    r2 = (2 * F.col("start") + F.col("cnt") - 1) * F.col("cnt_a")
+    sums = ranked.groupBy("t").agg(
+        F.sum("cnt_a").alias("n_a"),
+        (F.sum("cnt") - F.sum("cnt_a")).alias("n_b"),
+        F.sum(r2).alias("__r2a"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("__ties"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u_a = (F.col("__r2a").cast("double") / 2.0) - na * (na + 1.0) / 2.0
+    var = (
+        na
+        * nb
+        / 12.0
+        * ((n + 1.0) - F.col("__ties").cast("double") / (n * (n - 1.0)))
+    )
+    z = F.when(var > 0, (u_a - na * nb / 2.0) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
+    return sums.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        F.col("t").alias(type_col),
+        "n_a",
+        "n_b",
+        F.round(u_a, 6).alias("u_a"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+# Benford expected first-digit shares, milli: round(1000*log10(1+1/d)).
+# Baked literals — no runtime log10 has to agree across engines.
+BENFORD_MILLI = [301, 176, 125, 97, 79, 67, 58, 51, 46]
+
+
+def benford_profile(
+    df: DataFrame, amount_col: str, group_col: str | None = None
+) -> DataFrame:
+    """First-significant-digit profile of an amount column against
+    Benford's law — the classic fabricated-numbers screen for
+    financial or telemetry feeds.
+
+    Digit extraction is integer-exact: amounts are scaled to cents
+    (round → BIGINT) and the leading digit is the first character of
+    the integer's decimal string — no runtime log10. Expected shares
+    are baked milli literals; observed shares use integer `div`.
+    Pure integer output: (digit, n_obs, p_obs_milli, p_benford_milli,
+    dev_milli). One map-side-combined groupBy over one scan.
+    """
+    cents = F.round(F.col(amount_col) * 100).cast("long")
+    digit = F.substring(F.abs(cents).cast("string"), 1, 1).cast("long")
+    counts = (
+        df.filter(F.abs(cents) >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    wall = Window.partitionBy(F.col("digit") % 1)
+    exp_map = F.element_at(
+        F.array(*[F.lit(m) for m in BENFORD_MILLI]), F.col("digit").cast("int")
+    ).cast("long")
+    with_tot = counts.withColumn("__tot", F.sum("n_obs").over(wall))
+    return with_tot.select(
+        "digit",
+        "n_obs",
+        F.expr("(1000 * n_obs) div __tot").alias("p_obs_milli"),
+        exp_map.alias("p_benford_milli"),
+        (F.expr("(1000 * n_obs) div __tot") - exp_map).alias("dev_milli"),
+    )

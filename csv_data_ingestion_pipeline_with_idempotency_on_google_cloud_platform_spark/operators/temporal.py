@@ -455,3 +455,220 @@ def anomaly_mad(
         "n_outliers",
         F.round("__maxs", 6).alias("max_score"),
     )
+
+
+def _daily_units(
+    events: DataFrame, group_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """(g, d, y): per-group daily value totals in whole units — an
+    exact DECIMAL sum floored to BIGINT, so every downstream moment
+    is integer arithmetic that cannot drift with partition order.
+    floor() is explicit because a bare decimal→long cast truncates in
+    Spark but ROUNDS in DuckDB — the oracle would diverge on any
+    fractional total."""
+    return events.groupBy(
+        F.col(group_col).alias("g"), F.to_date(ts_col).alias("d")
+    ).agg(
+        F.floor(F.sum(F.col(value_col).cast("decimal(18,6)")))
+        .cast("long")
+        .alias("y")
+    )
+
+
+def autocorrelation(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Daily-series autocorrelation r_k for lags 1..max_lag per group
+    — the seasonality/persistence fingerprint (a weekly cycle shows
+    as a spike at lag 7) computed from closed-form integer sums.
+
+    The series mean/variance and every lag's cross-moment are exact
+    BIGINT sums over the daily aggregate (whole-unit totals keep
+    y·y products inside long range); r_k is scalar double arithmetic
+    on them — no data-ordered float accumulation anywhere. The lag
+    pairing uses window ROW lags filtered by the true day gap —
+    valid because days strictly increase, so a day-lag-k partner sits
+    at most k rows back — which keeps events to ONE scan and runs the
+    lag expansion and the series moments on the same per-group
+    exchange of the daily aggregate (a self-join formulation would
+    rescan events once per reference).
+
+    Output: (group, lag, n_pairs, acf) rounded to 6 dp, using the
+    standard estimator with the full-series mean:
+    r_k = Σ(y_t−ȳ)(y_{t−k}−ȳ) / Σ(y_t−ȳ)².
+    """
+    daily = _daily_units(events, group_col, ts_col, value_col)
+    word = Window.partitionBy("g").orderBy("d")
+    wg = Window.partitionBy("g")
+    windowed = daily.select(
+        "g",
+        "d",
+        "y",
+        F.count(F.lit(1)).over(wg).alias("n"),
+        F.sum("y").over(wg).alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(wg).alias("ss"),
+        *[
+            F.lag("d", j).over(word).alias(f"__d{j}")
+            for j in range(1, max_lag + 1)
+        ],
+        *[
+            F.lag("y", j).over(word).alias(f"__y{j}")
+            for j in range(1, max_lag + 1)
+        ],
+    )
+    lagged = windowed.select(
+        "g",
+        "y",
+        "n",
+        "s",
+        "ss",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.datediff(F.col("d"), F.col(f"__d{j}")).alias("lag"),
+                        F.col(f"__y{j}").alias("y_lag"),
+                    )
+                    for j in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "g", "y", "n", "s", "ss",
+        F.col("p.lag").alias("lag"),
+        F.col("p.y_lag").alias("y_lag"),
+    ).filter(
+        F.col("y_lag").isNotNull() & (F.col("lag") <= max_lag)
+    )
+    j = lagged.groupBy("g", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("y") * F.col("y_lag")).alias("spp"),
+        F.sum("y").alias("sp1"),
+        F.sum("y_lag").alias("sp0"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.max("ss").alias("ss"),
+    )
+    ybar = F.col("s").cast("double") / F.col("n").cast("double")
+    num = (
+        F.col("spp").cast("double")
+        - ybar * F.col("sp1").cast("double")
+        - ybar * F.col("sp0").cast("double")
+        + F.col("n_pairs").cast("double") * ybar * ybar
+    )
+    den = F.col("ss").cast("double") - F.col("n").cast("double") * ybar * ybar
+    return j.filter(den > 0).select(
+        F.col("g").alias(group_col),
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.round(num / den, 6).alias("acf"),
+    )
+
+
+def seasonal_profile(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Day-of-week seasonal index per group: how each weekday's
+    average daily-equivalent value compares to the group's overall
+    average (index 1.0 = flat). The canonical "is traffic weekly-
+    cyclic, and which days carry it" profile.
+
+    Value mass is exact (DECIMAL sums → cents as BIGINT); the index
+    is the ratio of exact integer cross-products, evaluated in
+    scalar doubles and rounded to 6 dp. Per-weekday partials ride
+    one map-side-combined groupBy; group totals re-aggregate those
+    ≤7 rows via a window (non-foldable constant key).
+
+    Output: (group, dow (1=Sunday..7=Saturday, Spark dayofweek),
+    n_events, total_cents, index).
+    """
+    per_dow = events.groupBy(
+        F.col(group_col).alias("g"),
+        F.dayofweek(F.to_date(ts_col)).cast("long").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.sum(F.col(value_col).cast("decimal(18,6)")) * 100)
+        .cast("long")
+        .alias("total_cents"),
+    )
+    wg = Window.partitionBy("g")
+    with_tot = per_dow.select(
+        "g",
+        "dow",
+        "n_events",
+        "total_cents",
+        F.sum("n_events").over(wg).alias("__n_all"),
+        F.sum("total_cents").over(wg).alias("__c_all"),
+    )
+    index = (
+        F.col("total_cents").cast("double")
+        * F.col("__n_all").cast("double")
+    ) / (
+        F.col("n_events").cast("double") * F.col("__c_all").cast("double")
+    )
+    return with_tot.select(
+        F.col("g").alias(group_col),
+        "dow",
+        "n_events",
+        "total_cents",
+        F.round(index, 6).alias("index"),
+    )
+
+
+def cusum_drift(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUSUM control chart summary per group: the maximum absolute
+    cumulative deviation of the daily series from its own mean, and
+    the day it peaks — "did this feed's level shift, and when". A
+    mean shift of size δ starting at day s makes the peak land near
+    the shift point with deviation ≈ δ·(n−s).
+
+    Integer-exact argmax: the deviation comparison runs on
+    |n·S_t − t·S| (all BIGINT — no division before the compare), so
+    peak selection is total and deterministic; only the reported
+    magnitude divides by n at the boundary (round 6). The cumulative
+    sum is a window per group over the daily aggregate; ties on the
+    deviation break to the earliest day.
+
+    Output: (group, n_days, peak_day, max_abs_cusum).
+    """
+    daily = _daily_units(events, group_col, ts_col, value_col)
+    word = Window.partitionBy("g").orderBy("d")
+    wg = Window.partitionBy("g")
+    cum = daily.select(
+        "g",
+        "d",
+        F.sum("y").over(word).alias("s_t"),
+        F.row_number().over(word).cast("long").alias("t"),
+        F.sum("y").over(wg).alias("s"),
+        F.count(F.lit(1)).over(wg).alias("n_days"),
+    )
+    dev = cum.withColumn(
+        "dev_int",
+        F.abs(F.col("n_days") * F.col("s_t") - F.col("t") * F.col("s")),
+    )
+    pick = Window.partitionBy("g").orderBy(F.col("dev_int").desc(), F.col("d"))
+    return (
+        dev.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            "n_days",
+            F.date_format("d", "yyyy-MM-dd").alias("peak_day"),
+            F.round(
+                F.col("dev_int").cast("double") / F.col("n_days").cast("double"),
+                6,
+            ).alias("max_abs_cusum"),
+        )
+    )

@@ -5697,6 +5697,234 @@ FROM sums WHERE n_terms >= 3
 """
 
 
+# --------------------------------------------------------------------------
+# X45 statistical tests (chi², Mann-Whitney, Benford); X46 series
+# diagnostics (ACF, seasonal index, CUSUM) — operators/stats.py,
+# operators/temporal.py
+# --------------------------------------------------------------------------
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45 tests: chi-square independence of language × source with
+    Cramér's V (operators/stats.py:chi2_independence) — contingency
+    groupBy once, marginals from windows over the tiny aggregate."""
+    from ..operators.stats import chi2_independence
+
+    return chi2_independence(
+        load_table(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), marg AS (
+  SELECT a, b, c,
+         CAST(SUM(c) OVER (PARTITION BY a) AS BIGINT) AS ra,
+         CAST(SUM(c) OVER (PARTITION BY b) AS BIGINT) AS cb,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM cells
+), agg AS (
+  -- only observed cells exist after the GROUP BY; zero cells owe e
+  -- each, and expanding (c-e)^2/e with sum(e)=n gives the exact
+  -- full-grid statistic as sum(c^2/e) - n
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
+         SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+             / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)))
+           - CAST(MAX(n) AS DOUBLE) AS chi2d
+  FROM marg
+)
+SELECT n, n_a, n_b,
+       CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+       round(chi2d, 6) AS chi2,
+       round(sqrt(chi2d / (CAST(n AS DOUBLE) * CAST(least(n_a, n_b) - 1 AS DOUBLE))), 6) AS cramers_v
+FROM agg
+"""
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45 tests: tie-corrected Mann-Whitney U of event value between
+    md5 hash arms, per event type (operators/stats.py:mann_whitney) —
+    doubled integer average ranks, per-type rank windows."""
+    from ..operators.stats import mann_whitney
+
+    return mann_whitney(load_table(spark, sf_dir, "events"))
+
+
+SQL_MANN_WHITNEY = """
+WITH base AS (
+  SELECT event_type AS t, value AS v,
+         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE 0 END AS is_a
+  FROM events
+), grp AS (
+  SELECT t, v, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(is_a) AS BIGINT) AS cnt_a
+  FROM base GROUP BY 1, 2
+), ranked AS (
+  SELECT t, cnt, cnt_a,
+         CAST(SUM(cnt) OVER (PARTITION BY t ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS BIGINT) AS start
+  FROM grp
+), sums AS (
+  SELECT t, CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+         CAST(SUM(cnt) - SUM(cnt_a) AS BIGINT) AS n_b,
+         CAST(SUM((2 * start + cnt - 1) * cnt_a) AS BIGINT) AS r2a,
+         CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+  FROM ranked GROUP BY 1
+), z AS (
+  SELECT t, n_a, n_b,
+         CAST(r2a AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0 AS u_a,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+         CAST(ties AS DOUBLE) AS td
+  FROM sums WHERE n_a > 0 AND n_b > 0
+)
+SELECT t AS event_type, n_a, n_b, round(u_a, 6) AS u_a,
+       round(CASE WHEN na * nb / 12.0 * ((n + 1.0) - td / (n * (n - 1.0))) > 0
+                  THEN (u_a - na * nb / 2.0)
+                       / sqrt(na * nb / 12.0 * ((n + 1.0) - td / (n * (n - 1.0))))
+                  ELSE 0.0 END, 6) AS z_score
+FROM z
+"""
+
+
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45 tests: first-significant-digit Benford screen over order
+    totals (operators/stats.py:benford_profile) — integer-exact digit
+    extraction (cents → decimal string), baked milli expectations."""
+    from ..operators.stats import benford_profile
+
+    return benford_profile(load_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
+SQL_BENFORD_PROFILE = """
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cc FROM orders
+), d AS (
+  SELECT CAST(substring(CAST(abs(cc) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM cents WHERE abs(cc) >= 1
+), c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1
+), t AS (
+  SELECT digit, n_obs, CAST(SUM(n_obs) OVER () AS BIGINT) AS tot,
+         CAST(list_extract([301,176,125,97,79,67,58,51,46],
+                           CAST(digit AS INTEGER)) AS BIGINT) AS p_benford_milli
+  FROM c
+)
+SELECT digit, n_obs,
+       (CAST(1000 AS BIGINT) * n_obs) // tot AS p_obs_milli,
+       p_benford_milli,
+       (CAST(1000 AS BIGINT) * n_obs) // tot - p_benford_milli AS dev_milli
+FROM t
+"""
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46 series diagnostics: daily-series ACF lags 1-7 per event
+    type (operators/temporal.py:autocorrelation) — integer moment
+    sums over the daily aggregate, equi-join lag pairing."""
+    return temporal.autocorrelation(load_table(spark, sf_dir, "events"))
+
+
+SQL_AUTOCORRELATION = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+         CAST(floor(SUM(CAST(value AS DECIMAL(18,6)))) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+         CAST(SUM(y * y) AS BIGINT) AS ss
+  FROM daily GROUP BY 1
+), lags AS (
+  SELECT dl.g, dl.y AS y_t, l.lag, dl.d - CAST(l.lag AS INTEGER) AS d
+  FROM daily dl CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+), pairs AS (
+  SELECT la.g, la.lag, la.y_t, dd.y AS y_lag
+  FROM lags la JOIN daily dd ON dd.g = la.g AND dd.d = la.d
+), psums AS (
+  SELECT g, CAST(lag AS BIGINT) AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(y_t * y_lag) AS BIGINT) AS spp,
+         CAST(SUM(y_t) AS BIGINT) AS sp1, CAST(SUM(y_lag) AS BIGINT) AS sp0
+  FROM pairs GROUP BY 1, 2
+)
+SELECT p.g AS event_type, p.lag, p.n_pairs,
+       round((CAST(spp AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sp1 AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sp0 AS DOUBLE)
+              + CAST(n_pairs AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(ss AS DOUBLE) - CAST(n AS DOUBLE)
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS acf
+FROM psums p JOIN base b ON b.g = p.g
+WHERE (CAST(ss AS DOUBLE) - CAST(n AS DOUBLE)
+       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+"""
+
+
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46 series diagnostics: day-of-week seasonal index per event
+    type (operators/temporal.py:seasonal_profile) — exact cents mass,
+    ratio of integer cross-products."""
+    return temporal.seasonal_profile(load_table(spark, sf_dir, "events"))
+
+
+SQL_SEASONAL_PROFILE = """
+WITH per AS (
+  SELECT event_type AS g,
+         CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 100 AS BIGINT) AS total_cents
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT g, dow, n_events, total_cents,
+         CAST(SUM(n_events) OVER (PARTITION BY g) AS BIGINT) AS n_all,
+         CAST(SUM(total_cents) OVER (PARTITION BY g) AS BIGINT) AS c_all
+  FROM per
+)
+SELECT g AS event_type, dow, n_events, total_cents,
+       round(CAST(total_cents AS DOUBLE) * CAST(n_all AS DOUBLE)
+             / (CAST(n_events AS DOUBLE) * CAST(c_all AS DOUBLE)), 6) AS "index"
+FROM t
+"""
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46 series diagnostics: CUSUM peak deviation + peak day per
+    event type (operators/temporal.py:cusum_drift) — integer-exact
+    argmax on |n·S_t − t·S|, division only at the boundary."""
+    return temporal.cusum_drift(load_table(spark, sf_dir, "events"))
+
+
+SQL_CUSUM_DRIFT = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+         CAST(floor(SUM(CAST(value AS DECIMAL(18,6)))) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT g, d,
+         CAST(SUM(y) OVER (PARTITION BY g ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_t,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS BIGINT) AS t,
+         CAST(SUM(y) OVER (PARTITION BY g) AS BIGINT) AS s,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n_days
+  FROM daily
+), dev AS (
+  SELECT g, d, n_days, abs(n_days * s_t - t * s) AS dev_int,
+         ROW_NUMBER() OVER (PARTITION BY g
+             ORDER BY abs(n_days * s_t - t * s) DESC, d) AS rn
+  FROM cum
+)
+SELECT g AS event_type, n_days, strftime(d, '%Y-%m-%d') AS peak_day,
+       round(CAST(dev_int AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS max_abs_cusum
+FROM dev WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entries 1-50: the round-4 correctness window (driver checks
     # only this prefix). Leads with the 7 oracle-backed queries that had
@@ -5745,6 +5973,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_smooth": q_ewma_smooth,
     "anomaly_mad": q_anomaly_mad,
     "zipf_fit": q_zipf_fit,
+    "chi2_independence": q_chi2_independence,
+    "mann_whitney": q_mann_whitney,
+    "benford_profile": q_benford_profile,
+    "autocorrelation": q_autocorrelation,
+    "seasonal_profile": q_seasonal_profile,
+    "cusum_drift": q_cusum_drift,
     "set_ops": q_set_ops,
     "order_quartiles": q_order_quartiles,
     "join_revenue_rollup": q_join_revenue_rollup,
@@ -6015,4 +6249,10 @@ ORACLE_SQL: dict[str, str] = {
     "ewma_smooth": SQL_EWMA_SMOOTH,
     "anomaly_mad": SQL_ANOMALY_MAD,
     "zipf_fit": SQL_ZIPF_FIT,
+    "chi2_independence": SQL_CHI2_INDEPENDENCE,
+    "mann_whitney": SQL_MANN_WHITNEY,
+    "benford_profile": SQL_BENFORD_PROFILE,
+    "autocorrelation": SQL_AUTOCORRELATION,
+    "seasonal_profile": SQL_SEASONAL_PROFILE,
+    "cusum_drift": SQL_CUSUM_DRIFT,
 }

@@ -663,3 +663,57 @@ def test_zipf_rank_window_partitions_by_slice(spark):
     assert "row_number" in plan
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chi2_windows_over_contingency_only(spark):
+    """One scan; marginal windows run over the tiny contingency
+    aggregate (mutual_info convention), never over raw documents."""
+    plan = _plan(spark, "chi2_independence")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mann_whitney_rank_window_by_type(spark):
+    """Values collapse to (type, value) groups before ranking; the
+    rank window partitions by the type key."""
+    plan = _plan(spark, "mann_whitney")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_benford_single_scan_integer_path(spark):
+    """One scan, one map-side-combined groupBy; no joins at all."""
+    plan = _plan(spark, "benford_profile")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert "partial_" in plan
+
+
+def test_autocorrelation_one_scan_no_join(spark):
+    """Window row-lags (day-gap filtered) replace the self-join: ONE
+    events scan, no join of any kind, moments and lag expansion share
+    the per-group exchange of the daily aggregate."""
+    plan = _plan(spark, "autocorrelation")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_profile_single_scan_window_on_aggregate(spark):
+    """One scan; totals come from windows over the ≤7-row-per-group
+    aggregate."""
+    plan = _plan(spark, "seasonal_profile")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert "partial_" in plan
+
+
+def test_cusum_windows_partition_by_group(spark):
+    """Cumulative/pick windows all partition by the group key over the
+    daily aggregate — parallel across groups, one scan."""
+    plan = _plan(spark, "cusum_drift")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert "row_number" in plan

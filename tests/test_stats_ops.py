@@ -199,3 +199,148 @@ def test_zipf_fit_recovers_minus_one(spark):
     assert len(out) == 1
     assert abs(out[0]["slope"] + 1.0) < 0.05
     assert out[0]["r2"] > 0.995
+
+
+# ---- session-6 batch 2: chi², Mann-Whitney, Benford, ACF, seasonal, CUSUM
+
+
+def _arm_of(uid: int) -> str:
+    import hashlib
+
+    return "a" if hashlib.md5(str(uid).encode()).hexdigest()[0] < "8" else "b"
+
+
+def test_chi2_perfect_dependence(spark):
+    """Diagonal contingency (a determines b) -> Cramér's V = 1."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    rows = [(f"x{i % 3}", f"y{i % 3}") for i in range(90)]
+    r = chi2_independence(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r["n"] == 90 and r["n_a"] == 3 and r["n_b"] == 3 and r["dof"] == 4
+    assert abs(r["cramers_v"] - 1.0) < 1e-9
+    assert abs(r["chi2"] - 180.0) < 1e-6  # n * min_dim = 90 * 2
+
+
+def test_chi2_independent_uniform(spark):
+    """Product-form table -> chi2 exactly 0."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    rows = [(f"x{i % 2}", f"y{j % 5}") for i in range(2) for j in range(5) for _ in range(7)]
+    r = chi2_independence(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def test_mann_whitney_separated_arms(spark):
+    """All arm-a values below all arm-b values -> U_a = 0 and the
+    z-score matches the no-ties closed form."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        mann_whitney,
+    )
+
+    a_users = [u for u in range(100) if _arm_of(u) == "a"][:3]
+    b_users = [u for u in range(100) if _arm_of(u) == "b"][:3]
+    rows = [(u, "t", float(i + 1)) for i, u in enumerate(a_users)] + [
+        (u, "t", float(i + 10)) for i, u in enumerate(b_users)
+    ]
+    r = mann_whitney(
+        spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    ).collect()[0]
+    assert r["n_a"] == 3 and r["n_b"] == 3 and r["u_a"] == 0.0
+    expected_z = (0.0 - 4.5) / math.sqrt(3 * 3 * 7 / 12.0)
+    assert abs(r["z_score"] - round(expected_z, 6)) < 1e-9
+
+
+def test_mann_whitney_all_tied_is_zero(spark):
+    """Every value identical -> tie-corrected variance 0 -> z = 0."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        mann_whitney,
+    )
+
+    rows = [(u, "t", 7.0) for u in range(40)]
+    r = mann_whitney(
+        spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    ).collect()[0]
+    assert r["z_score"] == 0.0
+
+
+def test_benford_planted_digits(spark):
+    """30/10/10 split over digits 1/2/9 -> exact milli shares, and the
+    expectations are the baked literals."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        benford_profile,
+        BENFORD_MILLI,
+    )
+
+    vals = [123.45] * 30 + [234.56] * 10 + [987.0] * 10
+    df = spark.createDataFrame([(v,) for v in vals], "amt double")
+    out = {r["digit"]: r for r in benford_profile(df, "amt").collect()}
+    assert out[1]["n_obs"] == 30 and out[1]["p_obs_milli"] == 600
+    assert out[2]["p_obs_milli"] == 200 and out[9]["p_obs_milli"] == 200
+    assert out[1]["p_benford_milli"] == BENFORD_MILLI[0]
+    assert out[9]["dev_milli"] == 200 - BENFORD_MILLI[8]
+
+
+def test_autocorrelation_alternating_series(spark):
+    """Zero-mean alternating daily series -> acf(1) = -1, acf(2) = +1
+    up to edge effects on a 20-day window."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        autocorrelation,
+    )
+
+    rows = [
+        (i, f"2024-01-{d:02d} 00:00:00", 1, "t", 100.0 if d % 2 else 300.0)
+        for i, d in enumerate(range(1, 29))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["lag"]: r["acf"] for r in autocorrelation(df).collect()}
+    assert out[1] < -0.9 and out[2] > 0.85
+    assert out[3] < -0.8 and out[4] > 0.8
+
+
+def test_seasonal_profile_flat_series_index_one(spark):
+    """Identical value per event -> every weekday index is exactly 1."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        seasonal_profile,
+    )
+
+    rows = [
+        (i, f"2024-01-{d:02d} 00:00:00", 1, "t", 10.0)
+        for i, d in enumerate(range(1, 29))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = seasonal_profile(df).collect()
+    assert len(out) == 7
+    for r in out:
+        assert r["index"] == 1.0 and r["n_events"] == 4
+
+
+def test_cusum_level_shift_peaks_at_boundary(spark):
+    """10 days at 100 then 10 days at 200: mean 150, peak |cusum| =
+    500 exactly at the shift boundary (day 10)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        cusum_drift,
+    )
+
+    rows = [
+        (i, f"2024-01-{d:02d} 00:00:00", 1, "t", 100.0 if d <= 10 else 200.0)
+        for i, d in enumerate(range(1, 21))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = cusum_drift(df).collect()[0]
+    assert r["n_days"] == 20
+    assert r["peak_day"] == "2024-01-10"
+    assert r["max_abs_cusum"] == 500.0
