@@ -143,6 +143,9 @@ HEADLINE = [
     "autocorrelation",
     "seasonal_profile",
     "cusum_drift",
+    "lorenz_curve",
+    "rolling_zscore",
+    "winsorized_stats",
 ]
 
 

@@ -444,3 +444,109 @@ def benford_profile(
         exp_map.alias("p_benford_milli"),
         (F.expr("(1000 * n_obs) div __tot") - exp_map).alias("dev_milli"),
     )
+
+
+def lorenz_curve(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    n_points: int = 10,
+) -> DataFrame:
+    """Lorenz curve of weight concentration per group — the decile
+    companion to `gini_concentration`: after sorting units ascending
+    by weight, what share of total weight do the bottom 10%, 20%, …
+    hold. (A uniform distribution puts the k-th decile at k/10; deep
+    inequality pins early deciles near 0.)
+
+    Integer-exact: unit totals, ranks, running sums and the decile
+    bucketing all stay in longs; shares are milli integer divisions.
+    Rank r closes point p when ``(r·P) div n`` strictly exceeds
+    ``((r−1)·P) div n`` — the closed-form boundary test, no lag
+    window. Ranks ride a per-group window (parallel across groups;
+    monster groups → assign_global_ids, rfm convention). Points with
+    an empty prefix (n < n_points) are omitted.
+    Output: (group, point, n_units, cum_weight, share_milli).
+    """
+    per_unit = df.groupBy(
+        F.col(group_col).alias("g"), F.col(unit_col).alias("u")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    rw = Window.partitionBy("g").orderBy("x", "u")
+    wg = Window.partitionBy("g")
+    ranked = per_unit.select(
+        "g",
+        "x",
+        F.row_number().over(rw).cast("long").alias("r"),
+        F.sum("x").over(rw.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.count(F.lit(1)).over(wg).cast("long").alias("n"),
+        F.sum("x").over(wg).alias("tot"),
+    )
+    p = n_points
+    boundary = ranked.filter(
+        F.expr(f"(r * {p}) div n > ((r - 1) * {p}) div n")
+    )
+    return boundary.select(
+        F.col("g").alias(group_col),
+        F.expr(f"(r * {p}) div n").alias("point"),
+        F.col("n").alias("n_units"),
+        F.col("cum").alias("cum_weight"),
+        F.expr("(1000 * cum) div tot").alias("share_milli"),
+    )
+
+
+def winsorized_stats(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorized moments: clamp values to the [p01, p99]
+    band and report the clipped mean/std next to the raw mean — the
+    feature-engineering staple that keeps a fat tail from owning a
+    normalization constant.
+
+    Exact percentiles (one aggregate pass) broadcast back; the
+    clamped values are cast to DECIMAL(18,6) before summing so both
+    clipped moments are order-free exact, with only the final scalar
+    arithmetic in doubles (round 6). At corpus scale the same shape
+    runs on approx_percentile sketches (`approx_quantiles` twin).
+
+    Output: (group, n, p_lo, p_hi, mean_raw, mean_winsor, std_winsor).
+    """
+    bounds = events.groupBy(F.col(group_col).alias("g")).agg(
+        F.expr(f"percentile({value_col}, {lower_q})").alias("p_lo"),
+        F.expr(f"percentile({value_col}, {upper_q})").alias("p_hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__s_raw"),
+    )
+    j = events.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).join(F.broadcast(bounds), "g")
+    clipped = F.least(F.greatest(F.col("v"), F.col("p_lo")), F.col("p_hi")).cast(
+        "decimal(18,6)"
+    )
+    agg = j.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.max("p_lo").alias("p_lo"),
+        F.max("p_hi").alias("p_hi"),
+        F.max("__s_raw").alias("__s_raw"),
+        F.sum(clipped).alias("__s_w"),
+        F.sum(clipped * clipped).alias("__ss_w"),
+    )
+    nd = F.col("n").cast("double")
+    mean_w = F.col("__s_w").cast("double") / nd
+    var_w = (
+        nd * F.col("__ss_w").cast("double")
+        - F.col("__s_w").cast("double") * F.col("__s_w").cast("double")
+    ) / (nd * (nd - 1.0))
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.round("p_lo", 6).alias("p_lo"),
+        F.round("p_hi", 6).alias("p_hi"),
+        F.round(F.col("__s_raw").cast("double") / nd, 6).alias("mean_raw"),
+        F.round(mean_w, 6).alias("mean_winsor"),
+        F.round(F.sqrt(var_w), 6).alias("std_winsor"),
+    )

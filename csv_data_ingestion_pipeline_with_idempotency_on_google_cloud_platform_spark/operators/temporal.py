@@ -672,3 +672,49 @@ def cusum_drift(
             ).alias("max_abs_cusum"),
         )
     )
+
+
+def rolling_zscore(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lookback: int = 7,
+    min_history: int = 3,
+) -> DataFrame:
+    """Day-over-history anomaly score: each day's total against the
+    mean/std of the previous ``lookback`` observed days — the rolling
+    control band that catches "today is 4σ off its own trailing week"
+    without a global model.
+
+    The trailing moments are integer sums (whole-unit daily totals
+    from the shared helper) over a ROWS frame per group — exact, so
+    the sample std closed form √((k·Σy²−(Σy)²)/(k·(k−1))) and the z
+    score are scalar double math, rounded to 6 dp. Days with fewer
+    than ``min_history`` prior observations or zero variance are
+    omitted. One scan; windows partition by the group key.
+
+    Output: (group, day, y, z).
+    """
+    daily = _daily_units(events, group_col, ts_col, value_col)
+    word = Window.partitionBy("g").orderBy("d")
+    frame = word.rowsBetween(-lookback, -1)
+    rolled = daily.select(
+        "g",
+        "d",
+        "y",
+        F.count(F.lit(1)).over(frame).cast("long").alias("k"),
+        F.sum("y").over(frame).alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(frame).alias("ss"),
+    ).filter(F.col("k") >= min_history)
+    kd = F.col("k").cast("double")
+    mean = F.col("s").cast("double") / kd
+    var = (kd * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double")) / (
+        kd * (kd - 1.0)
+    )
+    return rolled.filter(var > 0).select(
+        F.col("g").alias(group_col),
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "y",
+        F.round((F.col("y").cast("double") - mean) / F.sqrt(var), 6).alias("z"),
+    )

@@ -5925,6 +5925,106 @@ FROM dev WHERE rn = 1
 """
 
 
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 statistics: per-type Lorenz curve of traffic concentration
+    (operators/stats.py:lorenz_curve) — integer decile boundaries via
+    the closed-form rank test, milli shares, per-group rank windows."""
+    from ..operators.stats import lorenz_curve
+
+    return lorenz_curve(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+SQL_LORENZ_CURVE = """
+WITH pu AS (
+  SELECT event_type AS g, user_id AS u, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT g, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, u) AS BIGINT) AS r,
+         CAST(SUM(x) OVER (PARTITION BY g ORDER BY x, u
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+         CAST(SUM(x) OVER (PARTITION BY g) AS BIGINT) AS tot
+  FROM pu
+)
+SELECT g AS event_type, (r * 10) // n AS point, n AS n_units,
+       cum AS cum_weight, (CAST(1000 AS BIGINT) * cum) // tot AS share_milli
+FROM r WHERE (r * 10) // n > ((r - 1) * 10) // n
+"""
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46 series diagnostics: day-vs-trailing-week control band per
+    event type (operators/temporal.py:rolling_zscore) — integer
+    trailing moments over a ROWS frame, closed-form sample std."""
+    return temporal.rolling_zscore(load_table(spark, sf_dir, "events"))
+
+
+SQL_ROLLING_ZSCORE = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+         CAST(floor(SUM(CAST(value AS DECIMAL(18,6)))) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), rolled AS (
+  SELECT g, d, y,
+         CAST(COUNT(*) OVER w AS BIGINT) AS k,
+         CAST(SUM(y) OVER w AS BIGINT) AS s,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY g ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT g AS event_type, strftime(d, '%Y-%m-%d') AS day, y,
+       round((CAST(y AS DOUBLE) - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+             / sqrt((CAST(k AS DOUBLE) * CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                    / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0))), 6) AS z
+FROM rolled
+WHERE k >= 3
+  AND (CAST(k AS DOUBLE) * CAST(ss AS DOUBLE)
+       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)) > 0
+"""
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 feature engineering: winsorized moments per event type
+    (operators/stats.py:winsorized_stats) — exact percentiles
+    broadcast back, DECIMAL-exact clipped sums."""
+    from ..operators.stats import winsorized_stats
+
+    return winsorized_stats(load_table(spark, sf_dir, "events"))
+
+
+SQL_WINSORIZED_STATS = """
+WITH b AS (
+  SELECT event_type AS g, quantile_cont(value, 0.01) AS p_lo,
+         quantile_cont(value, 0.99) AS p_hi,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s_raw
+  FROM events GROUP BY 1
+), j AS (
+  -- DECIMAL(19,6): same values as the engine's (18,6); INT128 storage
+  -- keeps DuckDB's cv*cv product off its INT64 overflow path
+  SELECT e.event_type AS g, b.n, b.p_lo, b.p_hi, b.s_raw,
+         CAST(least(greatest(e.value, b.p_lo), b.p_hi) AS DECIMAL(19,6)) AS cv
+  FROM events e JOIN b ON b.g = e.event_type
+), a AS (
+  SELECT g, MAX(n) AS n, MAX(p_lo) AS p_lo, MAX(p_hi) AS p_hi,
+         MAX(s_raw) AS s_raw, SUM(cv) AS s_w, SUM(cv * cv) AS ss_w
+  FROM j GROUP BY 1
+)
+SELECT g AS event_type, n, round(p_lo, 6) AS p_lo, round(p_hi, 6) AS p_hi,
+       round(CAST(s_raw AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_raw,
+       round(CAST(s_w AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_winsor,
+       round(sqrt((CAST(n AS DOUBLE) * CAST(ss_w AS DOUBLE)
+                   - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS std_winsor
+FROM a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entries 1-50: the round-4 correctness window (driver checks
     # only this prefix). Leads with the 7 oracle-backed queries that had
@@ -5979,6 +6079,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "autocorrelation": q_autocorrelation,
     "seasonal_profile": q_seasonal_profile,
     "cusum_drift": q_cusum_drift,
+    "lorenz_curve": q_lorenz_curve,
+    "rolling_zscore": q_rolling_zscore,
+    "winsorized_stats": q_winsorized_stats,
     "set_ops": q_set_ops,
     "order_quartiles": q_order_quartiles,
     "join_revenue_rollup": q_join_revenue_rollup,
@@ -6255,4 +6358,7 @@ ORACLE_SQL: dict[str, str] = {
     "autocorrelation": SQL_AUTOCORRELATION,
     "seasonal_profile": SQL_SEASONAL_PROFILE,
     "cusum_drift": SQL_CUSUM_DRIFT,
+    "lorenz_curve": SQL_LORENZ_CURVE,
+    "rolling_zscore": SQL_ROLLING_ZSCORE,
+    "winsorized_stats": SQL_WINSORIZED_STATS,
 }

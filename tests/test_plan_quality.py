@@ -717,3 +717,25 @@ def test_cusum_windows_partition_by_group(spark):
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Join" not in plan
     assert "row_number" in plan
+
+
+def test_lorenz_one_scan_group_windows(spark):
+    plan = _plan(spark, "lorenz_curve")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert "row_number" in plan
+
+
+def test_rolling_zscore_one_scan_no_join(spark):
+    plan = _plan(spark, "rolling_zscore")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+
+
+def test_winsorized_bounds_broadcast(spark):
+    """Percentile bounds join back by broadcast; the fact side is
+    never shuffled for the join."""
+    plan = _plan(spark, "winsorized_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 2

@@ -344,3 +344,72 @@ def test_cusum_level_shift_peaks_at_boundary(spark):
     assert r["n_days"] == 20
     assert r["peak_day"] == "2024-01-10"
     assert r["max_abs_cusum"] == 500.0
+
+
+# ---- session-6 batch 3: Lorenz curve, rolling z-score, winsorized stats
+
+
+def test_lorenz_uniform_and_concentrated(spark):
+    """10 equal units -> share at decile p is exactly 100p milli; a
+    91%-dominant unit pushes decile 9 down to 90 milli."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        lorenz_curve,
+    )
+
+    eq = [("u", i) for i in range(10)]
+    conc = [("c", 0)] * 91 + [("c", i) for i in range(1, 10)]
+    df = spark.createDataFrame(eq + conc, "event_type string, user_id long")
+    out = lorenz_curve(df, "event_type", "user_id").collect()
+    u = {r["point"]: r["share_milli"] for r in out if r["event_type"] == "u"}
+    c = {r["point"]: r["share_milli"] for r in out if r["event_type"] == "c"}
+    assert u == {p: 100 * p for p in range(1, 11)}
+    assert c[9] == 90 and c[10] == 1000
+    for p in range(1, 10):
+        assert c[p] == 10 * p  # bottom 9 units hold 1 of 100 each
+
+
+def test_rolling_zscore_flags_spike_omits_flat(spark):
+    """An alternating-history series with a planted 10x spike scores
+    it far outside the band; a perfectly flat series yields no rows
+    (zero trailing variance)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        rolling_zscore,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        v = 99.0 if d % 2 else 101.0
+        rows.append((eid, f"2024-01-{d:02d} 00:00:00", 1, "spiky", v)); eid += 1
+    rows.append((eid, "2024-01-11 00:00:00", 1, "spiky", 1000.0)); eid += 1
+    for d in range(1, 12):
+        rows.append((eid, f"2024-01-{d:02d} 00:00:00", 1, "flat", 50.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = rolling_zscore(df).collect()
+    assert all(r["event_type"] == "spiky" for r in out)
+    spike = next(r for r in out if r["day"] == "2024-01-11")
+    assert spike["z"] > 100
+    calm = [r["z"] for r in out if r["day"] != "2024-01-11"]
+    assert calm and all(abs(z) < 3 for z in calm)
+
+
+def test_winsorized_stats_tames_outlier(spark):
+    """One 1000x outlier in a tight bulk: the winsorized mean stays at
+    the bulk while the raw mean is dragged up; p_hi sits in the bulk's
+    tail, far below the outlier."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        winsorized_stats,
+    )
+
+    vals = [10.0 + (i % 10) * 0.1 for i in range(199)] + [10000.0]
+    df = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    r = winsorized_stats(df).collect()[0]
+    assert r["n"] == 200
+    assert r["mean_raw"] > 55  # outlier owns the raw mean
+    assert 10.0 <= r["mean_winsor"] < 12.0
+    assert r["p_hi"] < 100 and r["std_winsor"] < 5
