@@ -16,3 +16,7 @@ from .stateful_dedup import streaming_exact_dedup  # noqa: F401
 from .neardup_stream import start_neardup_stream  # noqa: F401
 from .text_index_stream import start_text_index_stream  # noqa: F401
 from .scd2_stream import streaming_scd2  # noqa: F401
+from .anomaly_stream import (  # noqa: F401
+    streaming_cusum_monitor,
+    train_targets,
+)
