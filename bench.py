@@ -146,6 +146,9 @@ HEADLINE = [
     "lorenz_curve",
     "rolling_zscore",
     "winsorized_stats",
+    "calibration_curve",
+    "hhi_concentration",
+    "dup_rate_by_source",
 ]
 
 

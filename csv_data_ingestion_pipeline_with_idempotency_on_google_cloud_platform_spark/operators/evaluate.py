@@ -223,3 +223,60 @@ def ndcg_at_k(
         .otherwise(F.lit(0).cast("long"))
         .alias("ndcg_milli"),
     )
+
+
+def calibration_table(
+    scored: DataFrame,
+    score_col: str = "score_milli",
+    label_col: str = "is_pos",
+    id_col: str = "doc_id",
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Calibration table: per score-decile, the mean predicted score
+    next to the actual positive rate — the reliability diagram's data.
+    A well-calibrated ranker shows the two moving together; a cliff
+    between them is exactly what threshold selection needs to see
+    before a quality gate ships.
+
+    Same machinery as decile_lift (range-partitioned global ranks →
+    closed-form ntile, no single-partition window); both outputs are
+    integer divisions of exact long sums, so the table is engine-exact.
+    Output: (decile, n_rows, n_pos, mean_score_milli, pos_rate_milli),
+    decile 1 = highest scores.
+    """
+    from .packing import assign_global_ids
+
+    keyed = scored.select(
+        F.col(label_col).cast("long").alias("__y"),
+        F.col(score_col).cast("long").alias("__s"),
+        F.struct(
+            (-F.col(score_col)).cast("long").alias("k"),
+            F.col(id_col).alias("u"),
+        ).alias("__k"),
+    )
+    ranked = assign_global_ids(keyed, "__k", num_partitions=32, id_col="__r")
+    n = ranked.count()
+    q, r = divmod(n, n_tiles)
+    boundary = r * (q + 1)
+    i = F.col("__r")
+    tile = (
+        F.when(i < F.lit(boundary), F.floor(i / F.lit(q + 1)))
+        .otherwise(F.lit(r) + F.floor((i - F.lit(boundary)) / F.lit(max(q, 1))))
+        + 1
+    ).cast("long")
+    per_tile = (
+        ranked.select(tile.alias("decile"), "__y", "__s")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("__y").alias("n_pos"),
+            F.sum("__s").alias("__sum_s"),
+        )
+    )
+    return per_tile.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.expr("__sum_s div n_rows").alias("mean_score_milli"),
+        F.expr("(1000 * n_pos) div n_rows").alias("pos_rate_milli"),
+    )

@@ -550,3 +550,34 @@ def winsorized_stats(
         F.round(mean_w, 6).alias("mean_winsor"),
         F.round(F.sqrt(var_w), 6).alias("std_winsor"),
     )
+
+
+def hhi_concentration(
+    df: DataFrame, group_col: str, unit_col: str
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group — the
+    antitrust-style single number (Σ share², 10000-point scale: 10000
+    = monopoly, →0 = fragmented) complementing [Gini, Lorenz] with a
+    squared-share view that weights the very largest units hardest.
+
+    Pure integer: per-unit counts, Σx and Σx² are exact longs, and
+    HHI = (10000·Σx²) div (Σx)² — integer `div`, engine-exact. One
+    map-side-combined groupBy per level, no window at all. (Σx² and
+    the (Σx)² product stay inside long range up to ~3·10⁹-event
+    groups; past that, promote to DECIMAL sums.)
+    Output: (group, n_units, total, hhi).
+    """
+    per_unit = df.groupBy(
+        F.col(group_col).alias("g"), F.col(unit_col).alias("u")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    sums = per_unit.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("x").alias("total"),
+        F.sum(F.col("x") * F.col("x")).alias("__sxx"),
+    )
+    return sums.select(
+        F.col("g").alias(group_col),
+        "n_units",
+        "total",
+        F.expr("(10000 * __sxx) div (total * total)").alias("hhi"),
+    )

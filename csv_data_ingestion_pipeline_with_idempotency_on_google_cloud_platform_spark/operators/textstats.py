@@ -616,3 +616,39 @@ def zipf_fit(
             6,
         ).alias("r2"),
     )
+
+
+def dup_rate_by_source(
+    docs: DataFrame, slice_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Within-slice exact-duplicate rate — the corpus-QA rollup that
+    answers "which feed is re-sending content" before dedup even runs:
+    per slice, total docs vs distinct normalized content hashes.
+
+    Catalyst plans count(distinct) as a two-level aggregate ((slice,
+    hash) pre-aggregate, then the count), so the shuffle carries
+    distinct pairs, not raw text. All outputs are integer (milli rate
+    via `div`). Uses the same SHA-256-over-normalized-text key as the
+    X1 exact-dedup operator, so the rate here predicts exactly what
+    exact_dedup would drop.
+    Output: (slice, n_docs, n_unique, n_dups, dup_rate_milli).
+    """
+    from ..functions.text import content_hash_col
+
+    agg = parallelize_narrow(docs).groupBy(
+        F.col(slice_col).alias("s")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(content_hash_col(text_col)).cast("long").alias(
+            "n_unique"
+        ),
+    )
+    return agg.select(
+        F.col("s").alias(slice_col),
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique")).alias("n_dups"),
+        F.expr("(1000 * (n_docs - n_unique)) div n_docs").alias(
+            "dup_rate_milli"
+        ),
+    )

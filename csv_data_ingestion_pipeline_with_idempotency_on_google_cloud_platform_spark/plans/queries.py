@@ -6025,6 +6025,85 @@ FROM a
 """
 
 
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33 model evaluation: reliability table of the quality
+    classifier (operators/evaluate.py:calibration_table) — decile
+    machinery shared with decile_lift, integer-exact outputs."""
+    from ..operators.classify import classify_corpus
+    from ..operators.evaluate import calibration_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = classify_corpus(
+        docs, label_col="lang", positive="en", vocab_size=4096
+    )
+    return calibration_table(scored)
+
+
+SQL_CALIBRATION_CURVE = f"""
+WITH scored AS ({SQL_QUALITY_CLASSIFIER}),
+tiled AS (
+  SELECT CAST(is_pos AS BIGINT) AS y, CAST(score_milli AS BIGINT) AS s,
+         CAST(NTILE(10) OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT)
+           AS decile
+  FROM scored
+)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(s) AS BIGINT) // COUNT(*) AS mean_score_milli,
+       (CAST(1000 AS BIGINT) * CAST(SUM(y) AS BIGINT)) // COUNT(*) AS pos_rate_milli
+FROM tiled GROUP BY decile
+"""
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 concentration: Herfindahl index of per-user traffic share
+    per event type (operators/stats.py:hhi_concentration) — pure
+    integer, two map-side-combined groupBys, no window."""
+    from ..operators.stats import hhi_concentration
+
+    return hhi_concentration(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+SQL_HHI_CONCENTRATION = """
+WITH pu AS (
+  SELECT event_type AS g, user_id AS u, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_units, CAST(SUM(x) AS BIGINT) AS total,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pu GROUP BY 1
+)
+SELECT g AS event_type, n_units, total,
+       (CAST(10000 AS BIGINT) * sxx) // (total * total) AS hhi
+FROM s
+"""
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X11 corpus QA: within-source exact-duplicate rate using the
+    X1 content hash (operators/textstats.py:dup_rate_by_source) —
+    two-level distinct aggregate, integer milli rate."""
+    return textstats.dup_rate_by_source(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DUP_RATE_BY_SOURCE = r"""
+WITH h AS (
+  SELECT source AS s,
+         sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS ch
+  FROM documents
+), a AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_unique
+  FROM h GROUP BY 1
+)
+SELECT s AS source, n_docs, n_unique, n_docs - n_unique AS n_dups,
+       (CAST(1000 AS BIGINT) * (n_docs - n_unique)) // n_docs AS dup_rate_milli
+FROM a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entries 1-50: the round-4 correctness window (driver checks
     # only this prefix). Leads with the 7 oracle-backed queries that had
@@ -6082,6 +6161,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lorenz_curve": q_lorenz_curve,
     "rolling_zscore": q_rolling_zscore,
     "winsorized_stats": q_winsorized_stats,
+    "calibration_curve": q_calibration_curve,
+    "hhi_concentration": q_hhi_concentration,
+    "dup_rate_by_source": q_dup_rate_by_source,
     "set_ops": q_set_ops,
     "order_quartiles": q_order_quartiles,
     "join_revenue_rollup": q_join_revenue_rollup,
@@ -6361,4 +6443,7 @@ ORACLE_SQL: dict[str, str] = {
     "lorenz_curve": SQL_LORENZ_CURVE,
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "winsorized_stats": SQL_WINSORIZED_STATS,
+    "calibration_curve": SQL_CALIBRATION_CURVE,
+    "hhi_concentration": SQL_HHI_CONCENTRATION,
+    "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
 }

@@ -739,3 +739,27 @@ def test_winsorized_bounds_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Location: InMemoryFileIndex") <= 2
+
+
+def test_calibration_no_global_window(spark):
+    """Same contract as decile_lift: global ranks come from the
+    range-partition + offsets path, never a single-partition ntile."""
+    plan = _plan(spark, "calibration_curve")
+    assert "windowspecdefinition()" not in plan
+    assert "ntile" not in plan
+
+
+def test_hhi_two_aggregates_no_window(spark):
+    plan = _plan(spark, "hhi_concentration")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_" in plan
+
+
+def test_dup_rate_two_level_distinct(spark):
+    """count(distinct hash) must plan as the two-level aggregate (the
+    shuffle carries (source, hash) pairs, not raw text)."""
+    plan = _plan(spark, "dup_rate_by_source")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_" in plan
+    assert "Join" not in plan

@@ -413,3 +413,63 @@ def test_winsorized_stats_tames_outlier(spark):
     assert r["mean_raw"] > 55  # outlier owns the raw mean
     assert 10.0 <= r["mean_winsor"] < 12.0
     assert r["p_hi"] < 100 and r["std_winsor"] < 5
+
+
+# ---- session-6 batch 4: calibration table, HHI, duplicate-rate QA
+
+
+def test_calibration_monotone_on_separable_scores(spark):
+    """Scores that perfectly separate labels: top deciles pure
+    positive, bottom pure negative, and mean_score_milli is the exact
+    integer mean of each tile."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.evaluate import (
+        calibration_table,
+    )
+
+    rows = [(i, 1000 - i * 10, 1 if i < 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, score_milli long, is_pos long")
+    out = {r["decile"]: r for r in calibration_table(df).collect()}
+    assert len(out) == 10
+    for d in range(1, 6):
+        assert out[d]["pos_rate_milli"] == 1000
+    for d in range(6, 11):
+        assert out[d]["pos_rate_milli"] == 0
+    # decile 1 holds scores 1000,990,...,910 -> integer mean 955
+    assert out[1]["mean_score_milli"] == 955
+
+
+def test_hhi_extremes(spark):
+    """All traffic on one unit -> HHI 10000; split evenly over 10
+    units -> exactly 1000."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        hhi_concentration,
+    )
+
+    mono = [("m", 1)] * 50
+    frag = [("f", u) for u in range(10) for _ in range(5)]
+    df = spark.createDataFrame(mono + frag, "event_type string, user_id long")
+    out = {r["event_type"]: r["hhi"] for r in hhi_concentration(df, "event_type", "user_id").collect()}
+    assert out["m"] == 10000
+    assert out["f"] == 1000
+
+
+def test_dup_rate_counts_normalized_dupes(spark):
+    """Whitespace/case variants hash identically (X1 normalization);
+    distinct texts don't."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        dup_rate_by_source,
+    )
+
+    rows = [
+        (1, "Hello  World", "a"),
+        (2, "hello world", "a"),     # dup of 1 after normalization
+        (3, "  HELLO\tWORLD ", "a"),  # dup of 1
+        (4, "different", "a"),
+        (5, "x", "b"),
+        (6, "y", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in dup_rate_by_source(df).collect()}
+    assert out["a"]["n_docs"] == 4 and out["a"]["n_unique"] == 2
+    assert out["a"]["n_dups"] == 2 and out["a"]["dup_rate_milli"] == 500
+    assert out["b"]["n_dups"] == 0

@@ -33,6 +33,16 @@ LADDER_QUERIES = [
     "triangle_count",
     "bfs_reachability",
     "copurchase_lift",
+    # round-4 session 6: statistics family (10x events — 10x users,
+    # preserved count/type/value distributions; 10x lineitem/documents
+    # for the moment matrix and Zipf fit). All single-scan closed-form
+    # aggregates: expected ratio <= 10.
+    "corr_matrix",
+    "zipf_fit",
+    "gini_concentration",
+    "mann_whitney",
+    "kaplan_meier",
+    "cusum_drift",
 ]
 
 SF01 = "/root/testdata/sf0.1"

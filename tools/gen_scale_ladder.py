@@ -219,6 +219,46 @@ def gen_part(scale: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+def gen_events(scale: int, rng: np.random.Generator) -> pa.Table:
+    """10× events with 10× DISTINCT users, preserving the structural
+    distributions the statistics family depends on: the per-user
+    event-count distribution (drives Gini/Lorenz concentration and
+    the Mann-Whitney arm sizes), the event-type mix, the value
+    distribution (bootstrap resample), and the observed time span
+    (drives the daily-series length for EWMA/ACF/CUSUM)."""
+    ev = load("events")
+    n = ev.num_rows * scale
+    users = np.asarray(ev.column("user_id").to_pylist())
+    _, cnts = np.unique(users, return_counts=True)
+    n_users = len(cnts) * scale
+    per_user = rng.choice(cnts, size=n_users)
+    user_ids = np.repeat(np.arange(n_users, dtype=np.int64), per_user)
+    if len(user_ids) >= n:
+        user_ids = user_ids[:n]
+    else:
+        pad = rng.integers(0, n_users, size=n - len(user_ids))
+        user_ids = np.concatenate([user_ids, pad])
+    ts_us = np.asarray(ev.column("ts").cast(pa.int64()).to_pylist())
+    types = np.asarray(ev.column("event_type").to_pylist())
+    values = np.asarray(ev.column("value").to_pylist())
+    uniq_t, cnt_t = np.unique(types, return_counts=True)
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array(
+                rng.integers(ts_us.min(), ts_us.max() + 1, size=n),
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array(user_ids, type=pa.int64()),
+            "event_type": pa.array(
+                rng.choice(uniq_t, size=n, p=cnt_t / cnt_t.sum())
+            ),
+            "value": pa.array(rng.choice(values, size=n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "spark-warehouse/ladder_sf1"
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -230,6 +270,7 @@ def main() -> None:
         ("customer", gen_customer),
         ("lineitem", gen_lineitem),
         ("part", gen_part),
+        ("events", gen_events),
     ):
         t = fn(scale, rng)
         pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"))
