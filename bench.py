@@ -149,6 +149,12 @@ HEADLINE = [
     "calibration_curve",
     "hhi_concentration",
     "dup_rate_by_source",
+    # round 4 session 7: oracle-verifiable mergeable sketches +
+    # resampling inference
+    "kmv_distinct",
+    "countmin_freq",
+    "jackknife_mean",
+    "permutation_test",
 ]
 
 

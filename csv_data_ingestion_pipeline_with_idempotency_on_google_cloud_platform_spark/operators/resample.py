@@ -1,0 +1,224 @@
+"""Resampling inference: cluster jackknife and permutation tests.
+
+X45's closed-form z-test assumes independent units and a normal
+sampling distribution. The two estimators here drop those
+assumptions the way a measurement pipeline actually needs at corpus
+scale: the delete-one-GROUP jackknife prices clustered data (events
+cluster inside users; the naive per-row SE is too small), and the
+permutation test replaces the normal approximation with the empirical
+null — without either ever materializing a resample.
+
+The classical formulations redraw the dataset B times. Distributed,
+that is the wrong shape (B shuffles of the corpus). Both operators
+below restate the resample as ALGEBRA over one pass of exact sums:
+
+* jackknife — every leave-one-group-out mean is a closed form of the
+  global (n, S) and that group's (n_g, S_g): theta_g = (S-S_g)/(n-n_g).
+  One map-side-combined groupBy produces all G replicates at once;
+  the replicate moments are summed as milli-quantized BIGINTs (exact,
+  order-free — the determinism contract in operators/stats.py).
+* permutation — the relabeling of row r in replicate b is a pure
+  projection md5(b:r), so "B resamples" is one crossJoin against a
+  B-row literal frame and ONE aggregation to (B, 2) exact partial
+  sums; the shuffle carries partitions x B cells, never data x B.
+
+Reference scope: extension X50 (SURVEY.md §2b) — experimentation
+depth over the same event stream the reference merely counts
+(csv-processor-function/main.py:120-137).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket_col
+
+# micro quantization for replicate moments: replicates enter the sum
+# as floor((theta_g - mean) * 1e6) — CENTERED first, because the
+# jackknife sum of squares is shift-invariant and leave-one-out means
+# hug the global mean, so quantizing the deviation keeps 1e-6
+# resolution with small integers (envelope: Sum t^2 < 2^63 holds up
+# to ~1e5 groups at deviations <= ~10 value units; far beyond any
+# per-slice clustering this is pointed at). Exact and order-free
+# where a double sum over groups would be neither.
+_MICRO = 1000000.0
+
+
+def jackknife_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Delete-one-group jackknife SE of the global mean of
+    ``value_col``, clustering by ``group_col`` (Tukey 1958; the
+    grouped form is the design-effect-aware SE survey pipelines use).
+
+    One groupBy produces every replicate: group partials (n_g, S_g)
+    are exact DECIMAL/BIGINT; the global (n, S, G) rides the SAME
+    aggregate via a window keyed on a non-foldable constant (the
+    repo's single-scan total-over-aggregate idiom — the window sees G
+    already-collapsed rows, never data); theta_g = (S - S_g) /
+    (n - n_g) is scalar double arithmetic per group; replicate
+    moments are summed as centered micro-quantized BIGINTs.
+    var_jack = (G-1)/G * Sum(theta_g - mean(theta))^2 comes off those
+    two integers in the final 1-row projection.
+
+    Output 1 row: (n_rows, n_groups, mean_value, jk_se, ci_lo, ci_hi)
+    with the 95% normal-interval bounds; doubles rounded to 6 dp.
+    """
+    from pyspark.sql import Window
+
+    parts = (
+        df.where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("s_g"),
+        )
+    )
+    wall = Window.partitionBy(F.col("n_g") % 1)
+    enriched = parts.select(
+        "n_g",
+        "s_g",
+        F.sum("n_g").over(wall).cast("long").alias("n"),
+        F.sum("s_g").over(wall).alias("s"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_groups"),
+    )
+    theta = (F.col("s") - F.col("s_g")).cast("double") / (
+        F.col("n") - F.col("n_g")
+    ).cast("double")
+    center = F.col("s").cast("double") / F.col("n").cast("double")
+    t_micro = F.floor((theta - center) * F.lit(_MICRO)).cast("long")
+    reps = (
+        enriched.select(
+            "n", "n_groups", F.col("s").alias("s_all"), t_micro.alias("t")
+        )
+        .groupBy("n", "n_groups", "s_all")
+        .agg(
+            F.sum("t").cast("long").alias("st"),
+            F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        )
+    )
+    g = F.col("n_groups").cast("double")
+    st = F.col("st").cast("double")
+    stt = F.col("stt").cast("double")
+    # var_jack = (G-1)/G * SS where SS = stt - st^2/G (replicate sum of
+    # squares in micro^2, shift-invariant so centering cancels); guard
+    # the single-group degenerate case
+    var = F.when(
+        F.col("n_groups") > 1,
+        (g - 1.0) / g * (stt - st * st / g) / (_MICRO * _MICRO),
+    ).otherwise(F.lit(0.0))
+    mean = F.col("s_all").cast("double") / F.col("n").cast("double")
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return reps.select(
+        F.col("n").alias("n_rows"),
+        "n_groups",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(se, 6).alias("jk_se"),
+        F.round(mean - 1.96 * se, 6).alias("ci_lo"),
+        F.round(mean + 1.96 * se, 6).alias("ci_hi"),
+    )
+
+
+def permutation_test(
+    df: DataFrame,
+    type_col: str,
+    value_col: str,
+    id_col: str,
+    type_a: str,
+    type_b: str,
+    reps: int = 100,
+) -> DataFrame:
+    """Two-sample permutation test of the difference in means between
+    ``type_a`` and ``type_b`` rows, relabeled deterministically.
+
+    Replicate b relabels row r into arm A iff the first hex char of
+    md5('b:r') < '8' (the engine-agnostic coin sampling.hash_split
+    flips) — the random-relabeling form of the permutation test: arm
+    sizes vary binomially around n/2 instead of being held fixed,
+    which keeps the null exchangeable while avoiding B global sorts.
+    The B replicates come from one crossJoin against a broadcast
+    B-row frame; ONE aggregation reduces the (row x replicate) cells
+    to B exact (DECIMAL sum, count) pairs per arm, so the shuffle is
+    partitions x B combiner cells regardless of data size.
+
+    p = (1 + #{b : T_b >= T_obs}) / (B + 1), T = |mean_a - mean_b|
+    (add-one: the observed labeling is itself a permutation). Output
+    1 row: (b_reps, n_a, n_b, t_obs, n_ge, p_milli) — p in exact
+    integer milli, T rounded to 6 dp.
+    """
+    spark = df.sparkSession
+    base = (
+        df.where(
+            F.col(type_col).isin([type_a, type_b])
+            & F.col(id_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("rid"),
+            (F.col(type_col) == type_a).alias("is_a"),
+            F.col(value_col).cast("decimal(18,6)").alias("v"),
+        )
+    )
+
+    def _stat(sa: Column, na: Column, sb: Column, nb: Column) -> Column:
+        return F.when(
+            (na > 0) & (nb > 0),
+            F.abs(
+                sa.cast("double") / na.cast("double")
+                - sb.cast("double") / nb.cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+
+    obs = base.groupBy().agg(
+        F.sum(F.when(F.col("is_a"), F.col("v"))).alias("sa"),
+        F.count(F.when(F.col("is_a"), 1)).cast("long").alias("na"),
+        F.sum(F.when(~F.col("is_a"), F.col("v"))).alias("sb"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("long").alias("nb"),
+    )
+    reps_df = spark.range(reps).select(F.col("id").cast("int").alias("b"))
+    coin = hash_bucket_col(
+        F.concat(
+            F.col("b").cast("string"), F.lit(":"), F.col("rid").cast("string")
+        ),
+        1,
+    ) < F.lit("8")
+    per_rep = (
+        base.select("rid", "v")
+        .crossJoin(F.broadcast(reps_df))
+        .select("b", "v", coin.alias("is_a"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("is_a"), F.col("v"))).alias("sa"),
+            F.count(F.when(F.col("is_a"), 1)).cast("long").alias("na"),
+            F.sum(F.when(~F.col("is_a"), F.col("v"))).alias("sb"),
+            F.count(F.when(~F.col("is_a"), 1)).cast("long").alias("nb"),
+        )
+    )
+    t_obs = _stat(F.col("o_sa"), F.col("o_na"), F.col("o_sb"), F.col("o_nb"))
+    t_b = _stat(F.col("sa"), F.col("na"), F.col("sb"), F.col("nb"))
+    joined = per_rep.crossJoin(
+        F.broadcast(
+            obs.select(
+                F.col("sa").alias("o_sa"),
+                F.col("na").alias("o_na"),
+                F.col("sb").alias("o_sb"),
+                F.col("nb").alias("o_nb"),
+            )
+        )
+    )
+    out = joined.groupBy("o_na", "o_nb").agg(
+        F.count(F.lit(1)).cast("long").alias("b_reps"),
+        F.sum(F.when(t_b >= t_obs, 1).otherwise(0)).cast("long").alias("n_ge"),
+        F.max(F.round(t_obs, 6)).alias("t_obs"),
+    )
+    return out.select(
+        "b_reps",
+        F.col("o_na").alias("n_a"),
+        F.col("o_nb").alias("n_b"),
+        "t_obs",
+        "n_ge",
+        F.expr("(1000 * (1 + n_ge)) div (b_reps + 1)").alias("p_milli"),
+    )

@@ -130,3 +130,173 @@ def frequent_terms(
             >= F.lit(min_share) * F.col("n_total")
         )
     return out.select("term", "est_count", "max_undercount")
+
+
+# 2^60 — the KMV hash domain size. A power of two, so the double
+# literal is exact and the normalization divide is a deterministic
+# IEEE op on identical operands in any engine.
+_KMV_DOMAIN = float(1 << 60)
+
+
+def _hash60(col) -> "F.Column":
+    """First 60 bits of md5 as a non-negative BIGINT — the same
+    engine-agnostic uniform hash family as sampling.hash_bucket_col
+    (15 hex chars always fit a long, so no sign/overflow seam)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group K-Minimum-Values distinct-count estimate next to the
+    exact count — the mergeable cardinality sketch whose entire state
+    is k longs per group (Bar-Yossef et al. 2002: with R = the k-th
+    smallest of uniformly hashed distinct keys, E[(k-1)/R] = n).
+
+    Why KMV when `approx_distinct` (HLL) exists: HLL register layout
+    is engine-private, so its estimates can only be rows-only checked;
+    KMV is pure md5 + k-smallest + one divide — bit-identical in any
+    engine, which makes the SKETCH itself oracle-verifiable, and its
+    k-min synopsis doubles as a distinct-value sample for downstream
+    set operations (union/intersection estimates compose by merging
+    synopses and re-taking the k smallest).
+
+    Scale shape: one map-side-combined dedup groupBy on
+    (group, hash60) — identical keys collapse per partition before
+    the shuffle — then the k-smallest selection runs in the window
+    sort of THAT deduped table (|distinct| rows, not |input| rows).
+    Groups with < k distinct keys report their exact cardinality
+    (KMV is exact below its capacity, k_used < k ⇒ synopsis = the
+    whole hash set).
+
+    Output: (group, n_distinct, k_used, est_distinct, err_permille).
+    """
+    from pyspark.sql import Window
+
+    dedup = (
+        df.where(F.col(group_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(F.col(group_col).alias("g"), _hash60(F.col(key_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    wg = Window.partitionBy("g")
+    kept = dedup.select(
+        "g",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("nd"),
+    ).filter(F.col("rn") <= k)
+    agg = kept.groupBy("g").agg(
+        F.max("h").alias("kth"),
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("nd").cast("long").alias("n_distinct"),
+    )
+    est = F.when(
+        F.col("k_used") < k, F.col("n_distinct").cast("double")
+    ).otherwise(
+        (F.col("k_used") - 1).cast("double")
+        * F.lit(_KMV_DOMAIN)
+        / F.col("kth").cast("double")
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_distinct",
+        "k_used",
+        F.round(est, 3).alias("est_distinct"),
+        F.round(
+            (est - F.col("n_distinct").cast("double"))
+            * 1000.0
+            / F.col("n_distinct").cast("double"),
+            3,
+        ).alias("err_permille"),
+    )
+
+
+def countmin_freq(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    probe_top: int = 20,
+) -> DataFrame:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005) over
+    a high-cardinality key, probed at the exact heavy hitters so the
+    one-sided overcount guarantee (est >= exact, always) is visible
+    in the output.
+
+    Scale shape: the d×w counter table is built by posexploding each
+    row into its `depth` (row, bucket) cells and groupBy-counting —
+    the explode multiplies rows BEFORE the map-side combine, so each
+    partition's partial is at most d×w cells and the shuffle carries
+    ≤ partitions × d × w rows no matter how many input rows or
+    distinct keys exist. That is the sketch's point: frequency
+    estimates for an unbounded key universe in fixed d×w longs,
+    mergeable across partitions/streams by cell-wise addition. The
+    probe side broadcasts the 1024-row counter table against the
+    top-`probe_top` exact counts (the exact pass exists here to
+    WITNESS the bound; production reads the sketch alone).
+
+    Buckets are hash60(j || ':' || key) % width — d independent rows
+    of the same md5 family, bit-identical in any engine.
+
+    Output: (key, exact_cnt, est_cnt, overcount), overcount >= 0.
+    """
+    df = df.where(F.col(key_col).isNotNull())
+    key = F.col(key_col).cast("string")
+    cells = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (_hash60(F.concat(F.lit(f"{j}:"), key)) % width).alias(
+                        f"b{j}"
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("j", "bucket")
+    )
+    counters = cells.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    exact = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    # TakeOrderedAndProject, not a single-partition window: the probe
+    # set is a deterministic (count desc, key) top-N of the exact
+    # census, selected as partition-local heaps + a probe_top-row merge.
+    probes = exact.orderBy(F.col("exact_cnt").desc(), F.col("key")).limit(
+        probe_top
+    )
+    probe_cells = probes.select(
+        "key",
+        "exact_cnt",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        _hash60(
+                            F.concat(F.lit(f"{j}:"), F.col("key").cast("string"))
+                        )
+                        % width
+                    ).alias(f"b{j}")
+                    for j in range(depth)
+                ]
+            )
+        ).alias("j", "bucket"),
+    )
+    est = (
+        probe_cells.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("key", "exact_cnt")
+        .agg(F.min("c").cast("long").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("key").alias(key_col),
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+    )

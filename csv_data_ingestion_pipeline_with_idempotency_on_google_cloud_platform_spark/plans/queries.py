@@ -6104,6 +6104,220 @@ FROM a
 """
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 mergeable sketches: per-event-type K-Minimum-Values
+    distinct-user-count estimate next to the exact count
+    (operators/sketches.py:kmv_distinct). Unlike approx_distinct's
+    HLL (engine-private registers, rows-only checkable), the KMV
+    synopsis is pure md5 + k-smallest — the sketch itself is
+    oracle-verifiable bit-for-bit, and the estimator error lands in
+    the output as err_permille."""
+    from ..operators.sketches import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "event_type", "event_id", k=128)
+
+
+# 2^60 as an exact double literal (power of two) — matches
+# operators/sketches.py:_KMV_DOMAIN so the normalization divide is
+# the same IEEE op on the same operands in both engines.
+SQL_KMV_DISTINCT = """
+WITH dedup AS (
+  SELECT DISTINCT event_type AS g,
+         CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM events
+  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+), ranked AS (
+  SELECT g, h,
+         row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS nd
+  FROM dedup
+), agg AS (
+  SELECT g, MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(MAX(nd) AS BIGINT) AS n_distinct
+  FROM ranked WHERE rn <= 128 GROUP BY g
+), est AS (
+  SELECT g, n_distinct, k_used,
+         CASE WHEN k_used < 128 THEN CAST(n_distinct AS DOUBLE)
+              ELSE CAST(k_used - 1 AS DOUBLE) * 1152921504606846976.0
+                   / CAST(kth AS DOUBLE)
+         END AS e
+  FROM agg
+)
+SELECT g AS event_type, n_distinct, k_used,
+       round(e, 3) AS est_distinct,
+       round((e - CAST(n_distinct AS DOUBLE)) * 1000.0
+             / CAST(n_distinct AS DOUBLE), 3) AS err_permille
+FROM est
+"""
+
+
+def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 mergeable sketches: Count-Min frequency table over
+    events.user_id, probed at the top-20 exact heavy hitters
+    (operators/sketches.py:countmin_freq). width=64 < |users| forces
+    visible collisions so the one-sided bound (overcount >= 0) is
+    witnessed in the output, not just asserted."""
+    from ..operators.sketches import countmin_freq
+
+    ev = load_table(spark, sf_dir, "events")
+    return countmin_freq(ev, "user_id", depth=4, width=64, probe_top=20)
+
+
+SQL_COUNTMIN_FREQ = """
+WITH js AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(j)),
+src AS (
+  SELECT user_id FROM events WHERE user_id IS NOT NULL
+), counters AS (
+  SELECT js.j AS j,
+         CAST('0x' || substring(
+             md5(CONCAT(CAST(js.j AS VARCHAR), ':',
+                        CAST(src.user_id AS VARCHAR))), 1, 15)
+              AS BIGINT) % 64 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM src CROSS JOIN js GROUP BY 1, 2
+), exact AS (
+  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM src GROUP BY 1
+), probes AS (
+  SELECT key, exact_cnt FROM exact ORDER BY exact_cnt DESC, key LIMIT 20
+), probe_cells AS (
+  SELECT p.key, p.exact_cnt, js.j AS j,
+         CAST('0x' || substring(
+             md5(CONCAT(CAST(js.j AS VARCHAR), ':',
+                        CAST(p.key AS VARCHAR))), 1, 15)
+              AS BIGINT) % 64 AS bucket
+  FROM probes p CROSS JOIN js
+)
+SELECT pc.key AS user_id, pc.exact_cnt,
+       CAST(MIN(c.c) AS BIGINT) AS est_cnt,
+       CAST(MIN(c.c) AS BIGINT) - pc.exact_cnt AS overcount
+FROM probe_cells pc
+JOIN counters c ON pc.j = c.j AND pc.bucket = c.bucket
+GROUP BY 1, 2
+"""
+
+
+def q_jackknife_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50 resampling inference: delete-one-USER jackknife SE of the
+    mean event value (operators/resample.py:jackknife_mean) — the
+    cluster-robust companion to X43's per-row z machinery. Every
+    leave-one-out replicate is closed-form algebra over one groupBy's
+    exact partials; replicate moments sum as milli-quantized BIGINTs."""
+    from ..operators.resample import jackknife_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    return jackknife_mean(ev, "user_id", "value")
+
+
+SQL_JACKKNIFE_MEAN = """
+WITH parts AS (
+  SELECT user_id AS g, CAST(COUNT(*) AS BIGINT) AS n_g,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s_g
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n, SUM(s_g) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_groups
+  FROM parts
+), theta AS (
+  SELECT t.n, t.n_groups, t.s AS s_all,
+         CAST(FLOOR((CAST(t.s - p.s_g AS DOUBLE)
+                     / CAST(t.n - p.n_g AS DOUBLE)
+                     - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS tm
+  FROM parts p CROSS JOIN tot t
+), reps AS (
+  SELECT n, n_groups, s_all,
+         CAST(SUM(tm) AS BIGINT) AS st,
+         CAST(SUM(tm * tm) AS BIGINT) AS stt
+  FROM theta GROUP BY 1, 2, 3
+), fin AS (
+  SELECT n, n_groups,
+         CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         sqrt(GREATEST(
+           CASE WHEN n_groups > 1 THEN
+             (CAST(n_groups AS DOUBLE) - 1.0) / CAST(n_groups AS DOUBLE)
+             * (CAST(stt AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                  / CAST(n_groups AS DOUBLE))
+             / 1000000000000.0
+           ELSE 0.0 END, 0.0)) AS se
+  FROM reps
+)
+SELECT n AS n_rows, n_groups,
+       round(m, 6) AS mean_value,
+       round(se, 6) AS jk_se,
+       round(m - 1.96 * se, 6) AS ci_lo,
+       round(m + 1.96 * se, 6) AS ci_hi
+FROM fin
+"""
+
+
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50 resampling inference: deterministic random-relabeling
+    permutation test of purchase-vs-view mean value
+    (operators/resample.py:permutation_test) — B=100 replicates as
+    ONE crossJoin against a broadcast literal frame + one map-side
+    combined aggregation to 100 exact (sum, count) pairs per arm."""
+    from ..operators.resample import permutation_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return permutation_test(
+        ev, "event_type", "value", "event_id", "purchase", "view", reps=100
+    )
+
+
+SQL_PERMUTATION_TEST = """
+WITH base AS (
+  SELECT event_id AS rid, event_type = 'purchase' AS is_a,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'view')
+    AND event_id IS NOT NULL AND value IS NOT NULL
+), obs AS (
+  SELECT SUM(CASE WHEN is_a THEN v END) AS sa,
+         CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS na,
+         SUM(CASE WHEN NOT is_a THEN v END) AS sb,
+         CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS nb
+  FROM base
+), reps AS (SELECT CAST(b AS INT) AS b FROM range(0, 100) t(b)),
+cells AS (
+  SELECT r.b, c.v,
+         substring(md5(CONCAT(CAST(r.b AS VARCHAR), ':',
+                              CAST(c.rid AS VARCHAR))), 1, 1) < '8' AS is_a
+  FROM base c CROSS JOIN reps r
+), per_rep AS (
+  SELECT b,
+         SUM(CASE WHEN is_a THEN v END) AS sa,
+         CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS na,
+         SUM(CASE WHEN NOT is_a THEN v END) AS sb,
+         CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS nb
+  FROM cells GROUP BY 1
+), stats AS (
+  SELECT o.na AS o_na, o.nb AS o_nb,
+         CASE WHEN o.na > 0 AND o.nb > 0 THEN
+           abs(CAST(o.sa AS DOUBLE) / CAST(o.na AS DOUBLE)
+               - CAST(o.sb AS DOUBLE) / CAST(o.nb AS DOUBLE))
+         ELSE 0.0 END AS t_obs,
+         CASE WHEN p.na > 0 AND p.nb > 0 THEN
+           abs(CAST(p.sa AS DOUBLE) / CAST(p.na AS DOUBLE)
+               - CAST(p.sb AS DOUBLE) / CAST(p.nb AS DOUBLE))
+         ELSE 0.0 END AS t_b
+  FROM per_rep p CROSS JOIN obs o
+), agg AS (
+  SELECT o_na, o_nb, CAST(COUNT(*) AS BIGINT) AS b_reps,
+         CAST(SUM(CASE WHEN t_b >= t_obs THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+         MAX(round(t_obs, 6)) AS t_obs
+  FROM stats GROUP BY 1, 2
+)
+SELECT b_reps, o_na AS n_a, o_nb AS n_b, t_obs, n_ge,
+       (CAST(1000 AS BIGINT) * (1 + n_ge)) // (b_reps + 1) AS p_milli
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entries 1-50: the round-4 correctness window (driver checks
     # only this prefix). Leads with the 7 oracle-backed queries that had
@@ -6291,6 +6505,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_semantic_dedup": q_text_semantic_dedup,
     "media_phash_dedup": q_media_phash_dedup,
     "media_dup_clusters": q_media_dup_clusters,
+    # session-7 additions (past the window — oracle parity via pytest
+    # this round, rotate into the r5 driver window)
+    "kmv_distinct": q_kmv_distinct,
+    "countmin_freq": q_countmin_freq,
+    "jackknife_mean": q_jackknife_mean,
+    "permutation_test": q_permutation_test,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
@@ -6446,4 +6666,8 @@ ORACLE_SQL: dict[str, str] = {
     "calibration_curve": SQL_CALIBRATION_CURVE,
     "hhi_concentration": SQL_HHI_CONCENTRATION,
     "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
+    "kmv_distinct": SQL_KMV_DISTINCT,
+    "countmin_freq": SQL_COUNTMIN_FREQ,
+    "jackknife_mean": SQL_JACKKNIFE_MEAN,
+    "permutation_test": SQL_PERMUTATION_TEST,
 }

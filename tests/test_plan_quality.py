@@ -763,3 +763,55 @@ def test_dup_rate_two_level_distinct(spark):
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "partial_" in plan
     assert "Join" not in plan
+
+
+def test_kmv_window_on_deduped_rows_with_pushdown(spark):
+    """The k-smallest selection must run AFTER the (g, h) distinct —
+    the window sorts |distinct| rows, never |input| rows — and the
+    null filters must reach the parquet scan."""
+    plan = _plan(spark, "kmv_distinct")
+    assert "IsNotNull(event_type)" in plan and "IsNotNull(event_id)" in plan
+    assert "Join" not in plan
+    # distinct is a two-phase (map-side combined) aggregate...
+    assert "partial_" in plan
+    # ...and feeds the window (window appears once per function, both
+    # partitioned by the group key — no empty window spec)
+    assert "windowspecdefinition(g" in plan.replace("#", "").replace(" ", "") or (
+        "Window" in plan and "PartitionBy" not in plan
+    )
+
+
+def test_countmin_probe_topk_and_broadcast_counters(spark):
+    """Probe selection is TakeOrderedAndProject (no global sort) and
+    the d-by-w counter table broadcasts to the probe side — the only
+    wide ops are the two map-side-combined aggregates."""
+    plan = _plan(spark, "countmin_freq")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan
+
+
+def test_jackknife_single_scan_total_via_window(spark):
+    """All G replicates AND the global total come off ONE scan's
+    group aggregate — the total rides a window over the G collapsed
+    rows (non-foldable constant key), so there is no join and no
+    second scan."""
+    plan = _plan(spark, "jackknife_mean")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "partial_" in plan
+    assert "IsNotNull(user_id)" in plan
+
+
+def test_permutation_broadcasts_replicates_and_combines(spark):
+    """B replicates are a broadcast literal-range frame; the
+    row-by-replicate cells reduce through map-side combine, so the
+    shuffle carries partitions x B cells, and the pushed filter keeps
+    non-arm rows out of the explosion."""
+    plan = _plan(spark, "permutation_test")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan
+    assert "In(event_type" in plan  # arm filter reaches the scan
