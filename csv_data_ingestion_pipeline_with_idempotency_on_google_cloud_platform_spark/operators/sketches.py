@@ -217,6 +217,28 @@ def kmv_distinct(
     )
 
 
+def countmin_cells(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """(j, bucket) cell projection shared by the batch sketch and its
+    streaming twin (streaming/sketch_stream.py) — one definition so
+    the hash family cannot drift between the two. Null keys drop (a
+    null hashes to a null cell)."""
+    key = F.col(key_col).cast("string")
+    return df.where(F.col(key_col).isNotNull()).select(
+        F.posexplode(
+            F.array(
+                *[
+                    (_hash60(F.concat(F.lit(f"{j}:"), key)) % width).alias(
+                        f"b{j}"
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("j", "bucket")
+    )
+
+
 def countmin_freq(
     df: DataFrame,
     key_col: str,
@@ -247,22 +269,9 @@ def countmin_freq(
     Output: (key, exact_cnt, est_cnt, overcount), overcount >= 0.
     """
     df = df.where(F.col(key_col).isNotNull())
-    key = F.col(key_col).cast("string")
-    cells = df.select(
-        F.posexplode(
-            F.array(
-                *[
-                    (_hash60(F.concat(F.lit(f"{j}:"), key)) % width).alias(
-                        f"b{j}"
-                    )
-                    for j in range(depth)
-                ]
-            )
-        ).alias("j", "bucket")
-    )
-    counters = cells.groupBy("j", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
+    counters = countmin_cells(df, key_col, depth, width).groupBy(
+        "j", "bucket"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
     exact = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("exact_cnt")
     )

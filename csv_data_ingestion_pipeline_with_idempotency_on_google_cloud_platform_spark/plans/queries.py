@@ -6204,7 +6204,8 @@ def q_jackknife_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean event value (operators/resample.py:jackknife_mean) — the
     cluster-robust companion to X43's per-row z machinery. Every
     leave-one-out replicate is closed-form algebra over one groupBy's
-    exact partials; replicate moments sum as milli-quantized BIGINTs."""
+    exact partials; replicate moments sum as centered micro-quantized
+    BIGINTs."""
     from ..operators.resample import jackknife_mean
 
     ev = load_table(spark, sf_dir, "events")

@@ -20,3 +20,4 @@ from .anomaly_stream import (  # noqa: F401
     streaming_cusum_monitor,
     train_targets,
 )
+from .sketch_stream import streaming_countmin  # noqa: F401
