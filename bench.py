@@ -153,6 +153,7 @@ HEADLINE = [
     # resampling inference
     "kmv_distinct",
     "countmin_freq",
+    "kmv_join_estimate",
     "jackknife_mean",
     "permutation_test",
 ]

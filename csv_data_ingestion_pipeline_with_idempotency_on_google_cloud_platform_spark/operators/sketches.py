@@ -217,6 +217,112 @@ def kmv_distinct(
     )
 
 
+def kmv_set_ops(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-set overlap estimated from two K-Minimum-Values
+    synopses (Beyer et al. 2007): merge the per-side k-min sets,
+    re-take the k smallest, and read Jaccard off the fraction of the
+    merged synopsis present in BOTH sides — |A∩B| ≈ J * |A∪B| without
+    ever joining the inputs.
+
+    This is the composability payoff of KMV over HLL: the same k
+    longs that estimate a side's cardinality answer
+    union/intersection/containment questions later — e.g. "how big is
+    this join's key overlap" BEFORE paying for the join. Exact
+    distinct counts and the exact intersection ride along to witness
+    the estimator (production reads the synopses alone).
+
+    Scale shape: each side is one map-side-combined distinct + a
+    global k-smallest TakeOrderedAndProject (k rows to the driver
+    stage, never the key universe); everything after operates on
+    <= 2k-row frames. The exact-witness pass adds one broadcast-able
+    distinct-semi-join census. Below capacity (k_used < k) the merged
+    synopsis IS the union hash set, so every output is exact.
+
+    Output 1 row: (n_a, n_b, n_inter_exact, k_used, est_union,
+    est_inter, err_permille vs the exact intersection).
+    """
+    ha = (
+        df_a.where(F.col(key_a).isNotNull())
+        .select(_hash60(F.col(key_a)).alias("h"))
+        .distinct()
+    )
+    hb = (
+        df_b.where(F.col(key_b).isNotNull())
+        .select(_hash60(F.col(key_b)).alias("h"))
+        .distinct()
+    )
+    sa = ha.orderBy("h").limit(k).select(F.col("h").alias("h_a"))
+    sb = hb.orderBy("h").limit(k).select(F.col("h").alias("h_b"))
+    merged = (
+        sa.select(F.col("h_a").alias("h"))
+        .union(sb.select(F.col("h_b").alias("h")))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    in_both = (
+        merged.join(F.broadcast(sa), merged["h"] == sa["h_a"], "left_semi")
+        .join(F.broadcast(sb), merged["h"] == sb["h_b"], "left_semi")
+    )
+    syn = merged.groupBy().agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).cast("long").alias("k_used")
+    )
+    matches = in_both.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_match")
+    )
+    counts = ha.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    counts_b = hb.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    inter = (
+        ha.join(hb, "h", "left_semi")
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter_exact"))
+    )
+    row = (
+        syn.crossJoin(F.broadcast(matches))
+        .crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(counts_b))
+        .crossJoin(F.broadcast(inter))
+    )
+    est_union = F.when(
+        F.col("k_used") < k,
+        F.col("k_used").cast("double"),
+    ).otherwise(
+        (F.col("k_used") - 1).cast("double")
+        * F.lit(_KMV_DOMAIN)
+        / F.col("kth").cast("double")
+    )
+    est_inter = F.when(
+        F.col("k_used") < k, F.col("n_match").cast("double")
+    ).otherwise(
+        F.col("n_match").cast("double")
+        / F.col("k_used").cast("double")
+        * est_union
+    )
+    return row.select(
+        "n_a",
+        "n_b",
+        "n_inter_exact",
+        "k_used",
+        F.round(est_union, 3).alias("est_union"),
+        F.round(est_inter, 3).alias("est_inter"),
+        F.round(
+            F.when(
+                F.col("n_inter_exact") > 0,
+                (est_inter - F.col("n_inter_exact").cast("double"))
+                * 1000.0
+                / F.col("n_inter_exact").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            3,
+        ).alias("err_permille"),
+    )
+
+
 def countmin_cells(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:

@@ -6199,6 +6199,69 @@ GROUP BY 1, 2
 """
 
 
+def q_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 mergeable sketches: customer-retention overlap — custkeys
+    ordering before vs since 1998 — estimated from two 256-long KMV
+    synopses (operators/sketches.py:kmv_set_ops). "How many keys do
+    these two join sides share" answered from k-row summaries before
+    paying for the join; exact censuses ride along as the witness."""
+    from ..operators.sketches import kmv_set_ops
+
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.where(F.col("o_orderdate") < "1998-01-01")
+    late = orders.where(F.col("o_orderdate") >= "1998-01-01")
+    return kmv_set_ops(early, "o_custkey", late, "o_custkey", k=256)
+
+
+SQL_KMV_JOIN_ESTIMATE = """
+WITH ha AS (
+  SELECT DISTINCT CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+                                         1, 15) AS BIGINT) AS h
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+), hb AS (
+  SELECT DISTINCT CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+                                         1, 15) AS BIGINT) AS h
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+), sa AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+sb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+merged AS (
+  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+  ORDER BY h LIMIT 256
+), syn AS (
+  SELECT MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS k_used FROM merged
+), mtch AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_match FROM merged m
+  WHERE m.h IN (SELECT h FROM sa) AND m.h IN (SELECT h FROM sb)
+), ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM ha),
+cb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM hb),
+xi AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_inter_exact FROM ha
+  WHERE h IN (SELECT h FROM hb)
+), onerow AS (SELECT * FROM syn, mtch, ca, cb, xi),
+est AS (
+  SELECT *, CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+                 ELSE CAST(k_used - 1 AS DOUBLE) * 1152921504606846976.0
+                      / CAST(kth AS DOUBLE) END AS eu
+  FROM onerow
+), est2 AS (
+  SELECT *, CASE WHEN k_used < 256 THEN CAST(n_match AS DOUBLE)
+                 ELSE CAST(n_match AS DOUBLE) / CAST(k_used AS DOUBLE) * eu
+            END AS ei
+  FROM est
+)
+SELECT n_a, n_b, n_inter_exact, k_used,
+       round(eu, 3) AS est_union,
+       round(ei, 3) AS est_inter,
+       round(CASE WHEN n_inter_exact > 0 THEN
+               (ei - CAST(n_inter_exact AS DOUBLE)) * 1000.0
+               / CAST(n_inter_exact AS DOUBLE)
+             ELSE 0.0 END, 3) AS err_permille
+FROM est2
+"""
+
+
 def q_jackknife_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X50 resampling inference: delete-one-USER jackknife SE of the
     mean event value (operators/resample.py:jackknife_mean) — the
@@ -6510,6 +6573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # this round, rotate into the r5 driver window)
     "kmv_distinct": q_kmv_distinct,
     "countmin_freq": q_countmin_freq,
+    "kmv_join_estimate": q_kmv_join_estimate,
     "jackknife_mean": q_jackknife_mean,
     "permutation_test": q_permutation_test,
 }
@@ -6669,6 +6733,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "countmin_freq": SQL_COUNTMIN_FREQ,
+    "kmv_join_estimate": SQL_KMV_JOIN_ESTIMATE,
     "jackknife_mean": SQL_JACKKNIFE_MEAN,
     "permutation_test": SQL_PERMUTATION_TEST,
 }

@@ -815,3 +815,14 @@ def test_permutation_broadcasts_replicates_and_combines(spark):
     assert "SortMergeJoin" not in plan
     assert "partial_" in plan
     assert "In(event_type" in plan  # arm filter reaches the scan
+
+
+def test_kmv_set_ops_takeordered_pushdown_no_smj(spark):
+    """Each synopsis is a global k-smallest TakeOrderedAndProject over
+    the deduped hashes (never a full sort), the era filters reach the
+    parquet scans, and every join in the estimator is broadcast."""
+    plan = _plan(spark, "kmv_join_estimate")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
