@@ -20,4 +20,7 @@ from .anomaly_stream import (  # noqa: F401
     streaming_cusum_monitor,
     train_targets,
 )
-from .sketch_stream import streaming_countmin  # noqa: F401
+from .sketch_stream import (  # noqa: F401
+    streaming_countmin,
+    streaming_kmv_distinct,
+)

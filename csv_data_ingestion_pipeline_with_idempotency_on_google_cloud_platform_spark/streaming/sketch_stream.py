@@ -1,32 +1,100 @@
-"""Streaming Count-Min maintenance — the sketch as a plain streaming
-aggregation.
+"""Streaming sketch maintenance — the X49 twins.
 
-Count-Min's whole design point is mergeability: the d x w counter
-table of a union of streams is the cell-wise sum of their tables. In
-Spark that property collapses the "streaming sketch" to a built-in
-windowless streaming aggregate — project each arriving row to its d
-(j, bucket) cells (operators/sketches.py:countmin_cells, the SAME
-projection the batch sketch uses, so the hash family cannot drift)
-and let structured streaming's stateful groupBy keep the running
-counts. No applyInPandasWithState is needed: state is exactly the
-d x w cells (bounded, independent of key cardinality or stream
-length), checkpointed and restart-safe like any streaming agg, and
-the result after any prefix of the stream is bit-identical to the
-batch sketch over the same prefix (pinned in
-tests/test_sketch_stream.py).
+Mergeability is what makes a sketch streamable, and the two sketches
+land on opposite sides of Spark's streaming API:
 
-This is the streaming twin of X49's `countmin_freq`: run the monitor
-over the live feed, probe ad hoc by joining keys' cells against the
-materialized counter table with the one-sided est >= exact guarantee
-intact.
+* Count-Min merges by CELL-WISE ADDITION, so its maintenance
+  collapses to a built-in windowless streaming aggregate — project
+  each row to its d (j, bucket) cells
+  (operators/sketches.py:countmin_cells, the SAME projection the
+  batch sketch uses, so the hash family cannot drift) and let the
+  stateful groupBy keep running counts. No custom state handler:
+  state is exactly the d x w cells, bounded regardless of key
+  cardinality or stream length.
+* KMV merges by UNION-THEN-RETAKE-k-SMALLEST — an order statistic,
+  not an additive aggregate — so it carries its <= k-longs-per-group
+  synopsis through `applyInPandasWithState`.
+
+Both emit results bit-compatible with their batch forms over any
+stream prefix and survive checkpoint restarts (pinned in
+tests/test_sketch_stream.py). Production probes the materialized
+tables: Count-Min with the one-sided est >= exact guarantee intact,
+KMV with the (k-1)/R estimate plus downstream set algebra
+(operators/sketches.py:kmv_set_ops).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..operators.sketches import countmin_cells
+from ..operators.sketches import _KMV_DOMAIN, _hash60, countmin_cells
+
+KMV_OUTPUT_DDL = "group STRING, k_used BIGINT, est_distinct DOUBLE"
+KMV_STATE_DDL = "hs ARRAY<BIGINT>"
+
+
+def streaming_kmv_distinct(
+    stream: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Running per-group KMV distinct-count estimate over a stream —
+    the twin of the batch `kmv_distinct`, maintained with
+    `applyInPandasWithState` because the k-min synopsis (unlike
+    Count-Min's cell counts) is not a built-in aggregate.
+
+    The hash projection stays JVM-side (the same md5-60bit family as
+    the batch sketch, shared via operators/sketches._hash60); Python
+    only maintains the k smallest hashes per group — state is <= k
+    longs regardless of stream length or key cardinality, and the
+    k-min of a union is the k-min of (previous synopsis ∪ new batch),
+    so emissions after any prefix match the batch sketch over that
+    prefix (pinned in tests/test_sketch_stream.py, including across a
+    checkpoint restart). Emits one (group, k_used, est_distinct) row
+    per group per batch; below capacity the estimate IS the exact
+    distinct count."""
+    cells = stream.where(
+        F.col(group_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("g"),
+        _hash60(F.col(key_col)).alias("h"),
+    )
+
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (g,) = key
+        hs = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            hs.update(int(x) for x in pdf["h"])
+        synopsis = sorted(hs)[:k]
+        state.update((synopsis,))
+        k_used = len(synopsis)
+        if k_used < k:
+            est = float(k_used)
+        else:
+            est = (k - 1) * _KMV_DOMAIN / float(synopsis[-1])
+        yield pd.DataFrame(
+            {
+                "group": [g],
+                "k_used": [k_used],
+                "est_distinct": [est],
+            }
+        )
+
+    return cells.groupBy("g").applyInPandasWithState(
+        _fn,
+        outputStructType=KMV_OUTPUT_DDL,
+        stateStructType=KMV_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def streaming_countmin(

@@ -109,3 +109,145 @@ def test_streaming_countmin_checkpoint_restart(spark, tmp_path):
         assert got == _batch_counters(spark, b1 + b2)
     finally:
         q2.stop()
+
+
+def _batch_kmv(spark, rows, k):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    return {
+        r["user_id"]: (r["k_used"], r["est_distinct"])
+        for r in kmv_distinct(
+            _df(spark, rows).selectExpr(
+                "cast(user_id as string) user_id", "event_id"
+            ),
+            "user_id",
+            "event_id",
+            k=k,
+        ).collect()
+    }
+
+
+def _start_kmv(spark, src, ckpt, name, k):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming import (
+        streaming_kmv_distinct,
+    )
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    return (
+        streaming_kmv_distinct(stream, "user_id", "event_id", k=k)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+
+
+def _latest_kmv(spark, table):
+    # update-mode memory sink appends each batch's emission; k_used is
+    # monotone per group, so max k_used row = latest synopsis state
+    rows = spark.sql(
+        f"select * from {table} order by group, k_used"
+    ).collect()
+    out = {}
+    for r in rows:
+        out[r["group"]] = (r["k_used"], r["est_distinct"])
+    return out
+
+
+def test_streaming_kmv_matches_batch_prefix(spark, tmp_path):
+    """After each prefix the streaming synopsis estimate equals the
+    batch kmv_distinct over the same rows (k-min of union == k-min of
+    synopsis ∪ new batch), both under and over capacity."""
+    src = tmp_path / "events"
+    src.mkdir()
+    k = 16
+    # group "1": 12 distinct keys (under capacity); "2": 40 (over)
+    b1 = [(i, 1) for i in range(12)] + [(100 + i, 2) for i in range(25)]
+    b2 = [(i, 1) for i in range(12)] + [(125 + i, 2) for i in range(15)]
+    _df(spark, b1).write.parquet(str(src / "b1"))
+
+    q = _start_kmv(spark, src, tmp_path / "ckpt", "kmv_live", k)
+    try:
+        q.processAllAvailable()
+        got = _latest_kmv(spark, "kmv_live")
+        want = {
+            g: (ku, ed) for g, (ku, ed) in _batch_kmv(spark, b1, k).items()
+        }
+        for g, (ku, ed) in want.items():
+            assert got[g][0] == ku
+            assert abs(got[g][1] - ed) < 1e-3, (g, got[g], ed)
+
+        _df(spark, b2).write.mode("append").parquet(str(src / "b2"))
+        q.processAllAvailable()
+        got = _latest_kmv(spark, "kmv_live")
+        want = _batch_kmv(spark, b1 + b2, k)
+        for g, (ku, ed) in want.items():
+            assert got[g][0] == ku
+            assert abs(got[g][1] - ed) < 1e-3, (g, got[g], ed)
+        # under capacity the stream reports the exact distinct count
+        assert got["1"] == (12, 12.0)
+    finally:
+        q.stop()
+
+
+def test_streaming_kmv_checkpoint_restart(spark, tmp_path):
+    """The synopsis array survives a stop/restart: the resumed stream
+    merges new batches into the checkpointed k-min state (update-mode
+    stateful output + a file sink needs foreachBatch — memory sinks
+    cannot recover in update mode)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming import (
+        streaming_kmv_distinct,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    k = 8
+    b1 = [(i, 7) for i in range(30)]
+    b2 = [(200 + i, 7) for i in range(30)]
+    _df(spark, b1).write.parquet(str(src / "b1"))
+
+    def _run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        return (
+            streaming_kmv_distinct(stream, "user_id", "event_id", k=k)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    q = _run()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    _df(spark, b2).write.mode("append").parquet(str(src / "b2"))
+    q2 = _run()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    final = (
+        spark.read.parquet(out)
+        .orderBy("k_used", ascending=False)
+        .collect()[0]
+    )
+    want = _batch_kmv(spark, b1 + b2, k)["7"]
+    assert final["k_used"] == want[0]
+    assert abs(final["est_distinct"] - want[1]) < 1e-3
