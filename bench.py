@@ -154,7 +154,9 @@ HEADLINE = [
     "kmv_distinct",
     "countmin_freq",
     "kmv_join_estimate",
+    "kmv_rollup",
     "jackknife_mean",
+    "jackknife_ratio",
     "permutation_test",
 ]
 

@@ -217,6 +217,83 @@ def kmv_distinct(
     )
 
 
+def kmv_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Re-aggregable distinct counts: daily KMV synopses rolled up to
+    weekly estimates — the cube problem COUNT(DISTINCT) famously
+    cannot solve (distinct counts don't add across days; synopses
+    do). Because the k-min of a union of per-day k-mins IS the k-min
+    of the union, the weekly estimate computed from daily synopses is
+    IDENTICAL to one computed from raw weekly data (pinned in
+    tests/test_sketches_kmv_cm.py) — so a deployment stores k longs
+    per (day, slice) and answers any coarser granularity later
+    without rescanning.
+
+    Scale shape: one (day, hash) dedup groupBy, a per-day rank window
+    over |distinct-per-day| rows, then the weekly merge ranks at most
+    k×7 synopsis rows per week. The exact weekly census rides along
+    as the witness. Output per week: (week, n_distinct, k_used,
+    est_distinct, err_permille).
+    """
+    from pyspark.sql import Window
+
+    base = df.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+    dedup_day = base.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        _hash60(F.col(key_col)).alias("h"),
+    ).distinct()
+    wd = Window.partitionBy("day").orderBy("h")
+    day_syn = (
+        dedup_day.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    merged = day_syn.select(
+        F.date_trunc("week", F.col("day")).cast("date").alias("week"), "h"
+    ).distinct()
+    ww = Window.partitionBy("week").orderBy("h")
+    wk = merged.withColumn("rn", F.row_number().over(ww)).filter(
+        F.col("rn") <= k
+    )
+    agg = wk.groupBy("week").agg(
+        F.max("h").alias("kth"),
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+    )
+    exact = (
+        base.select(
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+            F.col(key_col).alias("key"),
+        )
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    )
+    joined = agg.join(F.broadcast(exact), "week")
+    est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        (F.col("k_used") - 1).cast("double")
+        * F.lit(_KMV_DOMAIN)
+        / F.col("kth").cast("double")
+    )
+    return joined.select(
+        "week",
+        "n_distinct",
+        "k_used",
+        F.round(est, 3).alias("est_distinct"),
+        F.round(
+            (est - F.col("n_distinct").cast("double"))
+            * 1000.0
+            / F.col("n_distinct").cast("double"),
+            3,
+        ).alias("err_permille"),
+    )
+
+
 def kmv_set_ops(
     df_a: DataFrame,
     key_a: str,

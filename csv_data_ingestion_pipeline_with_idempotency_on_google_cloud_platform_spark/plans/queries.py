@@ -6319,6 +6319,128 @@ FROM fin
 """
 
 
+def q_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 mergeable sketches: daily KMV synopses rolled up to weekly
+    distinct-user estimates (operators/sketches.py:kmv_rollup) — the
+    re-aggregable COUNT(DISTINCT) a cube cannot do with exact counts;
+    k=64 < |weekly users| keeps the estimator branch live and the
+    exact census witnesses the error."""
+    from ..operators.sketches import kmv_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_rollup(ev, "ts", "user_id", k=64).select(
+        F.date_format(F.col("week"), "yyyy-MM-dd").alias("week"),
+        "n_distinct",
+        "k_used",
+        "est_distinct",
+        "err_permille",
+    )
+
+
+SQL_KMV_ROLLUP = """
+WITH base AS (
+  SELECT ts, user_id FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), dedup_day AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM base
+), day_syn AS (
+  SELECT day, h FROM (
+    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM dedup_day
+  ) WHERE rn <= 64
+), merged AS (
+  SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS week, h
+  FROM day_syn
+), wk AS (
+  SELECT week, h FROM (
+    SELECT week, h, row_number() OVER (PARTITION BY week ORDER BY h) AS rn
+    FROM merged
+  ) WHERE rn <= 64
+), agg AS (
+  SELECT week, MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS k_used
+  FROM wk GROUP BY 1
+), exact AS (
+  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_distinct FROM (
+    SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+    FROM base
+  ) GROUP BY 1
+), j AS (
+  SELECT a.week, a.kth, a.k_used, e.n_distinct
+  FROM agg a JOIN exact e ON a.week = e.week
+), est AS (
+  SELECT *, CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                 ELSE CAST(k_used - 1 AS DOUBLE) * 1152921504606846976.0
+                      / CAST(kth AS DOUBLE) END AS e
+  FROM j
+)
+SELECT strftime(week, '%Y-%m-%d') AS week, n_distinct, k_used,
+       round(e, 3) AS est_distinct,
+       round((e - CAST(n_distinct AS DOUBLE)) * 1000.0
+             / CAST(n_distinct AS DOUBLE), 3) AS err_permille
+FROM est
+"""
+
+
+def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50 resampling inference: jackknife SE of lineitem revenue per
+    quantity unit (a ratio of sums — nonlinear, no closed-form SE),
+    clustered by order (operators/resample.py:jackknife_ratio)."""
+    from ..operators.resample import jackknife_ratio
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return jackknife_ratio(li, "l_orderkey", "l_extendedprice", "l_quantity")
+
+
+SQL_JACKKNIFE_RATIO = """
+WITH parts AS (
+  SELECT l_orderkey AS g, CAST(COUNT(*) AS BIGINT) AS n_g,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sx_g,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sy_g
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_quantity IS NOT NULL
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n, SUM(sx_g) AS sx, SUM(sy_g) AS sy,
+         CAST(COUNT(*) AS BIGINT) AS n_groups
+  FROM parts
+), theta AS (
+  SELECT t.n, t.n_groups, t.sx AS sx_all, t.sy AS sy_all,
+         CAST(FLOOR((CAST(t.sx - p.sx_g AS DOUBLE)
+                     / CAST(t.sy - p.sy_g AS DOUBLE)
+                     - CAST(t.sx AS DOUBLE) / CAST(t.sy AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS tm
+  FROM parts p CROSS JOIN tot t
+), reps AS (
+  SELECT n, n_groups, sx_all, sy_all,
+         CAST(SUM(tm) AS BIGINT) AS st,
+         CAST(SUM(tm * tm) AS BIGINT) AS stt
+  FROM theta GROUP BY 1, 2, 3, 4
+), fin AS (
+  SELECT n, n_groups,
+         CAST(sx_all AS DOUBLE) / CAST(sy_all AS DOUBLE) AS r,
+         sqrt(GREATEST(
+           CASE WHEN n_groups > 1 THEN
+             (CAST(n_groups AS DOUBLE) - 1.0) / CAST(n_groups AS DOUBLE)
+             * (CAST(stt AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                  / CAST(n_groups AS DOUBLE))
+             / 1000000000000.0
+           ELSE 0.0 END, 0.0)) AS se
+  FROM reps
+)
+SELECT n AS n_rows, n_groups,
+       round(r, 6) AS ratio,
+       round(se, 6) AS jk_se,
+       round(r - 1.96 * se, 6) AS ci_lo,
+       round(r + 1.96 * se, 6) AS ci_hi
+FROM fin
+"""
+
+
 def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X50 resampling inference: deterministic random-relabeling
     permutation test of purchase-vs-view mean value
@@ -6335,39 +6457,42 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PERMUTATION_TEST = """
 WITH base AS (
-  SELECT event_id AS rid, event_type = 'purchase' AS is_a,
+  SELECT CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h1,
+         CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 16, 15)
+              AS BIGINT) AS h2,
+         event_type = 'purchase' AS is_a,
          CAST(value AS DECIMAL(18,6)) AS v
   FROM events
   WHERE event_type IN ('purchase', 'view')
     AND event_id IS NOT NULL AND value IS NOT NULL
 ), obs AS (
-  SELECT SUM(CASE WHEN is_a THEN v END) AS sa,
-         CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS na,
-         SUM(CASE WHEN NOT is_a THEN v END) AS sb,
-         CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS nb
+  SELECT SUM(v) AS s_all,
+         CAST(COUNT(*) AS BIGINT) AS n_all,
+         SUM(CASE WHEN is_a THEN v END) AS o_sa,
+         CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS o_na
   FROM base
-), reps AS (SELECT CAST(b AS INT) AS b FROM range(0, 100) t(b)),
-cells AS (
-  SELECT r.b, c.v,
-         substring(md5(CONCAT(CAST(r.b AS VARCHAR), ':',
-                              CAST(c.rid AS VARCHAR))), 1, 1) < '8' AS is_a
-  FROM base c CROSS JOIN reps r
+), reps AS (
+  SELECT CAST(b AS INT) AS b,
+         (CAST(1 AS BIGINT) << CAST(b % 60 AS INT)) AS dv,
+         b < 60 AS lo
+  FROM range(0, 100) t(b)
 ), per_rep AS (
-  SELECT b,
-         SUM(CASE WHEN is_a THEN v END) AS sa,
-         CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS na,
-         SUM(CASE WHEN NOT is_a THEN v END) AS sb,
-         CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS nb
-  FROM cells GROUP BY 1
+  SELECT r.b, SUM(c.v) AS sa, CAST(COUNT(*) AS BIGINT) AS na
+  FROM base c CROSS JOIN reps r
+  WHERE (((CASE WHEN r.lo THEN c.h1 ELSE c.h2 END) // r.dv) % 2) = 1
+  GROUP BY 1
 ), stats AS (
-  SELECT o.na AS o_na, o.nb AS o_nb,
-         CASE WHEN o.na > 0 AND o.nb > 0 THEN
-           abs(CAST(o.sa AS DOUBLE) / CAST(o.na AS DOUBLE)
-               - CAST(o.sb AS DOUBLE) / CAST(o.nb AS DOUBLE))
+  SELECT o.o_na, o.n_all - o.o_na AS o_nb,
+         CASE WHEN o.o_na > 0 AND o.n_all - o.o_na > 0 THEN
+           abs(CAST(o.o_sa AS DOUBLE) / CAST(o.o_na AS DOUBLE)
+               - CAST(o.s_all - o.o_sa AS DOUBLE)
+                 / CAST(o.n_all - o.o_na AS DOUBLE))
          ELSE 0.0 END AS t_obs,
-         CASE WHEN p.na > 0 AND p.nb > 0 THEN
+         CASE WHEN p.na > 0 AND o.n_all - p.na > 0 THEN
            abs(CAST(p.sa AS DOUBLE) / CAST(p.na AS DOUBLE)
-               - CAST(p.sb AS DOUBLE) / CAST(p.nb AS DOUBLE))
+               - CAST(o.s_all - p.sa AS DOUBLE)
+                 / CAST(o.n_all - p.na AS DOUBLE))
          ELSE 0.0 END AS t_b
   FROM per_rep p CROSS JOIN obs o
 ), agg AS (
@@ -6574,7 +6699,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct": q_kmv_distinct,
     "countmin_freq": q_countmin_freq,
     "kmv_join_estimate": q_kmv_join_estimate,
+    "kmv_rollup": q_kmv_rollup,
     "jackknife_mean": q_jackknife_mean,
+    "jackknife_ratio": q_jackknife_ratio,
     "permutation_test": q_permutation_test,
 }
 
@@ -6734,6 +6861,8 @@ ORACLE_SQL: dict[str, str] = {
     "kmv_distinct": SQL_KMV_DISTINCT,
     "countmin_freq": SQL_COUNTMIN_FREQ,
     "kmv_join_estimate": SQL_KMV_JOIN_ESTIMATE,
+    "kmv_rollup": SQL_KMV_ROLLUP,
+    "jackknife_ratio": SQL_JACKKNIFE_RATIO,
     "jackknife_mean": SQL_JACKKNIFE_MEAN,
     "permutation_test": SQL_PERMUTATION_TEST,
 }

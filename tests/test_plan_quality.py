@@ -826,3 +826,23 @@ def test_kmv_set_ops_takeordered_pushdown_no_smj(spark):
     assert "SortMergeJoin" not in plan
     assert "LessThan(o_orderdate" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_kmv_rollup_windows_on_synopsis_rows(spark):
+    """Both rank windows run on collapsed inputs (per-day distinct
+    hashes, then <= k x days synopsis rows per week) and the exact
+    weekly census joins back broadcast — no sort-merge join, raw rows
+    never reach a window."""
+    plan = _plan(spark, "kmv_rollup")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    assert "IsNotNull(user_id)" in plan
+
+
+def test_jackknife_ratio_single_scan_no_join(spark):
+    plan = _plan(spark, "jackknife_ratio")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "partial_" in plan

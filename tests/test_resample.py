@@ -106,3 +106,45 @@ def test_permutation_counts_partition_invariant(spark):
         reps=50,
     ).collect()[0]
     assert a.asDict() == b.asDict()
+
+
+def test_jackknife_ratio_constant_denominator_equals_mean(spark):
+    """With a constant unit denominator the ratio of sums IS the mean,
+    so jackknife_ratio must reproduce jackknife_mean exactly (same
+    replicates, same quantization, same output math)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.resample import (
+        jackknife_ratio,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").withColumn("one", F.lit(1.0))
+    m = jackknife_mean(ev, "user_id", "value").collect()[0]
+    r = jackknife_ratio(ev, "user_id", "value", "one").collect()[0]
+    assert r["ratio"] == m["mean_value"]
+    assert r["jk_se"] == m["jk_se"]
+    assert (r["ci_lo"], r["ci_hi"]) == (m["ci_lo"], m["ci_hi"])
+
+
+def test_jackknife_ratio_matches_numpy_mirror(spark):
+    """Order-clustered revenue-per-unit jackknife agrees with the
+    unquantized numpy formula to the quantization bound."""
+    import numpy as np
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.resample import (
+        jackknife_ratio,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    pdf = li.select("l_orderkey", "l_extendedprice", "l_quantity").toPandas()
+    grp = pdf.groupby("l_orderkey").agg(
+        sx=("l_extendedprice", "sum"), sy=("l_quantity", "sum")
+    )
+    sx, sy = pdf["l_extendedprice"].sum(), pdf["l_quantity"].sum()
+    theta = (sx - grp["sx"]) / (sy - grp["sy"])
+    g = len(grp)
+    ref_se = math.sqrt((g - 1) / g * ((theta - theta.mean()) ** 2).sum())
+    row = jackknife_ratio(
+        li, "l_orderkey", "l_extendedprice", "l_quantity"
+    ).collect()[0]
+    assert row["n_groups"] == g
+    assert abs(row["ratio"] - sx / sy) < 1e-4
+    assert abs(row["jk_se"] - ref_se) / ref_se < 1e-2

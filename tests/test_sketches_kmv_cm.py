@@ -153,3 +153,56 @@ def test_kmv_set_ops_estimator_error_bound(spark):
     assert rel <= 3.0 / math.sqrt(k - 2), (row["est_union"], rel)
     # intersection estimate inherits the same scale: sanity corridor
     assert 200 <= row["est_inter"] <= 800  # exact: 500
+
+
+def test_kmv_rollup_equals_raw_weekly_estimate(spark):
+    """The re-aggregation identity: the weekly estimate computed from
+    DAILY synopses must be bit-identical to kmv_distinct run on raw
+    weekly data (k-min of a union of k-mins == k-min of the union) —
+    this is what makes the synopsis a cube-able distinct count."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_rollup,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    k = 32
+    rolled = {
+        str(r["week"]): (r["k_used"], r["est_distinct"], r["n_distinct"])
+        for r in kmv_rollup(ev, "ts", "user_id", k=k).collect()
+    }
+    raw = {
+        str(r["week"]): (r["k_used"], r["est_distinct"], r["n_distinct"])
+        for r in kmv_distinct(
+            ev.select(
+                F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+                "user_id",
+            ),
+            "week",
+            "user_id",
+            k=k,
+        ).collect()
+    }
+    assert rolled == raw and rolled
+
+
+def test_kmv_rollup_exact_below_capacity(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sketches import (
+        kmv_rollup,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = kmv_rollup(ev, "ts", "user_id", k=100_000).collect()
+    assert rows
+    for r in rows:
+        assert r["k_used"] == r["n_distinct"]
+        assert r["est_distinct"] == float(r["n_distinct"])
+        assert r["err_permille"] == 0.0
