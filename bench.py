@@ -158,6 +158,8 @@ HEADLINE = [
     "jackknife_mean",
     "jackknife_ratio",
     "permutation_test",
+    "forecast_backtest",
+    "cuped_adjust",
 ]
 
 

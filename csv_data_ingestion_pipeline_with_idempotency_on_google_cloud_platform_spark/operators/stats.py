@@ -581,3 +581,110 @@ def hhi_concentration(
         "total",
         F.expr("(10000 * __sxx) div (total * total)").alias("hhi"),
     )
+
+
+def cuped_adjust(
+    events: DataFrame,
+    split_date: str,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) for the md5-arm
+    experiment: adjust each unit's post-period value by its
+    PRE-period value, y' = y - theta*(x - mean(x)) with
+    theta = cov(x,y)/var(x), and report the arm difference before and
+    after adjustment plus the variance actually removed (rho^2).
+    Pre-period behavior is unaffected by treatment, so the adjustment
+    shrinks variance without biasing the diff — the standard way an
+    experimentation platform doubles its effective sample size.
+
+    All moments are exact integer cents from ONE per-unit aggregate
+    (pre/post split by ``split_date``, arm = the same md5 projection
+    as ab_conversion_ztest) followed by ONE 1-row rollup carrying
+    global and per-arm sums; theta/variances are scalar doubles on
+    those integers. Output 1 row: (n_a, n_b, theta, diff_raw,
+    diff_adj, var_reduction_milli).
+    """
+    arm_a = hash_bucket_col(F.col("u"), 1) < F.lit("8")
+    per_unit = (
+        events.where(
+            F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(unit_col).alias("u"))
+        .agg(
+            F.floor(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(ts_col) < split_date,
+                            F.col(value_col).cast("decimal(18,6)"),
+                        )
+                    ),
+                    F.lit(0).cast("decimal(18,6)"),
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("x"),
+            F.floor(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(ts_col) >= split_date,
+                            F.col(value_col).cast("decimal(18,6)"),
+                        )
+                    ),
+                    F.lit(0).cast("decimal(18,6)"),
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select("x", "y", arm_a.alias("is_a"))
+    )
+    m = per_unit.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("is_a"), F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx_a"),
+        F.sum(F.when(F.col("is_a"), F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy_a"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = F.col("sxy").cast("double") - sx * sy / n
+    varx = F.col("sxx").cast("double") - sx * sx / n
+    vary = F.col("syy").cast("double") - sy * sy / n
+    theta = F.when(varx > 0, cov / varx).otherwise(F.lit(0.0))
+    na = F.col("n_a").cast("double")
+    nb = (F.col("n") - F.col("n_a")).cast("double")
+    xa = F.col("sx_a").cast("double") / na
+    xb = (F.col("sx") - F.col("sx_a")).cast("double") / nb
+    ya = F.col("sy_a").cast("double") / na
+    yb = (F.col("sy") - F.col("sy_a")).cast("double") / nb
+    diff_raw = ya - yb
+    diff_adj = (ya - theta * xa) - (yb - theta * xb)
+    rho2 = F.when(
+        (varx > 0) & (vary > 0), cov * cov / (varx * vary)
+    ).otherwise(F.lit(0.0))
+    # cents -> value units at the output boundary
+    return m.select(
+        "n_a",
+        (F.col("n") - F.col("n_a")).alias("n_b"),
+        F.round(theta, 6).alias("theta"),
+        F.round(diff_raw / 100.0, 6).alias("diff_raw"),
+        F.round(diff_adj / 100.0, 6).alias("diff_adj"),
+        F.round(rho2 * 1000.0, 3).alias("var_reduction_milli"),
+    )

@@ -718,3 +718,57 @@ def rolling_zscore(
         "y",
         F.round((F.col("y").cast("double") - mean) / F.sqrt(var), 6).alias("z"),
     )
+
+
+def forecast_backtest(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's total as
+    the average of the SAME WEEKDAY's totals from all prior weeks
+    (expanding window), score MAE and WAPE per group — the baseline
+    every fancier forecaster must beat, and the shape every backtest
+    shares (as-of features only, no leakage: the frame ends at 1
+    PRECEDING).
+
+    Integer-exact end to end: daily totals are floored BIGINT units
+    (_daily_units); the prediction is defined in milli-units via
+    integer div (1000*sum_prior div n_prior), so the absolute errors,
+    MAE and WAPE are exact integers — no float accumulates across
+    rows. Days with no prior same-weekday history are unscored.
+
+    Scale shape: one map-side-combined daily aggregate, one window
+    over the (group, weekday) daily series (|days| rows, not events),
+    one final groupBy. Output per group: (group, n_days_scored,
+    mae_milli, wape_milli).
+    """
+    daily = _daily_units(events, group_col, ts_col, value_col)
+    w = (
+        Window.partitionBy("g", F.dayofweek("d"))
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = daily.select(
+        "g",
+        (F.col("y") * 1000).alias("y_milli"),
+        F.sum("y").over(w).alias("prior_sum"),
+        F.count(F.lit(1)).over(w).alias("prior_n"),
+    ).where(F.col("prior_n") >= 1)
+    err = F.abs(
+        F.col("y_milli") - F.expr("(1000 * prior_sum) div prior_n")
+    )
+    agg = scored.select("g", F.col("y_milli"), err.alias("e")).groupBy(
+        "g"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+        F.sum("e").cast("long").alias("__se"),
+        F.sum("y_milli").cast("long").alias("__sy"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_days_scored",
+        F.expr("__se div n_days_scored").alias("mae_milli"),
+        F.expr("(1000 * __se) div __sy").alias("wape_milli"),
+    )

@@ -6441,6 +6441,106 @@ FROM fin
 """
 
 
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51 forecasting baseline: seasonal-naive (same-weekday
+    expanding mean) backtest of daily value per event type
+    (operators/temporal.py:forecast_backtest) — leakage-free as-of
+    frame, integer-exact MAE/WAPE."""
+    from ..operators.temporal import forecast_backtest
+
+    ev = load_table(spark, sf_dir, "events")
+    return forecast_backtest(ev, "event_type", "ts", "value")
+
+
+SQL_FORECAST_BACKTEST = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,6)))) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT g, 1000 * y AS y_milli,
+         SUM(y) OVER w AS prior_sum,
+         COUNT(*) OVER w AS prior_n
+  FROM daily
+  WINDOW w AS (PARTITION BY g, dayofweek(d) ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), f AS (
+  SELECT g, y_milli,
+         abs(y_milli - ((1000 * prior_sum) // prior_n)) AS e
+  FROM scored WHERE prior_n >= 1
+)
+SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+       CAST(SUM(e) AS BIGINT) // COUNT(*) AS mae_milli,
+       (CAST(1000 AS BIGINT) * CAST(SUM(e) AS BIGINT))
+         // CAST(SUM(y_milli) AS BIGINT) AS wape_milli
+FROM f GROUP BY 1
+"""
+
+
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52 experimentation depth: CUPED pre-period adjustment of the
+    md5-arm experiment (operators/stats.py:cuped_adjust) — the
+    variance-reduction companion to X43's ab_conversion_ztest, exact
+    integer moments in one per-unit aggregate + one 1-row rollup."""
+    from ..operators.stats import cuped_adjust
+
+    ev = load_table(spark, sf_dir, "events")
+    return cuped_adjust(ev, "2024-01-16")
+
+
+SQL_CUPED_ADJUST = """
+WITH pu AS (
+  SELECT user_id AS u,
+         CAST(FLOOR(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                 THEN CAST(value AS DECIMAL(18,6)) END),
+               CAST(0 AS DECIMAL(18,6))) * 100) AS BIGINT) AS x,
+         CAST(FLOOR(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN CAST(value AS DECIMAL(18,6)) END),
+               CAST(0 AS DECIMAL(18,6))) * 100) AS BIGINT) AS y
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), a AS (
+  SELECT x, y, substring(md5(CAST(u AS VARCHAR)), 1, 1) < '8' AS is_a
+  FROM pu
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN is_a THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         CAST(SUM(CASE WHEN is_a THEN y ELSE 0 END) AS BIGINT) AS sy_a
+  FROM a
+), s AS (
+  SELECT n, n_a, sx, sy, sx_a, sy_a,
+         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+           / CAST(n AS DOUBLE) AS cov,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+           / CAST(n AS DOUBLE) AS varx,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+           / CAST(n AS DOUBLE) AS vary
+  FROM m
+), t AS (
+  SELECT n, n_a, cov, varx, vary,
+         CASE WHEN varx > 0 THEN cov / varx ELSE 0.0 END AS theta,
+         CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS xa,
+         CAST(sx - sx_a AS DOUBLE) / CAST(n - n_a AS DOUBLE) AS xb,
+         CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ya,
+         CAST(sy - sy_a AS DOUBLE) / CAST(n - n_a AS DOUBLE) AS yb
+  FROM s
+)
+SELECT n_a, n - n_a AS n_b,
+       round(theta, 6) AS theta,
+       round((ya - yb) / 100.0, 6) AS diff_raw,
+       round(((ya - theta * xa) - (yb - theta * xb)) / 100.0, 6) AS diff_adj,
+       round(CASE WHEN varx > 0 AND vary > 0
+                  THEN cov * cov / (varx * vary) ELSE 0.0 END * 1000.0, 3)
+         AS var_reduction_milli
+FROM t
+"""
+
+
 def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X50 resampling inference: deterministic random-relabeling
     permutation test of purchase-vs-view mean value
@@ -6702,6 +6802,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_rollup": q_kmv_rollup,
     "jackknife_mean": q_jackknife_mean,
     "jackknife_ratio": q_jackknife_ratio,
+    "forecast_backtest": q_forecast_backtest,
+    "cuped_adjust": q_cuped_adjust,
     "permutation_test": q_permutation_test,
 }
 
@@ -6863,6 +6965,8 @@ ORACLE_SQL: dict[str, str] = {
     "kmv_join_estimate": SQL_KMV_JOIN_ESTIMATE,
     "kmv_rollup": SQL_KMV_ROLLUP,
     "jackknife_ratio": SQL_JACKKNIFE_RATIO,
+    "forecast_backtest": SQL_FORECAST_BACKTEST,
+    "cuped_adjust": SQL_CUPED_ADJUST,
     "jackknife_mean": SQL_JACKKNIFE_MEAN,
     "permutation_test": SQL_PERMUTATION_TEST,
 }

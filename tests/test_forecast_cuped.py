@@ -1,0 +1,89 @@
+"""Seasonal-naive backtest (operators/temporal.py:forecast_backtest)
+and CUPED adjustment (operators/stats.py:cuped_adjust): leakage-free
+prediction frames and the variance-reduction identities, pinned on
+constructed data where the right answer is known in closed form.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+    cuped_adjust,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+    forecast_backtest,
+)
+
+EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+def test_forecast_perfect_weekly_pattern_scores_zero_error(spark):
+    """A series that repeats exactly week over week is predicted
+    perfectly by the same-weekday expanding mean: MAE and WAPE are 0,
+    and only days WITH history are scored (first week unscored)."""
+    base = dt.datetime(2024, 1, 1)  # Monday
+    rows = []
+    for day in range(28):  # 4 exact weeks
+        v = float(10 + (day % 7))  # value depends only on weekday
+        rows.append((day, base + dt.timedelta(days=day), 1, "t", v))
+    out = forecast_backtest(_events(spark, rows), "event_type").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days_scored"] == 21  # 28 days - 7 first-of-weekday
+    assert r["mae_milli"] == 0
+    assert r["wape_milli"] == 0
+
+
+def test_forecast_uses_only_prior_weeks(spark):
+    """A level shift in the last week must produce error equal to the
+    shift (the frame ends at 1 PRECEDING — the shifted week cannot
+    predict itself)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for day in range(21):
+        v = 10.0 if day < 14 else 17.0  # +7 shift in week 3
+        rows.append((day, base + dt.timedelta(days=day), 1, "t", v))
+    r = forecast_backtest(_events(spark, rows), "event_type").collect()[0]
+    # scored days: week 2 (7 days, error 0) + week 3 (7 days, error 7)
+    assert r["n_days_scored"] == 14
+    assert r["mae_milli"] == (7 * 7000) // 14  # 3500 milli-units
+
+
+def test_cuped_planted_covariate_removes_variance(spark):
+    """y = 2x + c per unit: theta -> 2 and the adjustment removes
+    (nearly) all variance; the adjusted arm diff equals the raw diff
+    minus theta times the arms' pre-period imbalance."""
+    rows = []
+    split = dt.datetime(2024, 1, 16)
+    for u in range(200):
+        x = float(50 + (u * 13) % 100)
+        rows.append((u * 2, dt.datetime(2024, 1, 2), u, "t", x))
+        rows.append((u * 2 + 1, dt.datetime(2024, 1, 20), u, "t", 2.0 * x + 5.0))
+    r = cuped_adjust(_events(spark, rows), "2024-01-16").collect()[0]
+    assert r["n_a"] + r["n_b"] == 200
+    assert abs(r["theta"] - 2.0) < 1e-6
+    assert r["var_reduction_milli"] > 999.0  # rho^2 ~ 1
+    # adjusted diff identity: diff_adj = diff_raw - theta*(xa - xb)
+    # with y = 2x + 5 exactly, the adjusted diff collapses to ~0
+    assert abs(r["diff_adj"]) < 1e-5
+    assert abs(r["diff_raw"]) > abs(r["diff_adj"])
+
+
+def test_cuped_uncorrelated_covariate_is_noop(spark):
+    """Constant pre-period value: varx = 0, so theta = 0 and the
+    adjusted diff equals the raw diff (guarded degenerate branch)."""
+    rows = []
+    for u in range(100):
+        rows.append((u * 2, dt.datetime(2024, 1, 2), u, "t", 10.0))
+        rows.append(
+            (u * 2 + 1, dt.datetime(2024, 1, 20), u, "t", float((u * 7) % 30))
+        )
+    r = cuped_adjust(_events(spark, rows), "2024-01-16").collect()[0]
+    assert r["theta"] == 0.0
+    assert r["var_reduction_milli"] == 0.0
+    assert r["diff_adj"] == r["diff_raw"]

@@ -846,3 +846,22 @@ def test_jackknife_ratio_single_scan_no_join(spark):
     assert "Join" not in plan
     assert "Window" in plan
     assert "partial_" in plan
+
+
+def test_forecast_backtest_window_on_daily_aggregate(spark):
+    """The expanding same-weekday window runs on the DAILY aggregate
+    (|days| rows), never raw events, and no join appears."""
+    plan = _plan(spark, "forecast_backtest")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "partial_" in plan
+
+
+def test_cuped_two_aggregates_no_window_no_join(spark):
+    """Per-unit split-period aggregate + one 1-row moment rollup:
+    single scan, no window, no join."""
+    plan = _plan(spark, "cuped_adjust")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_" in plan
