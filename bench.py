@@ -160,6 +160,12 @@ HEADLINE = [
     "permutation_test",
     "forecast_backtest",
     "cuped_adjust",
+    # round 4 session 8: ranked JW linkage, robust trend, z-order zone
+    # map, distributed PCA
+    "jaro_winkler_topk",
+    "theilsen_trend",
+    "zorder_zonemap",
+    "pca_project",
 ]
 
 

@@ -316,6 +316,82 @@ def user_value_trend(
     )
 
 
+def theilsen_trend(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_events: int = 200,
+) -> DataFrame:
+    """Per-user Theil-Sen trend — the robust twin of
+    ``user_value_trend``: the median of all pairwise slopes
+    (y_b − y_a)/(x_b − x_a), which a single outlier event cannot move
+    (OLS breaks down at one bad point; Theil-Sen tolerates ~29%).
+
+    x is whole seconds since the user's first event (window over the
+    same user partitioning the join uses). Pairs come from a per-user
+    self-join — O(n²) per user, which is why `max_events` is a HARD
+    cap applied before the join: at 100 TB a hot user (bot traffic)
+    would otherwise quadratically dominate one task, so users past the
+    cap are excluded (deterministically, so the DuckDB oracle can
+    state the same rule). With the cap, pair volume per user is ≤
+    max_events²/2 and the only shuffle is the user-key join.
+
+    Every slope is one IEEE double division of exact inputs (double y
+    straight from storage, bigint Δx), and the median interpolates the
+    two middle values identically in Spark (`F.median`) and DuckDB
+    (`median`), so the oracle comparison carries no accumulation-order
+    drift. Equal-timestamp pairs (Δx = 0) are excluded on both sides.
+
+    Returns (user_id, n_events, n_pairs, slope_per_hour) rounded 6 dp.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col)
+    base = (
+        events.filter(
+            F.col(user_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(user_col),
+            F.col(value_col).cast("double").alias("__y"),
+            us.alias("__us"),
+        )
+        .withColumn(
+            "__x", F.floor((F.col("__us") - F.min("__us").over(w)) / 1_000_000)
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_events))
+        .select(user_col, "__n", "__x", "__y")
+    )
+    # self-join of the SAME windowed subtree (aliases, not re-derived
+    # frames) so Catalyst reuses one shuffle/scan for both sides
+    # (ReusedExchange) instead of computing the window twice
+    a = base.alias("a")
+    b = base.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col(f"a.{user_col}") == F.col(f"b.{user_col}"))
+            & (F.col("a.__x") < F.col("b.__x")),
+        )
+        .select(
+            F.col(f"a.{user_col}").alias(user_col),
+            F.col("a.__n").alias("n_events"),
+            (
+                (F.col("b.__y") - F.col("a.__y"))
+                / (F.col("b.__x") - F.col("a.__x")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    return slopes.groupBy(user_col).agg(
+        F.max("n_events").alias("n_events"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.median("slope") * 3600.0, 6).alias("slope_per_hour"),
+    )
+
+
 def event_transitions(
     events: DataFrame,
     user_col: str = "user_id",

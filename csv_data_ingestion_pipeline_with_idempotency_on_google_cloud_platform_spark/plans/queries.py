@@ -6607,6 +6607,139 @@ FROM agg
 """
 
 
+def q_jaro_winkler_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25 record linkage, ranked form: top-5 Jaro-Winkler matches for
+    each of 12 deterministic probe names against the customer table
+    (operators/fuzzy.py:jaro_winkler_topk). Probes broadcast, names
+    stream through one narrow pass; JW is an Arrow-batched pandas UDF
+    pinned bit-exact against DuckDB's jaro_winkler_similarity."""
+    from ..operators.fuzzy import jaro_winkler_topk
+
+    cust = load_table(spark, sf_dir, "customer").select("c_name")
+    probes = (
+        cust.orderBy(F.md5("c_name"))
+        .limit(12)
+        .select(F.col("c_name").alias("probe"))
+    )
+    return jaro_winkler_topk(cust, probes, name_col="c_name", k=5)
+
+
+SQL_JARO_WINKLER_TOPK = """
+WITH probes AS (
+  SELECT c_name AS probe FROM customer ORDER BY md5(c_name) LIMIT 12
+), scored AS (
+  SELECT p.probe, c.c_name AS name,
+         round(jaro_winkler_similarity(p.probe, c.c_name), 6) AS jw
+  FROM probes p CROSS JOIN customer c
+  WHERE c.c_name <> p.probe
+), ranked AS (
+  SELECT probe, name, jw,
+         CAST(row_number() OVER (
+             PARTITION BY probe ORDER BY jw DESC, name) AS INT) AS rk
+  FROM scored
+)
+SELECT probe, name, jw, rk FROM ranked WHERE rk <= 5
+"""
+
+
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32-adjacent robust statistics: per-user Theil-Sen slope of
+    event value over time (operators/windows.py:theilsen_trend) — the
+    outlier-proof twin of user_value_trend's OLS, median of pairwise
+    slopes with a hard per-user event cap bounding the quadratic pair
+    stage."""
+    return windows.theilsen_trend(load_table(spark, sf_dir, "events"))
+
+
+SQL_THEILSEN_TREND = """
+WITH base AS (
+  SELECT user_id,
+         CAST(value AS DOUBLE) AS y,
+         CAST(floor((epoch_us(ts) - MIN(epoch_us(ts)) OVER (
+             PARTITION BY user_id)) / 1000000.0) AS BIGINT) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+), sized AS (
+  SELECT user_id, x, y,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM base
+), keep AS (
+  SELECT * FROM sized WHERE n BETWEEN 2 AND 200
+), slopes AS (
+  SELECT a.user_id, a.n,
+         (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM keep a JOIN keep b ON a.user_id = b.user_id AND a.x < b.x
+)
+SELECT user_id, MAX(n) AS n_events, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(median(slope) * 3600.0, 6) AS slope_per_hour
+FROM slopes GROUP BY user_id
+"""
+
+
+def q_zorder_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-layout data skipping: zone-map summary of a Z-ordered
+    (custkey × orderdate) layout of orders
+    (operators/layout.py:zorder_zonemap) — per-zone row count and
+    min/max of both dimensions, the footer statistics min-max pruning
+    consults. Integer-exact end to end (bigint div + bit interleave,
+    no float normalization)."""
+    from ..operators import layout
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    return layout.zorder_zonemap(
+        orders, F.col("o_custkey"), day, bucket_bits=10
+    )
+
+
+def _sql_zorder_zonemap() -> str:
+    from ..operators.layout import u16_sql, zvalue_sql
+
+    ux = u16_sql("zx", "xmin", "xmax")
+    uy = u16_sql("zy", "ymin", "ymax")
+    return f"""
+WITH base AS (
+  SELECT o_custkey AS zx,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS zy
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+), bounds AS (
+  SELECT MIN(zx) AS xmin, MAX(zx) AS xmax,
+         MIN(zy) AS ymin, MAX(zy) AS ymax
+  FROM base
+), norm AS (
+  SELECT zx, zy, ({ux}) AS ux, ({uy}) AS uy
+  FROM base CROSS JOIN bounds
+), zed AS (
+  SELECT zx, zy, ({zvalue_sql("ux", "uy")}) AS z FROM norm
+)
+SELECT z >> 22 AS zbucket, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(zx) AS x_min, MAX(zx) AS x_max,
+       MIN(zy) AS y_min, MAX(zy) AS y_max
+FROM zed GROUP BY 1
+"""
+
+
+SQL_ZORDER_ZONEMAP = _sql_zorder_zonemap()
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-embedding analytics: distributed PCA over the embedding table
+    (operators/linalg.py) — covariance from one shuffle-free partial
+    pass (d²+d+1 doubles per partition), driver-side eigh with a fixed
+    sign convention, projection as one matmul per Arrow batch, and a
+    per-label summary over integer-quantized scores (exact BIGINT
+    sums — no accumulation-order drift). Rows-only: eigenvectors are
+    not SQL-expressible; tests pin numpy parity and variance ordering."""
+    from ..operators.linalg import pca_label_summary
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_label_summary(emb, "embedding", "label", q=4)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entries 1-50: the round-4 correctness window (driver checks
     # only this prefix). Leads with the 7 oracle-backed queries that had
@@ -6805,6 +6938,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_backtest": q_forecast_backtest,
     "cuped_adjust": q_cuped_adjust,
     "permutation_test": q_permutation_test,
+    # r4 session-8 additions (past the driver window; pytest parity)
+    "jaro_winkler_topk": q_jaro_winkler_topk,
+    "theilsen_trend": q_theilsen_trend,
+    "zorder_zonemap": q_zorder_zonemap,
+    "pca_project": q_pca_project,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
@@ -6969,4 +7107,7 @@ ORACLE_SQL: dict[str, str] = {
     "cuped_adjust": SQL_CUPED_ADJUST,
     "jackknife_mean": SQL_JACKKNIFE_MEAN,
     "permutation_test": SQL_PERMUTATION_TEST,
+    "jaro_winkler_topk": SQL_JARO_WINKLER_TOPK,
+    "theilsen_trend": SQL_THEILSEN_TREND,
+    "zorder_zonemap": SQL_ZORDER_ZONEMAP,
 }

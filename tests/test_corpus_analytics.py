@@ -269,3 +269,86 @@ def test_remove_boilerplate_strips_frequent_lines(spark):
     assert out[3]["clean_text"] == ""  # banner-only doc empties out
     assert out[4]["clean_text"] == "entirely unique document"
     assert [out[i]["n_removed"] for i in (1, 2, 3, 4)] == [1, 1, 1, 0]
+
+
+def test_theilsen_matches_bruteforce_median_of_slopes(spark):
+    import numpy as np
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        theilsen_trend,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    ev = load_table(spark, str(SF_DIR), "events")
+    got = {
+        r["user_id"]: (r["n_events"], r["n_pairs"], r["slope_per_hour"])
+        for r in theilsen_trend(ev).collect()
+    }
+    rows = ev.select("user_id", "ts", "value").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    exp = {}
+    for uid, rs in by_user.items():
+        if not (2 <= len(rs) <= 200):
+            continue
+        us = np.array([int(r["ts"].timestamp() * 1e6) for r in rs], dtype="int64")
+        x = (us - us.min()) // 1_000_000
+        y = np.array([r["value"] for r in rs])
+        slopes = [
+            (y[j] - y[i]) / float(x[j] - x[i])
+            for i in range(len(rs))
+            for j in range(len(rs))
+            if x[i] < x[j]
+        ]
+        if not slopes:
+            continue
+        exp[uid] = (len(rs), len(slopes), float(np.median(slopes)) * 3600.0)
+    assert set(got) == set(exp)
+    for uid in exp:
+        assert got[uid][0] == exp[uid][0]
+        assert got[uid][1] == exp[uid][1]
+        assert abs(got[uid][2] - exp[uid][2]) < 1e-4, uid
+
+
+def test_theilsen_resists_outlier_that_moves_ols(spark):
+    """The point of the robust twin: one corrupted event swings the OLS
+    slope but leaves the Theil-Sen median essentially unchanged."""
+    from datetime import datetime, timedelta
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        theilsen_trend,
+        user_value_trend,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    clean = [(1, t0 + timedelta(hours=i), 10.0 + 2.0 * i) for i in range(10)]
+    ev = spark.createDataFrame(clean, "user_id long, ts timestamp, value double")
+    base_ts = theilsen_trend(ev).collect()[0]["slope_per_hour"]
+    assert abs(base_ts - 2.0) < 1e-6
+
+    dirty = clean + [(1, t0 + timedelta(hours=10), 100000.0)]
+    evd = spark.createDataFrame(dirty, "user_id long, ts timestamp, value double")
+    ts_slope = theilsen_trend(evd).collect()[0]["slope_per_hour"]
+    ols_slope = user_value_trend(evd).collect()[0]["slope_per_hour"]
+    assert abs(ts_slope - 2.0) < 1.0  # median barely moves
+    assert ols_slope > 100.0  # OLS dragged by the single outlier
+
+
+def test_theilsen_caps_hot_users(spark):
+    """Users past max_events are excluded BEFORE the quadratic pair
+    stage — the 100 TB bot-traffic guard, stated in the oracle too."""
+    from datetime import datetime, timedelta
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        theilsen_trend,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, t0 + timedelta(seconds=i), float(i)) for i in range(12)]
+    rows += [(2, t0 + timedelta(seconds=i), float(i)) for i in range(3)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r["user_id"] for r in theilsen_trend(ev, max_events=10).collect()}
+    assert got == {2}

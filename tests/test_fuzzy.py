@@ -98,3 +98,50 @@ def test_fuzzy_join_links_misspellings_to_canonical(spark):
         # 'madird' is a transposition (2 edits) → correctly unmatched
         # 'tokyo' has no canonical neighbor → unmatched
     }
+
+
+def test_jaro_winkler_py_bitexact_vs_duckdb(duck):
+    """The pandas-UDF JW must be bit-identical to the DuckDB oracle's
+    jaro_winkler_similarity — random strings incl. empties, repeats,
+    and name-shaped inputs (the boost-threshold and both-empty edge
+    cases are where textbook implementations diverge)."""
+    import random
+    import string
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.fuzzy import (
+        jaro_winkler_py,
+    )
+
+    rng = random.Random(42)
+    cases = [("", ""), ("", "a"), ("a", ""), ("a", "a"), ("a", "b"),
+             ("martha", "marhta"), ("dixon", "dicksonx"),
+             ("Customer#000000001", "Customer#000000010")]
+    for _ in range(1500):
+        a = "".join(rng.choices(string.ascii_lowercase[:6] + "# 01", k=rng.randint(0, 12)))
+        b = "".join(rng.choices(string.ascii_lowercase[:6] + "# 01", k=rng.randint(0, 12)))
+        cases.append((a, b))
+    for a, b in cases:
+        d = duck.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert jaro_winkler_py(a, b) == d, (a, b)
+
+
+def test_jaro_winkler_topk_ranks_and_ties(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.fuzzy import (
+        jaro_winkler_topk,
+    )
+
+    names = spark.createDataFrame(
+        [("martha",), ("marhta",), ("marta",), ("bob",), ("mort",)], "name string"
+    )
+    probes = spark.createDataFrame([("martha",)], "probe string")
+    got = jaro_winkler_topk(names, probes, k=3).collect()
+    assert [r["rk"] for r in got] == [1, 2, 3]
+    # probe itself excluded; the two transposition/deletion variants win
+    assert got[0]["name"] in {"marhta", "marta"}
+    assert "martha" not in {r["name"] for r in got}
+    # scores descend, ties impossible to leave unordered (name asc)
+    jws = [r["jw"] for r in got]
+    assert jws == sorted(jws, reverse=True)
+    assert all(0.0 <= v <= 1.0 for v in jws)

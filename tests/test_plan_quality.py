@@ -865,3 +865,60 @@ def test_cuped_two_aggregates_no_window_no_join(spark):
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Join" not in plan and "Window" not in plan
     assert "partial_" in plan
+
+
+def test_jaro_winkler_topk_broadcasts_probes_and_group_limits(spark):
+    """Probes are a TakeOrderedAndProject broadcast (never a shuffle of
+    the name table against them), JW is Arrow-batched (one Python eval
+    node, no row-at-a-time BatchEvalPython), and the per-probe top-k
+    runs through WindowGroupLimit — rank pushdown, not a full sort of
+    all scored pairs."""
+    plan = _plan(spark, "jaro_winkler_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_theilsen_pair_join_is_keyed_not_cartesian(spark):
+    """The quadratic pair stage must stay keyed on the user column —
+    a CartesianProduct here would be the 100 TB scale-killer. The
+    x_a < x_b predicate rides the equi-join as a post-condition."""
+    plan = _plan(spark, "theilsen_trend")
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    # null filters reach the scan
+    assert "IsNotNull(user_id)" in plan
+
+
+def test_zorder_zonemap_is_two_narrow_passes(spark):
+    """Bounds = one 1-row aggregate broadcast back (never a shuffle of
+    orders against itself); the zone rollup is ONE map-side-combined
+    groupBy; the scan reads exactly the two layout columns."""
+    plan = _plan(spark, "zorder_zonemap")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_custkey" in read_schema and "o_orderdate" in read_schema
+    assert "o_totalprice" not in read_schema
+    # map-side combine: partial + final HashAggregate around one Exchange
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_pca_partials_are_shuffle_free(spark):
+    """The covariance pass must contain NO Exchange — partials reduce
+    inside mapInPandas per partition; only the collect moves data."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.linalg import (
+        covariance_partials,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = covariance_partials(emb, "embedding")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
