@@ -165,6 +165,7 @@ HEADLINE = [
     "jaro_winkler_topk",
     "theilsen_trend",
     "zorder_zonemap",
+    "forecast_conformal",
     "pca_project",
 ]
 

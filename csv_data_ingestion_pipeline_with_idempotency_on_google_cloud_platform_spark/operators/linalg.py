@@ -155,3 +155,36 @@ def pca_label_summary(
         for i in range(q)
     ]
     return base.groupBy("label").agg(*aggs)
+
+
+def zca_whiten(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "whitened",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """ZCA whitening: decorrelate an embedding column so its sample
+    covariance is ~identity (W = U diag(1/√(λ+ε)) Uᵀ) while staying as
+    close to the original basis as any whitening can — the standard
+    preprocessing before cosine-based retrieval/dedup when raw
+    embedding dimensions are correlated (anisotropy collapses cosine
+    contrast).
+
+    Same scale shape as pca_project: one shuffle-free covariance pass,
+    a d×d eigh on the driver, and one matmul per Arrow batch with the
+    transform shipped via explicit broadcast.
+    """
+    comps, evals, mean, _n = pca_fit(df, vec_col, q=10**9)
+    w = comps.T @ np.diag(1.0 / np.sqrt(evals + eps)) @ comps
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((w, mean))
+
+    @F.pandas_udf("array<double>")
+    def _apply(vs: pd.Series) -> pd.Series:
+        m, mu = bc.value
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vs], dtype=np.float64
+        )
+        return pd.Series(list((x - mu) @ m.T))
+
+    return df.withColumn(out_col, _apply(F.col(vec_col)))

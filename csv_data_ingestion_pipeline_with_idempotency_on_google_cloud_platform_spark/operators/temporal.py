@@ -772,3 +772,98 @@ def forecast_backtest(
         F.expr("__se div n_days_scored").alias("mae_milli"),
         F.expr("(1000 * __se) div __sy").alias("wape_milli"),
     )
+
+
+def forecast_conformal(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    coverage_milli: int = 900,
+) -> DataFrame:
+    """Split-conformal prediction intervals on the seasonal-naive
+    backtest: per group, the first (chronological) half of scored days
+    calibrates the interval half-width as an order statistic of the
+    absolute residuals — k = ceil(q·n_cal), the distribution-free
+    conformal rank — and the second half is a genuine holdout whose
+    empirical coverage the output reports. The honest version of
+    "the forecast is ±X": calibrated on the past, validated on data
+    the calibration never saw.
+
+    Integer-exact end to end: residuals are the backtest's milli-unit
+    errors, the quantile is an index (row_number over the calibration
+    residual sort, k = (q·n + 999) div 1000 — no interpolation), and
+    coverage is (1000·hits) div n_test. Nothing floats, so the oracle
+    comparison carries no drift.
+
+    Scale shape: windows run over the DAILY aggregate (|days| rows,
+    never events); the calibration quantile is a per-group rank — one
+    shuffle on the group key — and the holdout join-back is a
+    broadcast of |groups| half-widths.
+
+    Returns (group, n_cal, n_test, halfwidth_milli, coverage_milli).
+    """
+    daily = _daily_units(events, group_col, ts_col, value_col)
+    w_prior = (
+        Window.partitionBy("g", F.dayofweek("d"))
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = daily.select(
+        "g",
+        "d",
+        (F.col("y") * 1000).alias("y_milli"),
+        F.sum("y").over(w_prior).alias("prior_sum"),
+        F.count(F.lit(1)).over(w_prior).alias("prior_n"),
+    ).where(F.col("prior_n") >= 1)
+    resid = scored.select(
+        "g",
+        "d",
+        F.abs(
+            F.col("y_milli") - F.expr("(1000 * prior_sum) div prior_n")
+        ).alias("e"),
+    )
+    # chronological split: day-rank ≤ n/2 calibrates, the rest tests
+    w_rank = Window.partitionBy("g").orderBy("d")
+    w_all = Window.partitionBy("g")
+    split = resid.select(
+        "g",
+        "e",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_all"),
+    ).withColumn("is_cal", F.col("rk") <= F.expr("n_all div 2"))
+
+    cal = split.filter("is_cal")
+    w_cal_rank = Window.partitionBy("g").orderBy("e", "rk")
+    cal_ranked = cal.select(
+        "g",
+        "e",
+        F.row_number().over(w_cal_rank).alias("erk"),
+        F.count(F.lit(1)).over(w_all).alias("n_cal"),
+    )
+    halfwidth = cal_ranked.filter(
+        F.col("erk") == F.expr(f"({coverage_milli} * n_cal + 999) div 1000")
+    ).select(
+        "g",
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.col("e").alias("halfwidth_milli"),
+    )
+
+    test = split.filter(~F.col("is_cal")).select("g", "e")
+    cov = (
+        test.join(F.broadcast(halfwidth), "g")
+        .groupBy("g", "n_cal", "halfwidth_milli")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum((F.col("e") <= F.col("halfwidth_milli")).cast("long"))
+            .cast("long")
+            .alias("__hits"),
+        )
+    )
+    return cov.select(
+        F.col("g").alias(group_col),
+        "n_cal",
+        "n_test",
+        "halfwidth_milli",
+        F.expr("(1000 * __hits) div n_test").alias("coverage_milli"),
+    )

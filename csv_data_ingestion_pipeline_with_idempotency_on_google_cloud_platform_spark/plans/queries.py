@@ -6726,6 +6726,62 @@ FROM zed GROUP BY 1
 SQL_ZORDER_ZONEMAP = _sql_zorder_zonemap()
 
 
+def q_forecast_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51 follow-on, uncertainty quantification: split-conformal
+    interval on the seasonal-naive backtest
+    (operators/temporal.py:forecast_conformal) — first half of scored
+    days calibrates the half-width as an exact order statistic
+    (k = ceil(0.9·n_cal), no interpolation), second half reports true
+    holdout coverage. Windows over the daily aggregate only; integer
+    milli end to end."""
+    return temporal.forecast_conformal(load_table(spark, sf_dir, "events"))
+
+
+SQL_FORECAST_CONFORMAL = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+         CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,6)))) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT g, d, 1000 * y AS y_milli,
+         SUM(y) OVER w AS prior_sum,
+         COUNT(*) OVER w AS prior_n
+  FROM daily
+  WINDOW w AS (PARTITION BY g, dayofweek(d) ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), resid AS (
+  SELECT g, d, abs(y_milli - ((1000 * prior_sum) // prior_n)) AS e
+  FROM scored WHERE prior_n >= 1
+), split AS (
+  SELECT g, e,
+         row_number() OVER (PARTITION BY g ORDER BY d) AS rk,
+         COUNT(*) OVER (PARTITION BY g) AS n_all
+  FROM resid
+), tagged AS (
+  SELECT g, e, rk, (rk <= n_all // 2) AS is_cal FROM split
+), cal AS (
+  SELECT g, e,
+         row_number() OVER (PARTITION BY g ORDER BY e, rk) AS erk,
+         COUNT(*) OVER (PARTITION BY g) AS n_cal
+  FROM tagged WHERE is_cal
+), hw AS (
+  SELECT g, CAST(n_cal AS BIGINT) AS n_cal,
+         CAST(e AS BIGINT) AS halfwidth_milli
+  FROM cal WHERE erk = (900 * n_cal + 999) // 1000
+), test AS (
+  SELECT g, e FROM tagged WHERE NOT is_cal
+)
+SELECT t.g AS event_type, h.n_cal, CAST(COUNT(*) AS BIGINT) AS n_test,
+       h.halfwidth_milli,
+       CAST((CAST(1000 AS BIGINT)
+             * CAST(SUM(CASE WHEN t.e <= h.halfwidth_milli
+                             THEN 1 ELSE 0 END) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS coverage_milli
+FROM test t JOIN hw h ON t.g = h.g
+GROUP BY 1, 2, 4
+"""
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-embedding analytics: distributed PCA over the embedding table
     (operators/linalg.py) — covariance from one shuffle-free partial
@@ -6942,6 +6998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaro_winkler_topk": q_jaro_winkler_topk,
     "theilsen_trend": q_theilsen_trend,
     "zorder_zonemap": q_zorder_zonemap,
+    "forecast_conformal": q_forecast_conformal,
     "pca_project": q_pca_project,
 }
 
@@ -7110,4 +7167,5 @@ ORACLE_SQL: dict[str, str] = {
     "jaro_winkler_topk": SQL_JARO_WINKLER_TOPK,
     "theilsen_trend": SQL_THEILSEN_TREND,
     "zorder_zonemap": SQL_ZORDER_ZONEMAP,
+    "forecast_conformal": SQL_FORECAST_CONFORMAL,
 }

@@ -87,3 +87,53 @@ def test_cuped_uncorrelated_covariate_is_noop(spark):
     assert r["theta"] == 0.0
     assert r["var_reduction_milli"] == 0.0
     assert r["diff_adj"] == r["diff_raw"]
+
+
+def test_conformal_halfwidth_is_calibration_order_statistic(spark):
+    """Hand-checkable series: per-group residuals are known, so the
+    half-width must be the ceil(0.9·n_cal)-th smallest calibration
+    residual and coverage must count the holdout hits exactly."""
+    from datetime import datetime, timedelta
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        forecast_conformal,
+    )
+
+    # 8 weeks of the same weekday: value = 100 except week 5 (spike)
+    t0 = datetime(2024, 1, 1, 12, 0)  # Monday
+    rows = []
+    vals = [100.0, 100.0, 100.0, 100.0, 150.0, 100.0, 100.0, 100.0]
+    for wk, v in enumerate(vals):
+        rows.append((1, t0 + timedelta(weeks=wk), v, "a"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_type string"
+    )
+    out = forecast_conformal(ev, coverage_milli=900).collect()
+    assert len(out) == 1
+    r = out[0]
+    # weeks 2..8 are scored (7 days); first 3 calibrate, last 4 test.
+    assert r["n_cal"] == 3 and r["n_test"] == 4
+    # calibration residuals (weeks 2,3,4) are all 0 → halfwidth 0
+    assert r["halfwidth_milli"] == 0
+    # holdout: week5 |150-100|, week6 |100-110|, week7 |100-108.33|,
+    # week8 |100-107.14| — none ≤ 0 except... none. coverage = 0
+    assert r["coverage_milli"] == 0
+
+
+def test_conformal_perfect_series_has_full_coverage(spark):
+    from datetime import datetime, timedelta
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        forecast_conformal,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, t0 + timedelta(weeks=wk), 100.0, "a") for wk in range(10)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_type string"
+    )
+    r = forecast_conformal(ev).collect()[0]
+    assert r["halfwidth_milli"] == 0
+    assert r["coverage_milli"] == 1000

@@ -95,3 +95,16 @@ def test_pca_fit_rejects_empty(spark):
     emb = _emb(spark).filter("vec_id < 0")
     with pytest.raises(ValueError):
         pca_fit(emb, "embedding", q=2)
+
+
+def test_zca_whitened_covariance_is_identity(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.linalg import (
+        zca_whiten,
+    )
+
+    emb = _emb(spark)
+    rows = zca_whiten(emb, "embedding", out_col="w").select("w").collect()
+    x = np.asarray([r["w"] for r in rows])
+    c = np.cov(x, rowvar=False)
+    off = c - np.eye(c.shape[0])
+    assert np.abs(off).max() < 1e-3, np.abs(off).max()

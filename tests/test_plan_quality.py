@@ -922,3 +922,14 @@ def test_pca_partials_are_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_conformal_windows_run_on_daily_aggregate(spark):
+    """All three windows (prior-mean, chronological rank, residual
+    rank) must sit ABOVE the daily groupBy — |days| rows, never raw
+    events — and the half-width join-back must broadcast."""
+    plan = _plan(spark, "forecast_conformal")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # daily aggregate is map-side combined before any window
+    assert plan.count("HashAggregate") >= 2
