@@ -166,6 +166,7 @@ HEADLINE = [
     "theilsen_trend",
     "zorder_zonemap",
     "forecast_conformal",
+    "golden_record",
     "pca_project",
 ]
 

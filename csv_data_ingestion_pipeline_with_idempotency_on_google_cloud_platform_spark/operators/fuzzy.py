@@ -226,3 +226,68 @@ def jaro_winkler_topk(
         .filter(F.col("rk") <= k)
         .select("probe", "name", "jw", "rk")
     )
+
+
+def golden_record(
+    records: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    head_col: str,
+    max_cols: list[str] | None = None,
+    mode_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
+) -> DataFrame:
+    """Survivorship merge — the step after entity resolution: collapse
+    each duplicate cluster into ONE golden record with explicit,
+    deterministic rules (MDM's "which value wins"):
+
+    - `head_col`: taken from the cluster head (the member whose id IS
+      the cluster id — min-label propagation makes that the minimum id);
+    - `max_cols`: best-value-wins (MAX) per cluster;
+    - `mode_cols`: most frequent value wins, ties to the smallest value
+      (two-phase: count per (cluster, value), then a rank over the
+      AGGREGATED counts — never a window over raw records);
+    - `distinct_cols`: conflict signal — the count of distinct values
+      (1 == consensus, >1 == the records genuinely disagree).
+
+    `clusters` is (node_id, cluster_id) from near_dup_clusters; records
+    not in any cluster become their own golden record (cluster_id =
+    their own id), so output cardinality = |entities|, input = |records|.
+    Scale shape: the cluster map is |linked records| (broadcast-sized
+    next to the record table), the merge is ONE map-side-combined
+    groupBy, and each mode column adds one small aggregate + rank over
+    |clusters × distinct values| rows.
+    """
+    max_cols = max_cols or []
+    mode_cols = mode_cols or []
+    distinct_cols = distinct_cols or []
+
+    cmap = clusters.select(
+        F.col("node_id").alias(id_col), F.col("cluster_id").alias("__gid")
+    )
+    full = records.join(F.broadcast(cmap), id_col, "left").withColumn(
+        "__gid", F.coalesce("__gid", F.col(id_col))
+    )
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(
+            F.when(F.col(id_col) == F.col("__gid"), F.col(head_col))
+        ).alias(head_col),
+    ]
+    aggs += [F.max(c).alias(f"{c}_max") for c in max_cols]
+    aggs += [
+        F.countDistinct(c).cast("long").alias(f"n_{c}") for c in distinct_cols
+    ]
+    out = full.groupBy(F.col("__gid").alias("cluster_id")).agg(*aggs)
+
+    for c in mode_cols:
+        counts = full.groupBy("__gid", c).agg(F.count(F.lit(1)).alias("__cnt"))
+        w = Window.partitionBy("__gid").orderBy(F.desc("__cnt"), F.asc(c))
+        pick = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("__gid").alias("cluster_id"), c)
+        )
+        out = out.join(pick, "cluster_id")
+    return out

@@ -6782,6 +6782,98 @@ GROUP BY 1, 2, 4
 """
 
 
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31 follow-on, survivorship merge (MDM golden record): the X31
+    entity clusters collapsed to one record per entity with explicit
+    winner rules (operators/fuzzy.py:golden_record) — head name from
+    the cluster-minimum member, best-value acctbal, most-frequent
+    segment (ties to smallest), nation-consensus conflict count.
+    Singletons pass through as their own golden record, so the output
+    IS the deduplicated customer master. Oracle runs the O(n²)
+    levenshtein join + recursive-CTE closure the engine strictly
+    beats, then the same survivorship SQL."""
+    from ..operators.fuzzy import fuzzy_self_pairs, golden_record
+
+    cust = load_table(spark, sf_dir, "customer")
+    names = cust.select(F.col("c_name").alias("s")).distinct()
+    pairs = fuzzy_self_pairs(names)
+    # linkage rule: edit-1 name AND same nation — TPC-H names are a
+    # dense edit space (every id is one digit from ten others), so the
+    # name alone chains the whole table into one entity; the blocking
+    # attribute is what real MDM linkage does with zip/DOB
+    a = cust.select(
+        F.col("c_name").alias("s_a"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("n_a"),
+    )
+    b = cust.select(
+        F.col("c_name").alias("s_b"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("n_b"),
+    )
+    edges = (
+        pairs.join(a, "s_a")
+        .join(b, "s_b")
+        .filter(F.col("n_a") == F.col("n_b"))
+        .select("id_a", "id_b")
+    )
+    clusters = dedup.near_dup_clusters(edges)
+    return golden_record(
+        cust,
+        clusters,
+        id_col="c_custkey",
+        head_col="c_name",
+        max_cols=["c_acctbal"],
+        mode_cols=["c_mktsegment"],
+        distinct_cols=["c_nationkey"],
+    )
+
+
+SQL_GOLDEN_RECORD = """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS u, b.c_custkey AS v
+  FROM customer a JOIN customer b
+    ON a.c_name < b.c_name AND a.c_nationkey = b.c_nationkey
+   AND levenshtein(a.c_name, b.c_name) = 1
+),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.v AS node, reach.r FROM reach JOIN edges e ON reach.node = e.u
+),
+clusters AS (
+  SELECT node, CAST(MIN(r) AS BIGINT) AS gid FROM reach GROUP BY node
+),
+full_rec AS (
+  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+         COALESCE(cl.gid, c.c_custkey) AS cluster_id
+  FROM customer c LEFT JOIN clusters cl ON c.c_custkey = cl.node
+),
+seg_counts AS (
+  SELECT cluster_id, c_mktsegment, COUNT(*) AS cnt
+  FROM full_rec GROUP BY 1, 2
+),
+seg_pick AS (
+  SELECT cluster_id, c_mktsegment,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY cnt DESC, c_mktsegment) AS rk
+  FROM seg_counts
+),
+agg AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         MAX(CASE WHEN c_custkey = cluster_id THEN c_name END) AS c_name,
+         MAX(c_acctbal) AS c_acctbal_max,
+         CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_c_nationkey
+  FROM full_rec GROUP BY 1
+)
+SELECT a.cluster_id, a.n_members, a.c_name, a.c_acctbal_max,
+       a.n_c_nationkey, s.c_mktsegment
+FROM agg a JOIN seg_pick s ON a.cluster_id = s.cluster_id AND s.rk = 1
+"""
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-embedding analytics: distributed PCA over the embedding table
     (operators/linalg.py) — covariance from one shuffle-free partial
@@ -6999,6 +7091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theilsen_trend": q_theilsen_trend,
     "zorder_zonemap": q_zorder_zonemap,
     "forecast_conformal": q_forecast_conformal,
+    "golden_record": q_golden_record,
     "pca_project": q_pca_project,
 }
 
@@ -7168,4 +7261,5 @@ ORACLE_SQL: dict[str, str] = {
     "theilsen_trend": SQL_THEILSEN_TREND,
     "zorder_zonemap": SQL_ZORDER_ZONEMAP,
     "forecast_conformal": SQL_FORECAST_CONFORMAL,
+    "golden_record": SQL_GOLDEN_RECORD,
 }

@@ -145,3 +145,54 @@ def test_jaro_winkler_topk_ranks_and_ties(spark):
     jws = [r["jw"] for r in got]
     assert jws == sorted(jws, reverse=True)
     assert all(0.0 <= v <= 1.0 for v in jws)
+
+
+def test_golden_record_survivorship_rules(spark):
+    """Hand-built cluster: head name from the minimum id, MAX balance,
+    most-frequent segment with smallest-value tiebreak, conflict count
+    on nation; the unlinked record passes through as its own entity."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.fuzzy import (
+        golden_record,
+    )
+
+    recs = spark.createDataFrame(
+        [
+            (1, "acme corp", 10, 5.0, "A"),
+            (2, "acme corp.", 10, 9.0, "B"),
+            (3, "acme corps", 11, 7.0, "B"),
+            (9, "zenith llc", 20, 1.0, "C"),
+        ],
+        "id long, name string, nation int, bal double, seg string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node_id long, cluster_id long"
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in golden_record(
+            recs, clusters, "id", "name",
+            max_cols=["bal"], mode_cols=["seg"], distinct_cols=["nation"],
+        ).collect()
+    }
+    assert set(out) == {1, 9}
+    g = out[1]
+    assert g["n_members"] == 3
+    assert g["name"] == "acme corp"      # head = member with id == cluster_id
+    assert g["bal_max"] == 9.0           # best value wins
+    assert g["seg"] == "B"               # 2×B beats 1×A
+    assert g["n_nation"] == 2            # genuine disagreement surfaced
+    s = out[9]
+    assert s["n_members"] == 1 and s["name"] == "zenith llc"
+
+
+def test_golden_record_mode_tie_breaks_to_smallest(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.fuzzy import (
+        golden_record,
+    )
+
+    recs = spark.createDataFrame(
+        [(1, "x", "B"), (2, "y", "A")], "id long, name string, seg string"
+    )
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], "node_id long, cluster_id long")
+    out = golden_record(recs, clusters, "id", "name", mode_cols=["seg"]).collect()
+    assert len(out) == 1 and out[0]["seg"] == "A"  # 1-1 tie → smallest

@@ -933,3 +933,12 @@ def test_conformal_windows_run_on_daily_aggregate(spark):
     assert "SortMergeJoin" not in plan
     # daily aggregate is map-side combined before any window
     assert plan.count("HashAggregate") >= 2
+
+
+def test_golden_record_merge_is_one_broadcast_and_one_groupby(spark):
+    """The cluster map joins back as a BROADCAST onto the record table
+    (never a shuffle of records against the tiny linkage output), and
+    the survivorship merge is map-side combined."""
+    plan = _plan(spark, "golden_record")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
