@@ -167,6 +167,8 @@ HEADLINE = [
     "zorder_zonemap",
     "forecast_conformal",
     "golden_record",
+    "histogram_quantile_rollup",
+    "distinct_rollup",
     "pca_project",
 ]
 

@@ -492,3 +492,115 @@ def countmin_freq(
         "est_cnt",
         (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+def histogram_quantile_rollup(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    bins: int = 128,
+    q_milli: int = 500,
+) -> DataFrame:
+    """Re-aggregable quantiles: per-(group, day) fixed-bin histograms
+    rolled up to weekly quantile estimates — the KMV story (X49) for
+    ORDER STATISTICS. Exact quantiles don't merge across days; equal-
+    width histograms merge by plain vector addition, so a deployment
+    stores ≤`bins` longs per (day, slice) and answers any coarser
+    granularity later without rescanning raw data.
+
+    Everything is integer: values quantize to cents, the bin index is
+    ((cents−lo)·B) div span against GLOBAL min/max (one 1-row aggregate
+    broadcast back — fixed edges are what makes day histograms
+    mergeable), the target rank is the conformal-style ceil index
+    r = (q·n + 999) div 1000, and the in-bin interpolation is a closed
+    integer formula both engines state verbatim. The exact weekly
+    quantile rides along as witness: the output carries estimate,
+    exact, and signed error in cents.
+
+    Scale shape: daily histogram = ONE map-side-combined groupBy
+    (≤ groups×days×B rows ever shuffle); weekly merge + CDF windows
+    run on the AGGREGATED table (≤ B rows per group-week). The exact
+    witness is the only per-row sort, and at 100 TB it is exactly the
+    thing the synopsis exists to avoid — kept here to measure error,
+    dropped in deployment.
+
+    Returns (group, week, n, est_cents, exact_cents, err_cents).
+    """
+    from pyspark.sql import Window
+
+    base = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.floor(F.col(value_col).cast("decimal(18,6)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    bounds = base.agg(
+        F.min("cents").alias("__lo"), F.max("cents").alias("__hi")
+    )
+    b = base.crossJoin(F.broadcast(bounds)).withColumn(
+        "span", F.expr("__hi - __lo + 1")
+    )
+    binned = b.withColumn(
+        "bin", F.expr(f"((cents - __lo) * {bins}) div span")
+    )
+    # the stored synopsis: per (g, day, bin) counts with the shared edges
+    daily = binned.groupBy(
+        "g", "week", "day", "bin", "__lo", "span"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # the merge: histograms add — this is the whole point
+    weekly = daily.groupBy("g", "week", "bin", "__lo", "span").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    w_all = Window.partitionBy("g", "week")
+    w_cdf = w_all.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = weekly.select(
+        "g",
+        "week",
+        "bin",
+        "cnt",
+        "__lo",
+        "span",
+        F.sum("cnt").over(w_cdf).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    ).withColumn("r", F.expr(f"({q_milli} * n + 999) div 1000"))
+    hit = cdf.filter(
+        (F.col("cum") >= F.col("r")) & (F.col("cum") - F.col("cnt") < F.col("r"))
+    )
+    est = F.expr(
+        f"__lo + (((bin * 1000 + ((1000 * (r - (cum - cnt))) div cnt))"
+        f" * span) div (1000 * {bins}))"
+    )
+    est_df = hit.select(
+        "g", "week", "n", est.cast("long").alias("est_cents")
+    )
+    # exact witness: the same ceil-rank order statistic on raw cents
+    w_rank = Window.partitionBy("g", "week").orderBy("cents")
+    exact = (
+        base.select(
+            "g",
+            "week",
+            "cents",
+            F.row_number().over(w_rank).alias("rk"),
+            F.count(F.lit(1)).over(w_all).alias("n_all"),
+        )
+        .filter(F.col("rk") == F.expr(f"({q_milli} * n_all + 999) div 1000"))
+        .select("g", "week", F.col("cents").alias("exact_cents"))
+    )
+    return (
+        est_df.join(exact, ["g", "week"])
+        .select(
+            F.col("g").alias(group_col),
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "n",
+            "est_cents",
+            "exact_cents",
+            (F.col("est_cents") - F.col("exact_cents")).alias("err_cents"),
+        )
+    )

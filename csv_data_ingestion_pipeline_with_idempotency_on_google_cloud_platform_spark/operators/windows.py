@@ -579,3 +579,52 @@ def event_paths_topk(
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(k)
     )
+
+
+def first_seen_distinct_rollup(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact cumulative distinct users per day WITHOUT re-counting —
+    the classic rewrite that turns "COUNT(DISTINCT user) to date, for
+    every day" (naively |days| dedups over ever-growing prefixes, a
+    quadratic scan at 100 TB) into: each user's FIRST day (one
+    map-side-combined MIN groupBy), new-user counts per day, and a
+    prefix sum over the |days|-row daily table. Also reports each
+    day's active users and the returning share, the growth-accounting
+    readout.
+
+    Exact, not a sketch: this is the one distinct-over-time query with
+    a lossless linear rewrite (monotone prefix windows); arbitrary
+    window distinct needs X49's synopses.
+
+    Returns (day, n_active, n_new, cum_distinct, returning_milli).
+    """
+    base = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(user_col).alias("u"), F.to_date(ts_col).alias("day"))
+    first = base.groupBy("u").agg(F.min("day").alias("first_day"))
+    new_per_day = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    active = base.distinct().groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    joined = active.join(new_per_day, "day", "left").withColumn(
+        "n_new", F.coalesce("n_new", F.lit(0).cast("long"))
+    )
+    w = (
+        Window.partitionBy(F.col("day").isNotNull())
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_active",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_distinct"),
+        F.expr("(1000 * (n_active - n_new)) div n_active").alias(
+            "returning_milli"
+        ),
+    )

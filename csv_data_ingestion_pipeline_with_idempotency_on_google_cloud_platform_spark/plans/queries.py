@@ -6874,6 +6874,108 @@ FROM agg a JOIN seg_pick s ON a.cluster_id = s.cluster_id AND s.rk = 1
 """
 
 
+def q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 for order statistics: per-(type, day) fixed-bin histograms
+    rolled up to weekly median estimates with the exact quantile as
+    witness (operators/sketches.py:histogram_quantile_rollup) — exact
+    quantiles don't merge across days; equal-width histograms merge by
+    vector addition. Integer end to end (cents, ceil-rank, closed-form
+    in-bin interpolation)."""
+    from ..operators.sketches import histogram_quantile_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_quantile_rollup(
+        ev, "event_type", "ts", "value", bins=128, q_milli=500
+    )
+
+
+SQL_HISTOGRAM_QUANTILE_ROLLUP = """
+WITH base AS (
+  SELECT event_type AS g,
+         CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(ts AS DATE) AS day,
+         CAST(FLOOR(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), bounds AS (
+  SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM base
+), binned AS (
+  SELECT g, week, day, lo, (hi - lo + 1) AS span,
+         ((cents - lo) * 128) // (hi - lo + 1) AS bin
+  FROM base CROSS JOIN bounds
+), daily AS (
+  SELECT g, week, day, bin, lo, span, COUNT(*) AS cnt
+  FROM binned GROUP BY 1, 2, 3, 4, 5, 6
+), weekly AS (
+  SELECT g, week, bin, lo, span, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM daily GROUP BY 1, 2, 3, 4, 5
+), cdf AS (
+  SELECT g, week, bin, cnt, lo, span,
+         CAST(SUM(cnt) OVER (PARTITION BY g, week ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY g, week) AS BIGINT) AS n
+  FROM weekly
+), hit AS (
+  SELECT g, week, bin, cnt, lo, span, cum, n,
+         (500 * n + 999) // 1000 AS r
+  FROM cdf
+  WHERE cum >= (500 * n + 999) // 1000
+    AND cum - cnt < (500 * n + 999) // 1000
+), est AS (
+  SELECT g, week, n,
+         CAST(lo + (((bin * 1000 + ((1000 * (r - (cum - cnt))) // cnt))
+              * span) // (1000 * 128)) AS BIGINT) AS est_cents
+  FROM hit
+), exact AS (
+  SELECT g, week, cents AS exact_cents FROM (
+    SELECT g, week, cents,
+           row_number() OVER (PARTITION BY g, week ORDER BY cents) AS rk,
+           COUNT(*) OVER (PARTITION BY g, week) AS n_all
+    FROM base) t
+  WHERE rk = (500 * n_all + 999) // 1000
+)
+SELECT e.g AS event_type, strftime(e.week, '%Y-%m-%d') AS week, e.n,
+       e.est_cents, x.exact_cents,
+       e.est_cents - x.exact_cents AS err_cents
+FROM est e JOIN exact x ON e.g = x.g AND e.week = x.week
+"""
+
+
+def q_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cumulative distinct users per day via the first-seen
+    rewrite (operators/windows.py:first_seen_distinct_rollup) — one
+    MIN groupBy + a prefix sum over the daily table instead of |days|
+    dedups over growing prefixes; daily active/new/returning ride
+    along. The exact linear twin of X49's approximate synopses."""
+    return windows.first_seen_distinct_rollup(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+SQL_DISTINCT_ROLLUP = """
+WITH base AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), firsts AS (
+  SELECT u, MIN(day) AS first_day FROM base GROUP BY 1
+), new_per_day AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM firsts GROUP BY 1
+), active AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active FROM base GROUP BY 1
+)
+SELECT strftime(a.day, '%Y-%m-%d') AS day, a.n_active,
+       COALESCE(n.n_new, 0) AS n_new,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY a.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_distinct,
+       (1000 * (a.n_active - COALESCE(n.n_new, 0))) // a.n_active
+         AS returning_milli
+FROM active a LEFT JOIN new_per_day n ON a.day = n.day
+"""
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-embedding analytics: distributed PCA over the embedding table
     (operators/linalg.py) — covariance from one shuffle-free partial
@@ -7092,6 +7194,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_zonemap": q_zorder_zonemap,
     "forecast_conformal": q_forecast_conformal,
     "golden_record": q_golden_record,
+    "histogram_quantile_rollup": q_histogram_quantile_rollup,
+    "distinct_rollup": q_distinct_rollup,
     "pca_project": q_pca_project,
 }
 
@@ -7262,4 +7366,6 @@ ORACLE_SQL: dict[str, str] = {
     "zorder_zonemap": SQL_ZORDER_ZONEMAP,
     "forecast_conformal": SQL_FORECAST_CONFORMAL,
     "golden_record": SQL_GOLDEN_RECORD,
+    "histogram_quantile_rollup": SQL_HISTOGRAM_QUANTILE_ROLLUP,
+    "distinct_rollup": SQL_DISTINCT_ROLLUP,
 }

@@ -942,3 +942,23 @@ def test_golden_record_merge_is_one_broadcast_and_one_groupby(spark):
     plan = _plan(spark, "golden_record")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_histogram_rollup_windows_run_on_aggregated_bins(spark):
+    """Synopsis path: bounds = 1-row broadcast, daily histogram is a
+    map-side-combined groupBy, CDF windows see ≤ bins rows per
+    group-week. Only the exact WITNESS sorts raw rows — and it exists
+    to be dropped in deployment."""
+    plan = _plan(spark, "histogram_quantile_rollup")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × two levels
+
+
+def test_distinct_rollup_is_one_groupby_plus_tiny_window(spark):
+    """The first-seen rewrite: no window over raw events — the prefix
+    sum runs on the |days|-row daily table."""
+    plan = _plan(spark, "distinct_rollup")
+    assert "CartesianProduct" not in plan
+    # both aggregations map-side combine before their exchange
+    assert plan.count("HashAggregate") >= 4

@@ -206,3 +206,105 @@ def test_kmv_rollup_exact_below_capacity(spark):
         assert r["k_used"] == r["n_distinct"]
         assert r["est_distinct"] == float(r["n_distinct"])
         assert r["err_permille"] == 0.0
+
+
+def test_histogram_rollup_merge_equals_direct_weekly_histogram(spark):
+    """The mergeability identity: the weekly estimate computed from
+    daily histograms must equal one computed from raw weekly data —
+    daily → weekly is a plain vector sum with shared global edges, so
+    the two paths produce the SAME merged histogram by construction.
+    Verified end to end: run the operator, then recompute the estimate
+    from a direct weekly binning in pandas and compare."""
+    import decimal
+    import math
+
+    import pandas as pd
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sketches import (
+        histogram_quantile_rollup,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, str(SF_DIR), "events")
+    got = {
+        (r["event_type"], r["week"]): r
+        for r in histogram_quantile_rollup(
+            ev, "event_type", "ts", "value", bins=128, q_milli=500
+        ).collect()
+    }
+    raw = ev.select("event_type", "ts", "value").toPandas()
+    raw = raw.dropna(subset=["event_type", "ts", "value"])
+    # mirror the engine's exact path: double → DECIMAL(18,6) → ×100 →
+    # floor (plain float×100 is one ulp low on values like 37.13)
+    q6 = decimal.Decimal("0.000001")
+    cents = raw["value"].map(
+        lambda v: int(
+            math.floor(
+                decimal.Decimal(repr(float(v))).quantize(
+                    q6, rounding=decimal.ROUND_HALF_UP
+                )
+                * 100
+            )
+        )
+    ).astype("int64")
+    lo, hi = int(cents.min()), int(cents.max())
+    span = hi - lo + 1
+    week = raw["ts"].dt.to_period("W-SUN").dt.start_time.dt.strftime("%Y-%m-%d")
+    df = pd.DataFrame({"g": raw["event_type"].values, "w": week.values,
+                       "bin": ((cents - lo) * 128) // span, "cents": cents.values})
+    for (g, w), grp in df.groupby(["g", "w"]):
+        n = len(grp)
+        r = (500 * n + 999) // 1000
+        hist = grp.groupby("bin").size().sort_index()
+        cum = 0
+        for b, cnt in hist.items():
+            if cum + cnt >= r:
+                est = lo + (((b * 1000 + ((1000 * (r - cum)) // cnt)) * span)
+                            // (1000 * 128))
+                break
+            cum += cnt
+        exact = int(grp["cents"].sort_values().iloc[r - 1])
+        row = got[(g, w)]
+        assert row["n"] == n
+        assert row["est_cents"] == est, (g, w)
+        assert row["exact_cents"] == exact
+        # the estimate lands within one bin width of the exact median
+        assert abs(row["err_cents"]) <= span // 128 + 1
+
+
+def test_first_seen_rollup_matches_bruteforce_prefix_distinct(spark):
+    """cum_distinct on day d must equal COUNT(DISTINCT user) over the
+    full prefix up to d — the quadratic definition the rewrite avoids."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        first_seen_distinct_rollup,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, str(SF_DIR), "events")
+    got = {r["day"]: r for r in first_seen_distinct_rollup(ev).collect()}
+    rows = ev.select("user_id", "ts").collect()
+    seen_by_day = {}
+    for r in rows:
+        if r["user_id"] is None or r["ts"] is None:
+            continue
+        seen_by_day.setdefault(str(r["ts"].date()), set()).add(r["user_id"])
+    days = sorted(seen_by_day)
+    prefix = set()
+    for d in days:
+        today = seen_by_day[d]
+        new = len(today - prefix)
+        prefix |= today
+        row = got[d]
+        assert row["n_active"] == len(today)
+        assert row["n_new"] == new
+        assert row["cum_distinct"] == len(prefix)
+        assert row["returning_milli"] == (1000 * (len(today) - new)) // len(today)
+    assert set(got) == set(days)
