@@ -169,6 +169,8 @@ HEADLINE = [
     "golden_record",
     "histogram_quantile_rollup",
     "distinct_rollup",
+    "range_checksum_diff",
+    "neyman_allocation",
     "pca_project",
 ]
 

@@ -226,3 +226,73 @@ def preference_pairs(
         )
         .filter(F.col("chosen_id") != F.col("rejected_id"))
     )
+
+
+def range_checksums(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    bucket: int = 100,
+) -> DataFrame:
+    """Per-range integrity summary: bucket rows by `id div bucket` and
+    reduce each range to (row count, XOR of a 60-bit row hash). XOR is
+    order-free and overflow-free, so the checksum is exact whatever the
+    partitioning; the count catches what XOR alone cannot (a row
+    duplicated an even number of times cancels out of the XOR).
+    One map-side-combined groupBy (<= |ids|/bucket rows ever shuffle).
+    """
+    from .sketches import _hash60
+
+    row_h = _hash60(
+        F.concat_ws("", F.col(id_col).cast("string"), F.col(payload_col))
+    )
+    return (
+        df.where(F.col(id_col).isNotNull())
+        .select(
+            F.expr(f"{id_col} div {bucket}").cast("long").alias("rng"),
+            row_h.alias("h"),
+        )
+        .groupBy("rng")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("bit_xor(h)").cast("long").alias("cs"),
+        )
+    )
+
+
+def range_checksum_diff(
+    v1: DataFrame,
+    v2: DataFrame,
+    id_col: str,
+    payload_col: str,
+    bucket: int = 100,
+) -> DataFrame:
+    """Which id-ranges differ between two table versions - WITHOUT a
+    row-level join. The anti-entropy / replica-sync primitive: each
+    side reduces to |ids|/bucket (range, count, xor-checksum) rows; the
+    full-outer join compares summaries, and only ranges flagged
+    `same = false` ever need corpus_diff's row-level treatment. At
+    100 TB that is the difference between shuffling two tables and
+    shuffling two manifests a million times smaller.
+
+    Returns (rng, n_1, n_2, same) - checksums stay internal, counts
+    are reported (they double as the size-drift readout).
+    """
+    a = range_checksums(v1, id_col, payload_col, bucket).select(
+        "rng", F.col("n").alias("n_1"), F.col("cs").alias("cs_1")
+    )
+    b = range_checksums(v2, id_col, payload_col, bucket).select(
+        "rng", F.col("n").alias("n_2"), F.col("cs").alias("cs_2")
+    )
+    j = a.join(b, "rng", "full_outer")
+    return j.select(
+        "rng",
+        F.coalesce("n_1", F.lit(0).cast("long")).alias("n_1"),
+        F.coalesce("n_2", F.lit(0).cast("long")).alias("n_2"),
+        (
+            F.coalesce("n_1", F.lit(0)).eqNullSafe(F.coalesce("n_2", F.lit(0)))
+            & F.coalesce("cs_1", F.lit(0)).eqNullSafe(
+                F.coalesce("cs_2", F.lit(0))
+            )
+        ).alias("same"),
+    )

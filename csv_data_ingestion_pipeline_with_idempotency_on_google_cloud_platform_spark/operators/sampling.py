@@ -269,3 +269,76 @@ def class_weights(
             6,
         ).alias(weight_col),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int = 1000,
+) -> DataFrame:
+    """Optimal (Neyman) allocation of a sampling budget across strata:
+    n_h proportional to N_h*sigma_h - the survey-sampling rule that minimizes the
+    variance of the estimated mean for a fixed total sample size. The
+    eval-set construction primitive: spend labeling budget where the
+    metric is NOISY, not just where data is plentiful (proportional
+    allocation over-samples big homogeneous strata).
+
+    One map-side-combined groupBy computes exact DECIMAL moments per
+    stratum; sigma is the only float (closed form from exact sums, same
+    IEEE expression in the oracle), then quantized to milli so the
+    share arithmetic - window total, (budget * w_h) div W - is exact
+    BIGINT and the floor boundary cannot drift. Zero-variance and
+    singleton strata get weight 0 (nothing to learn from sampling
+    inside them beyond one row).
+
+    Returns (stratum, n_rows, sigma_milli, alloc); sum(alloc) <= budget
+    by floor rounding.
+    """
+    moments = (
+        df.where(F.col(stratum_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(stratum_col).alias("stratum"),
+            F.col(value_col).cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+        )
+    )
+    var = F.when(
+        F.col("n_rows") >= 2,
+        (
+            F.col("n_rows").cast("double") * F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+        / (
+            F.col("n_rows").cast("double")
+            * (F.col("n_rows") - 1).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    sized = moments.select(
+        "stratum",
+        "n_rows",
+        F.floor(F.sqrt(F.greatest(var, F.lit(0.0))) * 1000.0)
+        .cast("long")
+        .alias("sigma_milli"),
+    ).withColumn("wt", F.col("n_rows") * F.col("sigma_milli"))
+    # NB: names "w"/"W" would collide — Spark resolves columns
+    # case-insensitively by default, so withColumn("W") silently
+    # REPLACES "w" and every share becomes 100%
+    w_tot = Window.partitionBy(F.col("n_rows").isNotNull())
+    return (
+        sized.withColumn("wtot", F.sum("wt").over(w_tot))
+        .select(
+            "stratum",
+            "n_rows",
+            "sigma_milli",
+            F.when(F.col("wtot") > 0, F.expr(f"({budget} * wt) div wtot"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

@@ -6976,6 +6976,94 @@ FROM active a LEFT JOIN new_per_day n ON a.day = n.day
 """
 
 
+def q_range_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy range diff (operators/corpus.py:range_checksum_diff):
+    which doc-id ranges differ between two corpus versions, from
+    (count, xor-of-row-hash) summaries alone — no row-level join until
+    a range is flagged. Same v1/v2 derivation as corpus_diff, so the
+    two operators witness the two halves of a real sync: find the
+    dirty ranges cheaply, then diff only those."""
+    from ..operators.corpus import range_checksum_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.filter(F.col("doc_id") % 10 != 9)
+    v2 = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return range_checksum_diff(v1, v2, "doc_id", "text", bucket=100)
+
+
+SQL_RANGE_CHECKSUM_DIFF = """
+WITH v1 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9
+), v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+), c1 AS (
+  SELECT doc_id // 100 AS rng, CAST(COUNT(*) AS BIGINT) AS n_1,
+         bit_xor(CAST('0x' || substring(
+             md5(CAST(doc_id AS VARCHAR) || text), 1, 15) AS BIGINT)) AS cs_1
+  FROM v1 WHERE doc_id IS NOT NULL GROUP BY 1
+), c2 AS (
+  SELECT doc_id // 100 AS rng, CAST(COUNT(*) AS BIGINT) AS n_2,
+         bit_xor(CAST('0x' || substring(
+             md5(CAST(doc_id AS VARCHAR) || text), 1, 15) AS BIGINT)) AS cs_2
+  FROM v2 WHERE doc_id IS NOT NULL GROUP BY 1
+)
+SELECT COALESCE(a.rng, b.rng) AS rng,
+       COALESCE(a.n_1, 0) AS n_1,
+       COALESCE(b.n_2, 0) AS n_2,
+       (COALESCE(a.n_1, 0) = COALESCE(b.n_2, 0)
+        AND COALESCE(a.cs_1, 0) = COALESCE(b.cs_2, 0)) AS same
+FROM c1 a FULL OUTER JOIN c2 b ON a.rng = b.rng
+"""
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey-optimal sampling design
+    (operators/sampling.py:neyman_allocation): split a 1000-row
+    labeling budget across event types by N_h·σ_h — budget goes where
+    the metric is noisy, not where rows are plentiful. Exact DECIMAL
+    moments, σ as the single closed-form float quantized to milli, all
+    share arithmetic in BIGINT."""
+    from ..operators.sampling import neyman_allocation
+
+    ev = load_table(spark, sf_dir, "events")
+    return neyman_allocation(ev, "event_type", "value", budget=1000)
+
+
+SQL_NEYMAN_ALLOCATION = """
+WITH m AS (
+  SELECT event_type AS stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s,
+         SUM(CAST(value AS DECIMAL(18,6))
+             * CAST(value AS DECIMAL(18,6))) AS ss
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), sized AS (
+  SELECT stratum, n_rows,
+         CAST(FLOOR(sqrt(greatest(CASE WHEN n_rows >= 2 THEN
+             (CAST(n_rows AS DOUBLE) * CAST(ss AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n_rows AS DOUBLE) * CAST(n_rows - 1 AS DOUBLE))
+           ELSE 0.0 END, 0.0)) * 1000.0) AS BIGINT) AS sigma_milli
+  FROM m
+), w AS (
+  SELECT stratum, n_rows, sigma_milli, n_rows * sigma_milli AS wt,
+         SUM(n_rows * sigma_milli) OVER () AS wtot
+  FROM sized
+)
+SELECT stratum, n_rows, sigma_milli,
+       CAST(CASE WHEN wtot > 0 THEN (1000 * wt) // wtot
+            ELSE 0 END AS BIGINT) AS alloc
+FROM w
+"""
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-embedding analytics: distributed PCA over the embedding table
     (operators/linalg.py) — covariance from one shuffle-free partial
@@ -7196,6 +7284,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "golden_record": q_golden_record,
     "histogram_quantile_rollup": q_histogram_quantile_rollup,
     "distinct_rollup": q_distinct_rollup,
+    "range_checksum_diff": q_range_checksum_diff,
+    "neyman_allocation": q_neyman_allocation,
     "pca_project": q_pca_project,
 }
 
@@ -7368,4 +7458,6 @@ ORACLE_SQL: dict[str, str] = {
     "golden_record": SQL_GOLDEN_RECORD,
     "histogram_quantile_rollup": SQL_HISTOGRAM_QUANTILE_ROLLUP,
     "distinct_rollup": SQL_DISTINCT_ROLLUP,
+    "range_checksum_diff": SQL_RANGE_CHECKSUM_DIFF,
+    "neyman_allocation": SQL_NEYMAN_ALLOCATION,
 }

@@ -962,3 +962,20 @@ def test_distinct_rollup_is_one_groupby_plus_tiny_window(spark):
     assert "CartesianProduct" not in plan
     # both aggregations map-side combine before their exchange
     assert plan.count("HashAggregate") >= 4
+
+
+def test_range_checksum_diff_joins_summaries_not_rows(spark):
+    """The whole point: the only join is between two range SUMMARIES
+    (map-side-combined groupBys), never between the row-level
+    versions. No SortMergeJoin of raw documents."""
+    plan = _plan(spark, "range_checksum_diff")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
+    # the FullOuter join input is the aggregated side, tiny at any SF
+    assert "FullOuter" in plan
+
+
+def test_neyman_is_one_groupby_plus_tiny_window(spark):
+    plan = _plan(spark, "neyman_allocation")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2

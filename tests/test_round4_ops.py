@@ -152,3 +152,76 @@ def test_class_weights_balanced_recipe(spark):
     assert math.isclose(out["de"]["class_weight"], 10 / (3 * 3), abs_tol=1e-6)
     assert math.isclose(out[None]["class_weight"], 10 / (3 * 1), abs_tol=1e-6)
     assert out["en"]["n_rows"] == 6
+
+
+
+def test_range_checksum_diff_flags_only_dirty_ranges(spark):
+    """Plant one text change and one deletion in KNOWN ranges: exactly
+    those ranges flag same=false, every untouched range passes, and an
+    identical pair of versions is all-clean."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.corpus import (
+        range_checksum_diff,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1000)], "doc_id long, text string"
+    )
+    clean = {r["rng"]: r for r in
+             range_checksum_diff(docs, docs, "doc_id", "text", bucket=100).collect()}
+    assert len(clean) == 10 and all(r["same"] for r in clean.values())
+
+    v2 = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 250, F.lit("edited")).otherwise(F.col("text")),
+    ).filter(F.col("doc_id") != 777)
+    out = {r["rng"]: r for r in
+           range_checksum_diff(docs, v2, "doc_id", "text", bucket=100).collect()}
+    dirty = {rng for rng, r in out.items() if not r["same"]}
+    assert dirty == {2, 7}
+    assert out[7]["n_1"] == 100 and out[7]["n_2"] == 99  # the deletion
+    assert out[2]["n_1"] == out[2]["n_2"] == 100         # content-only change
+
+
+def test_neyman_allocation_matches_numpy_and_favors_noisy_strata(spark):
+    import numpy as np
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # stratum a: many rows, tiny variance; b: few rows, huge variance
+    rows += [("a", float(v)) for v in rng.normal(100, 0.1, 900)]
+    rows += [("b", float(v)) for v in rng.normal(100, 50.0, 100)]
+    df = spark.createDataFrame(rows, "stratum string, value double")
+    out = {r["stratum"]: r for r in
+           neyman_allocation(df, "stratum", "value", budget=1000).collect()}
+
+    vals = {k: np.array([v for s, v in rows if s == k]) for k in ("a", "b")}
+    for k in ("a", "b"):
+        sd = float(np.std(vals[k], ddof=1))
+        assert out[k]["sigma_milli"] == int(sd * 1000) // 1, k
+        assert abs(out[k]["sigma_milli"] - sd * 1000) <= 1
+    # Neyman: b's noisy 10% of rows deserves most of the budget
+    # (proportional allocation would give b only ~100)
+    assert out["b"]["alloc"] > 800
+    assert out["a"]["alloc"] + out["b"]["alloc"] <= 1000
+
+
+def test_neyman_degenerate_strata_get_zero(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [("const", 5.0), ("const", 5.0), ("single", 1.0),
+         ("live", 1.0), ("live", 3.0)],
+        "stratum string, value double",
+    )
+    out = {r["stratum"]: r for r in
+           neyman_allocation(df, "stratum", "value", budget=100).collect()}
+    assert out["const"]["sigma_milli"] == 0 and out["const"]["alloc"] == 0
+    assert out["single"]["sigma_milli"] == 0 and out["single"]["alloc"] == 0
+    assert out["live"]["alloc"] == 100  # the only informative stratum

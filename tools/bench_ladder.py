@@ -43,6 +43,18 @@ LADDER_QUERIES = [
     "mann_whitney",
     "kaplan_meier",
     "cusum_drift",
+    # round-4 session 8: quadratic-capped pair stages (theilsen's
+    # per-user cap, golden_record's nation-blocked edit-1 pairs with
+    # ~constant per-name neighborhoods), broadcast-probe scoring (JW),
+    # single-scan linear passes (PCA, histogram/first-seen rollups,
+    # conformal). Expected ratio <= ~10 for every one of them.
+    "theilsen_trend",
+    "jaro_winkler_topk",
+    "golden_record",
+    "pca_project",
+    "histogram_quantile_rollup",
+    "distinct_rollup",
+    "forecast_conformal",
 ]
 
 SF01 = "/root/testdata/sf0.1"
