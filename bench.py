@@ -171,6 +171,7 @@ HEADLINE = [
     "distinct_rollup",
     "range_checksum_diff",
     "neyman_allocation",
+    "poisson_bootstrap",
     "pca_project",
 ]
 

@@ -787,11 +787,30 @@ def near_dup_clusters(
             .groupBy("dst")
             .agg(F.min("label").alias("nb_min"))
         )
-        new_labels = (
+        hop = (
             labels.join(nb_min, labels["node_id"] == nb_min["dst"], "left")
             .select(
                 "node_id",
                 F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+            )
+        )
+        # path shortcutting (pointer doubling): also adopt the label OF
+        # the current label — turns O(diameter) convergence into
+        # O(log diameter), which is what keeps chain-shaped entity
+        # clusters (hundreds of edit-1 name links at 10x scale) inside
+        # the round budget. Every label is itself a node id, so the
+        # self-join always resolves; correctness is untouched because
+        # label(label(n)) is in n's component by induction.
+        lut = labels.select(
+            F.col("node_id").alias("__ln"), F.col("label").alias("__ll")
+        )
+        new_labels = (
+            hop.join(lut, hop["label"] == lut["__ln"], "left")
+            .select(
+                "node_id",
+                F.least(F.col("label"), F.coalesce("__ll", "label")).alias(
+                    "label"
+                ),
             )
             .localCheckpoint(eager=True)
         )

@@ -321,3 +321,130 @@ def permutation_test(
         "n_ge",
         F.expr("(1000 * (1 + n_ge)) div (b_reps + 1)").alias("p_milli"),
     )
+
+
+# exact 60-bit Poisson(1) CDF thresholds (k = 0..4); u >= the last one
+# draws weight 5 (P = 6e-4 tail truncation, documented below)
+_POIS1_T = [
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+]
+
+
+def _pois1_weight(u: Column) -> Column:
+    """Truncated Poisson(1) inverse-CDF over a uniform 60-bit long —
+    the same literal integer thresholds the oracle states, so the draw
+    is engine-exact."""
+    w = F.lit(5)
+    for k in range(len(_POIS1_T) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_T[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def pois1_weight_sql(u: str) -> str:
+    """DuckDB twin of :func:`_pois1_weight`."""
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS1_T)
+    )
+    return f"(CASE {branches} ELSE 5 END)"
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    reps: int = 100,
+    where: Column | None = None,
+) -> DataFrame:
+    """Percentile-bootstrap CI of the mean via the Poisson bootstrap —
+    the resampling scheme that actually works on distributed data
+    (Chamandy et al., published at Google): instead of drawing n rows
+    with replacement (a global shuffle per replicate), every row
+    independently enters replicate b with weight ~ Poisson(1). Each
+    (row, replicate) weight is a deterministic function of
+    md5(id:b), so the oracle replays the identical resamples.
+
+    Truncation: weights cap at 5 (P(W>5) ~ 6e-4); with n rows the
+    expected count of truncated cells per replicate is ~0.0006n and
+    the induced mean bias is far below the CI's own Monte-Carlo noise.
+
+    Shape: B replicates = one crossJoin against a broadcast B-row
+    frame; ONE map-side-combined aggregation reduces the cells to B
+    exact (DECIMAL weighted sum, BIGINT weight count) pairs — shuffle
+    is partitions x B combiner cells regardless of data size; the CI
+    is a ceil-rank order statistic over the B-row replicate table.
+    Replicate means are exact integer micro-units (no float
+    accumulates), so the whole output is drift-free.
+
+    Output 1 row: (b_reps, n, mean_micro, ci_lo_micro, ci_hi_micro)
+    at the 2.5/97.5 percentiles.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    base = df.where(
+        (F.lit(True) if where is None else where)
+        & F.col(id_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(id_col).cast("string").alias("rid"),
+        # exact integer micro-units up front: every downstream sum and
+        # ratio is BIGINT, so no decimal/float ever accumulates
+        (F.col(value_col).cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("vm"),
+    )
+    obs = base.groupBy().agg(
+        F.sum("vm").cast("long").alias("s_all"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    reps_df = spark.range(reps).select(F.col("id").cast("int").alias("b"))
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("rid"), F.col("b"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    cells = (
+        base.crossJoin(F.broadcast(reps_df))
+        .select("b", "vm", _pois1_weight(u).alias("w"))
+        .where(F.col("w") > 0)
+    )
+    per_rep = cells.groupBy("b").agg(
+        F.sum(F.col("vm") * F.col("w")).cast("long").alias("sw"),
+        F.sum("w").cast("long").alias("nw"),
+    )
+    means = per_rep.select(
+        "b", F.expr("sw div nw").cast("long").alias("m_micro")
+    )
+    w_rank = Window.partitionBy(F.col("m_micro").isNotNull()).orderBy(
+        "m_micro", "b"
+    )
+    ranked = means.select(
+        F.col("m_micro"),
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.col("m_micro").isNotNull())
+        ).alias("b_reps"),
+    )
+    lo = ranked.filter(
+        F.col("rk") == F.expr("(25 * b_reps + 999) div 1000")
+    ).select(
+        F.col("b_reps"), F.col("m_micro").alias("ci_lo_micro")
+    )
+    hi = ranked.filter(
+        F.col("rk") == F.expr("(975 * b_reps + 999) div 1000")
+    ).select(F.col("m_micro").alias("ci_hi_micro"))
+    return (
+        obs.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("b_reps").cast("long").alias("b_reps"),
+            F.col("n_all").alias("n"),
+            F.expr("s_all div n_all").cast("long").alias("mean_micro"),
+            "ci_lo_micro",
+            "ci_hi_micro",
+        )
+    )

@@ -7064,6 +7064,80 @@ FROM w
 """
 
 
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50 depth, distribution-free CI: Poisson bootstrap of the mean
+    purchase value (operators/resample.py:poisson_bootstrap) — the
+    only bootstrap that works without per-replicate global shuffles;
+    every (row, replicate) weight is a deterministic truncated-
+    Poisson(1) draw from md5(id:b), so the oracle replays identical
+    resamples. Integer micro-units end to end; CI = ceil-rank order
+    statistics over the B-row replicate table."""
+    from ..operators.resample import poisson_bootstrap
+
+    ev = load_table(spark, sf_dir, "events")
+    return poisson_bootstrap(
+        ev,
+        "value",
+        "event_id",
+        reps=100,
+        where=F.col("event_type") == "purchase",
+    )
+
+
+def _sql_poisson_bootstrap() -> str:
+    from ..operators.resample import pois1_weight_sql
+
+    u = (
+        "CAST('0x' || substring(md5(c.rid || ':' || CAST(r.b AS VARCHAR)),"
+        " 1, 15) AS BIGINT)"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(event_id AS VARCHAR) AS rid,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+  FROM events
+  WHERE event_type = 'purchase'
+    AND event_id IS NOT NULL AND value IS NOT NULL
+), obs AS (
+  SELECT CAST(SUM(vm) AS BIGINT) AS s_all,
+         CAST(COUNT(*) AS BIGINT) AS n_all
+  FROM base
+), reps AS (
+  SELECT CAST(b AS INT) AS b FROM range(0, 100) t(b)
+), cells AS (
+  SELECT r.b, c.vm, {pois1_weight_sql(u)} AS w
+  FROM base c CROSS JOIN reps r
+), nz AS (
+  SELECT b, vm, w FROM cells WHERE w > 0
+), per_rep AS (
+  SELECT b, CAST(SUM(vm * w) AS BIGINT) AS sw,
+         CAST(SUM(w) AS BIGINT) AS nw
+  FROM nz GROUP BY 1
+), means AS (
+  SELECT b, sw // nw AS m_micro FROM per_rep
+), ranked AS (
+  SELECT b, m_micro,
+         row_number() OVER (ORDER BY m_micro, b) AS rk,
+         COUNT(*) OVER () AS b_reps
+  FROM means
+), lo AS (
+  SELECT b_reps, m_micro AS ci_lo_micro FROM ranked
+  WHERE rk = (25 * b_reps + 999) // 1000
+), hi AS (
+  SELECT m_micro AS ci_hi_micro FROM ranked
+  WHERE rk = (975 * b_reps + 999) // 1000
+)
+SELECT CAST(l.b_reps AS BIGINT) AS b_reps, o.n_all AS n,
+       CAST(o.s_all // o.n_all AS BIGINT) AS mean_micro,
+       CAST(l.ci_lo_micro AS BIGINT) AS ci_lo_micro,
+       CAST(h.ci_hi_micro AS BIGINT) AS ci_hi_micro
+FROM obs o CROSS JOIN lo l CROSS JOIN hi h
+"""
+
+
+SQL_POISSON_BOOTSTRAP = _sql_poisson_bootstrap()
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-embedding analytics: distributed PCA over the embedding table
     (operators/linalg.py) — covariance from one shuffle-free partial
@@ -7286,6 +7360,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_rollup": q_distinct_rollup,
     "range_checksum_diff": q_range_checksum_diff,
     "neyman_allocation": q_neyman_allocation,
+    "poisson_bootstrap": q_poisson_bootstrap,
     "pca_project": q_pca_project,
 }
 
@@ -7460,4 +7535,5 @@ ORACLE_SQL: dict[str, str] = {
     "distinct_rollup": SQL_DISTINCT_ROLLUP,
     "range_checksum_diff": SQL_RANGE_CHECKSUM_DIFF,
     "neyman_allocation": SQL_NEYMAN_ALLOCATION,
+    "poisson_bootstrap": SQL_POISSON_BOOTSTRAP,
 }

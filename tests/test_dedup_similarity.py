@@ -322,3 +322,22 @@ def test_auto_cap_bounds_degenerate_pair_blowup(spark):
     # cluster alone; budget is 8 pairs/doc = 32k plus floor-protected
     # small buckets
     assert n_pairs < 100_000
+
+
+
+def test_components_resolve_long_chains_in_log_rounds(spark):
+    """Pointer doubling: a 3000-edge path graph (diameter 3000) must
+    resolve inside 20 rounds — the 10x-scale entity-chain regression
+    (plain 1-hop min propagation needs diameter rounds and died on the
+    ladder's nation-blocked edit-1 name chains)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(3000)], "id_a long, id_b long"
+    )
+    rows = near_dup_clusters(edges, max_iters=20).collect()
+    assert len(rows) == 3001
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert sum(r["keep"] for r in rows) == 1

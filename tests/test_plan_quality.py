@@ -979,3 +979,13 @@ def test_neyman_is_one_groupby_plus_tiny_window(spark):
     plan = _plan(spark, "neyman_allocation")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_poisson_bootstrap_cells_reduce_map_side(spark):
+    """B replicates must come from ONE broadcast crossJoin + ONE
+    map-side-combined aggregation (shuffle = partitions x B cells) —
+    never B scans or a per-replicate shuffle of the data."""
+    plan = _plan(spark, "poisson_bootstrap")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4

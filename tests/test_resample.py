@@ -148,3 +148,90 @@ def test_jackknife_ratio_matches_numpy_mirror(spark):
     assert row["n_groups"] == g
     assert abs(row["ratio"] - sx / sy) < 1e-4
     assert abs(row["jk_se"] - ref_se) / ref_se < 1e-2
+
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_matches_bruteforce(spark):
+    """Replay the deterministic resamples in numpy: replicate means,
+    ceil-rank percentiles, and the observed mean must match the engine
+    exactly (everything is integer micro-units of the same md5 draws)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.resample import (
+        _POIS1_T,
+        poisson_bootstrap,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.sources.parquet_source import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, str(SF_DIR), "events")
+    got = poisson_bootstrap(
+        ev, "value", "event_id", reps=50,
+        where=F.col("event_type") == "purchase",
+    ).collect()[0]
+
+    rows = ev.filter("event_type = 'purchase'").select("event_id", "value").collect()
+    import decimal
+    q6 = decimal.Decimal("0.000001")
+    vm = {}
+    for r in rows:
+        if r["event_id"] is None or r["value"] is None:
+            continue
+        vm[str(r["event_id"])] = int(
+            decimal.Decimal(repr(float(r["value"]))).quantize(
+                q6, rounding=decimal.ROUND_HALF_UP
+            ) * 1_000_000
+        )
+    n = len(vm)
+    s_all = sum(vm.values())
+    assert got["n"] == n
+    assert got["mean_micro"] == s_all // n
+
+    def w_of(rid, b):
+        u = int(hashlib.md5(f"{rid}:{b}".encode()).hexdigest()[:15], 16)
+        for k, t in enumerate(_POIS1_T):
+            if u < t:
+                return k
+        return 5
+
+    means = []
+    for b in range(50):
+        sw = nw = 0
+        for rid, v in vm.items():
+            w = w_of(rid, b)
+            sw += v * w
+            nw += w
+        means.append(sw // nw)
+    means.sort()
+    assert got["b_reps"] == 50
+    assert got["ci_lo_micro"] == means[(25 * 50 + 999) // 1000 - 1]
+    assert got["ci_hi_micro"] == means[(975 * 50 + 999) // 1000 - 1]
+    assert got["ci_lo_micro"] <= got["mean_micro"] <= got["ci_hi_micro"]
+
+
+def test_poisson_bootstrap_ci_width_shrinks_with_n(spark):
+    """Statistical sanity: 4x the rows should roughly halve the CI
+    width (1/sqrt(n) — allow generous slack for bootstrap noise)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.resample import (
+        poisson_bootstrap,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    small = [(i, float(v)) for i, v in enumerate(rng.normal(50, 10, 400))]
+    big = [(i, float(v)) for i, v in enumerate(rng.normal(50, 10, 1600))]
+    df_s = spark.createDataFrame(small, "event_id long, value double")
+    df_b = spark.createDataFrame(big, "event_id long, value double")
+    r_s = poisson_bootstrap(df_s, "value", "event_id", reps=100).collect()[0]
+    r_b = poisson_bootstrap(df_b, "value", "event_id", reps=100).collect()[0]
+    w_s = r_s["ci_hi_micro"] - r_s["ci_lo_micro"]
+    w_b = r_b["ci_hi_micro"] - r_b["ci_lo_micro"]
+    assert w_b < 0.8 * w_s, (w_s, w_b)
