@@ -341,3 +341,37 @@ def test_components_resolve_long_chains_in_log_rounds(spark):
     assert len(rows) == 3001
     assert {r["cluster_id"] for r in rows} == {0}
     assert sum(r["keep"] for r in rows) == 1
+
+
+def test_components_random_ids_converge_in_log_rounds(spark):
+    """The round-4 bench crash class: a path graph whose node ids are
+    RANDOM with respect to the topology (shuffled), exactly like
+    custkeys along an edit-1 name chain. Min-label propagation's
+    pointer-doubling shortcut degrades to O(diameter) rounds here
+    (26 rounds on the sf0.1 linkage graph); star contraction must stay
+    logarithmic. Pins the round counter, not just the result."""
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(2000))
+    rng.shuffle(ids)
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(1999)], "id_a long, id_b long"
+    )
+    rows = dedup.near_dup_clusters(edges, max_iters=16).collect()
+    assert len(rows) == 2000
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert dedup.LAST_CLUSTER_ITERS <= 12, dedup.LAST_CLUSTER_ITERS
+
+
+def test_components_self_loops_and_empty_input(spark):
+    """Self-loop-only nodes are singletons (their own cluster, keep);
+    an empty pair set returns an empty frame with the right schema."""
+    pairs = spark.createDataFrame([(5, 5), (1, 2)], "id_a long, id_b long")
+    rows = {r["node_id"]: r for r in dedup.near_dup_clusters(pairs).collect()}
+    assert rows[5]["cluster_id"] == 5 and rows[5]["keep"]
+    assert rows[1]["cluster_id"] == 1 and rows[2]["cluster_id"] == 1
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = dedup.near_dup_clusters(empty)
+    assert out.columns == ["node_id", "cluster_id", "keep"]
+    assert out.count() == 0

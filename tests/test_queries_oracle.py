@@ -121,3 +121,34 @@ def test_bench_headline_is_subset_of_registry():
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, f"bench.HEADLINE names not in QUERIES: {missing}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline"
+
+
+def test_bench_isolates_failing_queries(spark):
+    """VERDICT r4 item 2: one crashing query must not void the bench
+    artifact. A deliberately-broken query records an error, every other
+    query still gets a timing, and the compact stdout line stays
+    parseable JSON with the failure named."""
+    import json
+
+    import bench
+
+    def boom(_spark, _sf_dir):
+        raise RuntimeError("deliberately broken")
+
+    queries = {
+        "per_file_count": QUERIES["per_file_count"],
+        "broken_query": boom,
+        "exact_dedup": QUERIES["exact_dedup"],
+    }
+    headline = ["per_file_count", "broken_query", "exact_dedup"]
+    detail, errors = bench.run_bench(
+        spark, queries, headline, SF_DIR, sf=0.001, passes=2
+    )
+    assert set(errors) == {"broken_query"}
+    assert "deliberately broken" in errors["broken_query"]
+    assert set(detail["queries"]) == {"per_file_count", "exact_dedup"}
+    assert detail["value"] > 0
+    line = bench.compact_line(detail, headline, "unused.json")
+    parsed = json.loads(line)
+    assert parsed["failed"] == ["broken_query"]
+    assert parsed["metric"] == "headline_queries_total_wall"
