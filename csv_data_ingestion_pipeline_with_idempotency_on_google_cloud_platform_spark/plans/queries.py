@@ -7153,14 +7153,33 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- entries 1-50: the round-4 correctness window (driver checks
-    # only this prefix). Leads with the 7 oracle-backed queries that had
-    # no driver-green row in r01-r03 (5 landed after the r3 window froze;
-    # term_divergence/tpch_q12 carried the now-fixed HUGEINT oracle bug),
-    # then r4 additions (sessions 1-4 at 8-14, session 5's X32-X39 at
-    # 15-24), then backfill re-confirming r1/r2-green queries (the ten
-    # backfill entries the session-5 block displaced past position 50
-    # all keep their r1/r2 driver-green rows — verified).
+    # ---- entries 1-50: the round-5 correctness window (driver checks
+    # only this prefix). Leads with the 19 oracle-backed queries that
+    # have NO driver-green row in r01-r04 (the r4 session-7/8 additions
+    # that landed after the r4 window froze; pytest-verified since) —
+    # exactly VERDICT r4 item 3 / SURVEY's round-5 rotation note.
+    "kmv_distinct": q_kmv_distinct,
+    "countmin_freq": q_countmin_freq,
+    "kmv_join_estimate": q_kmv_join_estimate,
+    "kmv_rollup": q_kmv_rollup,
+    "jackknife_mean": q_jackknife_mean,
+    "jackknife_ratio": q_jackknife_ratio,
+    "permutation_test": q_permutation_test,
+    "poisson_bootstrap": q_poisson_bootstrap,
+    "forecast_backtest": q_forecast_backtest,
+    "forecast_conformal": q_forecast_conformal,
+    "cuped_adjust": q_cuped_adjust,
+    "jaro_winkler_topk": q_jaro_winkler_topk,
+    "theilsen_trend": q_theilsen_trend,
+    "zorder_zonemap": q_zorder_zonemap,
+    "golden_record": q_golden_record,
+    "histogram_quantile_rollup": q_histogram_quantile_rollup,
+    "distinct_rollup": q_distinct_rollup,
+    "range_checksum_diff": q_range_checksum_diff,
+    "neyman_allocation": q_neyman_allocation,
+    # ---- entries 20-50: r4-window-green backfill (every entry below
+    # holds a driver-green CORRECTNESS_r04 row; the ones this rotation
+    # displaced past position 50 keep that evidence).
     "quality_classifier": q_quality_classifier,
     "hash_embedding": q_hash_embedding,
     "event_paths": q_event_paths,
@@ -7339,28 +7358,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_semantic_dedup": q_text_semantic_dedup,
     "media_phash_dedup": q_media_phash_dedup,
     "media_dup_clusters": q_media_dup_clusters,
-    # session-7 additions (past the window — oracle parity via pytest
-    # this round, rotate into the r5 driver window)
-    "kmv_distinct": q_kmv_distinct,
-    "countmin_freq": q_countmin_freq,
-    "kmv_join_estimate": q_kmv_join_estimate,
-    "kmv_rollup": q_kmv_rollup,
-    "jackknife_mean": q_jackknife_mean,
-    "jackknife_ratio": q_jackknife_ratio,
-    "forecast_backtest": q_forecast_backtest,
-    "cuped_adjust": q_cuped_adjust,
-    "permutation_test": q_permutation_test,
-    # r4 session-8 additions (past the driver window; pytest parity)
-    "jaro_winkler_topk": q_jaro_winkler_topk,
-    "theilsen_trend": q_theilsen_trend,
-    "zorder_zonemap": q_zorder_zonemap,
-    "forecast_conformal": q_forecast_conformal,
-    "golden_record": q_golden_record,
-    "histogram_quantile_rollup": q_histogram_quantile_rollup,
-    "distinct_rollup": q_distinct_rollup,
-    "range_checksum_diff": q_range_checksum_diff,
-    "neyman_allocation": q_neyman_allocation,
-    "poisson_bootstrap": q_poisson_bootstrap,
     "pca_project": q_pca_project,
 }
 
