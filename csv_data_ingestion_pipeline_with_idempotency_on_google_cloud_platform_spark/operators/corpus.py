@@ -243,8 +243,16 @@ def range_checksums(
     """
     from .sketches import _hash60
 
+    # ':' marks the id/payload boundary — without it (id=1, payload='2A')
+    # and (id=12, payload='A') hash identically (id is numeric, so ':'
+    # cannot appear inside it). NULL payloads get a sentinel distinct
+    # from '' (concat_ws would otherwise silently skip the NULL).
     row_h = _hash60(
-        F.concat_ws("", F.col(id_col).cast("string"), F.col(payload_col))
+        F.concat_ws(
+            ":",
+            F.col(id_col).cast("string"),
+            F.coalesce(F.col(payload_col), F.lit("<null>")),
+        )
     )
     return (
         df.where(F.col(id_col).isNotNull())

@@ -93,9 +93,28 @@ def with_zvalue(
     )
     ux = F.expr(_U16_TMPL.format(v="__zx", vmin="__xmin", vmax="__xmax"))
     uy = F.expr(_U16_TMPL.format(v="__zy", vmin="__ymin", vmax="__ymax"))
+    # (v - vmin) * 65535 wraps BIGINT once a dimension's range reaches
+    # 2^47 (2^47 * 65535 ~ 2^63). Fail loudly instead of silently
+    # corrupting Morton codes; the guard rides the same broadcast row
+    # (added into the z expression so column pruning can't drop it —
+    # it contributes 0 whenever the ranges are in bounds).
+    lim = F.lit(1 << 47).cast("bigint")
+    chk = (
+        F.when(
+            ((F.col("__xmax") - F.col("__xmin")) >= lim)
+            | ((F.col("__ymax") - F.col("__ymin")) >= lim),
+            F.raise_error(
+                F.lit(
+                    "zorder: dimension range >= 2^47 — 16-bit normalization "
+                    "would overflow BIGINT; rescale the column first"
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+    )
     return (
         tagged.crossJoin(F.broadcast(bounds))
-        .withColumn(z_name, zvalue_col(ux, uy))
+        .withColumn(z_name, zvalue_col(ux, uy) + chk)
         .drop("__xmin", "__xmax", "__ymin", "__ymax")
     )
 

@@ -46,6 +46,10 @@ def covariance_partials(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         s = None
         ss = None
         for pdf in batches:
+            # a single NULL vector would turn np.asarray into an object
+            # array and crash the whole pass — drop them like the
+            # sibling vector operators do
+            pdf = pdf.dropna(subset=["v"])
             if pdf.empty:
                 continue
             x = np.asarray(
@@ -64,8 +68,10 @@ def covariance_partials(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             {"pid": [pid], "n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
         )
 
-    return df.select(F.col(vec_col).alias("v")).mapInPandas(
-        part, schema=PARTIAL_SCHEMA
+    return (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).alias("v"))
+        .mapInPandas(part, schema=PARTIAL_SCHEMA)
     )
 
 

@@ -7006,12 +7006,12 @@ WITH v1 AS (
 ), c1 AS (
   SELECT doc_id // 100 AS rng, CAST(COUNT(*) AS BIGINT) AS n_1,
          bit_xor(CAST('0x' || substring(
-             md5(CAST(doc_id AS VARCHAR) || text), 1, 15) AS BIGINT)) AS cs_1
+             md5(CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, '<null>')), 1, 15) AS BIGINT)) AS cs_1
   FROM v1 WHERE doc_id IS NOT NULL GROUP BY 1
 ), c2 AS (
   SELECT doc_id // 100 AS rng, CAST(COUNT(*) AS BIGINT) AS n_2,
          bit_xor(CAST('0x' || substring(
-             md5(CAST(doc_id AS VARCHAR) || text), 1, 15) AS BIGINT)) AS cs_2
+             md5(CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, '<null>')), 1, 15) AS BIGINT)) AS cs_2
   FROM v2 WHERE doc_id IS NOT NULL GROUP BY 1
 )
 SELECT COALESCE(a.rng, b.rng) AS rng,
