@@ -96,65 +96,83 @@ def word_shingles_col(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def _bucket_member_pairs(
+    entries: DataFrame,
+    bucket_cols: list[str],
+    member_struct: Column,
+    max_bucket_size: int | None,
+    emit,
+) -> DataFrame:
+    """THE pair-expansion core every bucketed candidate family goes
+    through (MinHash bands, SimHash blocks, hyperplane tables, phash
+    pigeonholes, deletion-variant fuzzy keys): one groupBy shuffle
+    collects each bucket's `member_struct` as a sorted array, then a
+    narrow nested `transform` emits `emit(m, mj)` for every ordered
+    member pair — the upstream signature pipeline runs exactly once,
+    nothing is persisted, and the bucket only crosses the wire once.
+
+    `max_bucket_size` is applied as a pre-collect ANTI-JOIN on over-cap
+    bucket keys (map-side-combined count; only (bucket, count) partials
+    shuffle), never as a post-collect filter: a collect_list buffer for
+    a billion-member boilerplate bucket would be unbounded OOM state
+    before a post-filter could drop it. The cap costs one extra pass
+    over `entries`; callers with an upstream cap of their own pass
+    None. Returns one exploded struct column `pr`.
+    """
+    if max_bucket_size is not None:
+        overcap = (
+            entries.groupBy(*bucket_cols)
+            .agg(F.count("*").alias("__sz"))
+            .filter(F.col("__sz") > max_bucket_size)
+            .drop("__sz")
+        )
+        # no broadcast hint: over-cap keys are few on real corpora but
+        # nothing bounds them — let Catalyst/AQE pick broadcast vs
+        # shuffle; the anti-join key matches the pair shuffle key
+        entries = entries.join(overcap, bucket_cols, "left_anti")
+    members = (
+        entries.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_list(member_struct)).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ms",
+            lambda m, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+                lambda mj: emit(m, mj),
+            ),
+        )
+    )
+    return members.select(F.explode(pair_structs).alias("pr"))
+
+
 def _bucket_pairs(
     entries: DataFrame,
     bucket_cols: list[str],
     id_payload: tuple[str, str],
     max_bucket_size: int | None,
 ) -> DataFrame:
-    """Within-bucket candidate-pair expansion (SimHash blocks,
-    hyperplane tables — signature families whose per-row compute is
-    heavy enough that evaluating it once beats staying in codegen; the
-    MinHash path keeps a plain self-join instead, see
-    minhash_lsh_candidates).
-
-    One groupBy shuffle collects each bucket's (id, payload) members as
-    a sorted array; a narrow nested `transform` then emits every
-    ordered pair — so the upstream signature pipeline runs exactly once,
-    nothing is persisted, and the bucket only crosses the wire once
-    (a bucketed self-join reads the shuffle twice and, without manual
-    persist, computes the signatures twice).
-
-    `max_bucket_size` bounds both the O(m²) pair blowup AND the
-    collected row width: buckets above it (boilerplate/empty-content
-    hot keys) are dropped before expansion — the standard
-    recall-for-bound trade at 100 TB. Returns (id_a, id_b, pa, pb) with
-    id_a < id_b, deduplicated across buckets.
+    """(id, payload) convenience wrapper over `_bucket_member_pairs`
+    (SimHash blocks, hyperplane tables, phash pigeonholes, fuzzy keys).
+    Returns (id_a, id_b, pa, pb) with id_a < id_b, deduplicated across
+    buckets; see the core helper for the capping/shuffle shape.
     """
     id_col, payload_col = id_payload
-    members = (
-        entries.groupBy(*bucket_cols)
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(id_col).alias("i"), F.col(payload_col).alias("p")
-                    )
-                )
-            ).alias("ms")
-        )
-        .filter(F.size("ms") >= 2)
+    core = _bucket_member_pairs(
+        entries,
+        bucket_cols,
+        F.struct(F.col(id_col).alias("i"), F.col(payload_col).alias("p")),
+        max_bucket_size,
+        lambda m, mj: F.struct(
+            m["i"].alias("id_a"),
+            mj["i"].alias("id_b"),
+            m["p"].alias("pa"),
+            mj["p"].alias("pb"),
+        ),
     )
-    if max_bucket_size is not None:
-        members = members.filter(F.size("ms") <= max_bucket_size)
-    pair_structs = F.flatten(
-        F.transform(
-            "ms",
-            lambda m, i: F.transform(
-                F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
-                lambda mj: F.struct(
-                    m["i"].alias("id_a"),
-                    mj["i"].alias("id_b"),
-                    m["p"].alias("pa"),
-                    mj["p"].alias("pb"),
-                ),
-            ),
-        )
-    )
-    return (
-        members.select(F.explode(pair_structs).alias("pr"))
-        .select("pr.id_a", "pr.id_b", "pr.pa", "pr.pb")
-        .dropDuplicates(["id_a", "id_b"])
+    return core.select("pr.id_a", "pr.id_b", "pr.pa", "pr.pb").dropDuplicates(
+        ["id_a", "id_b"]
     )
 
 
@@ -528,37 +546,26 @@ def minhash_lsh_candidates(
             estimate_jaccard_col("a.sig", "b.sig", num_perm).alias("est_jaccard"),
         )
     else:
-        # one-pass: collect each (bounded) bucket once, expand ordered
-        # pairs narrowly. Signature pipeline runs ONCE for the pair
-        # stage; est_jaccard is computed inside the bucket task so the
-        # dedup shuffle carries (id_a, id_b, double), not signatures.
-        members = (
-            band_entries.groupBy("band_id", "band_hash")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("id").alias("i"), F.col("sig").alias("s")))
-                ).alias("ms")
-            )
-            .filter(F.size("ms") >= 2)
-        )
-        pair_structs = F.flatten(
-            F.transform(
-                "ms",
-                lambda m, i: F.transform(
-                    F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
-                    lambda mj: F.struct(
-                        m["i"].alias("id_a"),
-                        mj["i"].alias("id_b"),
-                        estimate_jaccard_col(m["s"], mj["s"], num_perm).alias(
-                            "est_jaccard"
-                        ),
-                    ),
+        # one-pass via the shared `_bucket_member_pairs` core: collect
+        # each (already anti-join-capped above) bucket once, expand
+        # ordered pairs narrowly. Signature pipeline runs ONCE for the
+        # pair stage; est_jaccard is computed inside the bucket task so
+        # the dedup shuffle carries (id_a, id_b, double), not
+        # signatures. max_bucket_size=None here because the cap was
+        # applied upstream (one anti-join shared by both branches).
+        pairs = _bucket_member_pairs(
+            band_entries,
+            ["band_id", "band_hash"],
+            F.struct(F.col("id").alias("i"), F.col("sig").alias("s")),
+            None,
+            lambda m, mj: F.struct(
+                m["i"].alias("id_a"),
+                mj["i"].alias("id_b"),
+                estimate_jaccard_col(m["s"], mj["s"], num_perm).alias(
+                    "est_jaccard"
                 ),
-            )
-        )
-        pairs = members.select(F.explode(pair_structs).alias("pr")).select(
-            "pr.id_a", "pr.id_b", "pr.est_jaccard"
-        )
+            ),
+        ).select("pr.id_a", "pr.id_b", "pr.est_jaccard")
     # Score and threshold BEFORE the pair dedup: est_jaccard is
     # identical for every band collision of the same pair, so deduping
     # after scoring is equivalent — and the dedup shuffle carries
