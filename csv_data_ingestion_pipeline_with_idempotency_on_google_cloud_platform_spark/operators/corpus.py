@@ -52,26 +52,66 @@ def prepare_corpus(
     report: one row per pipeline stage with rows_in/rows_out, or None
     with ``with_report=False``.
 
-    The report's stage counts are eager actions, and counting stage N
-    re-executes stages 1..N-1 — fine at audit time, wasteful inline. At
-    100 TB the pipeline runs with ``with_report=False`` and stage
-    outputs written to storage between stages; retention counts then
-    come from the writes' own metrics, costing nothing extra.
+    The report rides `observe()` metrics attached at every stage
+    boundary, so ONE action (a count of the final stage) collects every
+    stage's retention in a single pipeline execution — no per-stage
+    prefix re-runs. The returned `clean` frame stays lazy; a caller
+    action executes the pipeline once more, so audit mode costs two
+    executions total. At 100 TB the pipeline runs with
+    ``with_report=False`` and stage outputs written to storage between
+    stages; retention counts then come from the writes' own metrics,
+    costing nothing extra.
     """
-    total = docs.count() if with_report else 0
+    from pyspark.sql import Observation
+
+    observations: list[tuple[str, Observation]] = []
+
+    def _observe(df: DataFrame, name: str) -> DataFrame:
+        # a stage boundary is consumed by BOTH the next main-path join
+        # and its side computation (pair gen / drop list); Spark reports
+        # the CollectMetrics node once per query, so the count stays
+        # exact (verified: 100-row stage consumed twice observes 100)
+        if not with_report:
+            return df
+        ob = Observation(name)
+        observations.append((name, ob))
+        return df.observe(ob, F.count(F.lit(1)).alias("n"))
+
+    # Resolve the near-dup hot-bucket cap BEFORE attaching any
+    # observation: choose_bucket_cap's sample detector runs eager
+    # actions, and an Observation locks to the FIRST action that runs
+    # through its node — a detector pass would freeze the stage counts
+    # at sampled values. Resolved on the unobserved frame, the observed
+    # pipeline below stays fully lazy until the one counting action.
+    if with_report:
+        plain_kept = docs.join(
+            F.broadcast(dedup.exact_dedup(docs).select("doc_id")),
+            "doc_id",
+            "semi",
+        )
+        resolved_cap = dedup.choose_bucket_cap(plain_kept)
+    else:
+        resolved_cap = "auto"
+
+    docs = _observe(docs, "input")
 
     # 1. exact dedup — keep min-id doc per content hash
     kept_ids = dedup.exact_dedup(docs).select("doc_id")
-    exact_kept = docs.join(F.broadcast(kept_ids), "doc_id", "semi")
-    n_exact = exact_kept.count() if with_report else 0
+    exact_kept = _observe(
+        docs.join(F.broadcast(kept_ids), "doc_id", "semi"), "exact_dedup"
+    )
 
     # 2. near-dup removal — drop the higher id of each confident pair
     pairs = dedup.minhash_lsh_candidates(
-        exact_kept, min_est_jaccard=near_dup_jaccard
+        exact_kept,
+        min_est_jaccard=near_dup_jaccard,
+        max_bucket_size=resolved_cap,
     )
     drop_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    near_kept = exact_kept.join(F.broadcast(drop_ids), "doc_id", "left_anti")
-    n_near = near_kept.count() if with_report else 0
+    near_kept = _observe(
+        exact_kept.join(F.broadcast(drop_ids), "doc_id", "left_anti"),
+        "near_dedup",
+    )
 
     # 3. quality + token floor, language tag
     scored = near_kept.join(quality_scores(near_kept), "doc_id")
@@ -82,14 +122,7 @@ def prepare_corpus(
         )
         .select("doc_id", "text", lang_id_col("text").alias("lang_pred"))
     )
-    n_quality = clean.count() if with_report else 0
-    stages = [
-        ("input", total, total),
-        ("exact_dedup", total, n_exact),
-        ("near_dedup", n_exact, n_near),
-        ("quality_filter", n_near, n_quality),
-    ]
-    prev = n_quality
+    clean = _observe(clean, "quality_filter")
 
     # 4. optional benchmark decontamination (eval side broadcasts;
     #    the corpus side never shuffles — dedup.cross_set_ngram_overlap)
@@ -97,11 +130,10 @@ def prepare_corpus(
         hits = dedup.cross_set_ngram_overlap(
             clean, eval_set, n=decontam_ngram
         ).select(F.col("train_id").alias("doc_id")).distinct()
-        clean = clean.join(F.broadcast(hits), "doc_id", "left_anti")
-        if with_report:
-            n_decontam = clean.count()
-            stages.append(("decontamination", prev, n_decontam))
-            prev = n_decontam
+        clean = _observe(
+            clean.join(F.broadcast(hits), "doc_id", "left_anti"),
+            "decontamination",
+        )
 
     # 5. optional trained-classifier score floor (weights table is
     #    ≤ vocab_size rows → broadcast; one doc-keyed shuffle)
@@ -118,14 +150,20 @@ def prepare_corpus(
             .filter(F.col("score_milli") >= min_score_milli)
             .select("doc_id")
         )
-        clean = clean.join(keep, "doc_id", "semi")
-        if with_report:
-            n_cls = clean.count()
-            stages.append(("classifier_filter", prev, n_cls))
-            prev = n_cls
+        clean = _observe(
+            clean.join(keep, "doc_id", "semi"), "classifier_filter"
+        )
 
     if not with_report:
         return clean, None
+    # ONE action fires every observation along the plan
+    clean.count()
+    counts = {name: int(ob.get["n"]) for name, ob in observations}
+    stages = []
+    prev = counts["input"]
+    for name, _ob in observations:
+        stages.append((name, prev if name != "input" else counts["input"], counts[name]))
+        prev = counts[name]
     report = docs.sparkSession.createDataFrame(
         stages, "stage string, rows_in long, rows_out long"
     )

@@ -2088,13 +2088,13 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X31 entity resolution: fuzzy record linkage composed with
     connected components — edit-distance-1 name pairs (SymSpell
     deletion-neighborhood blocking, operators/fuzzy.py) resolved into
-    entity clusters by min-label propagation (operators/dedup.py:
+    entity clusters by alternating star contraction (operators/dedup.py:
     near_dup_clusters), canonical member = minimum custkey. The full
     composite is oracle-backed INCLUDING the iterative component
     stage: the DuckDB twin runs an O(n²) levenshtein join + recursive-
     CTE transitive closure, both of which the engine plan strictly
-    beats (|s|+1 blocking keys per name; O(diameter) bounded label
-    rounds shuffling only (node, label) longs)."""
+    beats (|s|+1 blocking keys per name; O(log² n) contraction rounds
+    shuffling only id pairs)."""
     from ..operators.fuzzy import fuzzy_self_pairs
 
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")

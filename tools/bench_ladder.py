@@ -51,6 +51,9 @@ LADDER_QUERIES = [
     "theilsen_trend",
     "jaro_winkler_topk",
     "golden_record",
+    # round 5: the full clusters path (star-contraction CC) at 10x —
+    # VERDICT r4 item 4
+    "entity_resolution",
     "pca_project",
     "histogram_quantile_rollup",
     "distinct_rollup",
