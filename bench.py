@@ -176,6 +176,11 @@ HEADLINE = [
     "neyman_allocation",
     "poisson_bootstrap",
     "pca_project",
+    # round 5: containment screen, bigram-LM familiarity filter,
+    # deterministic per-group sampling
+    "ngram_containment",
+    "doc_lm_familiarity",
+    "group_reservoir_sample",
 ]
 
 

@@ -754,6 +754,73 @@ def ngram_jaccard_pairs(
     return j.select("id_a", "id_b", "jaccard")
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.5,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT — |A∩B| / |A| — for pairs sharing
+    ≥1 shingle. Resemblance (Jaccard) misses the quote/boilerplate
+    case: a short doc fully embedded in a long one has low Jaccard but
+    containment ~1.0 from the short side. This is Broder's containment
+    measure, the screen for near-containment dedup (drop the contained
+    doc, keep the superset) and quote detection.
+
+    Same scale shape as ngram_jaccard_pairs: one shingle-equality
+    self-join (ReusedExchange shares the shuffle), sizes computed
+    before the optional hot-shingle cap so denominators stay exact.
+    Returns (id_a, id_b, containment_a, containment_b) with id_a <
+    id_b, kept when EITHER direction clears `min_containment`.
+    """
+    sh = parallelize_narrow(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles_col(text_col, n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment_a",
+            F.round(F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 4),
+        )
+        .withColumn(
+            "containment_b",
+            F.round(F.col("n_inter").cast("double") / F.col("n_b").cast("double"), 4),
+        )
+        .filter(
+            (F.col("containment_a") >= min_containment)
+            | (F.col("containment_b") >= min_containment)
+        )
+    )
+    return out.select("id_a", "id_b", "containment_a", "containment_b")
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -342,3 +342,31 @@ def neyman_allocation(
             .alias("alloc"),
         )
     )
+
+
+def group_reservoir_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Deterministic k-per-group uniform sample: rank rows inside each
+    group by md5(id) — a fixed pseudo-random permutation — and keep the
+    k smallest. The distributed answer to "give me k examples from
+    every source/language/label" that reservoir sampling gives a
+    single machine: one window per group key (groups partition across
+    executors; no global sort, no collect), reproducible across runs
+    and engines because the permutation is the hash, not an RNG.
+
+    Ties cannot occur (md5 of distinct ids is distinct far beyond any
+    realistic id space); rows with NULL id are excluded. Returns the
+    input columns plus `sample_rank` (1-based).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.where(F.col(id_col).isNotNull())
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -556,6 +556,58 @@ def bigram_lm_topk(docs: DataFrame, top_n: int = 50, text_col: str = "text") -> 
     )
 
 
+def doc_lm_familiarity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document familiarity under the corpus's own add-1-smoothed
+    bigram LM — the count-based stand-in for LM perplexity filtering
+    (CCNet-style: documents whose n-grams the corpus LM finds
+    surprising are outliers/noise; unusually familiar ones are
+    boilerplate). Returns (doc_id, n_bigrams, familiarity_milli) for
+    every doc with ≥2 tokens, where familiarity_milli is the mean
+    smoothed conditional probability P(w2|w1) in exact milli-units —
+    all integer arithmetic (div), bit-identical in any engine, no
+    float logs to drift.
+
+    Scale: bigram counts are ONE map-side-combined aggregate over a
+    per-row array transform (no self-join); doc bigrams join the count
+    table on (w1, w2) — a keyed shuffle that never moves documents,
+    only (doc_id, w1, w2) triples.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
+    ).filter((F.length(F.trim(F.col(text_col))) > 0) & (F.expr("size(t)") >= 2))
+    doc_bigrams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"
+            )
+        ).alias("b"),
+    ).select(id_col, "b.w1", "b.w2")
+    counts = doc_bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    w_hist = Window.partitionBy("w1")
+    with_hist = counts.withColumn("c1", F.sum("c12").over(w_hist).cast("long"))
+    v = counts.agg(F.countDistinct("w2").cast("long").alias("v"))
+    probs = with_hist.crossJoin(F.broadcast(v)).select(
+        "w1",
+        "w2",
+        F.expr("(1000 * (c12 + 1)) div (c1 + v)").alias("p_milli"),
+    )
+    return (
+        doc_bigrams.join(probs, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.expr("sum(p_milli) div count(*)").alias("familiarity_milli"),
+        )
+    )
+
+
 def zipf_fit(
     docs: DataFrame,
     slice_col: str = "lang",

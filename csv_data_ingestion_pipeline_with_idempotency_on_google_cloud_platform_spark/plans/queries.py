@@ -7152,6 +7152,116 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_label_summary(emb, "embedding", "label", q=4)
 
 
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 asymmetric variant (round 5): Broder containment |A∩B|/|A|
+    over 3-gram shingles — catches a short doc embedded in a long one
+    (low Jaccard, containment ~1 from the short side): the
+    quote/boilerplate screen (operators/dedup.py:
+    ngram_containment_pairs). Exact set algebra, full oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(docs, n=3, min_containment=0.5)
+
+
+SQL_NGRAM_CONTAINMENT = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+  FROM toks
+),
+shingles AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM starts
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, containment_a, containment_b FROM (
+  SELECT i.id_a, i.id_b,
+         ROUND(CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 4) AS containment_a,
+         ROUND(CAST(i.n_inter AS DOUBLE) / CAST(sb.n_sh AS DOUBLE), 4) AS containment_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+) WHERE containment_a >= 0.5 OR containment_b >= 0.5
+"""
+
+
+def q_doc_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 extension (round 5): per-doc familiarity under the corpus's
+    own add-1 bigram LM (operators/textstats.py:doc_lm_familiarity) —
+    the count-based stand-in for perplexity filtering. Exact integer
+    milli-units end to end; full oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.doc_lm_familiarity(docs)
+
+
+SQL_DOC_LM_FAMILIARITY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+  WHERE length(trim(text)) > 0 AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2
+),
+doc_bigrams AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT doc_id, t, UNNEST(range(1, len(t))) AS i FROM toks)
+),
+counts AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM doc_bigrams GROUP BY w1, w2
+),
+with_hist AS (
+  SELECT w1, w2, c12, CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+  FROM counts
+),
+v AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM counts),
+probs AS (
+  SELECT w1, w2,
+         (CAST(1000 AS BIGINT) * (c12 + 1)) // (c1 + v.v) AS p_milli
+  FROM with_hist, v
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(p.p_milli) // COUNT(*) AS BIGINT) AS familiarity_milli
+FROM doc_bigrams b JOIN probs p ON b.w1 = p.w1 AND b.w2 = p.w2
+GROUP BY b.doc_id
+"""
+
+
+def q_group_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 extension (round 5): deterministic k-per-group sample via an
+    md5 hash permutation (operators/sampling.py:group_reservoir_sample)
+    — 'k examples from every source' without an RNG or a collect.
+    Full oracle (md5 is identical in both engines)."""
+    from ..operators.sampling import group_reservoir_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    return group_reservoir_sample(docs, "source", "doc_id", k=3)
+
+
+SQL_GROUP_RESERVOIR_SAMPLE = """
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS sample_rank
+  FROM documents WHERE doc_id IS NOT NULL
+) WHERE sample_rank <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entries 1-50: the round-5 correctness window (driver checks
     # only this prefix). Leads with the 19 oracle-backed queries that
@@ -7359,6 +7469,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_phash_dedup": q_media_phash_dedup,
     "media_dup_clusters": q_media_dup_clusters,
     "pca_project": q_pca_project,
+    # round-5 additions (past the driver window — oracle parity via
+    # pytest this round, rotate into the r6 window)
+    "ngram_containment": q_ngram_containment,
+    "doc_lm_familiarity": q_doc_lm_familiarity,
+    "group_reservoir_sample": q_group_reservoir_sample,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
@@ -7533,4 +7648,7 @@ ORACLE_SQL: dict[str, str] = {
     "range_checksum_diff": SQL_RANGE_CHECKSUM_DIFF,
     "neyman_allocation": SQL_NEYMAN_ALLOCATION,
     "poisson_bootstrap": SQL_POISSON_BOOTSTRAP,
+    "ngram_containment": SQL_NGRAM_CONTAINMENT,
+    "doc_lm_familiarity": SQL_DOC_LM_FAMILIARITY,
+    "group_reservoir_sample": SQL_GROUP_RESERVOIR_SAMPLE,
 }

@@ -375,3 +375,22 @@ def test_components_self_loops_and_empty_input(spark):
     out = dedup.near_dup_clusters(empty)
     assert out.columns == ["node_id", "cluster_id", "keep"]
     assert out.count() == 0
+
+
+def test_ngram_containment_detects_embedded_doc(spark):
+    """A short doc fully contained in a long one: containment from the
+    short side ~1.0 even though Jaccard is low."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = (
+        "intro words here " + short + " and then a lot of other trailing "
+        "content that dilutes the union far beyond the intersection size"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    rows = dedup.ngram_containment_pairs(docs, n=3, min_containment=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment_a"] == 1.0  # every 3-gram of the short doc is in the long
+    assert r["containment_b"] < 0.5
