@@ -989,3 +989,34 @@ def test_poisson_bootstrap_cells_reduce_map_side(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_group_reservoir_sample_one_exchange_rank_pushdown(spark):
+    """One hash exchange on the group key; the rank filter pushes into
+    WindowGroupLimit (per-group top-k during the sort, never a full
+    per-group sort then filter); no global single-partition window."""
+    plan = _plan(spark, "group_reservoir_sample")
+    # formatted explain prints each node twice (tree + details): one
+    # Exchange node == at most 2 mentions
+    assert plan.count("Exchange") <= 2
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_containment_no_cartesian_and_partial_aggs(spark):
+    """Containment shares the exact-Jaccard shape: shingle-equality
+    self-join only (no cross join), intersection counts map-side
+    combined."""
+    plan = _plan(spark, "ngram_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_doc_lm_familiarity_no_doc_shuffle_beyond_bigrams(spark):
+    """The LM join moves (doc_id, w1, w2) triples, never documents: no
+    cartesian, bigram counts map-side combined, history window runs on
+    the aggregated count table (thousands of w1 keys, not raw rows)."""
+    plan = _plan(spark, "doc_lm_familiarity")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
