@@ -885,6 +885,10 @@ def near_dup_clusters(
     )
 
     def _large_star(e: DataFrame) -> DataFrame:
+        # no trailing distinct: duplicate edges don't affect the min
+        # aggregates and the small-star that always follows ends in one
+        # — saves a shuffle per round (duplication within a round is
+        # bounded by the band multiplicity of the input edge set)
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
             "u", F.least("u", "mn").alias("m")
@@ -894,7 +898,6 @@ def near_dup_clusters(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
