@@ -181,6 +181,7 @@ HEADLINE = [
     "ngram_containment",
     "doc_lm_familiarity",
     "group_reservoir_sample",
+    "leakage_safe_split",
 ]
 
 

@@ -370,3 +370,43 @@ def group_reservoir_sample(
         .withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    holdout_below: str = "1a",
+) -> DataFrame:
+    """Train/holdout split that cannot leak near-duplicates across the
+    boundary: the split key is the doc's near-dup CLUSTER id, not the
+    doc id, so every member of a duplicate cluster lands on the same
+    side. Splitting by doc hash puts ~2·p·(1−p) of each near-dup pair
+    across the boundary — the classic eval-contamination bug that
+    silently inflates held-out metrics; keying on the component id
+    (near_dup_clusters output) removes it by construction.
+
+    `clusters` is (node_id, cluster_id, ...) from near_dup_clusters;
+    docs absent from it are singletons (their own cluster). One
+    broadcast-or-keyed left join + the same md5-prefix threshold as
+    hash_split. Returns (id, cluster_id, split).
+    """
+    lut = clusters.select(
+        F.col("node_id").alias(id_col), F.col("cluster_id").alias("__cl")
+    )
+    return (
+        docs.select(id_col)
+        .join(lut, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__cl", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn(
+            "split",
+            F.when(
+                hash_bucket_col("cluster_id", len(holdout_below))
+                < F.lit(holdout_below),
+                F.lit("holdout"),
+            ).otherwise(F.lit("train")),
+        )
+    )

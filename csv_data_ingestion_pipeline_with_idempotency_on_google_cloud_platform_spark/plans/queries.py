@@ -7237,6 +7237,63 @@ GROUP BY b.doc_id
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8/X12 composite (round 5): train/holdout split keyed on the
+    near-dup CLUSTER id (exact 3-gram Jaccard pairs → star-contraction
+    components → md5-prefix split) so no near-duplicate pair ever
+    straddles the boundary — the leakage bug a doc-keyed split bakes
+    in (operators/sampling.py:leakage_safe_split). Oracle runs the
+    recursive-CTE closure over the same exact pair set."""
+    from ..operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5)
+    clusters = dedup.near_dup_clusters(pairs)
+    return leakage_safe_split(docs, clusters)
+
+
+SQL_LEAKAGE_SAFE_SPLIT = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS i FROM toks
+),
+shingles AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle FROM starts
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jpairs AS (
+  SELECT i.id_a AS u, i.id_b AS v
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE ROUND(CAST(i.n_inter AS DOUBLE) /
+              CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4) >= 0.5
+),
+edges AS (SELECT u, v FROM jpairs UNION ALL SELECT v AS u, u AS v FROM jpairs),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.v AS node, reach.r FROM reach JOIN edges e ON reach.node = e.u
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       CASE WHEN substring(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 2) < '1a'
+            THEN 'holdout' ELSE 'train' END AS split
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 def q_group_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8 extension (round 5): deterministic k-per-group sample via an
     md5 hash permutation (operators/sampling.py:group_reservoir_sample)
@@ -7474,6 +7531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": q_ngram_containment,
     "doc_lm_familiarity": q_doc_lm_familiarity,
     "group_reservoir_sample": q_group_reservoir_sample,
+    "leakage_safe_split": q_leakage_safe_split,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
@@ -7651,4 +7709,5 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_containment": SQL_NGRAM_CONTAINMENT,
     "doc_lm_familiarity": SQL_DOC_LM_FAMILIARITY,
     "group_reservoir_sample": SQL_GROUP_RESERVOIR_SAMPLE,
+    "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
 }

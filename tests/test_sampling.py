@@ -20,3 +20,27 @@ def test_group_reservoir_sample_deterministic_k_per_group(spark):
     assert {g: sorted(v) for g, v in by_g.items()} == {
         "g0": [1, 2, 3, 4], "g1": [1, 2, 3, 4], "g2": [1, 2, 3, 4], "tiny": [1],
     }
+
+
+def test_leakage_safe_split_keeps_near_dup_pairs_together(spark):
+    """Every near-dup pair must land on the same side of the split —
+    the property a doc-keyed split violates."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # 50 planted near-dup pairs (i, i+1000); rest singletons
+    pairs = spark.createDataFrame(
+        [(i, i + 100) for i in range(50)], "id_a long, id_b long"
+    )
+    clusters = near_dup_clusters(pairs)
+    out = leakage_safe_split(docs, clusters).collect()
+    split = {r["doc_id"]: r["split"] for r in out}
+    assert len(split) == 200
+    for i in range(50):
+        assert split[i] == split[i + 100], f"pair ({i},{i+100}) straddles the split"
+    assert {r["split"] for r in out} == {"train", "holdout"}
