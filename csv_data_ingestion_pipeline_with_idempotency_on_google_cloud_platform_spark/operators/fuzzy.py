@@ -242,7 +242,7 @@ def golden_record(
     deterministic rules (MDM's "which value wins"):
 
     - `head_col`: taken from the cluster head (the member whose id IS
-      the cluster id — min-label propagation makes that the minimum id);
+      the cluster id — star contraction makes that the minimum id);
     - `max_cols`: best-value-wins (MAX) per cluster;
     - `mode_cols`: most frequent value wins, ties to the smallest value
       (two-phase: count per (cluster, value), then a rank over the

@@ -1231,7 +1231,7 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X24×X12 composition: perceptual-hash pair candidates resolved
     into connected components (operators/dedup.py:near_dup_clusters —
-    the same min-label propagation the text path uses), yielding one
+    the same star-contraction components the text path uses), yielding one
     canonical `keep` member per multimodal duplicate cluster.
     Tighter signature than the pair query (32 bits, radius 1):
     transitive closure amplifies any pair-stage looseness, so the
