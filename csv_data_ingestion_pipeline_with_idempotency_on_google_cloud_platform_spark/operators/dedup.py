@@ -911,15 +911,38 @@ def near_dup_clusters(
             .distinct()
         )
 
+    def _scratch_root() -> str:
+        # the reset path must be EXECUTOR-writable shared storage on a
+        # real cluster (executors write the parquet, the driver lists
+        # it): prefer the explicit checkpoint dir, else the warehouse
+        # dir (shared in any multi-node deployment); a driver-local
+        # tempdir is correct only for local mode and is the fallback.
+        ckpt = spark.sparkContext.getCheckpointDir()
+        if ckpt is not None:
+            base = ckpt
+        else:
+            base = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+        import uuid
+
+        try:
+            os.makedirs(base, exist_ok=True)
+            return tempfile.mkdtemp(prefix="neardup_cc_", dir=base)
+        except OSError:  # non-local warehouse URI (hdfs://, s3://…)
+            return base.rstrip("/") + "/neardup_cc_" + uuid.uuid4().hex
+
     scratch: str | None = None  # created lazily on the first reset round
+    final_is_parquet = False
     prev_sig: tuple | None = None
     for it in range(max_iters):
         new_edges = _small_star(_large_star(edges))
-        if it % 6 == 5:
+        final_is_parquet = it % 6 == 5
+        if final_is_parquet:
             # periodic plan reset (see docstring): alternate two scratch
             # paths so disk use stays bounded at two edge-table copies
             if scratch is None:
-                scratch = tempfile.mkdtemp(prefix="neardup_cc_")
+                scratch = _scratch_root()
             path = os.path.join(scratch, f"edges_{it % 2}")
             new_edges.write.mode("overwrite").parquet(path)
             new_edges = spark.read.parquet(path)
@@ -942,6 +965,12 @@ def near_dup_clusters(
         raise RuntimeError(
             f"star contraction did not converge in {max_iters} rounds"
         )
+    if scratch is not None and not final_is_parquet:
+        # the returned frame reads checkpointed RDDs, not the scratch
+        # parquet — reclaim it (best-effort; harmless if shared-FS)
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
     # converged edge set is a star forest: (child u -> root v). Roots and
     # singletons label themselves.
     return (
