@@ -182,6 +182,12 @@ HEADLINE = [
     "doc_lm_familiarity",
     "group_reservoir_sample",
     "leakage_safe_split",
+    # round 5 session 2: KS drift, Mahalanobis outliers, DSIR
+    # importance weights, oracle-verifiable MinHash-LSH
+    "ks_test",
+    "mahalanobis_anomaly",
+    "dsir_weights",
+    "minhash_jaccard",
 ]
 
 

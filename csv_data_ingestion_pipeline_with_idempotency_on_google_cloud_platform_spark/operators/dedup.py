@@ -985,3 +985,88 @@ def near_dup_clusters(
         )
         .withColumn("keep", F.col("node_id") == F.col("cluster_id"))
     )
+
+
+def minhash_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_rows: int = 4,
+    threshold_milli: int = 500,
+    max_bucket_size: int = 50,
+) -> DataFrame:
+    """ORACLE-VERIFIABLE MinHash-LSH: near-dup candidate pairs with a
+    Jaccard *estimate*, every hash an md5 any engine can replay.
+
+    The production family (`minhash_lsh_candidates`) salts its
+    permutations from engine hashes, so the driver can only
+    rows-check it; this twin derives signature i as
+    ``min over shingles of md5(i || ':' || shingle)`` — a
+    deterministic string min — so the full pipeline (signatures →
+    bands → capped buckets → pair expansion → estimate) replays
+    bit-identically in DuckDB and the value-hash gate applies to an
+    LSH path end-to-end. Same banding math as the production family
+    (b=4 bands × r=4 rows at the defaults ⇒ ~50% capture at J≈0.5).
+
+    Scale shape: signatures are ONE groupBy over (doc, seed) after a
+    projection-only explode (shingles × num_hashes rows, no join);
+    banding is a second map-side-combined groupBy; pair expansion
+    goes through `_bucket_pairs` (sorted-array transform, over-cap
+    buckets anti-joined away BEFORE collect) carrying the ≤16×32-char
+    signature as the payload, so the estimate is a zip_with on the
+    pair row — no post-hoc join back to the corpus. The estimate is
+    integer milli (1000·matches div num_hashes): exact in any engine.
+
+    Returns (id_a, id_b, est_milli) for pairs sharing ≥1 uncapped
+    band with est_milli ≥ threshold_milli.
+    """
+    n_bands = num_hashes // band_rows
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    sh = docs.select(
+        F.col(id_col).alias("i"), F.explode(word_shingles_col(text_col, 2)).alias("s")
+    ).distinct()
+    sigs = (
+        sh.select("i", F.explode(seeds).alias("seed"), "s")
+        .select(
+            "i",
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("s"))).alias(
+                "h"
+            ),
+        )
+        .groupBy("i", "seed")
+        .agg(F.min("h").alias("sig"))
+    )
+    sigv = sigs.groupBy("i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "sig"))), lambda x: x["sig"]
+        ).alias("sigv")
+    )
+    bands = sigv.select(
+        "i",
+        "sigv",
+        F.explode(F.array(*[F.lit(j) for j in range(n_bands)])).alias("band"),
+    ).withColumn(
+        "bkey",
+        F.array_join(F.slice("sigv", F.col("band") * band_rows + 1, band_rows), "|"),
+    )
+    pairs = _bucket_pairs(
+        bands, ["band", "bkey"], ("i", "sigv"), max_bucket_size
+    )
+    matches = F.size(
+        F.filter(F.zip_with("pa", "pb", lambda a, b: a == b), lambda x: x)
+    )
+    return (
+        pairs.select(
+            F.col("id_a"),
+            F.col("id_b"),
+            (matches * 1000).cast("long").alias("__m1000"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(f"__m1000 div {num_hashes}").cast("long").alias("est_milli"),
+        )
+        .filter(F.col("est_milli") >= threshold_milli)
+    )

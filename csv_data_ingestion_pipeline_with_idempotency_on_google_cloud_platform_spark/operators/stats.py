@@ -688,3 +688,154 @@ def cuped_adjust(
         F.round(diff_adj / 100.0, 6).alias("diff_adj"),
         F.round(rho2 * 1000.0, 3).alias("var_reduction_milli"),
     )
+
+
+def ks_test(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test of ``value`` between the two
+    md5 hash arms, per event type — the distribution-shape companion
+    to `mann_whitney` (which only sees location): a KS hit with a null
+    rank test means the arms differ in spread/tails, the classic
+    symptom of a bucketing bug or a latency regression that moves
+    variance, not the mean.
+
+    Integer-exact supremum: values collapse to (type, value) groups,
+    the ECDF gap at each distinct value is the integer
+    ``|cum_a*n_b - cum_b*n_a|`` (cross-multiplied to avoid float
+    division inside the max), carried as DECIMAL(38,0) so the product
+    survives n ≈ 1e12 per arm. Only the final statistic divides.
+    The asymptotic p-value uses the one-term Kolmogorov tail
+    ``2*exp(-2*c^2)`` clipped to [0,1] — deterministic scalar math on
+    the exact sums, rounded to 6 dp.
+
+    Scale shape: one scan; (type, value) counts map-side combine; the
+    running sums are windows partitioned by the type key (parallel
+    across types, width = distinct values per type); the supremum is
+    a per-type max aggregate. Nothing touches the driver.
+    """
+    base = events.select(
+        F.col(type_col).alias("t"),
+        F.col(value_col).alias("v"),
+        F.when(
+            hash_bucket_col(F.col(unit_col), 1) < F.lit("8"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_a"),
+    )
+    grp = base.groupBy("t", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("is_a").cast("long").alias("cnt_a"),
+    )
+    w = Window.partitionBy("t").orderBy("v")
+    wall = Window.partitionBy("t")
+    cum = (
+        grp.withColumn("cum_a", F.sum("cnt_a").over(w).cast("long"))
+        .withColumn(
+            "cum_b", (F.sum("cnt").over(w) - F.sum("cnt_a").over(w)).cast("long")
+        )
+        .withColumn("n_a", F.sum("cnt_a").over(wall).cast("long"))
+        .withColumn(
+            "n_b", (F.sum("cnt").over(wall) - F.sum("cnt_a").over(wall)).cast("long")
+        )
+    )
+    dec = "decimal(38,0)"
+    gap = F.abs(
+        F.col("cum_a").cast(dec) * F.col("n_b").cast(dec)
+        - F.col("cum_b").cast(dec) * F.col("n_a").cast(dec)
+    )
+    sup = cum.groupBy("t").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(gap).alias("__gap"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    d = F.col("__gap").cast("double") / (na * nb)
+    c = d * F.sqrt(na * nb / (na + nb))
+    p = F.least(F.lit(1.0), 2.0 * F.exp(-2.0 * c * c))
+    return sup.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        F.col("t").alias(type_col),
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("d_stat"),
+        F.round(c, 6).alias("ks_z"),
+        F.round(p, 6).alias("p_approx"),
+    )
+
+
+def mahalanobis_anomaly(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: list[str],
+    top_n: int = 50,
+) -> DataFrame:
+    """Top-N bivariate outliers by squared Mahalanobis distance — the
+    correlation-aware anomaly screen a univariate z-score misses (a
+    row can be unremarkable on each axis yet wildly off the joint
+    trend, e.g. tiny quantity at a huge extended price).
+
+    Closed-form 2-D: moments (n, Σx, Σy, Σx², Σy², Σxy) accumulate as
+    exact DECIMAL(38,6) in ONE map-side-combined aggregate; the 2×2
+    covariance inverse is inlined algebraically
+    (d² = (dx²·σyy − 2·dx·dy·σxy + dy²·σxx)/det), so no matrix library
+    and no driver math — the 1-row moment frame broadcast-joins back
+    onto the data and d² is a pure projection. Top-N resolves as a
+    TakeOrdered (per-partition heads, no global sort shuffle) with
+    the key columns as the deterministic tiebreak. Degenerate inputs
+    (det ≤ 0) yield an empty frame rather than NaNs.
+
+    Output: (*key_cols, x, y, d2) with d2 rounded to 6 dp.
+
+    DECIMAL(18,6) inputs keep the moment products at (38,12) — exact
+    in Spark and on DuckDB's INT128 path (the corr_matrix convention);
+    headroom is ~1e26, comfortably above 1e12 rows × 1e10 squares.
+    """
+    dec = "decimal(18,6)"
+    x = F.col(x_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    m = df.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    mx = F.col("__sx").cast("double") / n
+    my = F.col("__sy").cast("double") / n
+    sxx = F.col("__sxx").cast("double") / n - mx * mx
+    syy = F.col("__syy").cast("double") / n - my * my
+    sxy = F.col("__sxy").cast("double") / n - mx * my
+    det = sxx * syy - sxy * sxy
+    stats = m.select(
+        mx.alias("__mx"),
+        my.alias("__my"),
+        sxx.alias("__sxx_c"),
+        syy.alias("__syy_c"),
+        sxy.alias("__sxy_c"),
+        det.alias("__det"),
+    )
+    joined = df.crossJoin(F.broadcast(stats)).filter(F.col("__det") > 0)
+    dx = F.col(x_col).cast("double") - F.col("__mx")
+    dy = F.col(y_col).cast("double") - F.col("__my")
+    d2 = (
+        dx * dx * F.col("__syy_c")
+        - 2.0 * dx * dy * F.col("__sxy_c")
+        + dy * dy * F.col("__sxx_c")
+    ) / F.col("__det")
+    return (
+        joined.select(
+            *key_cols,
+            F.col(x_col).alias("x"),
+            F.col(y_col).alias("y"),
+            F.round(d2, 6).alias("d2"),
+        )
+        .orderBy(F.desc("d2"), *key_cols)
+        .limit(top_n)
+    )

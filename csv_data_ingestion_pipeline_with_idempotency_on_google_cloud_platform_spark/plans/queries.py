@@ -7319,6 +7319,202 @@ SELECT doc_id, source, sample_rank FROM (
 """
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45 extension (round 5): two-sample Kolmogorov-Smirnov of event
+    value between md5 hash arms, per type (operators/stats.py:ks_test)
+    — integer-exact ECDF supremum via cross-multiplied cumulative
+    counts, asymptotic p. Full oracle."""
+    from ..operators.stats import ks_test
+
+    return ks_test(load_table(spark, sf_dir, "events"))
+
+
+SQL_KS_TEST = """
+WITH base AS (
+  SELECT event_type AS t, value AS v,
+         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE 0 END AS is_a
+  FROM events
+), grp AS (
+  SELECT t, v, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(is_a) AS BIGINT) AS cnt_a
+  FROM base GROUP BY 1, 2
+), cum AS (
+  SELECT t,
+         CAST(SUM(cnt_a) OVER w AS BIGINT) AS cum_a,
+         CAST(SUM(cnt) OVER w - SUM(cnt_a) OVER w AS BIGINT) AS cum_b,
+         CAST(SUM(cnt_a) OVER wa AS BIGINT) AS n_a,
+         CAST(SUM(cnt) OVER wa - SUM(cnt_a) OVER wa AS BIGINT) AS n_b
+  FROM grp
+  WINDOW w AS (PARTITION BY t ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY t)
+), sup AS (
+  SELECT t, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+         MAX(abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)) AS gap
+  FROM cum GROUP BY 1
+), stat AS (
+  SELECT t, n_a, n_b,
+         CAST(gap AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+  FROM sup WHERE n_a > 0 AND n_b > 0
+), z AS (
+  SELECT t, n_a, n_b, d, d * sqrt(na * nb / (na + nb)) AS c FROM stat
+)
+SELECT t AS event_type, n_a, n_b,
+       round(d, 6) AS d_stat,
+       round(c, 6) AS ks_z,
+       round(least(1.0, 2.0 * exp(-2.0 * c * c)), 6) AS p_approx
+FROM z
+"""
+
+
+def q_mahalanobis_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45 extension (round 5): top-50 joint (quantity, extendedprice)
+    outliers by closed-form 2-D squared Mahalanobis distance
+    (operators/stats.py:mahalanobis_anomaly) — one exact-decimal
+    moment pass, inverse covariance inlined algebraically, TakeOrdered
+    top-N. Full oracle."""
+    from ..operators.stats import mahalanobis_anomaly
+
+    return mahalanobis_anomaly(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        top_n=50,
+    )
+
+
+SQL_MAHALANOBIS_ANOMALY = """
+WITH d AS (
+  -- DECIMAL(19,6): same values as the engine's DECIMAL(18,6) casts,
+  -- INT128 storage so the (38,12) moment products stay exact
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DECIMAL(19,6)) AS x,
+         CAST(l_extendedprice AS DECIMAL(19,6)) AS y
+  FROM lineitem
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM d
+), mm AS (
+  SELECT CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+         CAST(sxx AS DOUBLE), CAST(syy AS DOUBLE), CAST(sxy AS DOUBLE),
+         CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS cxx,
+         CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cyy,
+         CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cxy
+  FROM m
+), s AS (
+  SELECT mx, my, cxx, cyy, cxy, cxx * cyy - cxy * cxy AS det FROM mm
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(d.x AS DOUBLE) AS x, CAST(d.y AS DOUBLE) AS y,
+       round(((CAST(d.x AS DOUBLE) - s.mx) * (CAST(d.x AS DOUBLE) - s.mx) * s.cyy
+              - 2.0 * (CAST(d.x AS DOUBLE) - s.mx) * (CAST(d.y AS DOUBLE) - s.my) * s.cxy
+              + (CAST(d.y AS DOUBLE) - s.my) * (CAST(d.y AS DOUBLE) - s.my) * s.cxx)
+             / s.det, 6) AS d2
+FROM d, s
+WHERE s.det > 0
+ORDER BY d2 DESC, l_orderkey, l_linenumber
+LIMIT 50
+"""
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68 (round 5): DSIR hashed-bigram importance weights against the
+    English slice (operators/selection.py:dsir_weights, per Xie et al.
+    2023) — integer milli-nat log-ratios summed per doc; bucket stats
+    broadcast, corpus never reshuffles for them. Full oracle."""
+    from ..operators.selection import dsir_weights
+
+    return dsir_weights(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+  WHERE length(trim(text)) > 0 AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2
+), feats AS (
+  SELECT doc_id, is_t,
+         CAST(CAST('0x' || substring(md5(t[i] || ' ' || t[i+1]), 1, 8) AS UBIGINT) % 1024 AS BIGINT) AS bucket
+  FROM (SELECT doc_id, is_t, t, UNNEST(range(1, len(t))) AS i FROM toks)
+), bs AS (
+  SELECT bucket, CAST(SUM(is_t) AS BIGINT) AS c_t, CAST(COUNT(*) AS BIGINT) AS c_r
+  FROM feats GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c_t) AS BIGINT) AS tot_t, CAST(SUM(c_r) AS BIGINT) AS tot_r FROM bs
+), w AS (
+  SELECT bucket,
+         CAST(round(ln(((CAST(c_t AS DOUBLE) + 1.0) * (CAST(tot_r AS DOUBLE) + 1024.0))
+                     / ((CAST(c_r AS DOUBLE) + 1.0) * (CAST(tot_t AS DOUBLE) + 1024.0))) * 1000.0)
+              AS BIGINT) AS w_milli
+  FROM bs, tot
+)
+SELECT f.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(w.w_milli) AS BIGINT) AS dsir_milli
+FROM feats f JOIN w ON w.bucket = f.bucket
+GROUP BY 1
+"""
+
+
+def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 oracle twin (round 5): md5-seeded MinHash-LSH near-dup pairs
+    with integer-milli Jaccard estimates
+    (operators/dedup.py:minhash_jaccard_pairs) — the value-hash gate
+    applied to an LSH path end-to-end (signatures → capped band
+    buckets → pair expansion → zip_with estimate). Full oracle."""
+    return dedup.minhash_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS t
+  FROM documents
+), starts AS (
+  SELECT doc_id, t, UNNEST(range(1, greatest(len(t) - 1, 1) + 1)) AS i FROM toks
+), shingles AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS s FROM starts
+), hashes AS (
+  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || s) AS h
+  FROM shingles CROSS JOIN (SELECT UNNEST(range(0, 16)) AS seed) seeds
+), sigs AS (
+  SELECT doc_id, seed, MIN(h) AS sig FROM hashes GROUP BY 1, 2
+), bands AS (
+  SELECT doc_id, seed // 4 AS band, string_agg(sig, '|' ORDER BY seed) AS bkey
+  FROM sigs GROUP BY 1, 2
+), okbuckets AS (
+  SELECT band, bkey FROM bands GROUP BY 1, 2
+  HAVING COUNT(*) BETWEEN 2 AND 50
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  JOIN okbuckets ok ON ok.band = a.band AND ok.bkey = a.bkey
+), est AS (
+  SELECT p.id_a, p.id_b,
+         CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b AND sb.seed = sa.seed
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST((1000 * m) // 16 AS BIGINT) AS est_milli
+FROM est WHERE (1000 * m) // 16 >= 500
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entries 1-50: the round-5 correctness window (driver checks
     # only this prefix). Leads with the 19 oracle-backed queries that
@@ -7344,7 +7540,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_rollup": q_distinct_rollup,
     "range_checksum_diff": q_range_checksum_diff,
     "neyman_allocation": q_neyman_allocation,
-    # ---- entries 20-50: r4-window-green backfill (every entry below
+    # ---- entries 20-23: round-5 session additions (no driver row yet;
+    # slotted inside the window so they gain driver evidence this
+    # round instead of waiting for the r6 rotation).
+    "ngram_containment": q_ngram_containment,
+    "doc_lm_familiarity": q_doc_lm_familiarity,
+    "group_reservoir_sample": q_group_reservoir_sample,
+    "leakage_safe_split": q_leakage_safe_split,
+    # ---- entries 24-27: round-5 session-2 additions (KS drift test,
+    # Mahalanobis outliers, DSIR importance weights, oracle-verifiable
+    # MinHash-LSH) — in-window for driver evidence this round.
+    "ks_test": q_ks_test,
+    "mahalanobis_anomaly": q_mahalanobis_anomaly,
+    "dsir_weights": q_dsir_weights,
+    "minhash_jaccard": q_minhash_jaccard,
+    # ---- entries 28-50: r4-window-green backfill (every entry below
     # holds a driver-green CORRECTNESS_r04 row; the ones this rotation
     # displaced past position 50 keep that evidence).
     "quality_classifier": q_quality_classifier,
@@ -7526,12 +7736,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_phash_dedup": q_media_phash_dedup,
     "media_dup_clusters": q_media_dup_clusters,
     "pca_project": q_pca_project,
-    # round-5 additions (past the driver window — oracle parity via
-    # pytest this round, rotate into the r6 window)
-    "ngram_containment": q_ngram_containment,
-    "doc_lm_familiarity": q_doc_lm_familiarity,
-    "group_reservoir_sample": q_group_reservoir_sample,
-    "leakage_safe_split": q_leakage_safe_split,
 }
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
@@ -7710,4 +7914,8 @@ ORACLE_SQL: dict[str, str] = {
     "doc_lm_familiarity": SQL_DOC_LM_FAMILIARITY,
     "group_reservoir_sample": SQL_GROUP_RESERVOIR_SAMPLE,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
+    "ks_test": SQL_KS_TEST,
+    "mahalanobis_anomaly": SQL_MAHALANOBIS_ANOMALY,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "minhash_jaccard": SQL_MINHASH_JACCARD,
 }

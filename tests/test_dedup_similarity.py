@@ -394,3 +394,28 @@ def test_ngram_containment_detects_embedded_doc(spark):
     assert (r["id_a"], r["id_b"]) == (1, 2)
     assert r["containment_a"] == 1.0  # every 3-gram of the short doc is in the long
     assert r["containment_b"] < 0.5
+
+
+def test_minhash_jaccard_identical_docs_est_1000(spark):
+    """Identical texts agree on every md5-seeded signature component:
+    the pair always surfaces (every band collides) with est 1000."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely unrelated text about spark shuffle partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_jaccard_pairs(docs).collect()
+    assert [(r["id_a"], r["id_b"], r["est_milli"]) for r in out] == [(1, 2, 1000)]
+
+
+def test_minhash_jaccard_bucket_cap_drops_mega_bucket(spark):
+    """A 60-member identical-text bucket exceeds the cap (50): capped
+    out BEFORE pair expansion -> no quadratic blowup, no pairs."""
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate text repeated on every page") for i in range(60)],
+        "doc_id long, text string",
+    )
+    assert dedup.minhash_jaccard_pairs(docs).count() == 0

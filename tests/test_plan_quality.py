@@ -1020,3 +1020,43 @@ def test_doc_lm_familiarity_no_doc_shuffle_beyond_bigrams(spark):
     plan = _plan(spark, "doc_lm_familiarity")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_ks_test_windows_partition_by_type(spark):
+    """(type, value) counts map-side combine; the ECDF windows
+    partition by the type key (parallel across types, no
+    single-partition window); supremum is a per-type aggregate."""
+    plan = _plan(spark, "ks_test")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "HashAggregate" in plan
+
+
+def test_mahalanobis_broadcasts_moments_and_takeordered(spark):
+    """The 1-row moment frame broadcasts back onto the data (never a
+    shuffle of the fact side for stats) and top-N is TakeOrdered —
+    per-partition heads, no global sort shuffle."""
+    plan = _plan(spark, "mahalanobis_anomaly")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats side
+
+
+def test_dsir_weights_broadcast_stats_never_reshuffle_corpus(spark):
+    """Bucket weights (<=1024 rows) broadcast-join onto the doc-bigram
+    rows; the only data-sized shuffle keys on doc_id for the final
+    sum. No sort-merge join anywhere."""
+    plan = _plan(spark, "dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_jaccard_no_self_join_pair_expansion(spark):
+    """Pair expansion rides the shared bucketed core (sorted-array
+    transform after a groupBy) — no corpus self-join, no cartesian;
+    signatures and bands are map-side-combined aggregates."""
+    plan = _plan(spark, "minhash_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4

@@ -473,3 +473,81 @@ def test_dup_rate_counts_normalized_dupes(spark):
     assert out["a"]["n_docs"] == 4 and out["a"]["n_unique"] == 2
     assert out["a"]["n_dups"] == 2 and out["a"]["dup_rate_milli"] == 500
     assert out["b"]["n_dups"] == 0
+
+
+def _arm_users(n_each=12):
+    """User ids split by the operator's own md5 arm rule."""
+    import hashlib
+
+    a, b = [], []
+    uid = 0
+    while len(a) < n_each or len(b) < n_each:
+        arm_a = hashlib.md5(str(uid).encode()).hexdigest()[0] < "8"
+        if arm_a and len(a) < n_each:
+            a.append(uid)
+        elif not arm_a and len(b) < n_each:
+            b.append(uid)
+        uid += 1
+    return a, b
+
+
+def test_ks_disjoint_supports_hit_d_one(spark):
+    """Arm A on {1..12}, arm B on {21..32} -> ECDFs never overlap:
+    D = 1.0 and the tail p-value collapses toward 0."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        ks_test,
+    )
+
+    a, b = _arm_users()
+    rows = [(u, "buy", float(i + 1)) for i, u in enumerate(a)]
+    rows += [(u, "buy", float(i + 21)) for i, u in enumerate(b)]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    out = ks_test(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"]) == (12, 12)
+    assert r["d_stat"] == 1.0
+    assert r["p_approx"] < 0.01
+
+
+def test_ks_identical_distributions_d_zero(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        ks_test,
+    )
+
+    a, b = _arm_users()
+    vals = [1.0, 2.0, 5.0] * 4
+    rows = [(u, "view", v) for u, v in zip(a, vals)]
+    rows += [(u, "view", v) for u, v in zip(b, vals)]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    r = ks_test(ev).collect()[0]
+    assert r["d_stat"] == 0.0
+    assert r["p_approx"] == 1.0
+
+
+def test_mahalanobis_flags_off_trend_point(spark):
+    """Points on y=x plus one joint outlier at (20,-20): the outlier is
+    unremarkable marginally (both coords in range) but tops the joint
+    distance by a wide margin."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        mahalanobis_anomaly,
+    )
+
+    rows = [(i, 1, float(i), float(i)) for i in range(1, 41)]
+    rows.append((99, 1, 20.0, -20.0))
+    df = spark.createDataFrame(rows, "k long, j int, x double, y double")
+    out = mahalanobis_anomaly(df, "x", "y", ["k", "j"], top_n=3).collect()
+    assert out[0]["k"] == 99
+    assert out[0]["d2"] > 5 * out[1]["d2"]
+
+
+def test_mahalanobis_degenerate_covariance_empty(spark):
+    """Constant y -> det 0 -> empty result, not NaNs."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        mahalanobis_anomaly,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i), 7.0) for i in range(10)], "k long, x double, y double"
+    )
+    assert mahalanobis_anomaly(df, "x", "y", ["k"]).count() == 0
