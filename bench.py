@@ -188,6 +188,9 @@ HEADLINE = [
     "mahalanobis_anomaly",
     "dsir_weights",
     "minhash_jaccard",
+    "unimax_weights",
+    "propensity_match",
+    "degree_assortativity",
 ]
 
 

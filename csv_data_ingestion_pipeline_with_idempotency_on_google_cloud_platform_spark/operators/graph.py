@@ -290,3 +290,57 @@ def bfs_hops(edges: DataFrame, max_hops: int = 3) -> DataFrame:
             .agg(F.min("hops").cast("long").alias("hops"))
         )
     return dist
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Newman degree assortativity: the Pearson correlation between the
+    degrees at the two ends of every edge — one number that says
+    whether hubs link to hubs (positive, social-graph-like) or to
+    leaves (negative, bipartite/star-like). The structural smell test
+    for a co-occurrence graph before heavier mining.
+
+    Closed form, two shuffles: one groupBy for degrees, one keyed join
+    of the edge list against the degree table per endpoint (AQE
+    broadcasts when the degree table is small), then a single 1-row
+    moment aggregate. Moments accumulate as DECIMAL(38,0) — exact
+    integers even at 1e9-degree hubs where a long per-row square would
+    overflow — and the correlation is scalar double arithmetic on
+    those exact sums, rounded to 6 dp.
+
+    Expects a both-orientations directed edge list (the undirected
+    convention `bipartite_edges`/`cooccurrence_edges` emit), so each
+    undirected edge contributes both (du,dv) and (dv,du) — exactly
+    Newman's definition. Output: (n_edges, assortativity).
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    dec = "decimal(38,0)"
+    joined = (
+        edges.join(deg.withColumnRenamed("src", "__a"), F.col("src") == F.col("__a"))
+        .withColumnRenamed("deg", "dx")
+        .drop("__a")
+        .join(
+            deg.withColumnRenamed("src", "__b").withColumnRenamed("deg", "dy"),
+            F.col("dst") == F.col("__b"),
+        )
+        .drop("__b")
+        .select(F.col("dx").cast(dec).alias("dx"), F.col("dy").cast(dec).alias("dy"))
+    )
+    m = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    n = F.col("n_edges").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    den = F.sqrt(vx * vy)
+    return m.select(
+        "n_edges",
+        F.round(F.when(den > 0, num / den), 6).alias("assortativity"),
+    )

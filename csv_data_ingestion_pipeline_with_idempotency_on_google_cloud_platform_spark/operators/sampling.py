@@ -410,3 +410,96 @@ def leakage_safe_split(
             ).otherwise(F.lit("train")),
         )
     )
+
+
+def unimax_weights(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language-balanced token allocation (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining"): spread a total token
+    budget as uniformly as possible across languages, but never ask
+    any language for more than ``max_epochs`` passes over its corpus —
+    the sampling schedule that stops a 100 TB English crawl from
+    drowning the tail languages without over-epoching them.
+
+    Closed-form water-filling, no iteration: sort languages by
+    capacity (tokens x max_epochs) ascending; the unique threshold t
+    with "k smallest languages saturated, the rest at t" satisfies
+    cap_k <= t <= cap_{k+1} and is found by comparing
+    cap_j * (L-j+1) against budget - prefix_{j-1} — ALL INTEGER
+    (cross-multiplied rationals), so the pivot row and every
+    allocation are exact in any engine; unsaturated languages get
+    floor((budget - prefix)/(remaining)).
+
+    Scale shape: one map-side-combined groupBy on lang computes exact
+    token counts; everything after runs on the per-language frame
+    (hundreds of rows at worst), where single-partition windows are
+    the *correct* choice, not a bottleneck.
+
+    Returns (lang, n_tokens, capacity, alloc, epochs_milli) with
+    sum(alloc) <= budget by floor rounding; epochs_milli =
+    1000*alloc div n_tokens.
+    """
+    from ..functions.text import tokens_col
+
+    per_lang = (
+        docs.where(F.col(lang_col).isNotNull())
+        .select(
+            F.col(lang_col).alias("lang"),
+            F.size(tokens_col(text_col)).cast("long").alias("tk"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("tk").alias("n_tokens"))
+        .withColumn("capacity", F.col("n_tokens") * max_epochs)
+    )
+    # tiny frame from here on: windows over one partition by design
+    part = Window.partitionBy(F.col("capacity").isNotNull())
+    w_ord = part.orderBy("capacity", "lang")
+    ranked = (
+        per_lang.withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("l_total", F.count(F.lit(1)).over(part))
+        .withColumn("prefix", F.sum("capacity").over(w_ord) - F.col("capacity"))
+        .withColumn("prev_cap", F.lag("capacity", 1, 0).over(w_ord))
+    )
+    b = F.lit(int(budget_tokens)).cast("long")
+    t_den = (F.col("l_total") - F.col("rn") + 1).cast("long")
+    t_num = b - F.col("prefix")
+    valid = (F.col("capacity") * t_den >= t_num) & (
+        F.col("prev_cap") * t_den <= t_num
+    )
+    # inject the integer threshold operands as real columns first
+    with_pivot = (
+        ranked.withColumn("__tn", t_num)
+        .withColumn("__td", t_den)
+        .withColumn("pivot_rn", F.min(F.when(valid, F.col("rn"))).over(part))
+        .withColumn(
+            "t_alloc",
+            F.max(
+                F.when(F.col("rn") == F.col("pivot_rn"), F.expr("__tn div __td"))
+            ).over(part),
+        )
+    )
+    alloc = F.when(
+        F.col("pivot_rn").isNull() | (F.col("rn") < F.col("pivot_rn")),
+        F.col("capacity"),
+    ).otherwise(F.least(F.col("capacity"), F.col("t_alloc")))
+    return with_pivot.select(
+        "lang",
+        "n_tokens",
+        "capacity",
+        alloc.cast("long").alias("alloc"),
+        F.when(F.col("n_tokens") > 0, (F.lit(1000).cast("long") * alloc).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("__a1000"),
+    ).select(
+        "lang",
+        "n_tokens",
+        "capacity",
+        "alloc",
+        F.expr("__a1000 div n_tokens").cast("long").alias("epochs_milli"),
+    )

@@ -839,3 +839,87 @@ def mahalanobis_anomaly(
         .orderBy(F.desc("d2"), *key_cols)
         .limit(top_n)
     )
+
+
+def propensity_match(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    value_col: str = "value",
+    caliper_milli: int = 250,
+) -> DataFrame:
+    """Nearest-neighbor propensity matching (with replacement, caliper
+    bound): pair every treated unit with the control whose score is
+    closest, as long as the gap fits inside the caliper — the
+    observational-causal primitive behind "did feature X move
+    retention" when you cannot randomize. Treatment is the md5 hash
+    arm (same rule as ab_conversion_ztest); the propensity proxy is
+    the unit's mean event value in exact integer milli
+    ((1000*Σcents) div (100*n) — cents per the benford convention,
+    integer end to end).
+
+    Matching-at-scale shape: NO sort-merge over the full score line
+    and NO cross join — scores quantize to caliper-width buckets, each
+    treated unit explodes to its 3 candidate buckets (a ×3 projection,
+    the classic band-join trick), candidates equi-join on the bucket
+    key, and the winner per treated unit resolves in a window
+    partitioned by the treated key ordered by (gap, control id) — all
+    exact integers, deterministic in any engine. A control can match
+    many treated units (with-replacement), so no sequential greedy
+    pass exists to serialize.
+
+    Returns (treated_user, control_user, score_t, score_c, gap_milli)
+    with gap_milli <= caliper_milli.
+    """
+    scores = (
+        events.where(F.col(unit_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(unit_col).alias("unit"),
+            # cents: the benford_profile convention — integer end to end
+            F.round(F.col(value_col) * 100).cast("long").alias("v"),
+        )
+        .groupBy("unit")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").alias("s"),
+        )
+        .select(
+            "unit",
+            F.expr("(1000 * s) div (100 * n)").cast("long").alias("score"),
+            F.when(
+                hash_bucket_col(F.col("unit"), 1) < F.lit("8"), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("is_t"),
+        )
+    )
+    c = int(caliper_milli)
+    treated = scores.where(F.col("is_t") == 1).select(
+        F.col("unit").alias("treated_user"), F.col("score").alias("score_t")
+    )
+    controls = scores.where(F.col("is_t") == 0).select(
+        F.col("unit").alias("control_user"),
+        F.col("score").alias("score_c"),
+        F.expr(f"CASE WHEN score >= 0 THEN score div {c} ELSE -((-score + {c} - 1) div {c}) END").alias("bk"),
+    )
+    probes = treated.select(
+        "treated_user",
+        "score_t",
+        F.explode(
+            F.expr(
+                f"array(CASE WHEN score_t >= 0 THEN score_t div {c} ELSE -((-score_t + {c} - 1) div {c}) END - 1,"
+                f" CASE WHEN score_t >= 0 THEN score_t div {c} ELSE -((-score_t + {c} - 1) div {c}) END,"
+                f" CASE WHEN score_t >= 0 THEN score_t div {c} ELSE -((-score_t + {c} - 1) div {c}) END + 1)"
+            )
+        ).alias("bk"),
+    )
+    cand = (
+        probes.join(controls, "bk")
+        .withColumn("gap_milli", F.abs(F.col("score_t") - F.col("score_c")))
+        .where(F.col("gap_milli") <= c)
+    )
+    w = Window.partitionBy("treated_user").orderBy("gap_milli", "control_user")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("treated_user", "control_user", "score_t", "score_c", "gap_milli")
+    )

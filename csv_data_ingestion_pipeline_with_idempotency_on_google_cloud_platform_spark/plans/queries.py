@@ -7515,6 +7515,148 @@ FROM est WHERE (1000 * m) // 16 >= 500
 """
 
 
+def q_unimax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69 (round 5): UniMax language-balanced token allocation
+    (operators/sampling.py:unimax_weights, per Chung et al. 2023) —
+    closed-form integer water-filling across languages with an
+    epoch cap; budget 80k tokens saturates the four tail languages
+    and leaves English at the threshold. Full oracle."""
+    from ..operators.sampling import unimax_weights
+
+    return unimax_weights(
+        load_table(spark, sf_dir, "documents"), budget_tokens=80000, max_epochs=4
+    )
+
+
+SQL_UNIMAX_WEIGHTS = r"""
+WITH toks AS (
+  SELECT lang,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS tk
+  FROM documents WHERE lang IS NOT NULL
+), per_lang AS (
+  SELECT lang, CAST(SUM(tk) AS BIGINT) AS n_tokens,
+         CAST(SUM(tk) * 4 AS BIGINT) AS capacity
+  FROM toks GROUP BY 1
+), ranked AS (
+  SELECT lang, n_tokens, capacity,
+         CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS l_total,
+         CAST(SUM(capacity) OVER w2 - capacity AS BIGINT) AS prefix,
+         CAST(COALESCE(LAG(capacity) OVER w2, 0) AS BIGINT) AS prev_cap
+  FROM per_lang
+  WINDOW w2 AS (ORDER BY capacity, lang
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), flags AS (
+  SELECT lang, n_tokens, capacity, rn,
+         CAST(80000 AS BIGINT) - prefix AS tn,
+         l_total - rn + 1 AS td,
+         (capacity * (l_total - rn + 1) >= CAST(80000 AS BIGINT) - prefix
+          AND prev_cap * (l_total - rn + 1) <= CAST(80000 AS BIGINT) - prefix) AS valid
+  FROM ranked
+), pv AS (
+  SELECT *, MIN(CASE WHEN valid THEN rn END) OVER () AS pivot_rn FROM flags
+), ta AS (
+  SELECT *, MAX(CASE WHEN rn = pivot_rn THEN tn // td END) OVER () AS t_alloc FROM pv
+), alloc AS (
+  SELECT lang, n_tokens, capacity,
+         CAST(CASE WHEN pivot_rn IS NULL OR rn < pivot_rn THEN capacity
+                   ELSE least(capacity, t_alloc) END AS BIGINT) AS alloc
+  FROM ta
+)
+SELECT lang, n_tokens, capacity, alloc,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (CAST(1000 AS BIGINT) * alloc) // n_tokens END AS BIGINT) AS epochs_milli
+FROM alloc
+"""
+
+
+def q_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70 (round 5): caliper nearest-neighbor propensity matching of
+    hash-arm treated users to controls on mean event value
+    (operators/stats.py:propensity_match) — bucketed band join, ×3
+    probe projection, per-treated window winner; integer milli scores.
+    Full oracle."""
+    from ..operators.stats import propensity_match
+
+    return propensity_match(load_table(spark, sf_dir, "events"))
+
+
+SQL_PROPENSITY_MATCH = """
+WITH scores AS (
+  SELECT user_id AS unit,
+         CAST((CAST(1000 AS BIGINT) * SUM(CAST(round(value * 100) AS BIGINT)))
+              // (CAST(100 AS BIGINT) * COUNT(*)) AS BIGINT) AS score,
+         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE 0 END AS is_t
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+), treated AS (
+  SELECT unit AS treated_user, score AS score_t FROM scores WHERE is_t = 1
+), controls AS (
+  SELECT unit AS control_user, score AS score_c,
+         CASE WHEN score >= 0 THEN score // 250
+              ELSE -((-score + 249) // 250) END AS bk
+  FROM scores WHERE is_t = 0
+), probes AS (
+  SELECT treated_user, score_t,
+         (CASE WHEN score_t >= 0 THEN score_t // 250
+               ELSE -((-score_t + 249) // 250) END) + d.d AS bk
+  FROM treated CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS d) d
+), cand AS (
+  SELECT p.treated_user, c.control_user, p.score_t, c.score_c,
+         abs(p.score_t - c.score_c) AS gap_milli
+  FROM probes p JOIN controls c ON c.bk = p.bk
+  WHERE abs(p.score_t - c.score_c) <= 250
+)
+SELECT treated_user, control_user, score_t, score_c, gap_milli FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY treated_user ORDER BY gap_milli, control_user
+  ) AS rn FROM cand
+) WHERE rn = 1
+"""
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71 (round 5): Newman degree assortativity of the part-supplier
+    bipartite graph (operators/graph.py:degree_assortativity) —
+    degrees joined back per endpoint, one 1-row exact-decimal moment
+    aggregate, closed-form Pearson. Full oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return graph.degree_assortativity(graph.bipartite_edges(li))
+
+
+SQL_DEGREE_ASSORTATIVITY = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(2 * l_partkey AS BIGINT) AS p,
+                  CAST(2 * l_suppkey + 1 AS BIGINT) AS s
+  FROM lineitem
+), edges AS (
+  SELECT p AS src, s AS dst FROM pairs
+  UNION ALL SELECT s AS src, p AS dst FROM pairs
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+), j AS (
+  -- DECIMAL(19,0): INT128 storage so the squares/products stay exact
+  SELECT CAST(da.deg AS DECIMAL(19,0)) AS dx, CAST(db.deg AS DECIMAL(19,0)) AS dy
+  FROM edges e JOIN deg da ON da.src = e.src JOIN deg db ON db.src = e.dst
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         SUM(dx) AS sx, SUM(dy) AS sy,
+         SUM(dx*dx) AS sxx, SUM(dy*dy) AS syy, SUM(dx*dy) AS sxy
+  FROM j
+)
+SELECT n_edges,
+       round(CASE WHEN sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+                  THEN (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             END, 6) AS assortativity
+FROM m
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entries 1-50: the round-5 correctness window (driver checks
     # only this prefix). Leads with the 19 oracle-backed queries that
@@ -7554,7 +7696,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mahalanobis_anomaly": q_mahalanobis_anomaly,
     "dsir_weights": q_dsir_weights,
     "minhash_jaccard": q_minhash_jaccard,
-    # ---- entries 28-50: r4-window-green backfill (every entry below
+    # ---- entries 28-30: round-5 session-2 batch 2 (UniMax language
+    # allocation, propensity matching, degree assortativity).
+    "unimax_weights": q_unimax_weights,
+    "propensity_match": q_propensity_match,
+    "degree_assortativity": q_degree_assortativity,
+    # ---- entries 31-50: r4-window-green backfill (every entry below
     # holds a driver-green CORRECTNESS_r04 row; the ones this rotation
     # displaced past position 50 keep that evidence).
     "quality_classifier": q_quality_classifier,
@@ -7918,4 +8065,7 @@ ORACLE_SQL: dict[str, str] = {
     "mahalanobis_anomaly": SQL_MAHALANOBIS_ANOMALY,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "minhash_jaccard": SQL_MINHASH_JACCARD,
+    "unimax_weights": SQL_UNIMAX_WEIGHTS,
+    "propensity_match": SQL_PROPENSITY_MATCH,
+    "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
 }

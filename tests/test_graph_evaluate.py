@@ -254,3 +254,35 @@ def test_bfs_hops_disconnected_component_absent(spark):
     edges = spark.createDataFrame([(1, 2), (8, 9)], "a long, b long")
     out = {r["node"]: r["hops"] for r in graph.bfs_hops(edges, max_hops=3).collect()}
     assert out == {1: 0, 2: 1}
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """K_{1,n}: hubs only link to leaves -> perfect disassortativity."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    n = 6
+    pairs = [(0, i) for i in range(1, n + 1)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert r["n_edges"] == 2 * n
+    assert r["assortativity"] == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    """A cycle is 2-regular: zero degree variance -> NULL, not NaN."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    n = 8
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    edges = spark.createDataFrame(
+        ring + [(b, a) for a, b in ring], "src long, dst long"
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert r["assortativity"] is None

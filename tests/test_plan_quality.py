@@ -1060,3 +1060,28 @@ def test_minhash_jaccard_no_self_join_pair_expansion(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_unimax_tiny_frame_windows_after_one_aggregate(spark):
+    """Per-lang counts map-side combine; everything after runs on the
+    per-language frame where single-partition windows are correct."""
+    plan = _plan(spark, "unimax_weights")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "HashAggregate" in plan
+
+
+def test_propensity_band_join_is_equi_not_cross(spark):
+    """The caliper match is a bucketed equi-join on the band key (x3
+    probe projection), never a cross join or a theta join."""
+    plan = _plan(spark, "propensity_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_assortativity_degree_joins_no_cartesian(spark):
+    plan = _plan(spark, "degree_assortativity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2

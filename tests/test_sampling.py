@@ -44,3 +44,48 @@ def test_leakage_safe_split_keeps_near_dup_pairs_together(spark):
     for i in range(50):
         assert split[i] == split[i + 100], f"pair ({i},{i+100}) straddles the split"
     assert {r["split"] for r in out} == {"train", "holdout"}
+
+
+def test_unimax_water_filling_saturates_small_languages(spark):
+    """caps [10,20,100] (max_epochs=1), budget 60: the two small
+    languages saturate, the big one takes the remaining 30."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sampling import (
+        unimax_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 10), "aa"), (2, " ".join(["w"] * 20), "bb"),
+         (3, " ".join(["w"] * 100), "cc")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r for r in unimax_weights(docs, 60, max_epochs=1).collect()}
+    assert {l: out[l]["alloc"] for l in out} == {"aa": 10, "bb": 20, "cc": 30}
+    assert out["aa"]["epochs_milli"] == 1000
+    assert out["cc"]["epochs_milli"] == 300
+
+
+def test_unimax_budget_over_capacity_gives_everything(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sampling import (
+        unimax_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 10), "aa"), (2, " ".join(["w"] * 20), "bb")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r["alloc"] for r in unimax_weights(docs, 10**6, max_epochs=2).collect()}
+    assert out == {"aa": 20, "bb": 40}
+
+
+def test_unimax_tight_budget_splits_uniformly(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sampling import (
+        unimax_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 10), "aa"), (2, " ".join(["w"] * 20), "bb"),
+         (3, " ".join(["w"] * 100), "cc")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r["alloc"] for r in unimax_weights(docs, 15, max_epochs=1).collect()}
+    assert out == {"aa": 5, "bb": 5, "cc": 5}

@@ -551,3 +551,45 @@ def test_mahalanobis_degenerate_covariance_empty(spark):
         [(i, float(i), 7.0) for i in range(10)], "k long, x double, y double"
     )
     assert mahalanobis_anomaly(df, "x", "y", ["k"]).count() == 0
+
+
+def test_propensity_match_picks_nearest_control_within_caliper(spark):
+    """Treated at 100 milli vs controls at 90/150: nearest wins (gap
+    10); a treated unit whose closest control exceeds the caliper is
+    unmatched."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        propensity_match,
+    )
+
+    a, b = _arm_users(4)
+    t1, t2 = a[0], a[1]
+    c_near, c_far, c_other = b[0], b[1], b[2]
+    rows = [
+        (t1, "e", 0.10),       # treated, score 100
+        (c_near, "e", 0.09),   # control, score 90  -> gap 10
+        (c_far, "e", 0.15),    # control, score 150 -> gap 50
+        (t2, "e", 9.00),       # treated, score 9000: nothing in caliper
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    out = {r["treated_user"]: r for r in propensity_match(ev).collect()}
+    assert set(out) == {t1}
+    assert out[t1]["control_user"] == c_near
+    assert out[t1]["gap_milli"] == 10
+
+
+def test_propensity_match_deterministic_tiebreak(spark):
+    """Equidistant controls: the smaller control id wins."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        propensity_match,
+    )
+
+    a, b = _arm_users(4)
+    lo, hi = sorted(b[:2])
+    rows = [
+        (a[0], "e", 0.10),
+        (lo, "e", 0.08),
+        (hi, "e", 0.12),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    out = propensity_match(ev).collect()
+    assert len(out) == 1 and out[0]["control_user"] == lo
