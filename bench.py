@@ -191,6 +191,9 @@ HEADLINE = [
     "unimax_weights",
     "propensity_match",
     "degree_assortativity",
+    "covariate_balance",
+    "weighted_quantiles",
+    "doc_char_entropy",
 ]
 
 

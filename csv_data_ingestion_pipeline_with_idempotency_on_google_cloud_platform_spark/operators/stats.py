@@ -841,6 +841,38 @@ def mahalanobis_anomaly(
     )
 
 
+def _propensity_units(
+    events: DataFrame, unit_col: str, value_col: str
+) -> DataFrame:
+    """Per-unit propensity frame (unit, n_events, score, is_t): score
+    is the unit's mean event value in exact integer milli
+    ((1000*Σcents) div (100*n)), treatment the md5 hash arm — shared
+    by propensity_match and covariate_balance."""
+    return (
+        events.where(F.col(unit_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(unit_col).alias("unit"),
+            # cents: the benford_profile convention — integer end to end
+            F.round(F.col(value_col) * 100).cast("long").alias("v"),
+        )
+        .groupBy("unit")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").alias("s"),
+        )
+        .select(
+            "unit",
+            F.col("n").alias("n_events"),
+            F.expr("(1000 * s) div (100 * n)").cast("long").alias("score"),
+            F.when(
+                hash_bucket_col(F.col("unit"), 1) < F.lit("8"), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("is_t"),
+        )
+    )
+
+
 def propensity_match(
     events: DataFrame,
     unit_col: str = "user_id",
@@ -870,28 +902,7 @@ def propensity_match(
     Returns (treated_user, control_user, score_t, score_c, gap_milli)
     with gap_milli <= caliper_milli.
     """
-    scores = (
-        events.where(F.col(unit_col).isNotNull() & F.col(value_col).isNotNull())
-        .select(
-            F.col(unit_col).alias("unit"),
-            # cents: the benford_profile convention — integer end to end
-            F.round(F.col(value_col) * 100).cast("long").alias("v"),
-        )
-        .groupBy("unit")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("v").alias("s"),
-        )
-        .select(
-            "unit",
-            F.expr("(1000 * s) div (100 * n)").cast("long").alias("score"),
-            F.when(
-                hash_bucket_col(F.col("unit"), 1) < F.lit("8"), F.lit(1)
-            )
-            .otherwise(F.lit(0))
-            .alias("is_t"),
-        )
-    )
+    scores = _propensity_units(events, unit_col, value_col)
     c = int(caliper_milli)
     treated = scores.where(F.col("is_t") == 1).select(
         F.col("unit").alias("treated_user"), F.col("score").alias("score_t")
@@ -923,3 +934,169 @@ def propensity_match(
         .where(F.col("rn") == 1)
         .select("treated_user", "control_user", "score_t", "score_c", "gap_milli")
     )
+
+
+def covariate_balance(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    value_col: str = "value",
+    caliper_milli: int = 250,
+) -> DataFrame:
+    """Standardized mean differences before vs after propensity
+    matching — the diagnostic that tells you whether the match
+    actually balanced the arms (|SMD| < 0.1 is the usual bar) or just
+    produced pairs. Covariates: the unit's event count and its mean
+    value milli (the propensity score itself, so the post-match score
+    SMD doubles as a match-quality metric).
+
+    One long-format frame carries every (phase, covariate, arm) cell:
+    pre-phase rows are the unit table itself, post-phase rows are the
+    matched pairs joined back to unit covariates (controls counted
+    once per pair — with-replacement matching weights them by reuse,
+    the standard matched-sample convention). Moments are exact
+    DECIMAL(38,0) sums over integer covariates; SMD =
+    (mean_t − mean_c)/sqrt((var_t + var_c)/2) with sample variances is
+    scalar double math on those sums, rounded to 6 dp (NULL when the
+    pooled variance vanishes).
+
+    Scale shape: the match reuses propensity_match's bucketed band
+    join; the balance pass adds one stack projection and ONE
+    map-side-combined groupBy on (phase, covariate, arm) — six cells
+    of state per partition, no extra data-sized shuffle.
+
+    Returns (covariate, phase, n_t, n_c, smd): 2 covariates × 2
+    phases.
+    """
+    units = _propensity_units(events, unit_col, value_col)
+    pairs = propensity_match(events, unit_col, value_col, caliper_milli)
+    pre = units.select(
+        F.lit("pre").alias("phase"), F.col("is_t"), "n_events", "score"
+    )
+    u_t = units.select(
+        F.col("unit").alias("treated_user"),
+        F.col("n_events").alias("t_ne"),
+        F.col("score").alias("t_sc"),
+    )
+    u_c = units.select(
+        F.col("unit").alias("control_user"),
+        F.col("n_events").alias("c_ne"),
+        F.col("score").alias("c_sc"),
+    )
+    post_w = pairs.join(u_t, "treated_user").join(u_c, "control_user")
+    post = post_w.select(
+        F.lit("post").alias("phase"), F.lit(1).alias("is_t"),
+        F.col("t_ne").alias("n_events"), F.col("t_sc").alias("score"),
+    ).unionAll(
+        post_w.select(
+            F.lit("post").alias("phase"), F.lit(0).alias("is_t"),
+            F.col("c_ne").alias("n_events"), F.col("c_sc").alias("score"),
+        )
+    )
+    long = (
+        pre.unionAll(post)
+        .select(
+            "phase",
+            "is_t",
+            F.expr(
+                "stack(2, 'n_events', n_events, 'score', score)"
+            ).alias("covariate", "x"),
+        )
+        .select(
+            "phase", "is_t", "covariate", F.col("x").cast("decimal(38,0)").alias("x")
+        )
+    )
+    cells = long.groupBy("phase", "covariate").agg(
+        F.sum(F.when(F.col("is_t") == 1, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("is_t") == 0, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("is_t") == 1, F.col("x"))).alias("st"),
+        F.sum(F.when(F.col("is_t") == 0, F.col("x"))).alias("sc"),
+        F.sum(F.when(F.col("is_t") == 1, F.col("x") * F.col("x"))).alias("sst"),
+        F.sum(F.when(F.col("is_t") == 0, F.col("x") * F.col("x"))).alias("ssc"),
+    )
+    nt = F.col("n_t").cast("double")
+    nc = F.col("n_c").cast("double")
+    mt = F.col("st").cast("double") / nt
+    mc = F.col("sc").cast("double") / nc
+    vt = F.when(
+        F.col("n_t") >= 2,
+        (F.col("sst").cast("double") - nt * mt * mt) / (nt - 1.0),
+    ).otherwise(F.lit(0.0))
+    vc = F.when(
+        F.col("n_c") >= 2,
+        (F.col("ssc").cast("double") - nc * mc * mc) / (nc - 1.0),
+    ).otherwise(F.lit(0.0))
+    pooled = (vt + vc) / 2.0
+    return cells.where((F.col("n_t") > 0) & (F.col("n_c") > 0)).select(
+        "covariate",
+        "phase",
+        "n_t",
+        "n_c",
+        F.round(
+            F.when(pooled > 0, (mt - mc) / F.sqrt(pooled)), 6
+        ).alias("smd"),
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    amount_col: str,
+    qs_milli: tuple[int, ...] = (250, 500, 750, 900),
+) -> DataFrame:
+    """Per-group WEIGHTED quantiles of an amount, weighted by the
+    amount itself — "the order size below which 25/50/75/90% of the
+    *revenue* sits", per group. The unweighted percentile answers a
+    row-count question; capacity planning and mix analysis need the
+    mass-weighted one (a handful of whale orders IS half the revenue).
+
+    Integer-exact: amounts collapse to (group, cents) with summed
+    weights (map-side combine), the running mass is a window
+    partitioned by the group key (parallel across groups, width =
+    distinct amounts per group), and each quantile is a conditional
+    MIN over rows where cum*1000 >= q*total — cross-multiplied
+    integers, no float thresholds to drift. Output cents -> value
+    units only at the boundary.
+
+    Returns (group, n_rows, w_total_cents, wq_<q> per requested
+    milli-quantile).
+    """
+    grp = (
+        df.where(F.col(group_col).isNotNull() & F.col(amount_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.round(F.col(amount_col) * 100).cast("long").alias("cc"),
+        )
+        .groupBy("g", "cc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nn"),
+            F.sum("cc").cast("long").alias("w"),
+        )
+    )
+    word = Window.partitionBy("g").orderBy("cc")
+    wall = Window.partitionBy("g")
+    cum = (
+        grp.withColumn("cw", F.sum("w").over(word).cast("long"))
+        .withColumn("tw", F.sum("w").over(wall).cast("long"))
+    )
+    aggs = [
+        F.sum("nn").alias("n_rows"),
+        F.max("tw").alias("w_total_cents"),
+    ]
+    # DECIMAL(38,0) products: cum*1000 would overflow a long once the
+    # per-group mass passes ~9e15 cents — real at the 100 TB target
+    dec = "decimal(38,0)"
+    for q in qs_milli:
+        aggs.append(
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cw").cast(dec) * 1000
+                        >= F.col("tw").cast(dec) * q,
+                        F.col("cc"),
+                    )
+                ).cast("double")
+                / 100.0,
+                2,
+            ).alias(f"wq_{q}")
+        )
+    return cum.groupBy("g").agg(*aggs).withColumnRenamed("g", group_col)

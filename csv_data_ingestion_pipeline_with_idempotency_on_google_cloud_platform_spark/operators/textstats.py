@@ -704,3 +704,48 @@ def dup_rate_by_source(
             "dup_rate_milli"
         ),
     )
+
+
+def doc_char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy — the
+    compression-proxy quality signal that catches what token ratios
+    miss: base64/hex blobs and key-mash spam score HIGH (near-uniform
+    bytes), template/repeated-char junk scores LOW; natural prose sits
+    in a stable mid band per language. Complements quality_scores'
+    Gopher-style repetition fractions (those see repeated LINES and
+    BIGRAMS, this sees the raw symbol distribution).
+
+    Exact counts: one explode to (doc, char) rows, one map-side-
+    combined groupBy for counts, then the count-side identity
+    H = ln(n) − (Σ c·ln c)/n per document (same algebra as
+    column_entropy) — ln() on exact integers, rounded to 6 dp at the
+    boundary. Work is linear in corpus bytes, the same bound as any
+    tokenization pass; the per-doc rollup shuffles (doc, char, count)
+    triples, never text.
+
+    Returns (doc_id, n_chars_counted, char_entropy) for non-empty
+    docs.
+    """
+    chars = docs.where(F.length(text_col) > 0).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    )
+    counts = chars.groupBy(id_col, "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_chars_counted"),
+        F.sum(
+            F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        ).alias("__clnc"),
+    )
+    n = F.col("n_chars_counted").cast("double")
+    return per_doc.select(
+        id_col,
+        "n_chars_counted",
+        F.round(F.log(n) - F.col("__clnc") / n, 6).alias("char_entropy"),
+    )

@@ -7582,9 +7582,11 @@ def q_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return propensity_match(load_table(spark, sf_dir, "events"))
 
 
-SQL_PROPENSITY_MATCH = """
-WITH scores AS (
+# shared by SQL_PROPENSITY_MATCH and SQL_COVARIATE_BALANCE: the
+# per-unit propensity frame and the caliper band-join match
+_SQL_MATCH_CTES = """scores AS (
   SELECT user_id AS unit,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
          CAST((CAST(1000 AS BIGINT) * SUM(CAST(round(value * 100) AS BIGINT)))
               // (CAST(100 AS BIGINT) * COUNT(*)) AS BIGINT) AS score,
          CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
@@ -7608,12 +7610,144 @@ WITH scores AS (
          abs(p.score_t - c.score_c) AS gap_milli
   FROM probes p JOIN controls c ON c.bk = p.bk
   WHERE abs(p.score_t - c.score_c) <= 250
+), matched AS (
+  SELECT treated_user, control_user, score_t, score_c, gap_milli FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY treated_user ORDER BY gap_milli, control_user
+    ) AS rn FROM cand
+  ) WHERE rn = 1
+)"""
+
+SQL_PROPENSITY_MATCH = (
+    "WITH "
+    + _SQL_MATCH_CTES
+    + "\nSELECT treated_user, control_user, score_t, score_c, gap_milli FROM matched"
 )
-SELECT treated_user, control_user, score_t, score_c, gap_milli FROM (
-  SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY treated_user ORDER BY gap_milli, control_user
-  ) AS rn FROM cand
-) WHERE rn = 1
+
+
+def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70b (round 5): standardized mean differences pre vs post
+    propensity matching (operators/stats.py:covariate_balance) — the
+    match-quality diagnostic; exact decimal moments over the long
+    (phase, covariate, arm) frame. Full oracle."""
+    from ..operators.stats import covariate_balance
+
+    return covariate_balance(load_table(spark, sf_dir, "events"))
+
+
+SQL_COVARIATE_BALANCE = (
+    "WITH "
+    + _SQL_MATCH_CTES
+    + """, pre AS (
+  SELECT 'pre' AS phase, is_t, n_events, score FROM scores
+), post AS (
+  SELECT 'post' AS phase, 1 AS is_t, st.n_events, st.score
+  FROM matched m JOIN scores st ON st.unit = m.treated_user
+  UNION ALL
+  SELECT 'post' AS phase, 0 AS is_t, sc2.n_events, sc2.score
+  FROM matched m JOIN scores sc2 ON sc2.unit = m.control_user
+), allrows AS (
+  SELECT * FROM pre UNION ALL SELECT * FROM post
+), longf AS (
+  SELECT phase, is_t, 'n_events' AS covariate,
+         CAST(n_events AS DECIMAL(19,0)) AS x FROM allrows
+  UNION ALL
+  SELECT phase, is_t, 'score' AS covariate,
+         CAST(score AS DECIMAL(19,0)) AS x FROM allrows
+), cells AS (
+  SELECT phase, covariate,
+         CAST(SUM(CASE WHEN is_t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN is_t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         SUM(CASE WHEN is_t = 1 THEN x END) AS st_,
+         SUM(CASE WHEN is_t = 0 THEN x END) AS sc_,
+         SUM(CASE WHEN is_t = 1 THEN x * x END) AS sst,
+         SUM(CASE WHEN is_t = 0 THEN x * x END) AS ssc
+  FROM longf GROUP BY 1, 2
+), means AS (
+  SELECT phase, covariate, n_t, n_c,
+         CAST(n_t AS DOUBLE) AS nt, CAST(n_c AS DOUBLE) AS nc,
+         CAST(st_ AS DOUBLE) / CAST(n_t AS DOUBLE) AS mt,
+         CAST(sc_ AS DOUBLE) / CAST(n_c AS DOUBLE) AS mc,
+         CAST(sst AS DOUBLE) AS sstd, CAST(ssc AS DOUBLE) AS sscd
+  FROM cells WHERE n_t > 0 AND n_c > 0
+), vars_ AS (
+  SELECT phase, covariate, n_t, n_c, mt, mc,
+         CASE WHEN n_t >= 2 THEN (sstd - nt * mt * mt) / (nt - 1.0) ELSE 0.0 END AS vt,
+         CASE WHEN n_c >= 2 THEN (sscd - nc * mc * mc) / (nc - 1.0) ELSE 0.0 END AS vc
+  FROM means
+)
+SELECT covariate, phase, n_t, n_c,
+       round(CASE WHEN (vt + vc) / 2.0 > 0
+                  THEN (mt - mc) / sqrt((vt + vc) / 2.0) END, 6) AS smd
+FROM vars_
+"""
+)
+
+
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72 (round 5): revenue-weighted order-total quantiles per
+    priority class (operators/stats.py:weighted_quantiles) —
+    cross-multiplied integer mass thresholds, per-group windows.
+    Full oracle."""
+    from ..operators.stats import weighted_quantiles
+
+    return weighted_quantiles(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+SQL_WEIGHTED_QUANTILES = """
+WITH grp AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cc,
+         CAST(COUNT(*) AS BIGINT) AS nn,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS w
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+), cum AS (
+  SELECT g, cc, nn,
+         CAST(SUM(w) OVER (PARTITION BY g ORDER BY cc
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+         CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT) AS tw
+  FROM grp
+)
+SELECT g AS o_orderpriority,
+       CAST(SUM(nn) AS BIGINT) AS n_rows,
+       CAST(MAX(tw) AS BIGINT) AS w_total_cents,
+       round(CAST(MIN(CASE WHEN CAST(cw AS HUGEINT) * 1000 >= CAST(tw AS HUGEINT) * 250 THEN cc END) AS DOUBLE) / 100.0, 2) AS wq_250,
+       round(CAST(MIN(CASE WHEN CAST(cw AS HUGEINT) * 1000 >= CAST(tw AS HUGEINT) * 500 THEN cc END) AS DOUBLE) / 100.0, 2) AS wq_500,
+       round(CAST(MIN(CASE WHEN CAST(cw AS HUGEINT) * 1000 >= CAST(tw AS HUGEINT) * 750 THEN cc END) AS DOUBLE) / 100.0, 2) AS wq_750,
+       round(CAST(MIN(CASE WHEN CAST(cw AS HUGEINT) * 1000 >= CAST(tw AS HUGEINT) * 900 THEN cc END) AS DOUBLE) / 100.0, 2) AS wq_900
+FROM cum GROUP BY 1
+"""
+
+
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73 (round 5): per-document character-level Shannon entropy
+    (operators/textstats.py:doc_char_entropy) — the compression-proxy
+    quality screen; count-side identity on exact integer counts.
+    Full oracle."""
+    from ..operators.textstats import doc_char_entropy
+
+    return doc_char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DOC_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, UNNEST(string_split(text, '')) AS ch
+  FROM documents WHERE length(text) > 0
+), counts AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM chars GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars_counted,
+         SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+  FROM counts GROUP BY 1
+)
+SELECT doc_id, n_chars_counted,
+       round(ln(CAST(n_chars_counted AS DOUBLE))
+             - clnc / CAST(n_chars_counted AS DOUBLE), 6) AS char_entropy
+FROM per_doc
 """
 
 
@@ -7701,7 +7835,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unimax_weights": q_unimax_weights,
     "propensity_match": q_propensity_match,
     "degree_assortativity": q_degree_assortativity,
-    # ---- entries 31-50: r4-window-green backfill (every entry below
+    # ---- entries 31-33: round-5 session-2 batch 3 (match-balance
+    # diagnostic, mass-weighted quantiles, char-entropy quality screen)
+    "covariate_balance": q_covariate_balance,
+    "weighted_quantiles": q_weighted_quantiles,
+    "doc_char_entropy": q_doc_char_entropy,
+    # ---- entries 34-50: r4-window-green backfill (every entry below
     # holds a driver-green CORRECTNESS_r04 row; the ones this rotation
     # displaced past position 50 keep that evidence).
     "quality_classifier": q_quality_classifier,
@@ -8068,4 +8207,7 @@ ORACLE_SQL: dict[str, str] = {
     "unimax_weights": SQL_UNIMAX_WEIGHTS,
     "propensity_match": SQL_PROPENSITY_MATCH,
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
+    "covariate_balance": SQL_COVARIATE_BALANCE,
+    "weighted_quantiles": SQL_WEIGHTED_QUANTILES,
+    "doc_char_entropy": SQL_DOC_CHAR_ENTROPY,
 }

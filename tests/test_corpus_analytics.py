@@ -352,3 +352,24 @@ def test_theilsen_caps_hot_users(spark):
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
     got = {r["user_id"] for r in theilsen_trend(ev, max_events=10).collect()}
     assert got == {2}
+
+
+def test_doc_char_entropy_closed_forms(spark):
+    """Known distributions: uniform-1 char -> 0, two chars 50/50 ->
+    ln 2, four chars uniform -> ln 4."""
+    import math
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        doc_char_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in doc_char_entropy(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["char_entropy"] == 0.0
+    assert out[2]["char_entropy"] == round(math.log(2), 6)
+    assert out[3]["char_entropy"] == round(math.log(4), 6)
+    assert out[3]["n_chars_counted"] == 4

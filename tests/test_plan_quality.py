@@ -1085,3 +1085,25 @@ def test_assortativity_degree_joins_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_covariate_balance_single_stack_aggregate(spark):
+    """Balance cells come from one map-side-combined groupBy over the
+    stacked long frame; the match inside keeps its band-join shape."""
+    plan = _plan(spark, "covariate_balance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_weighted_quantiles_group_partitioned_windows(spark):
+    plan = _plan(spark, "weighted_quantiles")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "HashAggregate" in plan
+
+
+def test_doc_char_entropy_two_combined_groupbys(spark):
+    plan = _plan(spark, "doc_char_entropy")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4

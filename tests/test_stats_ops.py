@@ -593,3 +593,46 @@ def test_propensity_match_deterministic_tiebreak(spark):
     ev = spark.createDataFrame(rows, "user_id long, event_type string, value double")
     out = propensity_match(ev).collect()
     assert len(out) == 1 and out[0]["control_user"] == lo
+
+
+def test_covariate_balance_matching_removes_outlier_skew(spark):
+    """Controls include a far-out score the caliper excludes: the
+    post-match score SMD collapses to ~0 while pre stays skewed."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        covariate_balance,
+    )
+
+    a, b = _arm_users(4)
+    rows = [
+        (a[0], "e", 0.10),  # treated scores 100, 200
+        (a[1], "e", 0.20),
+        (b[0], "e", 0.10),  # matchable controls at the same scores
+        (b[1], "e", 0.20),
+        (b[2], "e", 50.0),  # far-out control: skews pre, excluded post
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    out = {(r["covariate"], r["phase"]): r for r in covariate_balance(ev).collect()}
+    assert set(out) == {("n_events", "pre"), ("n_events", "post"),
+                        ("score", "pre"), ("score", "post")}
+    assert out[("score", "post")]["smd"] == 0.0
+    assert abs(out[("score", "pre")]["smd"]) > 0.5
+    # every unit has exactly one event: zero variance -> NULL SMD
+    assert out[("n_events", "pre")]["smd"] is None
+
+
+def test_weighted_quantiles_mass_thresholds(spark):
+    """Amounts 10/20/30/40: mass cumsum 10%,30%,60%,100% -> the
+    25/50/75/90% mass quantiles land on 20/30/40/40."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        weighted_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", 20.0), ("g", 30.0), ("g", 40.0)],
+        "grp string, amt double",
+    )
+    r = weighted_quantiles(df, "grp", "amt").collect()[0]
+    assert (r["wq_250"], r["wq_500"], r["wq_750"], r["wq_900"]) == (
+        20.0, 30.0, 40.0, 40.0,
+    )
+    assert r["n_rows"] == 4 and r["w_total_cents"] == 10000

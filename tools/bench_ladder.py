@@ -58,6 +58,17 @@ LADDER_QUERIES = [
     "histogram_quantile_rollup",
     "distinct_rollup",
     "forecast_conformal",
+    # round-5 session 2: oracle-backed MinHash-LSH (capped bucketed
+    # pairs), DSIR (two small shuffles + broadcast stats), KS test
+    # (single scan + per-type windows), propensity matching (bucketed
+    # band join), degree assortativity (degree joins + 1-row moments),
+    # Mahalanobis (broadcast moments + TakeOrdered). Expected <= ~10.
+    "minhash_jaccard",
+    "dsir_weights",
+    "ks_test",
+    "propensity_match",
+    "degree_assortativity",
+    "mahalanobis_anomaly",
 ]
 
 SF01 = "/root/testdata/sf0.1"
