@@ -194,6 +194,7 @@ HEADLINE = [
     "covariate_balance",
     "weighted_quantiles",
     "doc_char_entropy",
+    "changepoint_detect",
 ]
 
 

@@ -867,3 +867,77 @@ def forecast_conformal(
         "halfwidth_milli",
         F.expr("(1000 * __hits) div n_test").alias("coverage_milli"),
     )
+
+
+def changepoint_detect(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Optimal single changepoint per daily series — the first step of
+    binary segmentation: the split that minimizes left-SSE + right-SSE
+    (i.e. the best two-mean fit). CUSUM (X46) says *whether* the level
+    drifted and in which direction; this names the day the series is
+    best cut in two and how much variance that cut explains — the
+    localization answer an incident review asks for.
+
+    Closed form, no iteration: per-group day index + prefix sums
+    (Σy, Σy²) via windows on the daily aggregate (exact integers from
+    `_daily_units`; squares carried as DECIMAL(38,0)); every candidate
+    split's cost is scalar double algebra on those exact sums —
+    cost(k) = (ssq_k − s_k²/k) + ((SSQ−ssq_k) − (S−s_k)²/(n−k)) —
+    and the winner resolves in a (cost, day) row_number window. The
+    windows partition by the group key: parallel across groups, width
+    = days per group.
+
+    Returns (group, n_days, split_day, sse_reduction_milli): the split
+    day is the LAST day of the left segment; reduction is
+    1000·(1 − best_cost/total_sse) for groups with total_sse > 0.
+    """
+    daily = _daily_units(events, group_col, ts_col, value_col)
+    dec = "decimal(38,0)"
+    w = Window.partitionBy("g").orderBy("d")
+    wall = Window.partitionBy("g")
+    cum = (
+        daily.withColumn("t", F.row_number().over(w).cast("long"))
+        .withColumn("sk", F.sum("y").over(w).cast("long"))
+        .withColumn(
+            "ssqk", F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).over(w)
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wall).cast("long"))
+        .withColumn("s_tot", F.sum("y").over(wall).cast("long"))
+        .withColumn(
+            "ssq_tot",
+            F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).over(wall),
+        )
+    )
+    td = F.col("t").cast("double")
+    nd = F.col("n").cast("double")
+    sk = F.col("sk").cast("double")
+    st = F.col("s_tot").cast("double")
+    left = F.col("ssqk").cast("double") - sk * sk / td
+    right = (F.col("ssq_tot").cast("double") - F.col("ssqk").cast("double")) - (
+        st - sk
+    ) * (st - sk) / (nd - td)
+    total_sse = F.col("ssq_tot").cast("double") - st * st / nd
+    cand = cum.where(F.col("t") < F.col("n")).select(
+        "g",
+        "d",
+        "n",
+        (left + right).alias("cost"),
+        total_sse.alias("total_sse"),
+    )
+    pick = Window.partitionBy("g").orderBy("cost", "d")
+    return (
+        cand.where(F.col("total_sse") > 0)
+        .withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").alias("n_days"),
+            F.date_format(F.col("d"), "yyyy-MM-dd").alias("split_day"),
+            F.round(1000.0 * (F.lit(1.0) - F.col("cost") / F.col("total_sse")), 3)
+            .alias("sse_reduction_milli"),
+        )
+    )

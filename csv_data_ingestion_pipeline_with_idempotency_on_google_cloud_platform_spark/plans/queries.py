@@ -7751,6 +7751,50 @@ FROM per_doc
 """
 
 
+def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74 (round 5): optimal single changepoint per event-type daily
+    series (operators/temporal.py:changepoint_detect) — binary-
+    segmentation step 1, closed-form SSE split over prefix-sum
+    windows; names the day CUSUM only hints at. Full oracle."""
+    return temporal.changepoint_detect(load_table(spark, sf_dir, "events"))
+
+
+SQL_CHANGEPOINT_DETECT = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+         CAST(floor(SUM(CAST(value AS DECIMAL(18,6)))) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT g, d,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+         CAST(SUM(y) OVER w AS BIGINT) AS sk,
+         SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) OVER w AS ssqk,
+         CAST(COUNT(*) OVER wall AS BIGINT) AS n,
+         CAST(SUM(y) OVER wall AS BIGINT) AS s_tot,
+         SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) OVER wall AS ssq_tot
+  FROM daily
+  WINDOW w AS (PARTITION BY g ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wall AS (PARTITION BY g)
+), cand AS (
+  SELECT g, d, n,
+         (CAST(ssqk AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / CAST(t AS DOUBLE))
+         + ((CAST(ssq_tot AS DOUBLE) - CAST(ssqk AS DOUBLE))
+            - (CAST(s_tot AS DOUBLE) - CAST(sk AS DOUBLE)) * (CAST(s_tot AS DOUBLE) - CAST(sk AS DOUBLE))
+              / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))) AS cost,
+         CAST(ssq_tot AS DOUBLE)
+           - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n AS DOUBLE) AS total_sse
+  FROM cum WHERE t < n
+)
+SELECT g AS event_type, n AS n_days, strftime(d, '%Y-%m-%d') AS split_day,
+       round(1000.0 * (1.0 - cost / total_sse), 3) AS sse_reduction_milli
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY cost, d) AS rn
+  FROM cand WHERE total_sse > 0
+) WHERE rn = 1
+"""
+
+
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X71 (round 5): Newman degree assortativity of the part-supplier
     bipartite graph (operators/graph.py:degree_assortativity) —
@@ -7840,6 +7884,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "covariate_balance": q_covariate_balance,
     "weighted_quantiles": q_weighted_quantiles,
     "doc_char_entropy": q_doc_char_entropy,
+    "changepoint_detect": q_changepoint_detect,
     # ---- entries 34-50: r4-window-green backfill (every entry below
     # holds a driver-green CORRECTNESS_r04 row; the ones this rotation
     # displaced past position 50 keep that evidence).
@@ -8210,4 +8255,5 @@ ORACLE_SQL: dict[str, str] = {
     "covariate_balance": SQL_COVARIATE_BALANCE,
     "weighted_quantiles": SQL_WEIGHTED_QUANTILES,
     "doc_char_entropy": SQL_DOC_CHAR_ENTROPY,
+    "changepoint_detect": SQL_CHANGEPOINT_DETECT,
 }

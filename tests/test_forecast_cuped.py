@@ -137,3 +137,30 @@ def test_conformal_perfect_series_has_full_coverage(spark):
     r = forecast_conformal(ev).collect()[0]
     assert r["halfwidth_milli"] == 0
     assert r["coverage_milli"] == 1000
+
+
+def test_changepoint_finds_planted_level_shift(spark):
+    """Series 10,10,...,10,50,50,...,50: the optimal split is the last
+    low day, with near-total SSE reduction."""
+    import datetime
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        changepoint_detect,
+    )
+
+    rows = []
+    for i in range(20):
+        day = datetime.datetime(2024, 3, 1 + i, 12, 0, 0)
+        v = 10.0 if i < 8 else 50.0
+        rows.append((1000 + i, day, "shift", v))
+    # a flat control series: zero total SSE -> excluded entirely
+    for i in range(10):
+        day = datetime.datetime(2024, 3, 1 + i, 12, 0, 0)
+        rows.append((2000 + i, day, "flat", 7.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["event_type"]: r for r in changepoint_detect(ev).collect()}
+    assert set(out) == {"shift"}
+    assert out["shift"]["split_day"] == "2024-03-08"
+    assert out["shift"]["sse_reduction_milli"] == 1000.0

@@ -1107,3 +1107,12 @@ def test_doc_char_entropy_two_combined_groupbys(spark):
     plan = _plan(spark, "doc_char_entropy")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_changepoint_group_partitioned_prefix_windows(spark):
+    """Prefix-sum and winner windows partition by the series key —
+    parallel across groups, never a single global window."""
+    plan = _plan(spark, "changepoint_detect")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "HashAggregate" in plan
