@@ -1116,3 +1116,36 @@ def test_changepoint_group_partitioned_prefix_windows(spark):
     assert "CartesianProduct" not in plan
     assert "Window" in plan
     assert "HashAggregate" in plan
+
+
+def test_no_query_has_unpartitioned_window(spark):
+    """Registry-wide: no headline query may plan a window with a
+    constant-folded (empty) partition spec — WindowExec would move the
+    whole input to ONE partition. Catches the neyman_allocation class
+    of bug: partitioning on isNotNull(count()) folds to a literal
+    because count() is non-nullable. Detection is on the optimized
+    plan text: a windowspecdefinition whose argument list starts with
+    the frame (no partition columns, no ordering) or an ordering
+    (no partition columns) is global. Deliberate tiny-frame windows
+    must use a non-foldable constant key (col % 1)."""
+    import re
+
+    import bench
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.plans import (
+        QUERIES,
+    )
+
+    bad = {}
+    for name in bench.HEADLINE:
+        plan = _plan(spark, name)
+        hits = [
+            m.group(0)[:100]
+            for m in re.finditer(r"windowspecdefinition\(([^,()]*)", plan)
+            if m.group(1).startswith("specifiedwindowframe")
+            or " ASC" in m.group(1)
+            or " DESC" in m.group(1)
+            or m.group(1) == ""
+        ]
+        if hits:
+            bad[name] = hits[0]
+    assert not bad, f"global windows found: {bad}"
