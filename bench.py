@@ -195,6 +195,7 @@ HEADLINE = [
     "weighted_quantiles",
     "doc_char_entropy",
     "changepoint_detect",
+    "holt_winters",
 ]
 
 

@@ -941,3 +941,73 @@ def changepoint_detect(
             .alias("sse_reduction_milli"),
         )
     )
+
+
+def holt_winters_forecast(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha_milli: int = 500,
+    beta_milli: int = 300,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per daily series,
+    forecast ``horizon`` days out — the level+trend upgrade over EWMA
+    (X44 smooths level only) and the model the seasonal-naive backtest
+    (X51) benchmarks against.
+
+    Integer milli end to end: level/trend state lives in milli-units
+    of the daily total, every recurrence step is integer
+    multiply-add + truncating div (identical `div` semantics stated
+    explicitly in the oracle for negative trends), so the fold is
+    bit-identical in any engine — no float accumulation across steps.
+    L_1 = 1000·y_1, B_1 = 1000·(y_2−y_1); for t ≥ 3:
+    L_t = (α·1000·y_t + (1000−α)·(L+B)) div 1000,
+    B_t = (β·(L_t − L_prev) + (1000−β)·B) div 1000;
+    forecast(h) = L_n + h·B_n.
+
+    Scale shape: ONE shuffle collects each group's ordered daily
+    array (bounded by days-per-group — the autocorrelation bound);
+    the recurrence is a per-row F.aggregate fold (no driver loop, no
+    per-step actions); the horizon fan-out is a literal-array explode.
+    Returns (group, n_days, h, forecast_milli) for h = 1..horizon,
+    groups with ≥3 days.
+    """
+    a, b, m = int(alpha_milli), int(beta_milli), 1000
+    daily = _daily_units(events, group_col, ts_col, value_col)
+    series = (
+        daily.groupBy("g")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "y"))), lambda x: x["y"]
+            ).alias("ys")
+        )
+        .where(F.size("ys") >= 3)
+    )
+    # the fold is assembled as a SQL expression: `div` states the exact
+    # truncating-division semantics the oracle mirrors for negatives
+    state = series.select(
+        "g",
+        F.size("ys").cast("long").alias("n_days"),
+        F.expr(
+            f"""aggregate(
+                 slice(ys, 3, size(ys) - 2),
+                 struct(CAST({m} * element_at(ys, 1) AS BIGINT) AS l,
+                        CAST({m} * (element_at(ys, 2) - element_at(ys, 1)) AS BIGINT) AS b),
+                 (acc, y) -> struct(
+                   CAST(({a} * {m} * y + {m - a} * (acc.l + acc.b)) div {m} AS BIGINT) AS l,
+                   CAST(({b} * ((({a} * {m} * y + {m - a} * (acc.l + acc.b)) div {m}) - acc.l)
+                         + {m - b} * acc.b) div {m} AS BIGINT) AS b)
+               )"""
+        ).alias("st"),
+    )
+    hs = F.array(*[F.lit(h) for h in range(1, horizon + 1)])
+    return state.select(
+        F.col("g").alias(group_col),
+        "n_days",
+        F.explode(hs).alias("h"),
+        (F.col("st.l") + F.col("h").cast("long") * F.col("st.b"))
+        .cast("long")
+        .alias("forecast_milli"),
+    )

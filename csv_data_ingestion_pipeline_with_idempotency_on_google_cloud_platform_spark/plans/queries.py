@@ -7795,6 +7795,60 @@ FROM (
 """
 
 
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75 (round 5): Holt double-exponential level+trend forecast per
+    event-type daily series (operators/temporal.py:
+    holt_winters_forecast) — integer-milli recurrence as ONE
+    per-group array fold, no driver loop; the oracle replays the
+    identical truncating-div recurrence as a recursive CTE."""
+    return temporal.holt_winters_forecast(load_table(spark, sf_dir, "events"))
+
+
+SQL_HOLT_WINTERS = """
+WITH RECURSIVE daily AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+         CAST(floor(SUM(CAST(value AS DECIMAL(18,6)))) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT g, y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS BIGINT) AS t,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM daily
+), ok AS (
+  SELECT * FROM idx WHERE n >= 3
+), rec AS (
+  SELECT y1.g, y1.n, CAST(2 AS BIGINT) AS t,
+         CAST(1000 * y1.y AS BIGINT) AS l,
+         CAST(1000 * (y2.y - y1.y) AS BIGINT) AS b
+  FROM ok y1 JOIN ok y2 ON y2.g = y1.g AND y2.t = 2
+  WHERE y1.t = 1
+  UNION ALL
+  SELECT r.g, r.n, r.t + 1,
+         CAST(CASE WHEN (500000 * o.y + 500 * (r.l + r.b)) >= 0
+                   THEN (500000 * o.y + 500 * (r.l + r.b)) // 1000
+                   ELSE -((-(500000 * o.y + 500 * (r.l + r.b))) // 1000) END AS BIGINT),
+         CAST(CASE WHEN (300 * ((CASE WHEN (500000 * o.y + 500 * (r.l + r.b)) >= 0
+                                      THEN (500000 * o.y + 500 * (r.l + r.b)) // 1000
+                                      ELSE -((-(500000 * o.y + 500 * (r.l + r.b))) // 1000) END) - r.l)
+                    + 700 * r.b) >= 0
+                   THEN (300 * ((CASE WHEN (500000 * o.y + 500 * (r.l + r.b)) >= 0
+                                      THEN (500000 * o.y + 500 * (r.l + r.b)) // 1000
+                                      ELSE -((-(500000 * o.y + 500 * (r.l + r.b))) // 1000) END) - r.l)
+                         + 700 * r.b) // 1000
+                   ELSE -((-(300 * ((CASE WHEN (500000 * o.y + 500 * (r.l + r.b)) >= 0
+                                         THEN (500000 * o.y + 500 * (r.l + r.b)) // 1000
+                                         ELSE -((-(500000 * o.y + 500 * (r.l + r.b))) // 1000) END) - r.l)
+                            + 700 * r.b)) // 1000) END AS BIGINT)
+  FROM rec r JOIN ok o ON o.g = r.g AND o.t = r.t + 1
+), final AS (
+  SELECT g, n, l, b FROM rec WHERE t = n
+)
+SELECT g AS event_type, n AS n_days, CAST(h.h AS INTEGER) AS h,
+       CAST(l + h.h * b AS BIGINT) AS forecast_milli
+FROM final CROSS JOIN (SELECT UNNEST(range(1, 8)) AS h) h
+"""
+
+
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X71 (round 5): Newman degree assortativity of the part-supplier
     bipartite graph (operators/graph.py:degree_assortativity) —
@@ -7885,6 +7939,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_quantiles": q_weighted_quantiles,
     "doc_char_entropy": q_doc_char_entropy,
     "changepoint_detect": q_changepoint_detect,
+    "holt_winters": q_holt_winters,
     # ---- entries 34-50: r4-window-green backfill (every entry below
     # holds a driver-green CORRECTNESS_r04 row; the ones this rotation
     # displaced past position 50 keep that evidence).
@@ -8256,4 +8311,5 @@ ORACLE_SQL: dict[str, str] = {
     "weighted_quantiles": SQL_WEIGHTED_QUANTILES,
     "doc_char_entropy": SQL_DOC_CHAR_ENTROPY,
     "changepoint_detect": SQL_CHANGEPOINT_DETECT,
+    "holt_winters": SQL_HOLT_WINTERS,
 }

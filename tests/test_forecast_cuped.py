@@ -164,3 +164,53 @@ def test_changepoint_finds_planted_level_shift(spark):
     assert set(out) == {"shift"}
     assert out["shift"]["split_day"] == "2024-03-08"
     assert out["shift"]["sse_reduction_milli"] == 1000.0
+
+
+def test_holt_winters_matches_python_replica(spark):
+    """The integer-milli fold replays exactly in pure Python: same
+    init, same truncating div, same forecasts."""
+    import datetime
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        holt_winters_forecast,
+    )
+
+    ys = [15.0, 20.0, 25.0, 30.0, 35.0, 41.0, 44.0, 52.0]
+    rows = [
+        (i, datetime.datetime(2024, 5, 1 + i, 9), "t", v)
+        for i, v in enumerate(ys)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["h"]: r["forecast_milli"] for r in holt_winters_forecast(ev).collect()}
+
+    def tdiv(x, d=1000):
+        return x // d if x >= 0 else -((-x) // d)
+
+    yi = [int(v) for v in ys]
+    l, b = 1000 * yi[0], 1000 * (yi[1] - yi[0])
+    for y in yi[2:]:
+        nl = tdiv(500 * 1000 * y + 500 * (l + b))
+        b = tdiv(300 * (nl - l) + 700 * b)
+        l = nl
+    assert out == {h: l + h * b for h in range(1, 8)}
+    # rising series -> rising forecasts
+    assert all(out[h] < out[h + 1] for h in range(1, 7))
+
+
+def test_holt_winters_needs_three_days(spark):
+    import datetime
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        holt_winters_forecast,
+    )
+
+    rows = [
+        (1, datetime.datetime(2024, 5, 1, 9), "short", 5.0),
+        (2, datetime.datetime(2024, 5, 2, 9), "short", 6.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    assert holt_winters_forecast(ev).count() == 0

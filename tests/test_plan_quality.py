@@ -1149,3 +1149,11 @@ def test_no_query_has_unpartitioned_window(spark):
         if hits:
             bad[name] = hits[0]
     assert not bad, f"global windows found: {bad}"
+
+
+def test_holt_winters_fold_is_one_shuffle_no_driver_loop(spark):
+    """The recurrence is a per-row array fold after ONE per-group
+    collect — no iterative joins, no cartesian, no window growth."""
+    plan = _plan(spark, "holt_winters")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
