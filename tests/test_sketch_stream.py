@@ -215,6 +215,8 @@ def test_streaming_kmv_checkpoint_restart(spark, tmp_path):
     _df(spark, b1).write.parquet(str(src / "b1"))
 
     def _run():
+        from pyspark.sql import functions as F
+
         stream = (
             spark.readStream.schema(SCHEMA)
             .option("maxFilesPerTrigger", "1")
@@ -223,7 +225,12 @@ def test_streaming_kmv_checkpoint_restart(spark, tmp_path):
         return (
             streaming_kmv_distinct(stream, "user_id", "event_id", k=k)
             .writeStream.foreachBatch(
-                lambda df, _bid: df.write.mode("append").parquet(out)
+                # stamp the batch id: update mode appends one row per
+                # update and k_used saturates at k, so "the final
+                # state" must be selected by recency, not by k_used
+                lambda df, bid: df.withColumn("bid", F.lit(bid))
+                .write.mode("append")
+                .parquet(out)
             )
             .outputMode("update")
             .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -245,7 +252,7 @@ def test_streaming_kmv_checkpoint_restart(spark, tmp_path):
 
     final = (
         spark.read.parquet(out)
-        .orderBy("k_used", ascending=False)
+        .orderBy("bid", ascending=False)
         .collect()[0]
     )
     want = _batch_kmv(spark, b1 + b2, k)["7"]
