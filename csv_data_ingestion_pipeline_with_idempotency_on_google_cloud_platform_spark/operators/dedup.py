@@ -976,9 +976,15 @@ def near_dup_clusters(
         raise RuntimeError(
             f"star contraction did not converge in {max_iters} rounds"
         )
-    if scratch is not None and not final_is_parquet:
-        # the returned frame reads checkpointed RDDs, not the scratch
-        # parquet — reclaim it (best-effort; harmless if shared-FS)
+    if scratch is not None:
+        if final_is_parquet:
+            # the converged star forest still reads the scratch parquet:
+            # cut that lineage (it is |non-root nodes| rows — the same
+            # scale the non-reset rounds already localCheckpoint) so the
+            # scratch can ALWAYS be reclaimed; before this, a run whose
+            # last round landed on a reset boundary leaked its scratch
+            # dir into the warehouse on every execution
+            edges = edges.localCheckpoint(eager=True)
         import shutil
 
         shutil.rmtree(scratch, ignore_errors=True)
