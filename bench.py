@@ -196,6 +196,7 @@ HEADLINE = [
     "doc_char_entropy",
     "changepoint_detect",
     "holt_winters",
+    "funnel_time_percentiles",
 ]
 
 

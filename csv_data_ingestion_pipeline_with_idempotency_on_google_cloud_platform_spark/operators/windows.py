@@ -628,3 +628,57 @@ def first_seen_distinct_rollup(
             "returning_milli"
         ),
     )
+
+
+def funnel_time_percentiles(
+    events: DataFrame,
+    step_a: str,
+    step_b: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Conversion-latency distribution for one funnel edge: per user,
+    the earliest ``step_a`` and the earliest ``step_b`` at-or-after it,
+    then exact interpolated quantiles of the gap — funnel_counts says
+    how many convert, this says how long conversion takes (the number
+    an SLA or an abandonment analysis actually needs).
+
+    Same one-shuffle shape as funnel_counts: groupBy(user) collects the
+    step-B times as a bounded per-user array, the qualifying B resolves
+    as array_min(filter(times, t >= ta)) — no self-join, no window.
+    Gaps are exact integer MICROSECONDS (unix_micros both engines);
+    `percentile` (sort-based, interpolated) matches DuckDB's
+    quantile_cont — the percentile_value precedent. Output seconds,
+    6 dp. Returns ONE row: (step_a, step_b, n_users, p25_s, p50_s,
+    p75_s, p90_s).
+    """
+    typed = events.filter(F.col(type_col).isin([step_a, step_b]))
+    per_user = typed.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == step_a, F.col(ts_col))).alias("__ta"),
+        F.sort_array(
+            F.collect_list(F.when(F.col(type_col) == step_b, F.col(ts_col)))
+        ).alias("__tbs"),
+    )
+    tb = F.array_min(F.filter("__tbs", lambda t: t >= F.col("__ta")))
+    # NTZ -> TZ cast for unix_micros (session TZ pinned UTC); the
+    # difference cancels any offset regardless
+    gaps = (
+        per_user.where(F.col("__ta").isNotNull())
+        .select(
+            (
+                F.unix_micros(tb.cast("timestamp"))
+                - F.unix_micros(F.col("__ta").cast("timestamp"))
+            ).alias("d_us")
+        )
+        .where(F.col("d_us").isNotNull())
+    )
+    return gaps.agg(
+        F.lit(step_a).alias("step_a"),
+        F.lit(step_b).alias("step_b"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.expr("percentile(d_us, 0.25)") / 1000000.0, 6).alias("p25_s"),
+        F.round(F.expr("percentile(d_us, 0.5)") / 1000000.0, 6).alias("p50_s"),
+        F.round(F.expr("percentile(d_us, 0.75)") / 1000000.0, 6).alias("p75_s"),
+        F.round(F.expr("percentile(d_us, 0.9)") / 1000000.0, 6).alias("p90_s"),
+    )

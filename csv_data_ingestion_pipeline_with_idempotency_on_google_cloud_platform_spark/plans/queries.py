@@ -7849,6 +7849,39 @@ FROM final CROSS JOIN (SELECT UNNEST(range(1, 8)) AS h) h
 """
 
 
+def q_funnel_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76 (round 5): view->purchase conversion-latency quantiles
+    (operators/windows.py:funnel_time_percentiles) — per-user earliest
+    qualifying pair via one bounded collect, exact integer-microsecond
+    gaps, interpolated percentiles. Full oracle."""
+    return windows.funnel_time_percentiles(
+        load_table(spark, sf_dir, "events"), "view", "purchase"
+    )
+
+
+SQL_FUNNEL_TIME_PERCENTILES = """
+WITH ua AS (
+  SELECT user_id, min(ts) AS ta FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), ub AS (
+  SELECT e.user_id, min(e.ts) AS tb
+  FROM events e JOIN ua ON ua.user_id = e.user_id AND e.ts >= ua.ta
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1
+), d AS (
+  SELECT CAST(epoch_us(ub.tb) - epoch_us(ua.ta) AS BIGINT) AS d_us
+  FROM ua JOIN ub ON ub.user_id = ua.user_id
+)
+SELECT 'view' AS step_a, 'purchase' AS step_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       round(quantile_cont(d_us, 0.25) / 1000000.0, 6) AS p25_s,
+       round(quantile_cont(d_us, 0.5) / 1000000.0, 6) AS p50_s,
+       round(quantile_cont(d_us, 0.75) / 1000000.0, 6) AS p75_s,
+       round(quantile_cont(d_us, 0.9) / 1000000.0, 6) AS p90_s
+FROM d
+"""
+
+
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X71 (round 5): Newman degree assortativity of the part-supplier
     bipartite graph (operators/graph.py:degree_assortativity) —
@@ -7940,6 +7973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_char_entropy": q_doc_char_entropy,
     "changepoint_detect": q_changepoint_detect,
     "holt_winters": q_holt_winters,
+    "funnel_time_percentiles": q_funnel_time_percentiles,
     # ---- entries 34-50: r4-window-green backfill (every entry below
     # holds a driver-green CORRECTNESS_r04 row; the ones this rotation
     # displaced past position 50 keep that evidence).
@@ -8312,4 +8346,5 @@ ORACLE_SQL: dict[str, str] = {
     "doc_char_entropy": SQL_DOC_CHAR_ENTROPY,
     "changepoint_detect": SQL_CHANGEPOINT_DETECT,
     "holt_winters": SQL_HOLT_WINTERS,
+    "funnel_time_percentiles": SQL_FUNNEL_TIME_PERCENTILES,
 }

@@ -373,3 +373,32 @@ def test_doc_char_entropy_closed_forms(spark):
     assert out[2]["char_entropy"] == round(math.log(2), 6)
     assert out[3]["char_entropy"] == round(math.log(4), 6)
     assert out[3]["n_chars_counted"] == 4
+
+
+def test_funnel_time_percentiles_planted_gaps(spark):
+    """Three converting users with gaps 10/20/40s: p50 is the exact
+    middle, p25/p75 interpolate; a B-before-A user does not convert."""
+    import datetime
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        funnel_time_percentiles,
+    )
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        (1, at(0), "A"), (1, at(10), "B"),
+        (2, at(0), "A"), (2, at(20), "B"),
+        (3, at(0), "A"), (3, at(40), "B"),
+        (4, at(50), "A"),                 # never converts
+        (5, at(0), "B"), (5, at(100), "A"),  # B precedes A: no qualify
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    r = funnel_time_percentiles(ev, "A", "B").collect()[0]
+    assert r["n_users"] == 3
+    assert (r["p25_s"], r["p50_s"], r["p75_s"]) == (15.0, 20.0, 30.0)
