@@ -858,8 +858,9 @@ def near_dup_clusters(
     Per round: two groupBy-min aggregations (map-side combined) + two
     joins, all shuffling only id pairs, never documents.
 
-    Plan hygiene (the round-4 bench crash): every round eagerly
-    localCheckpoints the edge table, and every 6th round it is
+    Plan hygiene (the round-4 bench crash): every round localCheckpoints
+    the edge table (lazily — the convergence-signature aggregate is the
+    round's single action and materializes it), and every 6th round it is
     additionally round-tripped through parquet. The roundtrip is load-
     bearing: iterated Dataset.localCheckpoint loops accumulate per-plan
     state whose optimizer cost (Catalyst stats estimation) doubles per
@@ -958,15 +959,27 @@ def near_dup_clusters(
             new_edges.write.mode("overwrite").parquet(path)
             new_edges = spark.read.parquet(path)
         else:
-            new_edges = new_edges.localCheckpoint(eager=True)
-        # fixpoint signature: edge count + order-independent hash. Both
-        # star operations are deterministic, so an unchanged signature
-        # means an unchanged edge set (modulo a 64-bit xor collision).
+            # LAZY checkpoint: the signature aggregate below is the
+            # round's ONE action — it materializes the checkpoint as a
+            # side effect, so a round costs one Spark job, not two
+            # (eager=True paid a separate materialization job per round;
+            # on a 6-round golden_record that is ~6 extra jobs of pure
+            # fixed cost)
+            new_edges = new_edges.localCheckpoint(eager=False)
+        # fixpoint signature: edge count + TWO independent
+        # order-free reductions of the per-edge hash (xor and exact
+        # decimal sum, riding the same 1-row aggregate). Both star
+        # operations are deterministic, so an unchanged signature means
+        # an unchanged edge set unless a changed set collides on count
+        # AND xor AND sum simultaneously (~128-bit collision) — the
+        # single-xor variant could terminate early (under-merged) on a
+        # 64-bit collision alone.
         row = new_edges.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
         ).collect()[0]
-        sig = (row["n"], row["h"])
+        sig = (row["n"], row["h"], row["s"])
         edges = new_edges
         if sig == prev_sig:
             LAST_CLUSTER_ITERS = it + 1

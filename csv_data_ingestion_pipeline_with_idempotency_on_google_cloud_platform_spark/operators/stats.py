@@ -355,9 +355,10 @@ def mann_whitney(
     the tie-corrected variance — all scalar double math on exact
     integer sums, rounded to 6 dp. The rank window partitions by the
     type key (parallel across types). Output: (event_type, n_a, n_b,
-    u_a, z_score).
+    u_a, z_score). NULL values are dropped (a NULL would rank NULLS
+    FIRST in Spark but NULLS LAST in the DuckDB oracle).
     """
-    base = events.select(
+    base = events.where(F.col(value_col).isNotNull()).select(
         F.col(type_col).alias("t"),
         F.col(value_col).alias("v"),
         F.when(
@@ -716,8 +717,13 @@ def ks_test(
     running sums are windows partitioned by the type key (parallel
     across types, width = distinct values per type); the supremum is
     a per-type max aggregate. Nothing touches the driver.
+
+    NULL values are dropped, not ranked: a NULL would become its own
+    ECDF category whose window position differs between engines
+    (Spark ASC = NULLS FIRST, DuckDB default = NULLS LAST), skewing
+    the cumulative counts — the _propensity_units convention.
     """
-    base = events.select(
+    base = events.where(F.col(value_col).isNotNull()).select(
         F.col(type_col).alias("t"),
         F.col(value_col).alias("v"),
         F.when(
@@ -794,7 +800,13 @@ def mahalanobis_anomaly(
     DECIMAL(18,6) inputs keep the moment products at (38,12) — exact
     in Spark and on DuckDB's INT128 path (the corr_matrix convention);
     headroom is ~1e26, comfortably above 1e12 rows × 1e10 squares.
+
+    Rows with NULL x/y are dropped up front (the _propensity_units
+    convention): before, count(1) counted them while the moment sums
+    skipped them, biasing the means/covariance, and NULL-coordinate
+    rows could survive into the top-N with NULL d2.
     """
+    df = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     dec = "decimal(18,6)"
     x = F.col(x_col).cast(dec)
     y = F.col(y_col).cast(dec)
@@ -902,7 +914,16 @@ def propensity_match(
     Returns (treated_user, control_user, score_t, score_c, gap_milli)
     with gap_milli <= caliper_milli.
     """
-    scores = _propensity_units(events, unit_col, value_col)
+    return _match_from_units(
+        _propensity_units(events, unit_col, value_col), caliper_milli
+    )
+
+
+def _match_from_units(scores: DataFrame, caliper_milli: int) -> DataFrame:
+    """Caliper band-join match over a precomputed _propensity_units
+    frame — split out so covariate_balance aggregates events ONCE (it
+    previously built the per-unit frame both directly and inside
+    propensity_match, executing the full-events aggregation twice)."""
     c = int(caliper_milli)
     treated = scores.where(F.col("is_t") == 1).select(
         F.col("unit").alias("treated_user"), F.col("score").alias("score_t")
@@ -968,7 +989,7 @@ def covariate_balance(
     phases.
     """
     units = _propensity_units(events, unit_col, value_col)
-    pairs = propensity_match(events, unit_col, value_col, caliper_milli)
+    pairs = _match_from_units(units, caliper_milli)
     pre = units.select(
         F.lit("pre").alias("phase"), F.col("is_t"), "n_events", "score"
     )

@@ -5759,7 +5759,7 @@ WITH base AS (
   SELECT event_type AS t, value AS v,
          CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
               THEN 1 ELSE 0 END AS is_a
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), grp AS (
   SELECT t, v, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(is_a) AS BIGINT) AS cnt_a
   FROM base GROUP BY 1, 2
@@ -7334,7 +7334,7 @@ WITH base AS (
   SELECT event_type AS t, value AS v,
          CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
               THEN 1 ELSE 0 END AS is_a
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), grp AS (
   SELECT t, v, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(is_a) AS BIGINT) AS cnt_a
   FROM base GROUP BY 1, 2
@@ -7393,6 +7393,7 @@ WITH d AS (
          CAST(l_quantity AS DECIMAL(19,6)) AS x,
          CAST(l_extendedprice AS DECIMAL(19,6)) AS y
   FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
 ), m AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          SUM(x) AS sx, SUM(y) AS sy,
@@ -7584,15 +7585,23 @@ def q_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shared by SQL_PROPENSITY_MATCH and SQL_COVARIATE_BALANCE: the
 # per-unit propensity frame and the caliper band-join match
-_SQL_MATCH_CTES = """scores AS (
+_SQL_MATCH_CTES = """raw AS (
+  -- truncation emulation: Spark's `div` truncates toward zero while
+  -- DuckDB's `//` floors, so negative mean values need the same CASE
+  -- form the caliper bucket keys already use
   SELECT user_id AS unit,
          CAST(COUNT(*) AS BIGINT) AS n_events,
-         CAST((CAST(1000 AS BIGINT) * SUM(CAST(round(value * 100) AS BIGINT)))
-              // (CAST(100 AS BIGINT) * COUNT(*)) AS BIGINT) AS score,
-         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
-              THEN 1 ELSE 0 END AS is_t
+         CAST(1000 AS BIGINT) * SUM(CAST(round(value * 100) AS BIGINT)) AS num,
+         CAST(100 AS BIGINT) * COUNT(*) AS den
   FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
   GROUP BY user_id
+), scores AS (
+  SELECT unit, n_events,
+         CAST(CASE WHEN num >= 0 THEN num // den
+                   ELSE -((-num) // den) END AS BIGINT) AS score,
+         CASE WHEN substring(md5(CAST(unit AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE 0 END AS is_t
+  FROM raw
 ), treated AS (
   SELECT unit AS treated_user, score AS score_t FROM scores WHERE is_t = 1
 ), controls AS (
