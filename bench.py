@@ -269,9 +269,43 @@ def run_bench(
         "queries_warm": warm,
         "warm_totals": [round(sum(w.values()), 3) for w in warm],
         "errors": errors,
+        "drift": compute_drift(best),
         "sf": sf,
     }
     return detail, errors
+
+
+# Cross-round regression tracking (VERDICT r5 item 1): compare this
+# run's per-query minima against the committed prior-round snapshot so
+# a slowdown is a named artifact entry, not a hand-diff of BASELINE.md
+# prose. Refresh bench_baseline.json from bench_detail.json when a
+# round's numbers are accepted.
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+DRIFT_FACTOR = 1.5  # flag queries slower than this vs baseline
+DRIFT_MIN_SEC = 0.3  # ignore sub-300ms noise on the cheapest queries
+
+
+def compute_drift(best: dict[str, float]) -> dict:
+    """Return {baseline_round, factor, regressed: {name: [base, now]},
+    missing: [...]} vs bench_baseline.json; empty-ish when absent."""
+    try:
+        with open(BASELINE_PATH) as f:
+            base = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {"baseline_round": None, "regressed": {}, "missing": []}
+    bq = base.get("queries", {})
+    regressed = {
+        n: [bq[n], t]
+        for n, t in best.items()
+        if n in bq and t > max(bq[n] * DRIFT_FACTOR, DRIFT_MIN_SEC)
+    }
+    missing = sorted(n for n in bq if n not in best)
+    return {
+        "baseline_round": base.get("round"),
+        "factor": DRIFT_FACTOR,
+        "regressed": regressed,
+        "missing": missing,
+    }
 
 
 def compact_line(detail: dict, headline: list[str], detail_path: str) -> str:
@@ -282,6 +316,17 @@ def compact_line(detail: dict, headline: list[str], detail_path: str) -> str:
     errors = detail["errors"]
     total = detail["value"]
     sf = detail["sf"]
+    # compact drift: worst 6 regressions by ratio (full map in detail
+    # file) so the driver artifact names slowdowns without blowing the
+    # line budget on a noisy-host round
+    drift_full = detail.get("drift", {})
+    reg = drift_full.get("regressed", {})
+    worst = sorted(reg.items(), key=lambda kv: -(kv[1][1] / kv[1][0]))[:6]
+    drift = {
+        "baseline_round": drift_full.get("baseline_round"),
+        "n_regressed": len(reg),
+        "worst": {n: v for n, v in worst},
+    }
     candidates = [
         {
             "metric": "headline_queries_total_wall",
@@ -289,6 +334,7 @@ def compact_line(detail: dict, headline: list[str], detail_path: str) -> str:
             "unit": "sec",
             "queries": q,
             **extra,
+            "drift": drift,
             "sf": sf,
         }
         for q, extra in (
@@ -319,6 +365,7 @@ def compact_line(detail: dict, headline: list[str], detail_path: str) -> str:
                 int(round(best[n] * 10)) if n in best else -1 for n in headline
             ],
             **({"failed": sorted(errors)} if errors else {}),
+            "drift": drift,
             "slowest": {k: round(v, 1) for k, v in slowest.items()},
             "cold_total": detail["cold_total"],
             "warm_totals": detail["warm_totals"],
