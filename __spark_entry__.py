@@ -37,11 +37,18 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query.
 
     Registry layout: the first 50 entries are all oracle-backed (the
-    driver's checked window); past the window sit the rows-only
-    entries and then the remaining oracle-backed ones (every ORACLE_SQL
-    key past registry position 50 — tests/test_queries_oracle.py runs
-    the identical parity check on all of them, so the full oracle
-    surface is verified either by the driver or by pytest);
+    driver's checked window). The window is selected BY NAME
+    (plans/queries.py R6_WINDOW) and guarded at import time — a
+    mis-rotated registry (window name missing, not oracle-backed, or
+    wrong length) raises ImportError before the driver runs anything.
+    Round-6 window: the two new oracle-verifiable LSH twins
+    (simhash_hamming, embedding_lsh_cosine) + 48 backfill slots for
+    the queries whose driver evidence was oldest (r1/r2). Past the
+    window sit the rows-only entries and the remaining oracle-backed
+    ones (every ORACLE_SQL key past registry position 50 —
+    tests/test_queries_oracle.py runs the identical parity check on
+    all of them, so the full oracle surface is verified either by the
+    driver or by pytest);
     keys absent here entirely (near_dedup, near_dup_clusters,
     simhash_near_dup, embedding_near_dup, topk_cosine_lsh,
     topk_cosine_ivf, topk_cosine_indexed, neardup_index_probe,

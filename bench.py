@@ -188,6 +188,9 @@ HEADLINE = [
     "mahalanobis_anomaly",
     "dsir_weights",
     "minhash_jaccard",
+    # round 6: oracle-verifiable SimHash + integer-exact embedding LSH
+    "simhash_hamming",
+    "embedding_lsh_cosine",
     "unimax_weights",
     "propensity_match",
     "degree_assortativity",

@@ -1096,3 +1096,107 @@ def minhash_jaccard_pairs(
         )
         .filter(F.col("est_milli") >= threshold_milli)
     )
+
+
+def simhash_md5_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """ORACLE-VERIFIABLE SimHash: near-dup pairs by hamming distance,
+    every hash an md5 any engine can replay (the `minhash_jaccard_pairs`
+    pattern applied to the SimHash family).
+
+    The production family (`simhash_near_dups`) votes with xxhash64
+    bits, which only Spark can compute, so the driver can only
+    rows-check it; this twin votes with bit b of the 60-bit integer
+    parsed from the first 15 hex chars of ``md5(token)`` — pure string
+    + integer arithmetic, so signatures, blocks, capped buckets, and
+    the exact hamming check all replay bit-identically in DuckDB and
+    the value-hash gate applies to a SimHash path end-to-end.
+
+    Scale shape is the production one: the signature is a NARROW
+    per-row fold over the distinct-token array (one md5 per token, the
+    1-element-array binding trick, per-bit votes as substring-free
+    shift/mask tests) — no shuffle until banding; banding is 4 × 15-bit
+    pigeonhole blocks (hamming ≤ 3 guarantees ≥1 equal block), pair
+    expansion through `_bucket_pairs` with the same pre-collect
+    hot-bucket cap. Everything after md5 is integer: no float enters
+    the pair decision.
+
+    Returns (id_a, id_b, hamming) with hamming <= max_hamming.
+    """
+    n_blocks = 4
+    block_bits = bits // n_blocks
+    bit_ids = F.sequence(F.lit(0), F.lit(bits - 1))
+    toks = F.array_distinct(tokens_col(text_col))
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        # bind the per-token binary string of the 60-bit md5 integer
+        # once via the 1-element transform trick (same discipline as
+        # simhash_col: an unbound subexpression would re-run
+        # conv+md5+bin once per BIT); bit b of the long == char 64-b of
+        # the zero-padded bin() string, a substr test that accepts the
+        # Column-typed bit index (shiftright needs a literal int)
+        lambda acc, t: F.element_at(
+            F.transform(
+                F.array(
+                    F.lpad(
+                        F.bin(
+                            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+                        ),
+                        64,
+                        "0",
+                    )
+                ),
+                lambda hb: F.zip_with(
+                    acc,
+                    F.transform(
+                        bit_ids,
+                        lambda b: F.when(
+                            F.substr(hb, F.lit(64) - b, F.lit(1)) == "1", F.lit(1)
+                        ).otherwise(F.lit(-1)),
+                    ),
+                    lambda a, v: a + v,
+                ),
+            ),
+            1,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    sig_col = F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    sigs = parallelize_narrow(docs).select(
+        F.col(id_col).alias("id"), sig_col.alias("sig")
+    )
+    blocks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(blk).alias("block_id"),
+                    F.shiftright("sig", blk * block_bits)
+                    .bitwiseAND(F.lit((1 << block_bits) - 1))
+                    .alias("block_val"),
+                )
+                for blk in range(n_blocks)
+            ])
+        ).alias("b"),
+    ).select("id", "sig", "b.block_id", "b.block_val")
+    cand = _bucket_pairs(blocks, ["block_id", "block_val"], ("id", "sig"), max_bucket_size)
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

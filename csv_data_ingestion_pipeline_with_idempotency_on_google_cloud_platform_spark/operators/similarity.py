@@ -708,3 +708,138 @@ def semantic_dedup(
         .distinct()
     )
     return emb.join(dropped, id_col, "left_anti")
+
+
+def _md5_hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
+    """INTEGER hyperplanes any engine can replay: component (i, c) is
+    the 60-bit integer parsed from the first 15 hex chars of
+    ``md5(f"{i}:{c}")`` recentred to ±2^59 — hashlib here produces the
+    exact values a SQL engine's md5() produces, so the planes are a
+    shared constant, not an engine artifact."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{i}:{c}".encode()).hexdigest()[:15], 16) - (1 << 59)
+            for c in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
+def embedding_lsh_pairs_exact(
+    emb: DataFrame,
+    min_cosine_e2: int = 35,
+    n_tables: int = 8,
+    planes_per_table: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """ORACLE-VERIFIABLE embedding near-dup: multi-table sign-LSH
+    candidates + an exact cosine threshold, with NO float anywhere in
+    the pair decision (the `minhash_jaccard_pairs` pattern applied to
+    the embedding family).
+
+    The production family (`embedding_near_dup_pairs`) decides sign
+    bits and the cosine filter in floating point, whose summation
+    order differs between engines — a near-zero dot product could flip
+    a bucket bit and change the pair set, so the driver could only
+    rows-check it. This twin is exact end-to-end:
+
+    - vectors quantize to integer micro-units (round(x·1e6) — exact:
+      a float32 value times 1e6 is exact in double and never lands on
+      .5, see the cents convention in benford_profile);
+    - hyperplane components are md5-derived 60-bit integers
+      (`_md5_hyperplanes`), so each sign bit is the sign of an exact
+      DECIMAL(38,0) dot product — identical in any engine;
+    - the cosine threshold never divides: keep a pair iff dot > 0 and
+      1e4·dot² ≥ (min_cosine_e2)²·(a·a)(b·b), all DECIMAL(38,0)
+      (magnitudes ≤ ~1e30 at |v|≤1, dim 64). The default threshold is
+      cos ≥ 0.35 with 8 tables × 6 sign bits: the driver fixture's
+      embeddings are near-orthogonal random points (max pairwise cos
+      ≈ 0.51), so a classic 0.95 near-dup bar matches zero pairs and
+      would make the oracle check vacuous — 0.35/6-bit keeps a few
+      hundred true pairs with ~36% LSH capture, real evidence for the
+      value-hash gate (production near-dup runs tighten both knobs);
+    - the reported cos_sim is double math on those identical integers
+      (IEEE-deterministic given identical inputs), rounded to 6 dp.
+
+    Scale shape is the production one: per-row narrow sign-bit
+    projection (no join against a plane table — planes are literals),
+    one bucket shuffle per table via `_bucket_pairs` with the
+    pre-collect hot-bucket cap, quantized vectors crossing the wire
+    once. Returns (id_a, id_b, cos_sim ≥ min_cosine_e2/100).
+    """
+    from .dedup import _bucket_pairs
+
+    planes = _md5_hyperplanes(n_tables * planes_per_table, dim)
+    vq = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0).cast("long"),
+    )
+
+    def bucket(t: int) -> F.Column:
+        b = F.lit(0).cast("long")
+        for j in range(planes_per_table):
+            plane = planes[t * planes_per_table + j]
+            arr = F.array(*[F.lit(p).cast("decimal(38,0)") for p in plane])
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("__vq"), arr, lambda x, y: x.cast("decimal(38,0)") * y
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, x: acc + x,
+            )
+            b = b + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return b
+
+    entries = (
+        parallelize_narrow(emb)
+        .select(F.col(id_col).alias("id"), vq.alias("__vq"))
+        .select(
+            "id",
+            "__vq",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(t).alias("table_id"), bucket(t).alias("bucket")
+                    )
+                    for t in range(n_tables)
+                ])
+            ).alias("e"),
+        )
+        .select("id", "__vq", "e.table_id", "e.bucket")
+    )
+    pairs = _bucket_pairs(entries, ["table_id", "bucket"], ("id", "__vq"), max_bucket_size)
+    dec = "decimal(38,0)"
+
+    def idot(a: str, b: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast(dec) * y.cast(dec)),
+            F.lit(0).cast(dec),
+            lambda acc, x: acc + x,
+        )
+
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        idot("pa", "pb").alias("__dot"),
+        idot("pa", "pa").alias("__naa"),
+        idot("pb", "pb").alias("__nbb"),
+    )
+    thr2 = min_cosine_e2 * min_cosine_e2
+    kept = scored.filter(
+        (F.col("__dot") > 0)
+        & (
+            F.lit(10000).cast(dec) * F.col("__dot") * F.col("__dot")
+            >= F.lit(thr2).cast(dec) * F.col("__naa") * F.col("__nbb")
+        )
+    )
+    cos = F.col("__dot").cast("double") / F.sqrt(
+        F.col("__naa").cast("double") * F.col("__nbb").cast("double")
+    )
+    return kept.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))

@@ -7516,6 +7516,122 @@ FROM est WHERE (1000 * m) // 16 >= 500
 """
 
 
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 oracle twin (round 6): md5-voted SimHash near-dup pairs with
+    exact hamming distance (operators/dedup.py:simhash_md5_pairs) —
+    the minhash_jaccard pattern applied to the SimHash family: votes
+    come from bits of the 60-bit integer in md5(token), so signatures,
+    4×15-bit pigeonhole blocks, capped buckets, and the bit_count
+    check replay bit-identically in DuckDB. Full oracle."""
+    return dedup.simhash_md5_pairs(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SIMHASH_HAMMING = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id,
+           UNNEST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END) AS t
+    FROM documents)
+), hashed AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substring(md5(t), 1, 15) AS UBIGINT) AS BIGINT) AS h
+  FROM toks
+), votes AS (
+  SELECT doc_id, bs.b AS b,
+         SUM(CASE WHEN (h >> CAST(bs.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed CROSS JOIN (SELECT UNNEST(range(60)) AS b) bs
+  GROUP BY 1, 2
+), sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY 1
+), blocks AS (
+  SELECT doc_id, sig, bl.blk AS blk,
+         (sig >> CAST(bl.blk * 15 AS INTEGER)) & 32767 AS block_val
+  FROM sigs CROSS JOIN (SELECT UNNEST(range(4)) AS blk) bl
+), ok AS (
+  SELECT blk, block_val FROM blocks GROUP BY 1, 2
+  HAVING COUNT(*) BETWEEN 2 AND 1000
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                  a.sig AS sig_a, b2.sig AS sig_b
+  FROM blocks a
+  JOIN blocks b2 ON b2.blk = a.blk AND b2.block_val = a.block_val
+                AND a.doc_id < b2.doc_id
+  JOIN ok ON ok.blk = a.blk AND ok.block_val = a.block_val
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
+def q_embedding_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X21 oracle twin (round 6): integer-exact embedding near-dup
+    (operators/similarity.py:embedding_lsh_pairs_exact) — vectors
+    quantized to micro-units, md5-derived INTEGER hyperplanes, sign
+    bits and the cos≥0.35 threshold as exact DECIMAL(38,0)/HUGEINT
+    comparisons (1e4·dot² vs 35²·(a·a)(b·b)), so no float enters the
+    pair decision and the LSH path replays bit-identically in DuckDB.
+    Full oracle."""
+    from ..operators.similarity import embedding_lsh_pairs_exact
+
+    return embedding_lsh_pairs_exact(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_LSH_COSINE = r"""
+WITH vq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings
+), comps AS (
+  SELECT vec_id, CAST(u.c AS BIGINT) - 1 AS c, CAST(v[u.c] AS DECIMAL(8,0)) AS x
+  FROM vq CROSS JOIN (SELECT UNNEST(range(1, 65)) AS c) u
+), planes AS (
+  SELECT CAST(pi.i AS BIGINT) AS i, CAST(pc.c AS BIGINT) AS c,
+         CAST(CAST(CAST('0x' || substring(md5(CAST(pi.i AS VARCHAR) || ':' || CAST(pc.c AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)
+              - 576460752303423488 AS DECIMAL(19,0)) AS p
+  FROM (SELECT UNNEST(range(48)) AS i) pi
+  CROSS JOIN (SELECT UNNEST(range(64)) AS c) pc
+), dots AS (
+  SELECT comps.vec_id, planes.i, SUM(comps.x * planes.p) AS dot
+  FROM comps JOIN planes ON planes.c = comps.c
+  GROUP BY 1, 2
+), buckets AS (
+  SELECT vec_id, i // 6 AS table_id,
+         CAST(SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << CAST(i % 6 AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1, 2
+), ok AS (
+  SELECT table_id, bucket FROM buckets GROUP BY 1, 2
+  HAVING COUNT(*) BETWEEN 2 AND 1000
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON b.table_id = a.table_id AND b.bucket = a.bucket
+               AND a.vec_id < b.vec_id
+  JOIN ok ON ok.table_id = a.table_id AND ok.bucket = a.bucket
+), prods AS (
+  SELECT p.id_a, p.id_b,
+         CAST(SUM(ca.x * cb.x) AS HUGEINT) AS dot,
+         CAST(SUM(ca.x * ca.x) AS HUGEINT) AS naa,
+         CAST(SUM(cb.x * cb.x) AS HUGEINT) AS nbb
+  FROM pairs p
+  JOIN comps ca ON ca.vec_id = p.id_a
+  JOIN comps cb ON cb.vec_id = p.id_b AND cb.c = ca.c
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(dot AS DOUBLE) / sqrt(CAST(naa AS DOUBLE) * CAST(nbb AS DOUBLE)), 6) AS cos_sim
+FROM prods
+WHERE dot > 0
+  AND CAST(10000 AS HUGEINT) * dot * dot >= CAST(1225 AS HUGEINT) * naa * nbb
+"""
+
+
 def q_unimax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X69 (round 5): UniMax language-balanced token allocation
     (operators/sampling.py:unimax_weights, per Chung et al. 2023) —
@@ -7931,12 +8047,14 @@ FROM m
 """
 
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- entries 1-50: the round-5 correctness window (driver checks
-    # only this prefix). Leads with the 19 oracle-backed queries that
-    # have NO driver-green row in r01-r04 (the r4 session-7/8 additions
-    # that landed after the r4 window froze; pytest-verified since) —
-    # exactly VERDICT r4 item 3 / SURVEY's round-5 rotation note.
+# The full query registry, in historical (addition) order. The DRIVER
+# WINDOW — the 50-entry prefix the correctness harness actually checks —
+# is selected by name below (R6_WINDOW), NOT by position here, so these
+# grouping comments never go stale the way position-numbered ones did
+# (ADVICE r5: three 'entries 34-50' rows had drifted out of the window).
+_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round-5 window leads: the 19 oracle-backed r4 session-7/8
+    # additions (driver-green in CORRECTNESS_r05)
     "kmv_distinct": q_kmv_distinct,
     "countmin_freq": q_countmin_freq,
     "kmv_join_estimate": q_kmv_join_estimate,
@@ -7956,36 +8074,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_rollup": q_distinct_rollup,
     "range_checksum_diff": q_range_checksum_diff,
     "neyman_allocation": q_neyman_allocation,
-    # ---- entries 20-23: round-5 session additions (no driver row yet;
-    # slotted inside the window so they gain driver evidence this
-    # round instead of waiting for the r6 rotation).
+    # round-5 session additions (driver-green in r5)
     "ngram_containment": q_ngram_containment,
     "doc_lm_familiarity": q_doc_lm_familiarity,
     "group_reservoir_sample": q_group_reservoir_sample,
     "leakage_safe_split": q_leakage_safe_split,
-    # ---- entries 24-27: round-5 session-2 additions (KS drift test,
-    # Mahalanobis outliers, DSIR importance weights, oracle-verifiable
-    # MinHash-LSH) — in-window for driver evidence this round.
+    # round-5 session-2 additions (KS drift, Mahalanobis, DSIR,
+    # oracle-verifiable MinHash-LSH; driver-green in r5)
     "ks_test": q_ks_test,
     "mahalanobis_anomaly": q_mahalanobis_anomaly,
     "dsir_weights": q_dsir_weights,
     "minhash_jaccard": q_minhash_jaccard,
-    # ---- entries 28-30: round-5 session-2 batch 2 (UniMax language
-    # allocation, propensity matching, degree assortativity).
+    # round-5 session-2 batch 2
     "unimax_weights": q_unimax_weights,
     "propensity_match": q_propensity_match,
     "degree_assortativity": q_degree_assortativity,
-    # ---- entries 31-33: round-5 session-2 batch 3 (match-balance
-    # diagnostic, mass-weighted quantiles, char-entropy quality screen)
+    # round-5 session-2 batch 3
     "covariate_balance": q_covariate_balance,
     "weighted_quantiles": q_weighted_quantiles,
     "doc_char_entropy": q_doc_char_entropy,
     "changepoint_detect": q_changepoint_detect,
     "holt_winters": q_holt_winters,
     "funnel_time_percentiles": q_funnel_time_percentiles,
-    # ---- entries 34-50: r4-window-green backfill (every entry below
-    # holds a driver-green CORRECTNESS_r04 row; the ones this rotation
-    # displaced past position 50 keep that evidence).
+    # r4-window-green backfill (driver-green CORRECTNESS_r04 rows)
     "quality_classifier": q_quality_classifier,
     "hash_embedding": q_hash_embedding,
     "event_paths": q_event_paths,
@@ -8001,7 +8112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_truncate": q_embedding_truncate,
     "class_weights": q_class_weights,
     "entity_resolution": q_entity_resolution,
-    # r4 session-5 additions (still inside the 50-entry driver window)
+    # r4 session-5 additions
     "pagerank": q_pagerank,
     "classifier_eval": q_classifier_eval,
     "decile_lift": q_decile_lift,
@@ -8015,7 +8126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "gap_fill": q_gap_fill,
     "bfs_reachability": q_bfs_reachability,
-    # r4 session-6 additions (X43/X44 — still inside the driver window)
+    # r4 session-6 additions (X43/X44)
     "corr_matrix": q_corr_matrix,
     "column_entropy": q_column_entropy,
     "gini_concentration": q_gini_concentration,
@@ -8165,7 +8276,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_phash_dedup": q_media_phash_dedup,
     "media_dup_clusters": q_media_dup_clusters,
     "pca_project": q_pca_project,
+    # round-6 additions: oracle-verifiable LSH twins for the two
+    # remaining convertible rows-only families (VERDICT r5 item 3)
+    "simhash_hamming": q_simhash_hamming,
+    "embedding_lsh_cosine": q_embedding_lsh_cosine,
 }
+
 
 # near_dedup / simhash_near_dup / topk_cosine_lsh / embedding_near_dup are
 # engine-hash / literal-hyperplane dependent → rows-only checks (their
@@ -8356,4 +8472,88 @@ ORACLE_SQL: dict[str, str] = {
     "changepoint_detect": SQL_CHANGEPOINT_DETECT,
     "holt_winters": SQL_HOLT_WINTERS,
     "funnel_time_percentiles": SQL_FUNNEL_TIME_PERCENTILES,
+    "simhash_hamming": SQL_SIMHASH_HAMMING,
+    "embedding_lsh_cosine": SQL_EMBEDDING_LSH_COSINE,
+}
+
+
+# The driver's correctness harness checks the FIRST 50 QUERIES entries.
+# Round-6 window (VERDICT r5 item 2 / SURVEY round-6 rotation note):
+# lead with the round-6 additions, then backfill the entries with the
+# OLDEST driver evidence — the r1/r2-witnessed queries, whose green
+# rows predate five rounds of refactors (shingle pipeline, ledger
+# latest-wins rewrite, windowed-agg consolidation).
+R6_WINDOW: list[str] = [
+    # round-6 additions (no driver evidence yet)
+    "simhash_hamming",
+    "embedding_lsh_cosine",
+    # r1-witnessed backfill (evidence age: round 1)
+    "csv_scan",
+    "suffix_filter",
+    "sha256_key",
+    "per_file_count",
+    "row_count_validation",
+    "point_lookup",
+    "status_filter_limit",
+    "status_latest_wins",
+    "ledger_upsert",
+    "ledger_time_travel",
+    "idempotency_anti_join",
+    "dlq_routing",
+    "exact_dedup",
+    "ngram_jaccard",
+    "contamination",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "pii_redact",
+    "props_json_extract",
+    "tumbling_window_agg",
+    "session_window_agg",
+    "sliding_window_agg",
+    "pivot_event_counts",
+    "cube_agg",
+    "distinct_agg",
+    "order_quartiles",
+    "set_ops",
+    "join_revenue_rollup",
+    "pack_sequences",
+    "topk_cosine",
+    "topk_cosine_batch",
+    "percentile_value",
+    "doc_fingerprint",
+    "media_features",
+    "media_frames",
+    "media_resize",
+    "bpe_token_stats",
+    "embedding_centroids",
+    # r2-witnessed backfill (evidence age: round 2)
+    "tpch_q1",
+    "asof_join",
+    "json_roundtrip",
+    "hash_split",
+    "bm25_search",
+    "range_join_count",
+    "stratified_sample",
+    "weighted_sample",
+    "top_terms",
+]
+
+_window_missing = [n for n in R6_WINDOW if n not in _REGISTRY]
+_window_unbacked = [n for n in R6_WINDOW if n not in ORACLE_SQL]
+if (
+    _window_missing
+    or _window_unbacked
+    or len(R6_WINDOW) != 50
+    or len(set(R6_WINDOW)) != 50
+):  # pragma: no cover - import-time rotation guard
+    raise ImportError(
+        "bad driver window rotation: "
+        f"missing={_window_missing} unbacked={_window_unbacked} "
+        f"len={len(R6_WINDOW)} distinct={len(set(R6_WINDOW))}"
+    )
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **{n: _REGISTRY[n] for n in R6_WINDOW},
+    **{n: fn for n, fn in _REGISTRY.items() if n not in set(R6_WINDOW)},
 }

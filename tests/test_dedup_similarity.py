@@ -419,3 +419,88 @@ def test_minhash_jaccard_bucket_cap_drops_mega_bucket(spark):
         "doc_id long, text string",
     )
     assert dedup.minhash_jaccard_pairs(docs).count() == 0
+
+
+def test_simhash_md5_identical_docs_hamming_zero(spark):
+    """Identical token sets produce identical md5-voted signatures:
+    the pair surfaces with hamming 0; unrelated text does not pair."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely unrelated text about spark shuffle partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.simhash_md5_pairs(docs).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
+
+
+def test_simhash_md5_near_identical_within_hamming(spark):
+    """One token swapped out of a long document flips few vote
+    majorities: the pair stays within the hamming<=3 bar, and the
+    hamming value equals a pure-python replay of the same md5 votes
+    (the oracle-twin property, engine vs stdlib)."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    variant = " ".join(f"tok{i}" for i in range(59)) + " swapped"
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant)], "doc_id long, text string"
+    )
+    out = dedup.simhash_md5_pairs(docs).collect()
+    assert len(out) == 1
+
+    import hashlib
+
+    def sig(text):
+        votes = [0] * 60
+        for t in set(text.split()):
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(60) if votes[b] > 0)
+
+    expected = bin(sig(base) ^ sig(variant)).count("1")
+    assert out[0]["hamming"] == expected <= 3
+
+
+def test_embedding_lsh_exact_agrees_with_brute_force(spark):
+    """Planted near-parallel vectors pair; the kept set is a SUBSET of
+    the brute-force >=0.35 pair set (LSH never fabricates a pair) and
+    the planted pair itself is captured with its exact cosine."""
+    import random
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.similarity import (
+        embedding_lsh_pairs_exact,
+    )
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.02) for x in base]
+    rows = [(1, base), (2, near)] + [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(3, 40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in embedding_lsh_pairs_exact(emb).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.99
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return d / (na * nb)
+
+    vecs = dict(rows)
+    for (a, b), c in out.items():
+        assert cos(vecs[a], vecs[b]) >= 0.345, (a, b, c)
+
+
+def test_embedding_lsh_exact_bucket_cap(spark):
+    """A degenerate bucket (duplicated vector repeated past the cap)
+    is dropped before pair expansion."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.similarity import (
+        embedding_lsh_pairs_exact,
+    )
+
+    rows = [(i, [1.0] * 64) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert embedding_lsh_pairs_exact(emb, max_bucket_size=10).count() == 0
