@@ -24,3 +24,7 @@ from .sketch_stream import (  # noqa: F401
     streaming_countmin,
     streaming_kmv_distinct,
 )
+from .forecast_stream import (  # noqa: F401
+    streaming_changepoint_monitor,
+    streaming_holt_monitor,
+)
