@@ -260,8 +260,14 @@ def gen_events(scale: int, rng: np.random.Generator) -> pa.Table:
 
 
 def main() -> None:
+    """usage: gen_scale_ladder.py [out_dir] [scale] [tables-csv]
+
+    tables-csv restricts generation (e.g. `customer` for the 100x
+    linkage-graph decade — the clusters path reads only customer, and
+    100x documents would be gratuitous disk/time)."""
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "spark-warehouse/ladder_sf1"
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(4242)
     for name, fn in (
@@ -272,6 +278,8 @@ def main() -> None:
         ("part", gen_part),
         ("events", gen_events),
     ):
+        if only is not None and name not in only:
+            continue
         t = fn(scale, rng)
         pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"))
         print(f"{name}: {t.num_rows} rows -> {out_dir}/{name}.parquet")
