@@ -53,8 +53,8 @@ def oracle_sql() -> dict[str, str]:
     simhash_near_dup, embedding_near_dup, topk_cosine_lsh,
     topk_cosine_ivf, topk_cosine_indexed, neardup_index_probe,
     media_decode_stats, frequent_terms, kmeans_assign,
-    approx_distinct, temperature_mix, chunk_documents, lm_score,
-    bloom_anti_join, approx_quantiles) are engine-hash /
+    approx_distinct, lm_score, bloom_anti_join, approx_quantiles)
+    are engine-hash /
     literal-hyperplane / sketch / iterative-state / byte-decode
     dependent; the driver records rows-only checks and tests/ assert
     their quality against exact baselines (recall bounds, planted

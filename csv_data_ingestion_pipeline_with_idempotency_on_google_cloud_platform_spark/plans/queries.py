@@ -480,30 +480,64 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10-adjacent (context windows): fixed-size overlapping character
-    chunks per document — narrow row expansion, zero shuffle. Rows-only
-    in the driver (window is full); chunk geometry + lossless
-    reassembly + a DuckDB generate_series twin are pinned in
-    tests/test_packing.py."""
+    chunks per document — narrow row expansion, zero shuffle. FULL
+    ORACLE (round 6 — was rows-only only because the positional window
+    was full): the generate_series twin long pinned in
+    tests/test_packing.py now lives in ORACLE_SQL; integer outputs cast
+    to long on both sides (the width-parity convention)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     chunks = packing.chunk_documents(docs, chunk_chars=400, overlap=50)
     return chunks.select(
-        "doc_id", "chunk_idx", "chunk_start", F.length("chunk").alias("chunk_len"),
-        "n_chunks",
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.length("chunk").cast("long").alias("chunk_len"),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
     )
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+g AS (SELECT doc_id, text,
+             GREATEST(CAST(CEIL((n - 50) / 350.0) AS INTEGER), 1) AS n_chunks
+      FROM d)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_idx,
+       CAST(k * 350 AS BIGINT) AS chunk_start,
+       CAST(length(substring(text, CAST(k * 350 + 1 AS INTEGER), 400)) AS BIGINT) AS chunk_len,
+       CAST(n_chunks AS BIGINT) AS n_chunks
+FROM g, UNNEST(generate_series(0, n_chunks - 1)) AS t(k)
+"""
 
 
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8 (data mixing): temperature-based stratified rebalancing —
     keep rates solve q_lang ∝ p_lang^(1/2) with no upsampling, applied
-    through the deterministic md5 membership. Rows-only in the driver
-    (window is full); the kept doc_id set is pinned against a DuckDB
-    implementation of the same closed-form rates in
-    tests/test_temporal_sampling.py."""
+    through the deterministic md5 membership. FULL ORACLE (round 6 —
+    was rows-only only because the positional window was full): the
+    closed-form-rates twin long pinned in
+    tests/test_temporal_sampling.py now lives in ORACLE_SQL (NULL-safe
+    stratum join)."""
     from ..operators.sampling import temperature_mix
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     out = temperature_mix(docs, temperature=2.0)
     return out.select("doc_id", "lang", F.round("mix_rate", 6).alias("mix_rate"))
+
+
+SQL_TEMPERATURE_MIX = """
+WITH d AS (SELECT doc_id, lang FROM documents),
+c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY lang),
+w AS (SELECT lang, n, POWER(n * 1.0 / SUM(n) OVER (), 0.5) AS q_raw FROM c),
+q AS (SELECT lang, n, q_raw / SUM(q_raw) OVER () AS q FROM w),
+r AS (SELECT lang, n, q, MIN(n / q) OVER () AS big_c FROM q),
+rates AS (SELECT lang, LEAST(big_c * q / n, 1.0) AS mix_rate FROM r)
+SELECT d.doc_id, d.lang, ROUND(rates.mix_rate, 6) AS mix_rate
+FROM d JOIN rates ON d.lang IS NOT DISTINCT FROM rates.lang
+WHERE rates.mix_rate >= 1.0
+   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < printf('%08x', CAST(floor(rates.mix_rate * 4294967296) AS BIGINT))
+"""
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8474,6 +8508,8 @@ ORACLE_SQL: dict[str, str] = {
     "funnel_time_percentiles": SQL_FUNNEL_TIME_PERCENTILES,
     "simhash_hamming": SQL_SIMHASH_HAMMING,
     "embedding_lsh_cosine": SQL_EMBEDDING_LSH_COSINE,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
 }
 
 
