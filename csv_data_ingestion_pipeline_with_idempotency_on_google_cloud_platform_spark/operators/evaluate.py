@@ -280,3 +280,48 @@ def calibration_table(
         F.expr("__sum_s div n_rows").alias("mean_score_milli"),
         F.expr("(1000 * n_pos) div n_rows").alias("pos_rate_milli"),
     )
+
+
+def cohens_kappa(
+    events: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    positive_types: tuple[str, ...] = ("purchase", "signup"),
+    value_threshold: float = 35.0,
+) -> DataFrame:
+    """Inter-rater agreement (Cohen's kappa) between two binary
+    labelers over the same rows (round 6) — the label-QA primitive for
+    training-data pipelines where a cheap heuristic and a second system
+    (LLM judge, human sample) both tag the corpus and you need
+    chance-corrected agreement, not raw accuracy. Rater A here is the
+    type heuristic (high-intent event types), rater B the value rule
+    (value ≥ threshold).
+
+    One map-side-combined aggregate produces the exact 2×2 contingency
+    counts; kappa = (p_o − p_e)/(1 − p_e) is scalar double math on
+    those identical integers, rounded to 6 dp (NULL when p_e = 1, the
+    degenerate all-one-cell case). Rows with NULL type/value are
+    dropped (the ks_test convention).
+
+    Returns one row: (n, n11, n10, n01, n00, kappa).
+    """
+    base = events.where(
+        F.col(type_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(type_col).isin(*positive_types).cast("int").alias("a"),
+        (F.col(value_col) >= F.lit(value_threshold)).cast("int").alias("b"),
+    )
+    cells = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("a") * F.col("b"))).cast("long").alias("n11"),
+        F.sum((F.col("a") * (1 - F.col("b")))).cast("long").alias("n10"),
+        F.sum(((1 - F.col("a")) * F.col("b"))).cast("long").alias("n01"),
+        F.sum(((1 - F.col("a")) * (1 - F.col("b")))).cast("long").alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pa = (F.col("n11") + F.col("n10")).cast("double") / n
+    pb = (F.col("n11") + F.col("n01")).cast("double") / n
+    pe = pa * pb + (1.0 - pa) * (1.0 - pb)
+    kappa = F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), 6))
+    return cells.select("n", "n11", "n10", "n01", "n00", kappa.alias("kappa"))

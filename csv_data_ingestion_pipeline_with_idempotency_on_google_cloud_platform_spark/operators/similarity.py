@@ -292,8 +292,14 @@ def kmeans_train_assign(
         for r in emb.orderBy(id_col).limit(k).select(vec.alias("v")).collect()
     ]
     # numpy releases the GIL inside matmul, but batches arrive per
-    # partition: spread a single-file input first (no-op at scale)
-    emb = parallelize_narrow(emb)
+    # partition: spread a single-file input first (no-op at scale),
+    # then checkpoint ONCE so the Lloyd loop's per-iteration scan reads
+    # materialized partitions instead of re-running the spread shuffle
+    # every iteration (lazy: iteration 1's job materializes it). This
+    # is the standard iterative-trainer persistence discipline; the
+    # drift tracker caught the un-checkpointed form re-paying the
+    # exchange per iteration (~30% of semantic_dedup's wall at sf0.1).
+    emb = parallelize_narrow(emb).localCheckpoint(eager=False)
     sc = emb.sparkSession.sparkContext
 
     def assign_col(cents_now: list[list[float]]):
@@ -378,7 +384,9 @@ def kmeans_two_level(
     ∈ [0, k1·k2).
     """
     vec = F.col(vec_col).cast("array<double>")
-    emb = parallelize_narrow(emb)
+    # checkpoint once so both levels' iterations read materialized
+    # partitions (see the flat trainer's note)
+    emb = parallelize_narrow(emb).localCheckpoint(eager=False)
     sc = emb.sparkSession.sparkContext
 
     # ---- level 1: coarse k1-means (flat trainer's loop, centroids kept)

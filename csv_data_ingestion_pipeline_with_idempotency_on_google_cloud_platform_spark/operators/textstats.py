@@ -749,3 +749,48 @@ def doc_char_entropy(
         "n_chars_counted",
         F.round(F.log(n) - F.col("__clnc") / n, 6).alias("char_entropy"),
     )
+
+
+def quality_quantile_normalize(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source quantile normalization of a document quality signal
+    (round 6): raw scores from different sources live on different
+    scales (a crawl dump's alpha density is not a forum's), so a single
+    global threshold keeps whole sources or drops them wholesale —
+    the standard fix before a cross-corpus quality floor is to replace
+    each score by its WITHIN-SOURCE quantile.
+
+    Integer-exact end to end: the raw signal is alpha density in milli
+    ((1000·n_alpha) div n_chars — the exact-integer slice of the X4
+    quality blend), the quantile is ((rank−1)·1000) div (n−1) with
+    RANK() so ties share a value — both deterministic in any engine.
+
+    Scale shape: one narrow projection + one window per source key
+    (parallel across sources, width = docs per source). No float, no
+    shuffle beyond the rank exchange.
+
+    Returns (doc_id, source, q_milli, q_norm_milli).
+    """
+    q = F.expr(
+        f"(1000 * length(regexp_replace({text_col}, '[^A-Za-z]', '')))"
+        f" div greatest(length({text_col}), 1)"
+    ).cast("long")
+    base = docs.select(F.col(id_col), F.col(source_col).alias("source"), q.alias("q_milli"))
+    w = Window.partitionBy("source").orderBy("q_milli")
+    wall = Window.partitionBy("source")
+    return (
+        base.withColumn("__rk", F.rank().over(w).cast("long"))
+        .withColumn("__n", F.count(F.lit(1)).over(wall).cast("long"))
+        .select(
+            id_col,
+            "source",
+            "q_milli",
+            F.expr("((__rk - 1) * 1000) div greatest(__n - 1, 1)")
+            .cast("long")
+            .alias("q_norm_milli"),
+        )
+    )

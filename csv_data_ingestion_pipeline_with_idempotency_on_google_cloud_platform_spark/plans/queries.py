@@ -7666,6 +7666,72 @@ WHERE dot > 0
 """
 
 
+def q_quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79 (round 6): per-source quantile normalization of the integer
+    alpha-density quality signal
+    (operators/textstats.py:quality_quantile_normalize) — the
+    cross-source score calibration step before a global quality floor;
+    RANK-based milli quantiles, exact integers end to end. Full
+    oracle."""
+    from ..operators.textstats import quality_quantile_normalize
+
+    return quality_quantile_normalize(load_table(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_QUANTILE_NORMALIZE = """
+WITH s AS (
+  SELECT doc_id, source,
+         CAST((CAST(1000 AS BIGINT) * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+              // greatest(length(text), 1) AS BIGINT) AS q_milli
+  FROM documents
+), r AS (
+  SELECT doc_id, source, q_milli,
+         CAST(RANK() OVER (PARTITION BY source ORDER BY q_milli) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM s
+)
+SELECT doc_id, source, q_milli,
+       CAST(((rk - 1) * 1000) // greatest(n - 1, 1) AS BIGINT) AS q_norm_milli
+FROM r
+"""
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80 (round 6): Cohen's kappa agreement between the type
+    heuristic and the value rule as two binary raters
+    (operators/evaluate.py:cohens_kappa) — chance-corrected label-QA;
+    exact 2×2 counts in one aggregate, scalar double kappa. Full
+    oracle."""
+    from ..operators.evaluate import cohens_kappa
+
+    return cohens_kappa(load_table(spark, sf_dir, "events"))
+
+
+SQL_COHENS_KAPPA = """
+WITH base AS (
+  SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS a,
+         CASE WHEN value >= 35.0 THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+), cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM base
+), k AS (
+  SELECT n, n11, n10, n01, n00,
+         CAST(n11 + n00 AS DOUBLE) / n AS po,
+         (CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+           + (1.0 - CAST(n11 + n10 AS DOUBLE) / n) * (1.0 - CAST(n11 + n01 AS DOUBLE) / n) AS pe
+  FROM cells
+)
+SELECT n, n11, n10, n01, n00,
+       CASE WHEN pe < 1.0 THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
+FROM k
+"""
+
+
 def q_unimax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X69 (round 5): UniMax language-balanced token allocation
     (operators/sampling.py:unimax_weights, per Chung et al. 2023) —
@@ -8314,6 +8380,8 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # remaining convertible rows-only families (VERDICT r5 item 3)
     "simhash_hamming": q_simhash_hamming,
     "embedding_lsh_cosine": q_embedding_lsh_cosine,
+    "quality_quantile_normalize": q_quality_quantile_normalize,
+    "cohens_kappa": q_cohens_kappa,
 }
 
 
@@ -8510,6 +8578,8 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_lsh_cosine": SQL_EMBEDDING_LSH_COSINE,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "temperature_mix": SQL_TEMPERATURE_MIX,
+    "quality_quantile_normalize": SQL_QUALITY_QUANTILE_NORMALIZE,
+    "cohens_kappa": SQL_COHENS_KAPPA,
 }
 
 
@@ -8523,6 +8593,8 @@ R6_WINDOW: list[str] = [
     # round-6 additions (no driver evidence yet)
     "simhash_hamming",
     "embedding_lsh_cosine",
+    "quality_quantile_normalize",
+    "cohens_kappa",
     # r1-witnessed backfill (evidence age: round 1)
     "csv_scan",
     "suffix_filter",
@@ -8571,8 +8643,6 @@ R6_WINDOW: list[str] = [
     "bm25_search",
     "range_join_count",
     "stratified_sample",
-    "weighted_sample",
-    "top_terms",
 ]
 
 _window_missing = [n for n in R6_WINDOW if n not in _REGISTRY]
