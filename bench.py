@@ -188,9 +188,12 @@ HEADLINE = [
     "mahalanobis_anomaly",
     "dsir_weights",
     "minhash_jaccard",
-    # round 6: oracle-verifiable SimHash + integer-exact embedding LSH
+    # round 6: oracle-verifiable SimHash + integer-exact embedding LSH,
+    # cross-source quantile calibration, two-rater label-QA kappa
     "simhash_hamming",
     "embedding_lsh_cosine",
+    "quality_quantile_normalize",
+    "cohens_kappa",
     "unimax_weights",
     "propensity_match",
     "degree_assortativity",

@@ -402,3 +402,63 @@ def test_funnel_time_percentiles_planted_gaps(spark):
     r = funnel_time_percentiles(ev, "A", "B").collect()[0]
     assert r["n_users"] == 3
     assert (r["p25_s"], r["p50_s"], r["p75_s"]) == (15.0, 20.0, 30.0)
+
+
+def test_quality_quantile_normalize_properties(spark):
+    """Within each source the normalized score is a milli quantile:
+    min -> 0, max -> 1000, ties share a value, and ordering follows the
+    raw signal."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        quality_quantile_normalize,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "aaaa"),        # alpha density 1000
+            (2, "s1", "aa11"),        # 500
+            (3, "s1", "a111"),        # 250
+            (4, "s1", "aa11"),        # 500 (tie with doc 2)
+            (5, "s2", "1111"),        # lone doc in source
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_quantile_normalize(docs).collect()}
+    assert rows[3]["q_norm_milli"] == 0
+    assert rows[1]["q_norm_milli"] == 1000
+    assert rows[2]["q_norm_milli"] == rows[4]["q_norm_milli"]
+    assert 0 < rows[2]["q_norm_milli"] < 1000
+    # singleton source: rank 1 of 1 -> 0 (div by greatest(n-1,1))
+    assert rows[5]["q_norm_milli"] == 0
+    assert rows[1]["q_milli"] == 1000 and rows[2]["q_milli"] == 500
+
+
+def test_cohens_kappa_identities(spark):
+    """Perfect agreement -> kappa 1; independent raters -> kappa ~0
+    (exactly 0 when the contingency is exactly the product of
+    marginals)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.evaluate import (
+        cohens_kappa,
+    )
+
+    perfect = spark.createDataFrame(
+        [("purchase", 50.0)] * 6 + [("view", 10.0)] * 4,
+        "event_type string, value double",
+    )
+    r = cohens_kappa(perfect).collect()[0]
+    assert r["kappa"] == 1.0 and r["n11"] == 6 and r["n00"] == 4
+
+    # 2x2 = product of marginals: a=1 half the time independent of b
+    indep = spark.createDataFrame(
+        [("purchase", 50.0), ("purchase", 10.0), ("view", 50.0), ("view", 10.0)] * 5,
+        "event_type string, value double",
+    )
+    r = cohens_kappa(indep).collect()[0]
+    assert r["kappa"] == 0.0
+
+    # NULLs dropped, not counted
+    with_nulls = spark.createDataFrame(
+        [("purchase", 50.0), (None, 50.0), ("view", None)],
+        "event_type string, value double",
+    )
+    r = cohens_kappa(with_nulls).collect()[0]
+    assert r["n"] == 1
