@@ -194,6 +194,8 @@ HEADLINE = [
     "embedding_lsh_cosine",
     "quality_quantile_normalize",
     "cohens_kappa",
+    "mrr_recall_eval",
+    "token_yield_report",
     "unimax_weights",
     "propensity_match",
     "degree_assortativity",

@@ -342,3 +342,90 @@ def range_checksum_diff(
             )
         ).alias("same"),
     )
+
+
+def token_yield_report(
+    docs: DataFrame,
+    quality_floor_milli: int = 400,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token accounting through the cleaning pipeline
+    (round 6): how many training tokens each source contributes RAW,
+    after exact dedup (min-id survivor per normalized content hash),
+    and after an alpha-density quality floor on the survivors — the
+    report a corpus owner reads before committing a mixture, because
+    "source X is 30% of raw tokens" routinely becomes "8% after
+    cleaning" and the mixture weights must follow.
+
+    Exact integers end to end: whitespace token counts, the X1 content
+    hash for survivorship, the X79 integer alpha-density signal for
+    the floor; yields are milli ratios via `div`. One narrow
+    projection, one dedup groupBy (map-side combined on the content
+    hash), one per-source rollup.
+
+    Returns (source, docs_raw, tokens_raw, tokens_after_dedup,
+    tokens_after_quality, dedup_yield_milli, final_yield_milli).
+    """
+    from ..functions.text import content_hash_col, token_count_col
+
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(source_col).alias("source"),
+        content_hash_col(text_col).alias("__h"),
+        token_count_col(text_col).alias("__tok"),
+        F.expr(
+            f"(1000 * length(regexp_replace({text_col}, '[^A-Za-z]', '')))"
+            f" div greatest(length({text_col}), 1)"
+        )
+        .cast("long")
+        .alias("__q"),
+    )
+    # renamed join keys: keep derives from base, so unaliased column
+    # objects would be ambiguous self-join references
+    keep = (
+        base.groupBy("__h")
+        .agg(F.min("__id").alias("__keep_id"))
+        .select(F.col("__h").alias("__kh"), "__keep_id")
+    )
+    tagged = base.join(
+        keep,
+        (F.col("__h") == F.col("__kh")) & (F.col("__id") == F.col("__keep_id")),
+        "left_semi",
+    )
+    survivors = tagged.select(
+        "source",
+        "__tok",
+        F.when(F.col("__q") >= quality_floor_milli, F.col("__tok"))
+        .otherwise(F.lit(0))
+        .alias("__tok_q"),
+    )
+    raw = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_raw"),
+        F.sum("__tok").cast("long").alias("tokens_raw"),
+    )
+    kept = survivors.groupBy("source").agg(
+        F.sum("__tok").cast("long").alias("tokens_after_dedup"),
+        F.sum("__tok_q").cast("long").alias("tokens_after_quality"),
+    )
+    return (
+        raw.join(kept, "source", "left")
+        .select(
+            "source",
+            "docs_raw",
+            "tokens_raw",
+            F.coalesce("tokens_after_dedup", F.lit(0)).alias("tokens_after_dedup"),
+            F.coalesce("tokens_after_quality", F.lit(0)).alias("tokens_after_quality"),
+            F.expr(
+                "CASE WHEN tokens_raw > 0 THEN (1000 * coalesce(tokens_after_dedup, 0)) div tokens_raw END"
+            )
+            .cast("long")
+            .alias("dedup_yield_milli"),
+            F.expr(
+                "CASE WHEN tokens_raw > 0 THEN (1000 * coalesce(tokens_after_quality, 0)) div tokens_raw END"
+            )
+            .cast("long")
+            .alias("final_yield_milli"),
+        )
+    )

@@ -325,3 +325,73 @@ def cohens_kappa(
     pe = pa * pb + (1.0 - pa) * (1.0 - pb)
     kappa = F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), 6))
     return cells.select("n", "n11", "n10", "n01", "n00", kappa.alias("kappa"))
+
+
+def mrr_recall_eval(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    rel_col_expr=None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MRR + recall@k of the term-frequency ranking against an
+    independent relevance signal (round 6) — the rank-position
+    companions to `ndcg_at_k` (which only sees graded gain): MRR tells
+    you where the FIRST relevant result lands, recall@k how much of
+    the relevant set the cutoff keeps. Same engine-exact ranking keys
+    as ndcg (tf desc, id asc — integers, identical in any engine), and
+    the metrics themselves are exact integer milli: rr = 1000 div
+    first_rel_pos, recall = (1000·hits_at_k) div n_rel. No float
+    anywhere.
+
+    Scale shape: one tokenize pass fanned over the literal term list,
+    one rank window per term (parallel across terms, width = docs
+    containing the term). Returns (term, first_rel_pos, rr_milli,
+    hits_at_k, n_rel, recall_milli); terms with no relevant docs get
+    NULL rr/recall.
+    """
+    if rel_col_expr is None:
+        rel_col_expr = (F.col("lang") == "en").cast("int")
+    lit_terms = F.array(*[F.lit(t) for t in terms])
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        rel_col_expr.alias("__rel"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    ).filter(F.length(F.trim(F.col(text_col))) > 0)
+    with_tf = (
+        toks.select("__id", "__rel", "__toks", F.explode(lit_terms).alias("term"))
+        .select(
+            "term",
+            "__id",
+            "__rel",
+            F.expr("size(filter(__toks, x -> x = term))").cast("long").alias("__tf"),
+        )
+        .filter(F.col("__tf") > 0)
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("__tf"), F.asc("__id"))
+    ranked = with_tf.withColumn("__pos", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.min(F.when(F.col("__rel") == 1, F.col("__pos"))).alias("first_rel_pos"),
+            F.sum(
+                F.when((F.col("__rel") == 1) & (F.col("__pos") <= k), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("hits_at_k"),
+            F.sum("__rel").cast("long").alias("n_rel"),
+        )
+        .select(
+            "term",
+            "first_rel_pos",
+            F.expr("CASE WHEN first_rel_pos IS NOT NULL THEN 1000 div first_rel_pos END")
+            .cast("long")
+            .alias("rr_milli"),
+            "hits_at_k",
+            "n_rel",
+            F.expr("CASE WHEN n_rel > 0 THEN (1000 * hits_at_k) div n_rel END")
+            .cast("long")
+            .alias("recall_milli"),
+        )
+    )

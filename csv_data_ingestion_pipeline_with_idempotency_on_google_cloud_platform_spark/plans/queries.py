@@ -5003,6 +5003,97 @@ FROM agg
 """
 
 
+def q_mrr_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81 (round 6): MRR + recall@10 of the term-frequency ranking
+    against the lang='en' relevance signal
+    (operators/evaluate.py:mrr_recall_eval) — the rank-position
+    companions to ndcg_eval, exact integer milli end to end (1000 div
+    first_rel_pos; (1000·hits) div n_rel). Full oracle."""
+    from ..operators.evaluate import mrr_recall_eval
+
+    return mrr_recall_eval(load_table(spark, sf_dir, "documents"), NDCG_TERMS, k=10)
+
+
+SQL_MRR_RECALL_EVAL = r"""
+WITH toks AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS rel,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS tarr
+  FROM documents WHERE length(trim(text)) > 0
+), terms AS (
+  SELECT unnest(['scan', 'join', 'merge', 'window', 'query']) AS term
+), tf AS (
+  SELECT t.term, d.doc_id, d.rel,
+         CAST(len(list_filter(d.tarr, x -> x = t.term)) AS BIGINT) AS tf
+  FROM toks d CROSS JOIN terms t
+), hits AS (
+  SELECT term, doc_id, rel,
+         CAST(ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS BIGINT) AS pos
+  FROM tf WHERE tf > 0
+), agg AS (
+  SELECT term,
+         MIN(CASE WHEN rel = 1 THEN pos END) AS first_rel_pos,
+         CAST(SUM(CASE WHEN rel = 1 AND pos <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+         CAST(SUM(rel) AS BIGINT) AS n_rel
+  FROM hits GROUP BY term
+)
+SELECT term, first_rel_pos,
+       CAST(CASE WHEN first_rel_pos IS NOT NULL THEN 1000 // first_rel_pos END AS BIGINT) AS rr_milli,
+       hits_at_k, n_rel,
+       CAST(CASE WHEN n_rel > 0 THEN (CAST(1000 AS BIGINT) * hits_at_k) // n_rel END AS BIGINT) AS recall_milli
+FROM agg
+"""
+
+
+def q_token_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82 (round 6): per-source token accounting through exact dedup
+    and the alpha-density quality floor
+    (operators/corpus.py:token_yield_report) — the mixture-planning
+    report ("source X is 30% raw, 8% after cleaning"); exact integer
+    counts + milli yields. Full oracle (dedup survivorship via the
+    same normalized-content equivalence classes as exact_dedup)."""
+    from ..operators.corpus import token_yield_report
+
+    return token_yield_report(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_YIELD_REPORT = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+         CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+              END AS BIGINT) AS tok,
+         CAST((CAST(1000 AS BIGINT) * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+              // greatest(length(text), 1) AS BIGINT) AS q
+  FROM documents
+), keep AS (
+  SELECT norm, MIN(doc_id) AS keep_id FROM base GROUP BY norm
+), surv AS (
+  SELECT b.source, b.tok,
+         CASE WHEN b.q >= 400 THEN b.tok ELSE 0 END AS tok_q
+  FROM base b JOIN keep k ON k.norm = b.norm AND k.keep_id = b.doc_id
+), raw AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_raw,
+         CAST(SUM(tok) AS BIGINT) AS tokens_raw
+  FROM base GROUP BY source
+), kept AS (
+  SELECT source, CAST(SUM(tok) AS BIGINT) AS tokens_after_dedup,
+         CAST(SUM(tok_q) AS BIGINT) AS tokens_after_quality
+  FROM surv GROUP BY source
+)
+SELECT r.source, r.docs_raw, r.tokens_raw,
+       CAST(COALESCE(k.tokens_after_dedup, 0) AS BIGINT) AS tokens_after_dedup,
+       CAST(COALESCE(k.tokens_after_quality, 0) AS BIGINT) AS tokens_after_quality,
+       CAST(CASE WHEN r.tokens_raw > 0
+            THEN (CAST(1000 AS BIGINT) * COALESCE(k.tokens_after_dedup, 0)) // r.tokens_raw
+            END AS BIGINT) AS dedup_yield_milli,
+       CAST(CASE WHEN r.tokens_raw > 0
+            THEN (CAST(1000 AS BIGINT) * COALESCE(k.tokens_after_quality, 0)) // r.tokens_raw
+            END AS BIGINT) AS final_yield_milli
+FROM raw r LEFT JOIN kept k ON k.source = r.source
+"""
+
+
 # --------------------------------------------------------------------------
 # X34 SCD2 historization; X35 market-basket association
 # --------------------------------------------------------------------------
@@ -8382,6 +8473,8 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lsh_cosine": q_embedding_lsh_cosine,
     "quality_quantile_normalize": q_quality_quantile_normalize,
     "cohens_kappa": q_cohens_kappa,
+    "mrr_recall_eval": q_mrr_recall_eval,
+    "token_yield_report": q_token_yield_report,
 }
 
 
@@ -8580,6 +8673,8 @@ ORACLE_SQL: dict[str, str] = {
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "quality_quantile_normalize": SQL_QUALITY_QUANTILE_NORMALIZE,
     "cohens_kappa": SQL_COHENS_KAPPA,
+    "mrr_recall_eval": SQL_MRR_RECALL_EVAL,
+    "token_yield_report": SQL_TOKEN_YIELD_REPORT,
 }
 
 
@@ -8595,6 +8690,8 @@ R6_WINDOW: list[str] = [
     "embedding_lsh_cosine",
     "quality_quantile_normalize",
     "cohens_kappa",
+    "mrr_recall_eval",
+    "token_yield_report",
     # r1-witnessed backfill (evidence age: round 1)
     "csv_scan",
     "suffix_filter",
@@ -8641,8 +8738,6 @@ R6_WINDOW: list[str] = [
     "json_roundtrip",
     "hash_split",
     "bm25_search",
-    "range_join_count",
-    "stratified_sample",
 ]
 
 _window_missing = [n for n in R6_WINDOW if n not in _REGISTRY]

@@ -462,3 +462,51 @@ def test_cohens_kappa_identities(spark):
     )
     r = cohens_kappa(with_nulls).collect()[0]
     assert r["n"] == 1
+
+
+def test_mrr_recall_eval_planted_ranking(spark):
+    """Planted tf ranking: the relevant doc at rank 2 gives rr 500;
+    recall@10 counts only top-k relevant hits."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.evaluate import (
+        mrr_recall_eval,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "de", "alpha alpha alpha"),          # rank 1, not relevant
+            (2, "en", "alpha alpha"),                # rank 2, relevant -> rr 500
+            (3, "en", "alpha"),                      # rank 3, relevant
+            (4, "de", "beta"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["term"]: r for r in mrr_recall_eval(docs, ["alpha", "beta"], k=10).collect()}
+    a = rows["alpha"]
+    assert (a["first_rel_pos"], a["rr_milli"]) == (2, 500)
+    assert (a["hits_at_k"], a["n_rel"], a["recall_milli"]) == (2, 2, 1000)
+    b = rows["beta"]
+    assert b["first_rel_pos"] is None and b["rr_milli"] is None
+    assert b["n_rel"] == 0 and b["recall_milli"] is None
+
+
+def test_token_yield_report_planted_dups(spark):
+    """A duplicated doc's tokens vanish after dedup; a low-alpha doc's
+    tokens vanish after the quality floor; yields are exact milli."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.corpus import (
+        token_yield_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "good clean prose here"),     # 4 tokens, survives all
+            (2, "s1", "good clean prose here"),     # exact dup -> dropped
+            (3, "s1", "1234 5678 9999 0000 1111"),  # 5 tokens, alpha 0 -> quality-dropped
+        ],
+        "doc_id long, source string, text string",
+    )
+    r = {x["source"]: x for x in token_yield_report(docs).collect()}["s1"]
+    assert (r["docs_raw"], r["tokens_raw"]) == (3, 13)
+    assert r["tokens_after_dedup"] == 9      # dup's 4 tokens gone
+    assert r["tokens_after_quality"] == 4    # digit doc's 5 gone
+    assert r["dedup_yield_milli"] == (1000 * 9) // 13
+    assert r["final_yield_milli"] == (1000 * 4) // 13

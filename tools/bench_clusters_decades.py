@@ -31,7 +31,15 @@ QUERIES_UNDER_TEST = ["entity_resolution", "golden_record"]
 
 
 def main() -> None:
+    """argv: [passes] [rungs-csv]. The 100x rung needs a real heap —
+    local[32] is the whole cluster, and 1.5M-name pair expansion in
+    8 GB OOMs; run it with SPARK_GRAFT_DRIVER_MEM=32g (a 1000-executor
+    cluster has ~3 orders of magnitude more aggregate memory)."""
+    global RUNGS
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2].split(","))
+        RUNGS = [(l, d) for l, d in RUNGS if l in only]
     for _, d in RUNGS:
         if not os.path.isfile(os.path.join(d, "customer.parquet")):
             raise SystemExit(f"{d}/customer.parquet missing — generate ladders first")
