@@ -196,6 +196,7 @@ HEADLINE = [
     "cohens_kappa",
     "mrr_recall_eval",
     "token_yield_report",
+    "substring_fingerprint_dups",
     "unimax_weights",
     "propensity_match",
     "degree_assortativity",

@@ -1200,3 +1200,73 @@ def simhash_md5_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def substring_fingerprint_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 24,
+    mod_p: int = 16,
+    min_shared: int = 2,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Character-level substring duplication screen (round 6): detect
+    doc pairs sharing long VERBATIM character runs — the duplication
+    class word-shingle Jaccard and containment miss when the shared
+    run is a small fraction of both documents (license blocks, quoted
+    passages, copy-pasted paragraphs inside otherwise-distinct pages;
+    the failure mode Lee et al.'s ExactSubstr dedup targets).
+
+    0-mod-p fingerprint sampling (the classic k-gram sketch family of
+    Schleimer et al., SIGMOD'03 — the order-free sibling of
+    winnowing): every k-char gram hashes to the 60-bit integer in
+    md5(gram); a gram is a FINGERPRINT iff hash % mod_p == 0, so any
+    shared run of ≥ k+mod_p·E[gap] chars shares fingerprints with high
+    probability, and two docs are flagged when they share at least
+    `min_shared` distinct fingerprints. Everything after md5 is
+    integer, so the whole path replays bit-identically in DuckDB
+    (full oracle).
+
+    Scale shape: the k-gram explode is the only heavy stage
+    (|chars| rows per doc — the shingle explode's cost class), cut by
+    mod_p to ~1/mod_p of positions BEFORE the distinct/groupBy; pair
+    expansion runs through `_bucket_pairs` on the fingerprint key with
+    the pre-collect hot cap (boilerplate fingerprints shared by
+    thousands of docs are dropped, exactly like hot MinHash bands);
+    the shared-count is one map-side-combined groupBy over pair rows.
+
+    Returns (id_a, id_b, n_shared) with n_shared >= min_shared.
+    """
+    t = F.regexp_replace(F.col(text_col), r"\s+", " ")
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.substring(t, i, k),
+    )
+    fp = (
+        parallelize_narrow(docs)
+        .where(F.length(t) >= k)
+        .select(F.col(id_col).alias("i"), F.explode(grams).alias("g"))
+        .select(
+            "i",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"),
+        )
+        .where(F.col("h") % mod_p == 0)
+        .distinct()
+    )
+    # _bucket_member_pairs directly (NOT _bucket_pairs): its pair dedup
+    # would collapse the per-fingerprint rows this operator COUNTS
+    core = _bucket_member_pairs(
+        fp,
+        ["h"],
+        F.struct(F.col("i")),
+        max_bucket_size,
+        lambda m, mj: F.struct(m["i"].alias("id_a"), mj["i"].alias("id_b")),
+    )
+    return (
+        core.select("pr.id_a", "pr.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -7823,6 +7823,45 @@ FROM k
 """
 
 
+def q_substring_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83 (round 6): character-level substring duplication screen via
+    0-mod-p k-gram fingerprint sampling
+    (operators/dedup.py:substring_fingerprint_dups) — Schleimer-style
+    sketching with md5-derived 60-bit hashes, so the whole path
+    (grams → sampled fingerprints → capped buckets → shared counts)
+    replays bit-identically in DuckDB. Catches verbatim shared runs
+    (license blocks, quoted passages) that word-level Jaccard and
+    containment miss. Full oracle."""
+    return dedup.substring_fingerprint_dups(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SUBSTRING_FINGERPRINT_DUPS = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(text, '\s+', ' ', 'g') AS t FROM documents
+), grams AS (
+  SELECT doc_id, substring(t, CAST(u.i AS INTEGER), 24) AS g
+  FROM norm
+  CROSS JOIN LATERAL (SELECT UNNEST(range(1, greatest(length(t) - 23, 0) + 1)) AS i) u
+  WHERE length(t) >= 24
+), fp AS (
+  SELECT DISTINCT doc_id,
+         CAST(CAST('0x' || substring(md5(g), 1, 15) AS UBIGINT) AS BIGINT) AS h
+  FROM grams
+), sampled AS (
+  SELECT doc_id, h FROM fp WHERE h % 16 = 0
+), ok AS (
+  SELECT h FROM sampled GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 1000
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sampled a
+  JOIN sampled b ON b.h = a.h AND a.doc_id < b.doc_id
+  JOIN ok ON ok.h = a.h
+)
+SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 def q_unimax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X69 (round 5): UniMax language-balanced token allocation
     (operators/sampling.py:unimax_weights, per Chung et al. 2023) —
@@ -8475,6 +8514,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohens_kappa": q_cohens_kappa,
     "mrr_recall_eval": q_mrr_recall_eval,
     "token_yield_report": q_token_yield_report,
+    "substring_fingerprint_dups": q_substring_fingerprint_dups,
 }
 
 
@@ -8675,6 +8715,7 @@ ORACLE_SQL: dict[str, str] = {
     "cohens_kappa": SQL_COHENS_KAPPA,
     "mrr_recall_eval": SQL_MRR_RECALL_EVAL,
     "token_yield_report": SQL_TOKEN_YIELD_REPORT,
+    "substring_fingerprint_dups": SQL_SUBSTRING_FINGERPRINT_DUPS,
 }
 
 
@@ -8692,6 +8733,7 @@ R6_WINDOW: list[str] = [
     "cohens_kappa",
     "mrr_recall_eval",
     "token_yield_report",
+    "substring_fingerprint_dups",
     # r1-witnessed backfill (evidence age: round 1)
     "csv_scan",
     "suffix_filter",
@@ -8737,7 +8779,6 @@ R6_WINDOW: list[str] = [
     "asof_join",
     "json_roundtrip",
     "hash_split",
-    "bm25_search",
 ]
 
 _window_missing = [n for n in R6_WINDOW if n not in _REGISTRY]

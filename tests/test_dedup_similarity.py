@@ -504,3 +504,41 @@ def test_embedding_lsh_exact_bucket_cap(spark):
     rows = [(i, [1.0] * 64) for i in range(30)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     assert embedding_lsh_pairs_exact(emb, max_bucket_size=10).count() == 0
+
+
+def test_substring_fingerprint_dups_planted_quote(spark):
+    """A long verbatim run embedded in two otherwise-distinct docs is
+    flagged, while unrelated docs are not — the substring class
+    word-Jaccard misses (shared run is a small fraction of each doc)."""
+    import random
+
+    rng = random.Random(3)
+    quote = " ".join(f"lic{i}" for i in range(40))  # ~240-char license block
+
+    def page(seed):
+        return " ".join(f"w{seed}_{j}" for j in range(120))
+
+    docs = spark.createDataFrame(
+        [
+            (1, page(1) + " " + quote + " " + page(11)),
+            (2, page(2) + " " + quote + " " + page(12)),
+            (3, page(3)),
+            (4, page(4)),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["n_shared"] for r in
+           dedup.substring_fingerprint_dups(docs).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 2
+    assert all(p == (1, 2) for p in out)
+
+
+def test_substring_fingerprint_dups_hot_cap(spark):
+    """A fingerprint shared by more docs than the cap is dropped before
+    pair expansion (boilerplate guard)."""
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate page body repeated everywhere " * 3)
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    assert dedup.substring_fingerprint_dups(docs, max_bucket_size=10).count() == 0
