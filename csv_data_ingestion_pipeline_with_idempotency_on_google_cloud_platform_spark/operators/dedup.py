@@ -860,7 +860,10 @@ def near_dup_clusters(
 
     Plan hygiene (the round-4 bench crash): every round localCheckpoints
     the edge table (lazily — the convergence-signature aggregate is the
-    round's single action and materializes it), and every 6th round it is
+    round's single action and materializes it; a super-round variant
+    batching TWO contractions per action was measured NET SLOWER at
+    sf0.1: parity-of-two detection overshoots by up to 2 contractions,
+    which cost more than the saved actions), and every 6th round it is
     additionally round-tripped through parquet. The roundtrip is load-
     bearing: iterated Dataset.localCheckpoint loops accumulate per-plan
     state whose optimizer cost (Catalyst stats estimation) doubles per
