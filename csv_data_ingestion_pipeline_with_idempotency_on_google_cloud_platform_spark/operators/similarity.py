@@ -739,7 +739,7 @@ def embedding_lsh_pairs_exact(
     emb: DataFrame,
     min_cosine_e2: int = 35,
     n_tables: int = 8,
-    planes_per_table: int = 6,
+    planes_per_table: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -763,14 +763,19 @@ def embedding_lsh_pairs_exact(
       (`_md5_hyperplanes`), so each sign bit is the sign of an exact
       DECIMAL(38,0) dot product — identical in any engine;
     - the cosine threshold never divides: keep a pair iff dot > 0 and
-      1e4·dot² ≥ (min_cosine_e2)²·(a·a)(b·b), all DECIMAL(38,0)
-      (magnitudes ≤ ~1e30 at |v|≤1, dim 64). The default threshold is
+      1e4·dot² ≥ (min_cosine_e2)²·(a·a)(b·b). Vector-vector dots are
+      plain LONG folds (|component| ≤ 380 keeps a 64-dim dot inside
+      long range — embeddings are unit-ish at ~0.15); only the plane
+      dots (60-bit integer components) and the per-pair scalar
+      threshold products (~1e27) use DECIMAL(38,0). The default threshold is
       cos ≥ 0.35 with 8 tables × 6 sign bits: the driver fixture's
       embeddings are near-orthogonal random points (max pairwise cos
       ≈ 0.51), so a classic 0.95 near-dup bar matches zero pairs and
-      would make the oracle check vacuous — 0.35/6-bit keeps a few
-      hundred true pairs with ~36% LSH capture, real evidence for the
-      value-hash gate (production near-dup runs tighten both knobs);
+      would make the oracle check vacuous — 0.35 with 8-bit tables
+      keeps dozens of true pairs (real evidence for the value-hash
+      gate) while holding random 2000-choose-2 collisions to ~4k
+      candidates per sf0.01 run (6-bit tables admitted 60× more junk
+      than survivors — scoring them dominated the query);
     - the reported cos_sim is double math on those identical integers
       (IEEE-deterministic given identical inputs), rounded to 6 dp.
 
@@ -789,28 +794,47 @@ def embedding_lsh_pairs_exact(
     )
 
     def bucket(t: int) -> F.Column:
-        b = F.lit(0).cast("long")
+        # ONE parsed SQL expression per table: the Column-API form
+        # (F.lit per plane component) issued 4096+ py4j calls and cost
+        # 10+ s of DRIVER-side plan construction per query — measured
+        # as the dominant term, dwarfing actual execution (~2 s). A
+        # plane is a literal array in the expression text; parsing a
+        # ~15 KB string is one call.
+        terms = []
         for j in range(planes_per_table):
             plane = planes[t * planes_per_table + j]
-            arr = F.array(*[F.lit(p).cast("decimal(38,0)") for p in plane])
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col("__vq"), arr, lambda x, y: x.cast("decimal(38,0)") * y
-                ),
-                F.lit(0).cast("decimal(38,0)"),
-                lambda acc, x: acc + x,
+            arr = ", ".join(f"CAST({p} AS DECIMAL(38,0))" for p in plane)
+            terms.append(
+                f"CAST(CASE WHEN aggregate("
+                f"zip_with(__vq, array({arr}), (x, y) -> CAST(x AS DECIMAL(38,0)) * y), "
+                f"CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x) > 0 "
+                f"THEN {1 << j} ELSE 0 END AS BIGINT)"
             )
-            b = b + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return b
+        return F.expr(" + ".join(terms))
 
+    # pair-stage dots are pure LONG: |vq| ≤ ~2e6 ⇒ per-term product
+    # ≤ 4e12 and a 64-term sum ≤ 2.6e14, far inside long range — the
+    # first (decimal-fold) version spent ~9 s/run interpreting 50M
+    # decimal multiply-adds over the 259k sf0.1 candidate pairs; long
+    # folds whole-stage-codegen. Decimal appears only in the per-pair
+    # SCALAR threshold (dot² and naa·nbb reach ~1e27). Self-norms ride
+    # the payload (computed once per VECTOR, not twice per pair).
+    def ldot(a, b) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    payload = F.struct(
+        F.col("__vq").alias("v"), ldot(F.col("__vq"), F.col("__vq")).alias("n2")
+    )
     entries = (
         parallelize_narrow(emb)
         .select(F.col(id_col).alias("id"), vq.alias("__vq"))
         .select(
             "id",
-            "__vq",
+            payload.alias("__p"),
             F.explode(
                 F.array(*[
                     F.struct(
@@ -820,31 +844,43 @@ def embedding_lsh_pairs_exact(
                 ])
             ).alias("e"),
         )
-        .select("id", "__vq", "e.table_id", "e.bucket")
+        .select("id", "__p", "e.table_id", "e.bucket")
     )
-    pairs = _bucket_pairs(entries, ["table_id", "bucket"], ("id", "__vq"), max_bucket_size)
+    # score BEFORE the cross-table pair dedup: _bucket_pairs'
+    # dropDuplicates would shuffle every candidate pair carrying BOTH
+    # 64-long quantized vectors (~260 MB at sf0.1's 259k candidates —
+    # measured as the query's dominant stage); scoring first reduces
+    # the dedup shuffle to 5 scalars per pair, and the per-pair values
+    # are identical whichever bucket emitted the pair, so deduping the
+    # scored row is equivalent.
+    from .dedup import _bucket_member_pairs
+
+    core = _bucket_member_pairs(
+        entries,
+        ["table_id", "bucket"],
+        F.struct(F.col("id").alias("i"), F.col("__p").alias("p")),
+        max_bucket_size,
+        lambda m, mj: F.struct(
+            m["i"].alias("id_a"),
+            mj["i"].alias("id_b"),
+            m["p"].alias("pa"),
+            mj["p"].alias("pb"),
+        ),
+    )
     dec = "decimal(38,0)"
-
-    def idot(a: str, b: str) -> F.Column:
-        return F.aggregate(
-            F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast(dec) * y.cast(dec)),
-            F.lit(0).cast(dec),
-            lambda acc, x: acc + x,
-        )
-
-    scored = pairs.select(
-        "id_a",
-        "id_b",
-        idot("pa", "pb").alias("__dot"),
-        idot("pa", "pa").alias("__naa"),
-        idot("pb", "pb").alias("__nbb"),
-    )
+    scored = core.select(
+        F.col("pr.id_a").alias("id_a"),
+        F.col("pr.id_b").alias("id_b"),
+        ldot(F.col("pr.pa.v"), F.col("pr.pb.v")).alias("__dot"),
+        F.col("pr.pa.n2").alias("__naa"),
+        F.col("pr.pb.n2").alias("__nbb"),
+    ).dropDuplicates(["id_a", "id_b"])
     thr2 = min_cosine_e2 * min_cosine_e2
     kept = scored.filter(
         (F.col("__dot") > 0)
         & (
-            F.lit(10000).cast(dec) * F.col("__dot") * F.col("__dot")
-            >= F.lit(thr2).cast(dec) * F.col("__naa") * F.col("__nbb")
+            F.lit(10000).cast(dec) * F.col("__dot").cast(dec) * F.col("__dot").cast(dec)
+            >= F.lit(thr2).cast(dec) * F.col("__naa").cast(dec) * F.col("__nbb").cast(dec)
         )
     )
     cos = F.col("__dot").cast("double") / F.sqrt(

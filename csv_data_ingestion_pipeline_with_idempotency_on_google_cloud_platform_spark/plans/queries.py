@@ -7719,15 +7719,15 @@ WITH vq AS (
   SELECT CAST(pi.i AS BIGINT) AS i, CAST(pc.c AS BIGINT) AS c,
          CAST(CAST(CAST('0x' || substring(md5(CAST(pi.i AS VARCHAR) || ':' || CAST(pc.c AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)
               - 576460752303423488 AS DECIMAL(19,0)) AS p
-  FROM (SELECT UNNEST(range(48)) AS i) pi
+  FROM (SELECT UNNEST(range(64)) AS i) pi
   CROSS JOIN (SELECT UNNEST(range(64)) AS c) pc
 ), dots AS (
   SELECT comps.vec_id, planes.i, SUM(comps.x * planes.p) AS dot
   FROM comps JOIN planes ON planes.c = comps.c
   GROUP BY 1, 2
 ), buckets AS (
-  SELECT vec_id, i // 6 AS table_id,
-         CAST(SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << CAST(i % 6 AS INTEGER)
+  SELECT vec_id, i // 8 AS table_id,
+         CAST(SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << CAST(i % 8 AS INTEGER)
                        ELSE 0 END) AS BIGINT) AS bucket
   FROM dots GROUP BY 1, 2
 ), ok AS (

@@ -69,6 +69,16 @@ LADDER_QUERIES = [
     "propensity_match",
     "degree_assortativity",
     "mahalanobis_anomaly",
+    # round 6: oracle-verifiable SimHash (narrow fold + block buckets),
+    # integer-exact embedding LSH (narrow sign bits + capped buckets),
+    # substring fingerprints (char-gram explode cut by 0-mod-p),
+    # per-source quantile windows, token-yield dedup rollup. Expected
+    # <= ~10 for all (the gram explodes are linear; buckets capped).
+    "simhash_hamming",
+    "embedding_lsh_cosine",
+    "substring_fingerprint_dups",
+    "quality_quantile_normalize",
+    "token_yield_report",
 ]
 
 SF01 = "/root/testdata/sf0.1"
