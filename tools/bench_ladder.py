@@ -86,7 +86,14 @@ SF1 = os.path.join("spark-warehouse", "ladder_sf1")
 
 
 def main() -> None:
+    """argv: [passes] [queries-csv]. The csv filter measures a subset
+    (e.g. just a round's new operators) without re-paying the whole
+    ladder."""
+    global LADDER_QUERIES
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2].split(","))
+        LADDER_QUERIES = [q for q in LADDER_QUERIES if q in only]
     if not os.path.isdir(SF1):
         raise SystemExit(f"{SF1} missing — run tools/gen_scale_ladder.py first")
 
