@@ -51,6 +51,13 @@ def fuzzy_self_pairs(
         F.col(col).alias("v"),
         F.explode(deletion_variants_col(col)).alias("key"),
     )
+    # lazily checkpoint the variant explode: _bucket_pairs consumes
+    # entries twice (over-cap pre-pass + member collect), and names are
+    # a |distinct strings| table — SMALL at any corpus scale (unlike
+    # shingle/band entries, which stay recompute-on-second-pass), so
+    # materializing it once is safe and saves the second explode +
+    # string-manipulation pass (~1 s of each clusters query at sf0.1)
+    entries = entries.localCheckpoint(eager=False)
     from .dedup import _bucket_pairs
 
     pairs = _bucket_pairs(entries, ["key"], ("id", "v"), max_bucket_size)
