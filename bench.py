@@ -197,6 +197,7 @@ HEADLINE = [
     "mrr_recall_eval",
     "token_yield_report",
     "substring_fingerprint_dups",
+    "margin_knn_match",
     "unimax_weights",
     "propensity_match",
     "degree_assortativity",

@@ -887,3 +887,119 @@ def embedding_lsh_pairs_exact(
         F.col("__naa").cast("double") * F.col("__nbb").cast("double")
     )
     return kept.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+
+
+def margin_knn_match(
+    emb: DataFrame,
+    src_label: int = 0,
+    tgt_label: int = 1,
+    k: int = 4,
+    min_margin_milli: int = 1020,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Margin-based cross-group nearest-neighbor mining (round 6) —
+    the CCMatrix/LASER bitext-mining criterion of Artetxe & Schwenk
+    (ACL'19): for every source vector, its best target match scored
+    by RATIO MARGIN — cosine divided by the mean of both sides'
+    k-NN neighborhoods — which suppresses hubness (a generically
+    central target that is "near everything" has a high denominator,
+    so only matches that are near EACH OTHER specifically survive).
+    The standard tool for mining parallel text across language
+    groups; here the label column stands in for the language.
+
+    Determinism contract (full oracle): vectors quantize to integer
+    micro-units; dots/norms are exact long folds; per-pair cosine is
+    quantized to cos_e6 = floor(1e6·dot/√(naa·nbb)) — double math on
+    IDENTICAL integers, so identical in any IEEE engine — and every
+    ranking, k-NN average (sum div k), and the margin itself
+    (milli = (2000·c) div (avg_src + avg_tgt)) is integer arithmetic
+    on those quantized values. Ties in rankings break on the
+    candidate id.
+
+    Scale shape: the two groups cross-score via a broadcast of the
+    (typically much smaller) target side; both k-NN denominators come
+    from rank windows partitioned by the owning vector (parallel
+    across vectors, width = candidate count); one row per source
+    survives a row_number window. At corpus scale the candidate
+    generation is replaced by the IVF/LSH index probes (same scoring
+    tail) — mining all-pairs is fixture-only.
+
+    Returns (src_id, tgt_id, cos_e6, margin_milli) with
+    margin_milli ≥ min_margin_milli (1000 = exactly average
+    neighborhood affinity).
+    """
+
+    def ldot(a, b) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    vq = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0).cast("long"),
+    )
+    base = (
+        emb.select(
+            F.col(id_col).alias("id"), F.col(label_col).alias("lb"), vq.alias("v")
+        )
+        .withColumn("n2", ldot(F.col("v"), F.col("v")))
+        # zero vectors have no cosine; both engines drop them before
+        # the sqrt (floor(NaN) diverges between engines)
+        .where(F.col("n2") > 0)
+    )
+    src = base.where(F.col("lb") == src_label).select(
+        F.col("id").alias("src_id"), F.col("v").alias("sv"), F.col("n2").alias("sn2")
+    )
+    tgt = base.where(F.col("lb") == tgt_label).select(
+        F.col("id").alias("tgt_id"), F.col("v").alias("tv"), F.col("n2").alias("tn2")
+    )
+    dot = ldot(F.col("sv"), F.col("tv"))
+    cos_e6 = F.floor(
+        F.lit(1000000.0)
+        * F.col("__dot").cast("double")
+        / F.sqrt(F.col("sn2").cast("double") * F.col("tn2").cast("double"))
+    ).cast("long")
+    scored = (
+        src.join(F.broadcast(tgt))
+        .withColumn("__dot", dot)
+        .select("src_id", "tgt_id", cos_e6.alias("c"))
+    )
+    w_src = Window.partitionBy("src_id").orderBy(F.desc("c"), F.asc("tgt_id"))
+    w_tgt = Window.partitionBy("tgt_id").orderBy(F.desc("c"), F.asc("src_id"))
+    ranked = scored.withColumn("r_s", F.row_number().over(w_src)).withColumn(
+        "r_t", F.row_number().over(w_tgt)
+    )
+    # k-NN neighborhood means, integer: sum of each side's top-k cos_e6
+    avg_s = (
+        ranked.where(F.col("r_s") <= k)
+        .groupBy("src_id")
+        .agg(F.expr(f"CAST(sum(c) div {k} AS BIGINT)").alias("nb_s"))
+    )
+    avg_t = (
+        ranked.where(F.col("r_t") <= k)
+        .groupBy("tgt_id")
+        .agg(F.expr(f"CAST(sum(c) div {k} AS BIGINT)").alias("nb_t"))
+    )
+    margined = (
+        ranked.join(F.broadcast(avg_s), "src_id")
+        .join(F.broadcast(avg_t), "tgt_id")
+        .withColumn(
+            "margin_milli",
+            F.expr("CASE WHEN nb_s + nb_t > 0 THEN (2000 * c) div (nb_s + nb_t) END")
+            .cast("long"),
+        )
+    )
+    w_best = Window.partitionBy("src_id").orderBy(
+        F.desc("margin_milli"), F.asc("tgt_id")
+    )
+    return (
+        margined.withColumn("rn", F.row_number().over(w_best))
+        .where((F.col("rn") == 1) & (F.col("margin_milli") >= min_margin_milli))
+        .select(
+            "src_id", "tgt_id", F.col("c").alias("cos_e6"), "margin_milli"
+        )
+    )

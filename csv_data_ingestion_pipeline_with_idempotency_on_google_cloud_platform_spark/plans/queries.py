@@ -7823,6 +7823,66 @@ FROM k
 """
 
 
+def q_margin_knn_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84 (round 6): margin-based cross-group nearest-neighbor mining
+    (operators/similarity.py:margin_knn_match, per Artetxe & Schwenk
+    ACL'19 — the CCMatrix bitext-mining criterion): best label-0 →
+    label-1 match per source scored by ratio margin over both sides'
+    k-NN neighborhood means; hubness-suppressed. Quantized integer
+    cosines (cos_e6), integer margins. Full oracle."""
+    from ..operators.similarity import margin_knn_match
+
+    return margin_knn_match(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_MARGIN_KNN_MATCH = r"""
+WITH vq AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings WHERE label IN (0, 1)
+), comps AS (
+  SELECT vec_id, label, CAST(u.c AS BIGINT) AS c, v[u.c] AS x
+  FROM vq CROSS JOIN (SELECT UNNEST(range(1, 65)) AS c) u
+), n2 AS (
+  SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2 FROM comps GROUP BY 1
+), dots AS (
+  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, CAST(SUM(s.x * t.x) AS BIGINT) AS dot
+  FROM comps s JOIN comps t ON t.c = s.c AND s.label = 0 AND t.label = 1
+  GROUP BY 1, 2
+), cq AS (
+  SELECT d.src_id, d.tgt_id,
+         CAST(floor(1000000.0 * CAST(d.dot AS DOUBLE)
+              / sqrt(CAST(ns.n2 AS DOUBLE) * CAST(nt.n2 AS DOUBLE))) AS BIGINT) AS c
+  FROM dots d
+  JOIN n2 ns ON ns.vec_id = d.src_id AND ns.n2 > 0
+  JOIN n2 nt ON nt.vec_id = d.tgt_id AND nt.n2 > 0
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY c DESC, tgt_id) AS r_s,
+         ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY c DESC, src_id) AS r_t
+  FROM cq
+), nbs AS (
+  SELECT src_id, CAST(SUM(c) // 4 AS BIGINT) AS nb_s FROM ranked WHERE r_s <= 4 GROUP BY 1
+), nbt AS (
+  SELECT tgt_id, CAST(SUM(c) // 4 AS BIGINT) AS nb_t FROM ranked WHERE r_t <= 4 GROUP BY 1
+), marg AS (
+  SELECT r.src_id, r.tgt_id, r.c,
+         CAST(CASE WHEN nb_s + nb_t > 0
+              THEN (CAST(2000 AS BIGINT) * r.c) // (nb_s + nb_t) END AS BIGINT) AS margin_milli
+  FROM ranked r
+  JOIN nbs ON nbs.src_id = r.src_id
+  JOIN nbt ON nbt.tgt_id = r.tgt_id
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                               ORDER BY margin_milli DESC, tgt_id) AS rn
+  FROM marg
+)
+SELECT src_id, tgt_id, c AS cos_e6, margin_milli
+FROM best WHERE rn = 1 AND margin_milli >= 1020
+"""
+
+
 def q_substring_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X83 (round 6): character-level substring duplication screen via
     0-mod-p k-gram fingerprint sampling
@@ -8515,6 +8575,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mrr_recall_eval": q_mrr_recall_eval,
     "token_yield_report": q_token_yield_report,
     "substring_fingerprint_dups": q_substring_fingerprint_dups,
+    "margin_knn_match": q_margin_knn_match,
 }
 
 
@@ -8716,6 +8777,7 @@ ORACLE_SQL: dict[str, str] = {
     "mrr_recall_eval": SQL_MRR_RECALL_EVAL,
     "token_yield_report": SQL_TOKEN_YIELD_REPORT,
     "substring_fingerprint_dups": SQL_SUBSTRING_FINGERPRINT_DUPS,
+    "margin_knn_match": SQL_MARGIN_KNN_MATCH,
 }
 
 
@@ -8734,6 +8796,7 @@ R6_WINDOW: list[str] = [
     "mrr_recall_eval",
     "token_yield_report",
     "substring_fingerprint_dups",
+    "margin_knn_match",
     # r1-witnessed backfill (evidence age: round 1)
     "csv_scan",
     "suffix_filter",
@@ -8778,7 +8841,6 @@ R6_WINDOW: list[str] = [
     "tpch_q1",
     "asof_join",
     "json_roundtrip",
-    "hash_split",
 ]
 
 _window_missing = [n for n in R6_WINDOW if n not in _REGISTRY]

@@ -542,3 +542,34 @@ def test_substring_fingerprint_dups_hot_cap(spark):
         "doc_id long, text string",
     )
     assert dedup.substring_fingerprint_dups(docs, max_bucket_size=10).count() == 0
+
+
+def test_margin_knn_match_prefers_specific_neighbor(spark):
+    """A planted near-parallel cross-group pair wins with a high
+    margin, while a 'hub' target (near the group centroid, similar to
+    EVERYTHING) is suppressed by its own neighborhood denominator —
+    the Artetxe-margin property that plain nearest-neighbor lacks."""
+    import random
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.similarity import (
+        margin_knn_match,
+    )
+
+    rng = random.Random(11)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    rows = []
+    # src group (label 0): one planted vector + noise
+    rows.append((1, [x + rng.gauss(0, 0.02) for x in base], 0))
+    for i in range(2, 12):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)], 0))
+    # tgt group (label 1): the planted twin + noise
+    rows.append((101, [x + rng.gauss(0, 0.02) for x in base], 1))
+    for i in range(102, 112):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["src_id"]: r for r in margin_knn_match(emb).collect()}
+    assert 1 in out and out[1]["tgt_id"] == 101
+    assert out[1]["cos_e6"] > 990000  # near-parallel
+    assert out[1]["margin_milli"] > 1500  # far above neighborhood mean
+    # random srcs rarely clear the margin bar; the planted one dominates
+    assert all(r["margin_milli"] >= 1020 for r in out.values())
