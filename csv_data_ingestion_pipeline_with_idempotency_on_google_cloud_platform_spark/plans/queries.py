@@ -8797,6 +8797,10 @@ R6_WINDOW: list[str] = [
     "token_yield_report",
     "substring_fingerprint_dups",
     "margin_knn_match",
+    # round-6 promotions (rows-only -> full oracle; zero oracle-driver
+    # evidence before this round, so they outrank stale-but-green rows)
+    "chunk_documents",
+    "temperature_mix",
     # r1-witnessed backfill (evidence age: round 1)
     "csv_scan",
     "suffix_filter",
@@ -8823,9 +8827,7 @@ R6_WINDOW: list[str] = [
     "sliding_window_agg",
     "pivot_event_counts",
     "cube_agg",
-    "distinct_agg",
     "order_quartiles",
-    "set_ops",
     "join_revenue_rollup",
     "pack_sequences",
     "topk_cosine",
