@@ -7883,6 +7883,53 @@ FROM best WHERE rn = 1 AND margin_milli >= 1020
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85 (round 6): Gopher-style rule-based quality gates
+    (operators/textstats.py:gopher_rules, per Rae et al. 2021 Table A1)
+    — the seven classic pass/fail document filters (word count, mean
+    word length, symbol ratio, bullet/ellipsis lines, alpha-word
+    fraction, stopword hits) as exact cross-multiplied integer
+    comparisons plus the conjunctive keep bit. Full oracle."""
+    from ..operators.textstats import gopher_rules
+
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+SQL_GOPHER_RULES = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS wc,
+         string_split(text, chr(10)) AS lines,
+         CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS BIGINT) AS ns
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         wc, ns,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS nb,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS ne,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS na,
+         CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                              w -> list_contains(list_transform(toks, y -> lower(y)), w))) AS BIGINT) AS nstop
+  FROM base
+)
+SELECT doc_id, n_words, n_lines,
+       CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS r_word_count,
+       CAST(n_words > 0 AND 3 * n_words <= wc AND wc <= 10 * n_words AS INTEGER) AS r_mean_word_len,
+       CAST(10 * ns <= n_words AS INTEGER) AS r_symbol_ratio,
+       CAST(10 * nb < 9 * n_lines AS INTEGER) AS r_bullet_lines,
+       CAST(10 * ne < 3 * n_lines AS INTEGER) AS r_ellipsis_lines,
+       CAST(n_words > 0 AND 5 * na >= 4 * n_words AS INTEGER) AS r_alpha_words,
+       CAST(nstop >= 2 AS INTEGER) AS r_stopwords,
+       r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_lines
+         * r_ellipsis_lines * r_alpha_words * r_stopwords AS gopher_keep
+FROM d
+"""
+
+
 def q_substring_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X83 (round 6): character-level substring duplication screen via
     0-mod-p k-gram fingerprint sampling
@@ -8576,6 +8623,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_yield_report": q_token_yield_report,
     "substring_fingerprint_dups": q_substring_fingerprint_dups,
     "margin_knn_match": q_margin_knn_match,
+    "gopher_rules": q_gopher_rules,
 }
 
 
@@ -8778,6 +8826,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_yield_report": SQL_TOKEN_YIELD_REPORT,
     "substring_fingerprint_dups": SQL_SUBSTRING_FINGERPRINT_DUPS,
     "margin_knn_match": SQL_MARGIN_KNN_MATCH,
+    "gopher_rules": SQL_GOPHER_RULES,
 }
 
 
@@ -8797,6 +8846,7 @@ R6_WINDOW: list[str] = [
     "token_yield_report",
     "substring_fingerprint_dups",
     "margin_knn_match",
+    "gopher_rules",
     # round-6 promotions (rows-only -> full oracle; zero oracle-driver
     # evidence before this round, so they outrank stale-but-green rows)
     "chunk_documents",
@@ -8831,7 +8881,6 @@ R6_WINDOW: list[str] = [
     "join_revenue_rollup",
     "pack_sequences",
     "topk_cosine",
-    "topk_cosine_batch",
     "percentile_value",
     "doc_fingerprint",
     "media_features",

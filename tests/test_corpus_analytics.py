@@ -510,3 +510,39 @@ def test_token_yield_report_planted_dups(spark):
     assert r["tokens_after_quality"] == 4    # digit doc's 5 gone
     assert r["dedup_yield_milli"] == (1000 * 9) // 13
     assert r["final_yield_milli"] == (1000 * 4) // 13
+
+
+def test_gopher_rules_each_gate(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        gopher_rules,
+    )
+
+    good = "the quick brown fox jumps over that lazy dog again " * 6  # 60 words
+    cases = {
+        0: good,                                     # passes all 7
+        1: "the short one with that",                # word-count fail only
+        2: ("a b c d " * 15) + "the of and that have with",  # mean word len < 3
+        3: good + " ### # ## " + "# " * 10,          # symbol ratio fail
+        4: "\n".join(["- bullet line"] * 9 + [good]),  # 9/10 bullet lines
+        5: "\n".join(["ends with dots..."] * 3 + [good] * 4),  # 3/7 ellipsis
+        6: good + " " + "12345 " * 70,               # alpha-word frac < 0.8
+        7: ("zork blarg quux " * 20),                 # no stopwords
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in sorted(cases.items())], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+
+    assert rows[0]["gopher_keep"] == 1
+    assert all(v == 1 for k, v in rows[0].items() if k.startswith("r_"))
+    assert rows[1]["r_word_count"] == 0 and rows[1]["gopher_keep"] == 0
+    assert sum(v for k, v in rows[1].items() if k.startswith("r_")) == 6
+    assert rows[2]["r_mean_word_len"] == 0
+    assert rows[3]["r_symbol_ratio"] == 0
+    assert rows[4]["r_bullet_lines"] == 0 and rows[4]["n_lines"] == 10
+    assert rows[5]["r_ellipsis_lines"] == 0
+    assert rows[6]["r_alpha_words"] == 0
+    assert rows[7]["r_stopwords"] == 0
+    # every failing case flips ONLY its target rule off plus keep
+    for i in (2, 3, 4, 5, 6, 7):
+        assert rows[i]["gopher_keep"] == 0
