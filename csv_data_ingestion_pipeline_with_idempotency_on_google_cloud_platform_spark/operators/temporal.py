@@ -1011,3 +1011,73 @@ def holt_winters_forecast(
         .cast("long")
         .alias("forecast_milli"),
     )
+
+
+def interval_merge(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    id_col: str = "o_orderkey",
+    value_col: str = "o_totalprice",
+    span_days: int = 7,
+) -> DataFrame:
+    """Merge overlapping per-key activity intervals into episodes
+    (round 6) — the gaps-and-islands primitive behind session stitching,
+    coverage calendars, and PII span coalescing: each order opens a
+    half-open interval [day, day + span_days); intervals that overlap
+    (gap < span_days) merge into one episode, a gap >= span_days starts
+    a new one.
+
+    Integer-exact: days since 1970-01-01 as BIGINT, the island flag is
+    `day >= running_max(prior interval ends)` (classic ROWS UNBOUNDED
+    PRECEDING .. 1 PRECEDING max), the episode id a running sum of
+    flags — every decision an integer comparison, so islands replay
+    identically in any engine.
+
+    Scale shape: one shuffle on the key (both windows and the final
+    groupBy share the (key, day, id) sort — a single Exchange+Sort
+    pipeline), per-key state is the window frame only. No self-join,
+    no explode: linear in rows, parallel across keys.
+
+    Returns (key, episode_start, episode_end, n_orders,
+    total_value_cents) — the value sum in exact integer cents.
+    """
+    base = orders.select(
+        F.col(key_col).alias("k"),
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).cast("long").alias("d"),
+        F.col(id_col).alias("i"),
+        F.col(value_col).alias("v"),
+    )
+    w = Window.partitionBy("k").orderBy("d", "i")
+    prev_end = F.max(F.col("d") + span_days).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.withColumn(
+        "__new",
+        F.when(prev_end.isNull() | (F.col("d") >= prev_end), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ep = flagged.groupBy("k", "__island").agg(
+        F.min("d").alias("__s"),
+        F.max(F.col("d") + span_days).alias("__e"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("v") * 100).cast("long")).cast("long").alias(
+            "total_value_cents"
+        ),
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    return ep.select(
+        F.col("k").alias(key_col),
+        F.date_format(F.date_add(epoch, F.col("__s").cast("int")), "yyyy-MM-dd").alias(
+            "episode_start"
+        ),
+        F.date_format(F.date_add(epoch, F.col("__e").cast("int")), "yyyy-MM-dd").alias(
+            "episode_end"
+        ),
+        "n_orders",
+        "total_value_cents",
+    )

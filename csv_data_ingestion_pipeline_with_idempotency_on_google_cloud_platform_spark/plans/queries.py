@@ -7930,6 +7930,46 @@ FROM d
 """
 
 
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86 (round 6): gaps-and-islands interval merge
+    (operators/temporal.py:interval_merge) — per-customer order
+    intervals [day, day+7) coalesced into activity episodes via the
+    running-max-of-prior-ends island flag; integer epoch-day
+    comparisons and exact cent sums end to end. Full oracle."""
+    from ..operators.temporal import interval_merge
+
+    return interval_merge(load_table(spark, sf_dir, "orders"))
+
+
+SQL_INTERVAL_MERGE = r"""
+WITH base AS (
+  SELECT o_custkey AS k,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         o_orderkey AS i,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), flagged AS (
+  SELECT k, d, i, cents,
+         CASE WHEN max(d + 7) OVER w1 IS NULL OR d >= max(d + 7) OVER w1
+              THEN 1 ELSE 0 END AS newi
+  FROM base
+  WINDOW w1 AS (PARTITION BY k ORDER BY d, i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl AS (
+  SELECT k, d, cents,
+         SUM(newi) OVER (PARTITION BY k ORDER BY d, i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT k AS o_custkey,
+       strftime(DATE '1970-01-01' + CAST(MIN(d) AS INTEGER), '%Y-%m-%d') AS episode_start,
+       strftime(DATE '1970-01-01' + CAST(MAX(d + 7) AS INTEGER), '%Y-%m-%d') AS episode_end,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_value_cents
+FROM isl GROUP BY k, island
+"""
+
+
 def q_substring_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X83 (round 6): character-level substring duplication screen via
     0-mod-p k-gram fingerprint sampling
@@ -8624,6 +8664,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_fingerprint_dups": q_substring_fingerprint_dups,
     "margin_knn_match": q_margin_knn_match,
     "gopher_rules": q_gopher_rules,
+    "interval_merge": q_interval_merge,
 }
 
 
@@ -8827,6 +8868,7 @@ ORACLE_SQL: dict[str, str] = {
     "substring_fingerprint_dups": SQL_SUBSTRING_FINGERPRINT_DUPS,
     "margin_knn_match": SQL_MARGIN_KNN_MATCH,
     "gopher_rules": SQL_GOPHER_RULES,
+    "interval_merge": SQL_INTERVAL_MERGE,
 }
 
 
@@ -8847,6 +8889,7 @@ R6_WINDOW: list[str] = [
     "substring_fingerprint_dups",
     "margin_knn_match",
     "gopher_rules",
+    "interval_merge",
     # round-6 promotions (rows-only -> full oracle; zero oracle-driver
     # evidence before this round, so they outrank stale-but-green rows)
     "chunk_documents",
@@ -8885,7 +8928,6 @@ R6_WINDOW: list[str] = [
     "doc_fingerprint",
     "media_features",
     "media_frames",
-    "media_resize",
     "bpe_token_stats",
     "embedding_centroids",
     # r2-witnessed backfill (evidence age: round 2)

@@ -270,3 +270,40 @@ def test_temperature_mix_keeps_null_stratum(spark):
     kept = temperature_mix(df, key="doc_id", stratum="lang", temperature=1.0)
     assert kept.count() == 60
     assert kept.filter(F.col("lang").isNull()).count() == 20
+
+
+def test_interval_merge_islands(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        interval_merge,
+    )
+
+    rows = [
+        # cust 1: days 0,3,6 chain-overlap (span 7) -> one episode [0, 13)
+        (1, "1970-01-01", 10, 1.00),
+        (1, "1970-01-04", 11, 2.00),
+        (1, "1970-01-07", 12, 3.25),
+        # cust 1: day 13 == running max end 13 -> gap == span, new episode
+        (1, "1970-01-14", 13, 4.00),
+        # cust 2: single order
+        (2, "1970-02-01", 20, 9.99),
+        # cust 3: same-day orders merge regardless of tie order
+        (3, "1970-03-01", 30, 1.00),
+        (3, "1970-03-01", 31, 1.00),
+    ]
+    df = spark.createDataFrame(
+        [(k, d, i, v) for k, d, i, v in rows],
+        "o_custkey long, o_orderdate string, o_orderkey long, o_totalprice double",
+    )
+    got = {
+        (r["o_custkey"], r["episode_start"]): r.asDict()
+        for r in interval_merge(df).collect()
+    }
+    assert len(got) == 4
+    e1 = got[(1, "1970-01-01")]
+    assert e1["episode_end"] == "1970-01-14" and e1["n_orders"] == 3
+    assert e1["total_value_cents"] == 625
+    e2 = got[(1, "1970-01-14")]
+    assert e2["episode_end"] == "1970-01-21" and e2["n_orders"] == 1
+    assert got[(2, "1970-02-01")]["n_orders"] == 1
+    e3 = got[(3, "1970-03-01")]
+    assert e3["n_orders"] == 2 and e3["episode_end"] == "1970-03-08"
