@@ -682,3 +682,61 @@ def funnel_time_percentiles(
         F.round(F.expr("percentile(d_us, 0.75)") / 1000000.0, 6).alias("p75_s"),
         F.round(F.expr("percentile(d_us, 0.9)") / 1000000.0, 6).alias("p90_s"),
     )
+
+
+def active_user_rollup(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    wau_days: int = 7,
+    mau_days: int = 30,
+) -> DataFrame:
+    """DAU / WAU / MAU per day (round 6): exact trailing-window distinct
+    users — the engagement headline every events product reports, and
+    the canonical "COUNT(DISTINCT) over a sliding window" that plain
+    window functions cannot express.
+
+    Scale rewrite: never re-scan a 30-day window per day. Collapse
+    events to distinct user-days (orders of magnitude smaller than
+    events), fan each user-day out to the ``mau_days`` report days it
+    can serve (offset explode), keep each user's MIN offset per report
+    day, then one groupBy counts dau (min offset 0), wau (< wau_days),
+    mau (all) without any COUNT(DISTINCT). Shuffles are user-day-sized:
+    dedup, (day, user) min-offset combine, per-day rollup — each
+    map-side combined. Report days past the last observed day are
+    dropped via a broadcast 1-row max.
+
+    Returns (day, dau, wau, mau), exact integers.
+    """
+    base = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).cast("long").alias("d"),
+        F.col(user_col).alias("u"),
+    )
+    ud = base.distinct()
+    mx = ud.agg(F.max("d").alias("__mxd"))
+    contrib = ud.select(
+        "u",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(mau_days - 1))).alias("off"),
+    ).select((F.col("d") + F.col("off")).alias("td"), "u", "off")
+    per_user = contrib.groupBy("td", "u").agg(F.min("off").alias("mo"))
+    rolled = per_user.groupBy("td").agg(
+        F.count(F.when(F.col("mo") == 0, F.lit(1))).cast("long").alias("dau"),
+        F.count(F.when(F.col("mo") < wau_days, F.lit(1))).cast("long").alias("wau"),
+        F.count(F.lit(1)).cast("long").alias("mau"),
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    return (
+        rolled.join(F.broadcast(mx))
+        .where(F.col("td") <= F.col("__mxd"))
+        .select(
+            F.date_format(
+                F.date_add(epoch, F.col("td").cast("int")), "yyyy-MM-dd"
+            ).alias("day"),
+            "dau",
+            "wau",
+            "mau",
+        )
+    )

@@ -7970,6 +7970,41 @@ FROM isl GROUP BY k, island
 """
 
 
+def q_active_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87 (round 6): DAU/WAU/MAU trailing-window distinct-user rollup
+    (operators/windows.py:active_user_rollup) — the sliding
+    COUNT(DISTINCT) rewritten as user-day dedup + bounded offset
+    fan-out + min-offset rollup, no per-day rescans. Full oracle."""
+    from ..operators.windows import active_user_rollup
+
+    return active_user_rollup(load_table(spark, sf_dir, "events"))
+
+
+SQL_ACTIVE_USER_ROLLUP = r"""
+WITH ud AS (
+  SELECT DISTINCT
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         user_id AS u
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), mx AS (SELECT MAX(d) AS mxd FROM ud),
+contrib AS (
+  SELECT d + o.off AS td, u, o.off
+  FROM ud CROSS JOIN (SELECT UNNEST(range(30)) AS off) o
+), per_user AS (
+  SELECT td, u, MIN(off) AS mo FROM contrib GROUP BY 1, 2
+), rolled AS (
+  SELECT td,
+         CAST(SUM(CASE WHEN mo = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+         CAST(SUM(CASE WHEN mo < 7 THEN 1 ELSE 0 END) AS BIGINT) AS wau,
+         CAST(COUNT(*) AS BIGINT) AS mau
+  FROM per_user GROUP BY 1
+)
+SELECT strftime(DATE '1970-01-01' + CAST(td AS INTEGER), '%Y-%m-%d') AS day,
+       dau, wau, mau
+FROM rolled, mx WHERE td <= mxd
+"""
+
+
 def q_substring_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X83 (round 6): character-level substring duplication screen via
     0-mod-p k-gram fingerprint sampling
@@ -8665,6 +8700,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "margin_knn_match": q_margin_knn_match,
     "gopher_rules": q_gopher_rules,
     "interval_merge": q_interval_merge,
+    "active_user_rollup": q_active_user_rollup,
 }
 
 
@@ -8869,6 +8905,7 @@ ORACLE_SQL: dict[str, str] = {
     "margin_knn_match": SQL_MARGIN_KNN_MATCH,
     "gopher_rules": SQL_GOPHER_RULES,
     "interval_merge": SQL_INTERVAL_MERGE,
+    "active_user_rollup": SQL_ACTIVE_USER_ROLLUP,
 }
 
 
@@ -8890,6 +8927,7 @@ R6_WINDOW: list[str] = [
     "margin_knn_match",
     "gopher_rules",
     "interval_merge",
+    "active_user_rollup",
     # round-6 promotions (rows-only -> full oracle; zero oracle-driver
     # evidence before this round, so they outrank stale-but-green rows)
     "chunk_documents",
@@ -8917,7 +8955,6 @@ R6_WINDOW: list[str] = [
     "props_json_extract",
     "tumbling_window_agg",
     "session_window_agg",
-    "sliding_window_agg",
     "pivot_event_counts",
     "cube_agg",
     "order_quartiles",

@@ -1,0 +1,35 @@
+"""Behavior tests for the round-6 session-2 operators (X87+): planted
+micro-fixtures pinning the window semantics the DuckDB oracle states
+only implicitly."""
+
+from __future__ import annotations
+
+
+def test_active_user_rollup_window_semantics(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        active_user_rollup,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # u1: day 0 only
+        (2, "2024-01-01 11:00:00"),  # u2: days 0 and 7
+        (2, "2024-01-08 11:00:00"),
+        (3, "2024-01-30 09:00:00"),  # u3 extends the report horizon
+    ]
+    df = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id long, ts string"
+    ).selectExpr("user_id", "cast(ts as timestamp) as ts")
+    got = {r["day"]: r.asDict() for r in active_user_rollup(df).collect()}
+
+    assert len(got) == 30  # Jan 1 .. Jan 30 inclusive, nothing past max
+    assert (got["2024-01-01"]["dau"], got["2024-01-01"]["wau"], got["2024-01-01"]["mau"]) == (2, 2, 2)
+    # day 7 (Jan 8): u1's offset is 7 -> out of WAU; u2 re-active
+    assert (got["2024-01-08"]["dau"], got["2024-01-08"]["wau"], got["2024-01-08"]["mau"]) == (1, 1, 2)
+    # Jan 7: both still within the 7-day window
+    assert got["2024-01-07"]["wau"] == 2 and got["2024-01-07"]["dau"] == 0
+    # Jan 30: u1 offset 29 (MAU edge, in), u2 offset 22, u3 active
+    assert (got["2024-01-30"]["dau"], got["2024-01-30"]["wau"], got["2024-01-30"]["mau"]) == (1, 1, 3)
+    # quiet middle days: trailing windows still count; Jan 14 is u2's
+    # last WAU day (offset 6 from Jan 8), Jan 15 the first without
+    assert (got["2024-01-14"]["dau"], got["2024-01-14"]["wau"], got["2024-01-14"]["mau"]) == (0, 1, 2)
+    assert (got["2024-01-15"]["dau"], got["2024-01-15"]["wau"], got["2024-01-15"]["mau"]) == (0, 0, 2)
