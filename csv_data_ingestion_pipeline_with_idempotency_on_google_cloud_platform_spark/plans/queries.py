@@ -8005,6 +8005,70 @@ FROM rolled, mx WHERE td <= mxd
 """
 
 
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88 (round 6): blocking-quality evaluation of the MinHash-LSH
+    candidate stage (operators/dedup.py:minhash_blocking_eval, per
+    Christen 2012) — pairs completeness vs EXACT 2-shingle Jaccard
+    truth and reduction ratio vs the all-pairs space, both integer
+    milli on the md5-seeded engine-replayable pipeline. Full oracle."""
+    return dedup.minhash_blocking_eval(load_table(spark, sf_dir, "documents"))
+
+
+SQL_BLOCKING_EVAL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS t
+  FROM documents
+), starts AS (
+  SELECT doc_id, t, UNNEST(range(1, greatest(len(t) - 1, 1) + 1)) AS i FROM toks
+), shingles AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS s FROM starts
+), hashes AS (
+  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || s) AS h
+  FROM shingles CROSS JOIN (SELECT UNNEST(range(0, 16)) AS seed) seeds
+), sigs AS (
+  SELECT doc_id, seed, MIN(h) AS sig FROM hashes GROUP BY 1, 2
+), bands AS (
+  SELECT doc_id, seed // 4 AS band, string_agg(sig, '|' ORDER BY seed) AS bkey
+  FROM sigs GROUP BY 1, 2
+), okbuckets AS (
+  SELECT band, bkey FROM bands GROUP BY 1, 2
+  HAVING COUNT(*) BETWEEN 2 AND 50
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  JOIN okbuckets ok ON ok.band = a.band AND ok.bkey = a.bkey
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(1000 AS BIGINT) * i.ni >= CAST(500 AS BIGINT) * (sa.n + sb.n - i.ni)
+), m AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS n_docs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+          JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_captured
+)
+SELECT n_docs,
+       (n_docs * (n_docs - 1)) // 2 AS total_pairs,
+       n_true_pairs, n_candidate_pairs, n_captured,
+       (CAST(1000 AS BIGINT) * n_captured) // greatest(n_true_pairs, 1) AS pairs_completeness_milli,
+       (CAST(1000 AS BIGINT) * ((n_docs * (n_docs - 1)) // 2 - n_candidate_pairs))
+         // greatest((n_docs * (n_docs - 1)) // 2, 1) AS reduction_ratio_milli
+FROM m
+"""
+
+
 def q_substring_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X83 (round 6): character-level substring duplication screen via
     0-mod-p k-gram fingerprint sampling
@@ -8701,6 +8765,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_rules": q_gopher_rules,
     "interval_merge": q_interval_merge,
     "active_user_rollup": q_active_user_rollup,
+    "blocking_eval": q_blocking_eval,
 }
 
 
@@ -8906,6 +8971,7 @@ ORACLE_SQL: dict[str, str] = {
     "gopher_rules": SQL_GOPHER_RULES,
     "interval_merge": SQL_INTERVAL_MERGE,
     "active_user_rollup": SQL_ACTIVE_USER_ROLLUP,
+    "blocking_eval": SQL_BLOCKING_EVAL,
 }
 
 
@@ -8928,6 +8994,7 @@ R6_WINDOW: list[str] = [
     "gopher_rules",
     "interval_merge",
     "active_user_rollup",
+    "blocking_eval",
     # round-6 promotions (rows-only -> full oracle; zero oracle-driver
     # evidence before this round, so they outrank stale-but-green rows)
     "chunk_documents",
@@ -8964,7 +9031,6 @@ R6_WINDOW: list[str] = [
     "percentile_value",
     "doc_fingerprint",
     "media_features",
-    "media_frames",
     "bpe_token_stats",
     "embedding_centroids",
     # r2-witnessed backfill (evidence age: round 2)

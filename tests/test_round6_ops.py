@@ -33,3 +33,57 @@ def test_active_user_rollup_window_semantics(spark):
     # last WAU day (offset 6 from Jan 8), Jan 15 the first without
     assert (got["2024-01-14"]["dau"], got["2024-01-14"]["wau"], got["2024-01-14"]["mau"]) == (0, 1, 2)
     assert (got["2024-01-15"]["dau"], got["2024-01-15"]["wau"], got["2024-01-15"]["mau"]) == (0, 0, 2)
+
+
+def test_blocking_eval_identities(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.dedup import (
+        minhash_blocking_eval,
+    )
+
+    # 3 exact-duplicate pairs + 4 unrelated docs
+    dups = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "red green blue yellow purple orange cyan pink",
+    ]
+    uniq = [
+        "completely different words appear in this document text",
+        "spark catalyst tungsten shuffle partition broadcast join",
+        "quick brown fox jumps over the lazy sleeping dog",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit",
+    ]
+    texts = [t for d in dups for t in (d, d)] + uniq
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    row = minhash_blocking_eval(df).collect()[0].asDict()
+    assert row["n_docs"] == 10
+    assert row["total_pairs"] == 45
+    # identical docs share every shingle -> truth catches all 3 pairs,
+    # and identical signatures collide in every band -> all captured
+    assert row["n_true_pairs"] == 3
+    assert row["n_captured"] == 3
+    assert row["pairs_completeness_milli"] == 1000
+    assert row["n_candidate_pairs"] >= 3
+    assert row["reduction_ratio_milli"] <= 1000
+    # captured is bounded by both sides
+    assert row["n_captured"] <= min(row["n_true_pairs"], row["n_candidate_pairs"])
+
+
+def test_blocking_eval_no_dups_corpus(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.dedup import (
+        minhash_blocking_eval,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "aa bb cc dd ee"),
+            (1, "ff gg hh ii jj"),
+            (2, "kk ll mm nn oo"),
+        ],
+        "doc_id long, text string",
+    )
+    row = minhash_blocking_eval(df).collect()[0].asDict()
+    assert row["n_true_pairs"] == 0
+    assert row["n_captured"] == 0
+    assert row["pairs_completeness_milli"] == 0  # guarded div
