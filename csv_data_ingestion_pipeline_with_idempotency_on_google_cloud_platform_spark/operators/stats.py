@@ -1121,3 +1121,78 @@ def weighted_quantiles(
             ).alias(f"wq_{q}")
         )
     return cum.groupBy("g").agg(*aggs).withColumnRenamed("g", group_col)
+
+
+def ab_power_analysis(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    type_col: str = "event_type",
+    mde_rel_milli: int = 100,
+) -> DataFrame:
+    """Two-proportion z-test power analysis (round 6): for each event
+    type, the per-arm sample size required to detect a
+    ``mde_rel_milli``/1000 relative lift over the observed arm-a
+    conversion rate at alpha=0.05 (two-sided) with 80% and 90% power —
+    the pre-experiment sizing readout that pairs with X45's
+    ab_conversion_ztest (same md5 hash arms, same per-unit conversion
+    definition).
+
+    n per arm = (z_a*sqrt(2*pb*(1-pb)) + z_b*sqrt(p1*(1-p1)+p2*(1-p2)))^2
+                / (p2-p1)^2,  pb = (p1+p2)/2
+
+    with z constants as literals (1.959964 / 0.841621 / 1.281552).
+    Counts are exact integers; the n formula is scalar double
+    arithmetic on them, rounded to 6 dp BEFORE the ceil so the integer
+    boundary cannot flip between engines, then reported alongside the
+    observed arm size as a milli coverage ratio. Degenerate baselines
+    (p1 = 0 or p2 >= 1) yield NULL sizes.
+
+    Scale shape: two distinct-collapses (units, unit-types) and one
+    per-type rollup — identical to ab_conversion_ztest; the power math
+    is per-row scalar on the |types|-row table.
+
+    Returns (event_type, users_a, conv_a, rate_a, n_req_80, n_req_90,
+    coverage_milli_80).
+    """
+    arm_a = hash_bucket_col(F.col("u"), 1) < F.lit("8")
+    units = (
+        events.select(F.col(unit_col).alias("u"))
+        .distinct()
+        .where(arm_a)
+        .agg(F.count(F.lit(1)).cast("long").alias("users_a"))
+    )
+    conv = (
+        events.select(F.col(type_col).alias("event_type"), F.col(unit_col).alias("u"))
+        .distinct()
+        .where(arm_a)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("conv_a"))
+    )
+    j = conv.crossJoin(F.broadcast(units))
+    p1 = F.col("conv_a").cast("double") / F.col("users_a").cast("double")
+    p2 = p1 * (1.0 + mde_rel_milli / 1000.0)
+    pb = (p1 + p2) / 2.0
+    za, zb80, zb90 = 1.959964, 0.841621, 1.281552
+
+    def n_req(zb: float):
+        num = (
+            za * F.sqrt(2.0 * pb * (1.0 - pb))
+            + F.lit(zb) * F.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+        ) ** 2
+        n = num / ((p2 - p1) * (p2 - p1))
+        return F.when(
+            (p1 > 0) & (p2 < 1), F.ceil(F.round(n, 6)).cast("long")
+        ).otherwise(F.lit(None).cast("long"))
+
+    base = j.select(
+        "event_type",
+        "users_a",
+        "conv_a",
+        F.round(p1, 6).alias("rate_a"),
+        n_req(zb80).alias("n_req_80"),
+        n_req(zb90).alias("n_req_90"),
+    )
+    return base.withColumn(
+        "coverage_milli_80",
+        F.expr("(1000 * users_a) div n_req_80").cast("long"),
+    )

@@ -8069,6 +8069,55 @@ FROM m
 """
 
 
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89 (round 6): two-proportion z-test power analysis
+    (operators/stats.py:ab_power_analysis) — per-arm sample size for
+    80%/90% power at a 10% relative MDE over the observed arm-a
+    conversion (same md5 hash arms as X45 ab_conversion_ztest);
+    round-before-ceil keeps the integer boundary engine-stable. Full
+    oracle."""
+    from ..operators.stats import ab_power_analysis
+
+    return ab_power_analysis(load_table(spark, sf_dir, "events"))
+
+
+SQL_AB_POWER = """
+WITH tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS users_a
+  FROM (SELECT DISTINCT user_id AS u FROM events)
+  WHERE substring(md5(CAST(u AS VARCHAR)), 1, 1) < '8'
+), conv AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS conv_a
+  FROM (SELECT DISTINCT event_type, user_id AS u FROM events)
+  WHERE substring(md5(CAST(u AS VARCHAR)), 1, 1) < '8'
+  GROUP BY 1
+), p AS (
+  SELECT event_type, users_a, conv_a,
+         CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE) AS p1,
+         CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE) * 1.1 AS p2
+  FROM conv CROSS JOIN tot
+), n AS (
+  SELECT event_type, users_a, conv_a, p1, p2, (p1 + p2) / 2.0 AS pb
+  FROM p
+), sized AS (
+  SELECT event_type, users_a, conv_a, p1,
+         CASE WHEN p1 > 0 AND p2 < 1 THEN CAST(ceil(round(
+           pow(1.959964 * sqrt(2.0 * pb * (1.0 - pb))
+               + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)
+           / ((p2 - p1) * (p2 - p1)), 6)) AS BIGINT) ELSE NULL END AS n_req_80,
+         CASE WHEN p1 > 0 AND p2 < 1 THEN CAST(ceil(round(
+           pow(1.959964 * sqrt(2.0 * pb * (1.0 - pb))
+               + 1.281552 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)
+           / ((p2 - p1) * (p2 - p1)), 6)) AS BIGINT) ELSE NULL END AS n_req_90
+  FROM n
+)
+SELECT event_type, users_a, conv_a, round(p1, 6) AS rate_a,
+       n_req_80, n_req_90,
+       CAST((CAST(1000 AS BIGINT) * users_a) // n_req_80 AS BIGINT) AS coverage_milli_80
+FROM sized
+"""
+
+
 def q_substring_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X83 (round 6): character-level substring duplication screen via
     0-mod-p k-gram fingerprint sampling
@@ -8766,6 +8815,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_merge": q_interval_merge,
     "active_user_rollup": q_active_user_rollup,
     "blocking_eval": q_blocking_eval,
+    "ab_power": q_ab_power,
 }
 
 
@@ -8972,6 +9022,7 @@ ORACLE_SQL: dict[str, str] = {
     "interval_merge": SQL_INTERVAL_MERGE,
     "active_user_rollup": SQL_ACTIVE_USER_ROLLUP,
     "blocking_eval": SQL_BLOCKING_EVAL,
+    "ab_power": SQL_AB_POWER,
 }
 
 
@@ -8995,6 +9046,7 @@ R6_WINDOW: list[str] = [
     "interval_merge",
     "active_user_rollup",
     "blocking_eval",
+    "ab_power",
     # round-6 promotions (rows-only -> full oracle; zero oracle-driver
     # evidence before this round, so they outrank stale-but-green rows)
     "chunk_documents",
@@ -9024,7 +9076,6 @@ R6_WINDOW: list[str] = [
     "session_window_agg",
     "pivot_event_counts",
     "cube_agg",
-    "order_quartiles",
     "join_revenue_rollup",
     "pack_sequences",
     "topk_cosine",

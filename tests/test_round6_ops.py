@@ -87,3 +87,31 @@ def test_blocking_eval_no_dups_corpus(spark):
     assert row["n_true_pairs"] == 0
     assert row["n_captured"] == 0
     assert row["pairs_completeness_milli"] == 0  # guarded div
+
+
+def test_ab_power_closed_form(spark):
+    import math
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        ab_power_analysis,
+    )
+
+    # 200 units; one event type converted by a deterministic subset
+    rows = [(u, "view") for u in range(200)]
+    rows += [(u, "buy") for u in range(200) if u % 5 == 0]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {r["event_type"]: r.asDict() for r in ab_power_analysis(df).collect()}
+
+    buy = got["buy"]
+    p1 = buy["conv_a"] / buy["users_a"]
+    p2, za, zb = p1 * 1.1, 1.959964, 0.841621
+    pb = (p1 + p2) / 2
+    n = (
+        za * math.sqrt(2 * pb * (1 - pb))
+        + zb * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+    ) ** 2 / (p2 - p1) ** 2
+    assert buy["n_req_80"] == math.ceil(round(n, 6))
+    assert buy["n_req_90"] > buy["n_req_80"]  # more power, more sample
+    assert buy["coverage_milli_80"] == (1000 * buy["users_a"]) // buy["n_req_80"]
+    # 100% baseline conversion is degenerate -> NULL sizes
+    assert got["view"]["n_req_80"] is None
