@@ -338,3 +338,75 @@ def hybrid_rrf_topk(
         F.desc("rrf_score"), F.asc("id")
     )
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+def rocchio_expand(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    top_terms: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rocchio pseudo-relevance-feedback query expansion (round 6):
+    take the BM25 top-k as the assumed-relevant set R, score every
+    non-query term by its aggregate relevance weight over R, and emit
+    the strongest expansion candidates — the classic PRF step
+    (Rocchio 1971; Robertson/Sparck-Jones term selection) a retrieval
+    stack runs between first-pass ranking and re-query.
+
+    Weight is tf·idf with the ODDS form of idf kept rational:
+    weight_e6 = (1e6 · tf_R(t) · (2(N−df)+1)) div (2·df+1) — exactly
+    the BM25 idf argument before the log, cross-multiplied into one
+    integer div so term ranking is bit-identical in any engine (ln
+    would put a libm ULP under a sort key). tf_R is the term's
+    occurrence count inside R; df its corpus document frequency.
+
+    Scale shape: R is ≤k ids (broadcast semi-join back to the corpus);
+    candidate terms are bounded by R's token count, broadcast to
+    filter the corpus-wide df scan; every aggregate map-side combines.
+    The only corpus-sized work is the df pass — same bound as any
+    postings build.
+
+    Returns (term, tf_rel, df, weight_e6), top `top_terms` by
+    (weight desc, term asc).
+    """
+    rel_ids = bm25_topk(
+        docs, query_terms, k, id_col=id_col, text_col=text_col
+    ).select(F.col("doc_id").alias(id_col))
+    qset = [t.lower() for t in query_terms]
+    rel_tf = (
+        docs.join(F.broadcast(rel_ids), id_col, "left_semi")
+        .select(F.explode(tokens_col(text_col)).alias("tok"))
+        .select(F.lower("tok").alias("term"))
+        .where(~F.col("term").isin(qset))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf_rel"))
+    )
+    cand = rel_tf.select("term")
+    dfreq = (
+        docs.select(
+            F.col(id_col).alias("i"), F.explode(tokens_col(text_col)).alias("tok")
+        )
+        .select("i", F.lower("tok").alias("term"))
+        .distinct()
+        .join(F.broadcast(cand), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        rel_tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "tf_rel",
+            "df",
+            F.expr(
+                "(1000000 * tf_rel * (2 * (n_docs - df) + 1)) div (2 * df + 1)"
+            )
+            .cast("long")
+            .alias("weight_e6"),
+        )
+    )
+    return scored.orderBy(F.desc("weight_e6"), F.asc("term")).limit(top_terms)

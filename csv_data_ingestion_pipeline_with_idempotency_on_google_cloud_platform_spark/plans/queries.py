@@ -2851,6 +2851,65 @@ LIMIT 10
 """
 
 
+def q_rocchio_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90 (round 6): Rocchio pseudo-relevance-feedback expansion
+    (operators/retrieval.py:rocchio_expand) — BM25 top-10 for
+    {vector, hash, join} as the relevant set, non-query terms ranked
+    by tf·odds-idf kept rational (one integer div, no log under the
+    sort key). Full oracle."""
+    from ..operators.retrieval import rocchio_expand
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rocchio_expand(docs, ["vector", "hash", "join"], k=10, top_terms=10)
+
+
+SQL_ROCCHIO_EXPAND = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+         END AS toks
+  FROM documents
+), post AS (
+  SELECT doc_id, len(toks) AS dl, lower(unnest(toks)) AS term FROM d
+), qtf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, any_value(dl) AS dl
+  FROM post WHERE term IN ('vector', 'hash', 'join') GROUP BY 1, 2
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d
+), qdf AS (
+  SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1
+), scored AS (
+  SELECT doc_id,
+         round(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+  FROM qtf JOIN qdf USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+), rel AS (
+  SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+), rel_tf AS (
+  SELECT p.term, CAST(COUNT(*) AS BIGINT) AS tf_rel
+  FROM post p JOIN rel USING (doc_id)
+  WHERE p.term NOT IN ('vector', 'hash', 'join')
+  GROUP BY 1
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM post)
+  WHERE term IN (SELECT term FROM rel_tf)
+  GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT r.term, r.tf_rel, f.df,
+       CAST((CAST(1000000 AS BIGINT) * r.tf_rel * (2 * (n.n_docs - f.df) + 1))
+            // (2 * f.df + 1) AS BIGINT) AS weight_e6
+FROM rel_tf r JOIN dfreq f USING (term) CROSS JOIN n
+ORDER BY weight_e6 DESC, term ASC
+LIMIT 10
+"""
+
+
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 cleaning: cross-document boilerplate removal
     (operators/textstats.py:remove_boilerplate) at word granularity —
@@ -8816,6 +8875,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "active_user_rollup": q_active_user_rollup,
     "blocking_eval": q_blocking_eval,
     "ab_power": q_ab_power,
+    "rocchio_expand": q_rocchio_expand,
 }
 
 
@@ -9023,6 +9083,7 @@ ORACLE_SQL: dict[str, str] = {
     "active_user_rollup": SQL_ACTIVE_USER_ROLLUP,
     "blocking_eval": SQL_BLOCKING_EVAL,
     "ab_power": SQL_AB_POWER,
+    "rocchio_expand": SQL_ROCCHIO_EXPAND,
 }
 
 
@@ -9047,6 +9108,7 @@ R6_WINDOW: list[str] = [
     "active_user_rollup",
     "blocking_eval",
     "ab_power",
+    "rocchio_expand",
     # round-6 promotions (rows-only -> full oracle; zero oracle-driver
     # evidence before this round, so they outrank stale-but-green rows)
     "chunk_documents",
@@ -9080,7 +9142,6 @@ R6_WINDOW: list[str] = [
     "pack_sequences",
     "topk_cosine",
     "percentile_value",
-    "doc_fingerprint",
     "media_features",
     "bpe_token_stats",
     "embedding_centroids",

@@ -115,3 +115,29 @@ def test_ab_power_closed_form(spark):
     assert buy["coverage_milli_80"] == (1000 * buy["users_a"]) // buy["n_req_80"]
     # 100% baseline conversion is degenerate -> NULL sizes
     assert got["view"]["n_req_80"] is None
+
+
+def test_rocchio_expand_prefers_rare_cooccurring_terms(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.retrieval import (
+        rocchio_expand,
+    )
+
+    # "signal" co-occurs with the query term only in relevant docs;
+    # "common" appears everywhere (high df -> low odds-idf)
+    rel = ["query signal common extra" for _ in range(3)]
+    noise = ["common filler words here" for _ in range(5)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rel + noise)], "doc_id long, text string"
+    )
+    got = rocchio_expand(df, ["query"], k=3, top_terms=5).collect()
+    terms = [r["term"] for r in got]
+    assert "query" not in terms  # original query excluded
+    w = {r["term"]: r["weight_e6"] for r in got}
+    # same tf_rel(3 each), but signal/extra have df=3 vs common df=8
+    assert w["signal"] > w["common"]
+    assert w["signal"] == w["extra"]
+    row = {r["term"]: r for r in got}["signal"]
+    n_docs, dfq, tf = 8, 3, 3
+    assert row["weight_e6"] == (1_000_000 * tf * (2 * (n_docs - dfq) + 1)) // (
+        2 * dfq + 1
+    )
