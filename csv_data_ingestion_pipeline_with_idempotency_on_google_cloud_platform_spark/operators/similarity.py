@@ -1003,3 +1003,108 @@ def margin_knn_match(
             "src_id", "tgt_id", F.col("c").alias("cos_e6"), "margin_milli"
         )
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    pool: int = 50,
+    lambda_milli: int = 700,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (round 6, Carbonell &
+    Goldstein SIGIR'98): diversify the top-k — greedily pick the
+    candidate maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    selected. The standard de-redundancy step after first-pass ANN
+    retrieval, and the same greedy used for diverse training-example
+    selection.
+
+    Determinism contract (full oracle): the margin_knn_match integer
+    scheme — micro-quantized vectors, exact long dot folds,
+    cos_e6 = floor(1e6·dot/√(n²·n²)) on identical integers — then
+    every greedy score is
+    (λ_milli·rel_e6 − (1000−λ_milli)·max_sim_e6) div 1000 with floor
+    semantics and (score desc, id asc) ties, so the selection replays
+    exactly as ten unrolled argmax CTEs in DuckDB.
+
+    Scale shape: relevance is the X3 broadcast-query scan; the greedy
+    runs on a top-`pool` candidate synopsis (pool ≤ 50 rows + its
+    pool² pairwise sims, both computed distributed and collected as
+    BOUNDED driver state — the kmeans-centroid convention). At corpus
+    scale the pool comes from an index probe; the greedy cost is
+    k·pool either way.
+
+    Returns (mmr_rank, vec_id, rel_e6, score_e6), k rows.
+    """
+
+    def ldot(a, b) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    vq = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0).cast("long"),
+    )
+    base = (
+        emb.select(F.col(id_col).alias("id"), vq.alias("v"))
+        .withColumn("n2", ldot(F.col("v"), F.col("v")))
+        .where(F.col("n2") > 0)
+    )
+    q = base.where(F.col("id") == query_vec_id).select(
+        F.col("v").alias("qv"), F.col("n2").alias("qn2")
+    )
+    cos = lambda d, na, nb: F.floor(  # noqa: E731
+        F.lit(1000000.0)
+        * d.cast("double")
+        / F.sqrt(na.cast("double") * nb.cast("double"))
+    ).cast("long")
+    rel = (
+        base.where(F.col("id") != query_vec_id)
+        .join(F.broadcast(q))
+        .withColumn("__dot", ldot(F.col("v"), F.col("qv")))
+        .select(
+            "id",
+            "v",
+            "n2",
+            cos(F.col("__dot"), F.col("n2"), F.col("qn2")).alias("rel_e6"),
+        )
+    )
+    cand = rel.orderBy(F.desc("rel_e6"), F.asc("id")).limit(pool)
+    a = cand.select(
+        F.col("id").alias("ia"), F.col("v").alias("va"), F.col("n2").alias("na")
+    )
+    b = cand.select(
+        F.col("id").alias("ib"), F.col("v").alias("vb"), F.col("n2").alias("nb")
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .withColumn("__dot", ldot(F.col("va"), F.col("vb")))
+        .select(
+            "ia", "ib", cos(F.col("__dot"), F.col("na"), F.col("nb")).alias("sim_e6")
+        )
+    )
+    # bounded driver synopsis: pool rows + pool^2 sims
+    rels = {r["id"]: r["rel_e6"] for r in cand.select("id", "rel_e6").collect()}
+    sim = {(r["ia"], r["ib"]): r["sim_e6"] for r in sims.collect()}
+    mu = 1000 - lambda_milli
+    selected: list[tuple[int, int, int, int]] = []
+    chosen: list[int] = []
+    for rnk in range(1, min(k, len(rels)) + 1):
+        best_id, best_score = None, None
+        for cid in sorted(rels):
+            if cid in chosen:
+                continue
+            ms = max((sim[(cid, s)] for s in chosen), default=0)
+            score = (lambda_milli * rels[cid] - mu * ms) // 1000
+            if best_score is None or score > best_score:
+                best_id, best_score = cid, score
+        selected.append((rnk, best_id, rels[best_id], best_score))
+        chosen.append(best_id)
+    return emb.sparkSession.createDataFrame(
+        selected, "mmr_rank long, vec_id long, rel_e6 long, score_e6 long"
+    )

@@ -8177,6 +8177,94 @@ FROM sized
 """
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91 (round 6): Maximal Marginal Relevance diversified top-10
+    (operators/similarity.py:mmr_rerank, per Carbonell & Goldstein
+    SIGIR'98) — greedy λ·rel − (1−λ)·max-sim selection over the top-50
+    cosine pool of query vec_id=0; margin_knn's integer cos_e6 scheme
+    and floor-div scores make the greedy replay exactly as ten
+    unrolled argmax CTEs. Full oracle."""
+    return similarity.mmr_rerank(load_table(spark, sf_dir, "embeddings"))
+
+
+def _build_mmr_sql(k: int = 10, pool: int = 50, lam: int = 700) -> str:
+    """Unrolled greedy oracle for q_mmr_rerank: sel1 is the pure-
+    relevance argmax, sel{n} re-scores the remaining pool against the
+    union of prior picks — the same integer floor-div arithmetic the
+    operator runs driver-side."""
+    mu = 1000 - lam
+    head = f"""
+WITH vq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings
+), comps AS MATERIALIZED (
+  SELECT vec_id, CAST(u.c AS BIGINT) AS c, v[u.c] AS x
+  FROM vq CROSS JOIN (SELECT UNNEST(range(1, 65)) AS c) u
+), n2 AS MATERIALIZED (
+  SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS n2 FROM comps GROUP BY 1
+  HAVING SUM(x * x) > 0
+), qc AS MATERIALIZED (
+  SELECT c, x FROM comps WHERE vec_id = 0
+), qn AS MATERIALIZED (
+  SELECT n2 AS qn2 FROM n2 WHERE vec_id = 0
+), rel AS MATERIALIZED (
+  SELECT d.vec_id,
+         CAST(floor(1000000.0 * CAST(SUM(d.x * qc.x) AS DOUBLE)
+              / sqrt(CAST(any_value(n2.n2) AS DOUBLE) * CAST(any_value(qn.qn2) AS DOUBLE))) AS BIGINT) AS rel_e6
+  FROM comps d
+  JOIN qc ON qc.c = d.c
+  JOIN n2 ON n2.vec_id = d.vec_id
+  CROSS JOIN qn
+  WHERE d.vec_id <> 0
+  GROUP BY d.vec_id
+), cand AS MATERIALIZED (
+  SELECT vec_id, rel_e6 FROM rel ORDER BY rel_e6 DESC, vec_id LIMIT {pool}
+), cc AS MATERIALIZED (
+  SELECT comps.vec_id, comps.c, comps.x FROM comps JOIN cand USING (vec_id)
+), sims AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(floor(1000000.0 * CAST(SUM(a.x * b.x) AS DOUBLE)
+              / sqrt(CAST(any_value(na.n2) AS DOUBLE) * CAST(any_value(nb.n2) AS DOUBLE))) AS BIGINT) AS sim_e6
+  FROM cc a
+  JOIN cc b ON b.c = a.c AND a.vec_id <> b.vec_id
+  JOIN n2 na ON na.vec_id = a.vec_id
+  JOIN n2 nb ON nb.vec_id = b.vec_id
+  GROUP BY 1, 2
+), sel1 AS MATERIALIZED (
+  SELECT vec_id, rel_e6,
+         CAST(({lam} * rel_e6) // 1000 AS BIGINT) AS score_e6
+  FROM cand ORDER BY rel_e6 DESC, vec_id LIMIT 1
+)"""
+    parts = [head]
+    for n in range(2, k + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, n)
+        )
+        parts.append(f""", prev{n} AS MATERIALIZED (
+  {prev_union}
+), sel{n} AS MATERIALIZED (
+  SELECT vec_id, rel_e6, score_e6 FROM (
+    SELECT c.vec_id, c.rel_e6,
+           CAST(({lam} * c.rel_e6 - {mu} * (
+             SELECT MAX(s.sim_e6) FROM sims s
+             WHERE s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM prev{n})
+           )) // 1000 AS BIGINT) AS score_e6
+    FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM prev{n})
+  ) ORDER BY score_e6 DESC, vec_id LIMIT 1
+)""")
+    tail = " UNION ALL ".join(
+        f"SELECT CAST({n} AS BIGINT) AS mmr_rank, vec_id, rel_e6, score_e6 FROM sel{n}"
+        for n in range(1, k + 1)
+    )
+    parts.append("\n" + tail)
+    return "".join(parts)
+
+
+SQL_MMR_RERANK = _build_mmr_sql()
+
+
 def q_substring_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X83 (round 6): character-level substring duplication screen via
     0-mod-p k-gram fingerprint sampling
@@ -8876,6 +8964,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blocking_eval": q_blocking_eval,
     "ab_power": q_ab_power,
     "rocchio_expand": q_rocchio_expand,
+    "mmr_rerank": q_mmr_rerank,
 }
 
 
@@ -9084,6 +9173,7 @@ ORACLE_SQL: dict[str, str] = {
     "blocking_eval": SQL_BLOCKING_EVAL,
     "ab_power": SQL_AB_POWER,
     "rocchio_expand": SQL_ROCCHIO_EXPAND,
+    "mmr_rerank": SQL_MMR_RERANK,
 }
 
 
@@ -9109,6 +9199,7 @@ R6_WINDOW: list[str] = [
     "blocking_eval",
     "ab_power",
     "rocchio_expand",
+    "mmr_rerank",
     # round-6 promotions (rows-only -> full oracle; zero oracle-driver
     # evidence before this round, so they outrank stale-but-green rows)
     "chunk_documents",
@@ -9139,7 +9230,6 @@ R6_WINDOW: list[str] = [
     "pivot_event_counts",
     "cube_agg",
     "join_revenue_rollup",
-    "pack_sequences",
     "topk_cosine",
     "percentile_value",
     "media_features",

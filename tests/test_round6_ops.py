@@ -141,3 +141,55 @@ def test_rocchio_expand_prefers_rare_cooccurring_terms(spark):
     assert row["weight_e6"] == (1_000_000 * tf * (2 * (n_docs - dfq) + 1)) // (
         2 * dfq + 1
     )
+
+
+def test_mmr_rerank_diversifies(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    # query (id 0) points along x; ids 1-3 are near-duplicates of it,
+    # id 4 is an orthogonal-ish direction with lower relevance
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.99, 0.14, 0.0],
+        2: [0.99, 0.141, 0.0],
+        3: [0.99, 0.139, 0.0],
+        4: [0.5, 0.0, 0.87],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = [
+        r.asDict() for r in mmr_rerank(df, k=3, pool=4, lambda_milli=300).collect()
+    ]
+    by_rank = {r["mmr_rank"]: r for r in got}
+    # rank 1 is pure relevance: one of the near-dups
+    assert by_rank[1]["vec_id"] in (1, 2, 3)
+    # rank 2 must jump to the diverse vector despite lower relevance
+    assert by_rank[2]["vec_id"] == 4
+    assert by_rank[2]["rel_e6"] < by_rank[1]["rel_e6"]
+    # pure-relevance order would never do that
+    rel_sorted = sorted(got, key=lambda r: (-r["rel_e6"], r["vec_id"]))
+    assert [r["vec_id"] for r in rel_sorted] != [
+        by_rank[i]["vec_id"] for i in (1, 2, 3)
+    ]
+
+
+def test_mmr_rerank_lambda_1000_is_pure_relevance(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    vecs = {
+        0: [1.0, 0.0],
+        1: [0.9, 0.1],
+        2: [0.8, 0.2],
+        3: [0.7, 0.3],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = mmr_rerank(df, k=3, pool=3, lambda_milli=1000).collect()
+    ranks = {r["mmr_rank"]: r["vec_id"] for r in got}
+    assert [ranks[1], ranks[2], ranks[3]] == [1, 2, 3]
