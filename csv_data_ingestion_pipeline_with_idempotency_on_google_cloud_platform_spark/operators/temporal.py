@@ -1081,3 +1081,109 @@ def interval_merge(
         "n_orders",
         "total_value_cents",
     )
+
+
+def dtw_distance(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Dynamic Time Warping distance between every pair of groups'
+    daily-count series (round 6) — the classic elastic similarity for
+    time series (Sakoe & Chiba 1978): unlike pointwise L1, DTW aligns
+    shifted/stretched activity patterns, the standard measure for
+    "which metrics move alike, possibly with a lag".
+
+    Exact integer DP, engine-replayable: each group's series is its
+    daily event count over its own [first, last] day range (gaps = 0,
+    all BIGINT); the n×m DP runs row-major as ONE F.aggregate fold
+    over cell indices 2..n·m with the growing DP table as the
+    accumulator — cell c = |a_i − b_j| + min(left, up, diag) with
+    boundary CASEs — identical cell order and integer min in the
+    DuckDB recursive-CTE oracle, so the distance matches bit-for-bit.
+
+    Scale shape: one daily rollup (map-side combined), one |groups|-row
+    series build, one broadcast self-join over group pairs; the DP is
+    per-pair narrow compute, O(n·m) with day-bounded series (the
+    autocorrelation bound) — never a per-cell shuffle. Group count is
+    report-sized; series length is bounded by the date range.
+
+    Returns (type_a, type_b, n_a, n_b, dtw), pairs alphabetical.
+    """
+    daily = (
+        events.where(F.col(group_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(group_col).alias("t"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    series = (
+        daily.groupBy("t")
+        .agg(
+            F.min("d").alias("mn"),
+            F.max("d").alias("mx"),
+            F.map_from_entries(F.collect_list(F.struct("d", "c"))).alias("__m"),
+        )
+        .select(
+            "t",
+            F.transform(
+                F.sequence(F.lit(0), (F.col("mx") - F.col("mn")).cast("int")),
+                lambda o: F.coalesce(
+                    F.element_at("__m", F.col("mn") + o), F.lit(0).cast("long")
+                ),
+            ).alias("s"),
+        )
+    )
+    pa = series.select(F.col("t").alias("type_a"), F.col("s").alias("a"))
+    pb = series.select(F.col("t").alias("type_b"), F.col("s").alias("b"))
+    pairs = pa.join(F.broadcast(pb), F.col("type_a") < F.col("type_b")).select(
+        "type_a",
+        "type_b",
+        "a",
+        "b",
+        F.size("a").cast("long").alias("n_a"),
+        F.size("b").cast("long").alias("n_b"),
+    )
+    m = F.col("n_b")
+    base = F.array(
+        F.abs(F.element_at("a", 1) - F.element_at("b", 1)).cast("long")
+    )
+
+    def cell(acc, k):
+        # cell index c = k (2..n*m), row-major: i=(c-1) div m + 1,
+        # j=(c-1) mod m + 1; neighbors left=c-1, up=c-m, diag=c-m-1
+        i = ((k - 1) / m).cast("long") + 1  # floor via long div on positives
+        j = ((k - 1) % m) + 1
+        cost = F.abs(
+            F.element_at("a", i.cast("int")) - F.element_at("b", j.cast("int"))
+        )
+        left = F.element_at(acc, (k - 1).cast("int"))
+        up = F.element_at(acc, (k - m).cast("int"))
+        diag = F.element_at(acc, (k - m - 1).cast("int"))
+        prev = (
+            F.when((i == 1), left)
+            .when((j == 1), up)
+            .otherwise(F.least(left, up, diag))
+        )
+        return F.concat(acc, F.array((cost + prev).cast("long")))
+
+    nm = (F.col("n_a") * F.col("n_b")).cast("long")
+    dp = F.when(
+        nm >= 2,
+        F.aggregate(
+            F.sequence(F.lit(2).cast("long"), nm),
+            base,
+            cell,
+        ),
+    ).otherwise(base)
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.element_at(dp, nm.cast("int")).alias("dtw"),
+    )

@@ -8265,6 +8265,59 @@ WITH vq AS MATERIALIZED (
 SQL_MMR_RERANK = _build_mmr_sql()
 
 
+def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92 (round 6): exact integer Dynamic Time Warping between every
+    pair of event types' daily-count series
+    (operators/temporal.py:dtw_distance, per Sakoe & Chiba 1978) — the
+    n×m DP as a row-major F.aggregate fold whose cell order and
+    integer min replay exactly in the DuckDB recursive-CTE oracle.
+    Full oracle."""
+    from ..operators.temporal import dtw_distance
+
+    return dtw_distance(load_table(spark, sf_dir, "events"))
+
+
+SQL_DTW_DISTANCE = r"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type AS t,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), bounds AS MATERIALIZED (
+  SELECT t, MIN(d) AS mn, MAX(d) AS mx FROM daily GROUP BY 1
+), grid AS MATERIALIZED (
+  SELECT b.t, b.mn + u.o AS d
+  FROM bounds b CROSS JOIN LATERAL (SELECT UNNEST(range(0, b.mx - b.mn + 1)) AS o) u
+), series AS MATERIALIZED (
+  SELECT g.t, list(COALESCE(daily.c, 0) ORDER BY g.d) AS s
+  FROM grid g LEFT JOIN daily ON daily.t = g.t AND daily.d = g.d
+  GROUP BY 1
+), pairs AS MATERIALIZED (
+  SELECT pa.t AS type_a, pb.t AS type_b, pa.s AS a, pb.s AS b,
+         CAST(len(pa.s) AS BIGINT) AS n_a, CAST(len(pb.s) AS BIGINT) AS n_b
+  FROM series pa JOIN series pb ON pa.t < pb.t
+), dp AS (
+  SELECT type_a, type_b, a, b, n_a, n_b, CAST(1 AS BIGINT) AS k,
+         [abs(a[1] - b[1])] AS t
+  FROM pairs
+  UNION ALL
+  SELECT type_a, type_b, a, b, n_a, n_b, k + 1,
+         list_append(t,
+           abs(a[CAST(k // n_b AS INTEGER) + 1] - b[CAST(k % n_b AS INTEGER) + 1])
+           + CASE WHEN k // n_b + 1 = 1 THEN t[CAST(k AS INTEGER)]
+                  WHEN k % n_b + 1 = 1 THEN t[CAST(k + 1 - n_b AS INTEGER)]
+                  ELSE least(t[CAST(k AS INTEGER)],
+                             t[CAST(k + 1 - n_b AS INTEGER)],
+                             t[CAST(k - n_b AS INTEGER)]) END)
+  FROM dp WHERE k < n_a * n_b
+)
+SELECT type_a, type_b, n_a, n_b,
+       CAST(t[CAST(n_a * n_b AS INTEGER)] AS BIGINT) AS dtw
+FROM dp WHERE k = n_a * n_b
+"""
+
+
 def q_substring_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X83 (round 6): character-level substring duplication screen via
     0-mod-p k-gram fingerprint sampling
@@ -8965,6 +9018,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_power": q_ab_power,
     "rocchio_expand": q_rocchio_expand,
     "mmr_rerank": q_mmr_rerank,
+    "dtw_distance": q_dtw_distance,
 }
 
 
@@ -9174,6 +9228,7 @@ ORACLE_SQL: dict[str, str] = {
     "ab_power": SQL_AB_POWER,
     "rocchio_expand": SQL_ROCCHIO_EXPAND,
     "mmr_rerank": SQL_MMR_RERANK,
+    "dtw_distance": SQL_DTW_DISTANCE,
 }
 
 
@@ -9200,6 +9255,7 @@ R6_WINDOW: list[str] = [
     "ab_power",
     "rocchio_expand",
     "mmr_rerank",
+    "dtw_distance",
     # round-6 promotions (rows-only -> full oracle; zero oracle-driver
     # evidence before this round, so they outrank stale-but-green rows)
     "chunk_documents",
@@ -9228,7 +9284,6 @@ R6_WINDOW: list[str] = [
     "tumbling_window_agg",
     "session_window_agg",
     "pivot_event_counts",
-    "cube_agg",
     "join_revenue_rollup",
     "topk_cosine",
     "percentile_value",

@@ -193,3 +193,46 @@ def test_mmr_rerank_lambda_1000_is_pure_relevance(spark):
     got = mmr_rerank(df, k=3, pool=3, lambda_milli=1000).collect()
     ranks = {r["mmr_rank"]: r["vec_id"] for r in got}
     assert [ranks[1], ranks[2], ranks[3]] == [1, 2, 3]
+
+
+def _ref_dtw(a, b):
+    n, m = len(a), len(b)
+    import math
+
+    dp = [[math.inf] * (m + 1) for _ in range(n + 1)]
+    dp[0][0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            dp[i][j] = abs(a[i - 1] - b[j - 1]) + min(
+                dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]
+            )
+    return dp[n][m]
+
+
+def test_dtw_distance_matches_reference_dp(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        dtw_distance,
+    )
+
+    series = {
+        "a": [9, 1, 1, 1, 2],
+        "b": [1, 9, 1, 1, 2],  # spike shifted one day
+        "c": [1, 1, 1],        # shorter, flat
+        "d": [9, 1, 1, 1, 2],  # identical to a
+    }
+    rows = []
+    for t, vals in series.items():
+        for day, c in enumerate(vals):
+            for i in range(c):
+                rows.append((t, f"2024-03-{day + 1:02d} 00:00:{i:02d}"))
+    df = spark.createDataFrame(rows, "event_type string, ts string").selectExpr(
+        "event_type", "cast(ts as timestamp) as ts"
+    )
+    got = {(r["type_a"], r["type_b"]): r.asDict() for r in dtw_distance(df).collect()}
+    assert len(got) == 6
+    for (ta, tb), r in got.items():
+        assert r["dtw"] == _ref_dtw(series[ta], series[tb]), (ta, tb)
+    assert got[("a", "d")]["dtw"] == 0
+    # elastic alignment beats pointwise L1 on the shifted spike
+    l1 = sum(abs(x - y) for x, y in zip(series["a"], series["b"]))
+    assert got[("a", "b")]["dtw"] < l1
