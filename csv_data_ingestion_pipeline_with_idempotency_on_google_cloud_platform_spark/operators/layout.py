@@ -72,14 +72,14 @@ def u16_sql(v: str, vmin: str, vmax: str) -> str:
     )
 
 
-def with_zvalue(
-    df: DataFrame, x_col: Column, y_col: Column, z_name: str = "z"
+def _with_norm(
+    df: DataFrame, x_col: Column, y_col: Column
 ) -> DataFrame:
-    """Attach the Morton code of two integer expressions as `z_name`,
-    keeping the normalized inputs as __zx/__zy. Global min/max come
-    from ONE 1-row aggregate crossJoined back (broadcast by size), so
-    the whole thing is two narrow passes and no shuffle of the data
-    itself."""
+    """Shared 16-bit normalization for the curve layouts: attach
+    __zx/__zy (raw bigint dims), __ux/__uy (16-bit normalized) and
+    __chk (the range-overflow guard term, 0 when in bounds). Global
+    min/max come from ONE 1-row aggregate crossJoined back (broadcast
+    by size) — two narrow passes, no shuffle of the data itself."""
     tagged = (
         df.withColumn("__zx", x_col.cast("bigint"))
         .withColumn("__zy", y_col.cast("bigint"))
@@ -95,8 +95,8 @@ def with_zvalue(
     uy = F.expr(_U16_TMPL.format(v="__zy", vmin="__ymin", vmax="__ymax"))
     # (v - vmin) * 65535 wraps BIGINT once a dimension's range reaches
     # 2^47 (2^47 * 65535 ~ 2^63). Fail loudly instead of silently
-    # corrupting Morton codes; the guard rides the same broadcast row
-    # (added into the z expression so column pruning can't drop it —
+    # corrupting curve codes; the guard rides the same broadcast row
+    # (added into the curve expression so column pruning can't drop it —
     # it contributes 0 whenever the ranges are in bounds).
     lim = F.lit(1 << 47).cast("bigint")
     chk = (
@@ -105,8 +105,9 @@ def with_zvalue(
             | ((F.col("__ymax") - F.col("__ymin")) >= lim),
             F.raise_error(
                 F.lit(
-                    "zorder: dimension range >= 2^47 — 16-bit normalization "
-                    "would overflow BIGINT; rescale the column first"
+                    "curve layout: dimension range >= 2^47 — 16-bit "
+                    "normalization would overflow BIGINT; rescale the "
+                    "column first"
                 )
             ).cast("bigint"),
         )
@@ -114,9 +115,23 @@ def with_zvalue(
     )
     return (
         tagged.crossJoin(F.broadcast(bounds))
-        .withColumn(z_name, zvalue_col(ux, uy) + chk)
+        .withColumn("__ux", ux)
+        .withColumn("__uy", uy)
+        .withColumn("__chk", chk)
         .drop("__xmin", "__xmax", "__ymin", "__ymax")
     )
+
+
+def with_zvalue(
+    df: DataFrame, x_col: Column, y_col: Column, z_name: str = "z"
+) -> DataFrame:
+    """Attach the Morton code of two integer expressions as `z_name`,
+    keeping the normalized inputs as __zx/__zy (see _with_norm for the
+    bounds/overflow-guard shape)."""
+    n = _with_norm(df, x_col, y_col)
+    return n.withColumn(
+        z_name, zvalue_col(F.col("__ux"), F.col("__uy")) + F.col("__chk")
+    ).drop("__ux", "__uy", "__chk")
 
 
 def zorder_zonemap(
@@ -146,3 +161,66 @@ def zorder_zonemap(
     )
 
 
+
+def hvalue_col(ux: Column, uy: Column) -> Column:
+    """Hilbert-curve index of two 16-bit values (round 6): the classic
+    xy→d bit walk (Wikipedia/Warren, public domain) — for each bit
+    plane s = 2^15..2^0, add s²·((3·rx) xor ry) and rotate/reflect the
+    quadrant frame — run as ONE F.aggregate fold over the 16 literal
+    bit planes with a (d, x, y) struct accumulator. A runtime fold,
+    not an unrolled expression: naive substitution would double the
+    (x, y) expression tree per plane (2^16 blowup); the fold keeps it
+    linear, still pure JVM integer arithmetic, no UDF.
+
+    Hilbert vs Morton: both linearize 2-D, but Hilbert has no
+    long-range jumps (adjacent curve positions are always grid
+    neighbors), so zone min/max spans — what data skipping actually
+    consults — are tighter on range workloads. The zonemap twin below
+    makes that comparison measurable."""
+    planes = F.array(*[F.lit(1 << (15 - i)).cast("long") for i in range(16)])
+    init = F.struct(
+        F.lit(0).cast("long").alias("d"),
+        ux.cast("long").alias("x"),
+        uy.cast("long").alias("y"),
+    )
+
+    def step(acc, s):
+        rx = F.when((acc["x"].bitwiseAND(s)) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ry = F.when((acc["y"].bitwiseAND(s)) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        d2 = acc["d"] + s * s * (3 * rx).bitwiseXOR(ry).cast("long")
+        nx = F.when(
+            ry == 0, F.when(rx == 1, s - 1 - acc["y"]).otherwise(acc["y"])
+        ).otherwise(acc["x"])
+        ny = F.when(
+            ry == 0, F.when(rx == 1, s - 1 - acc["x"]).otherwise(acc["x"])
+        ).otherwise(acc["y"])
+        return F.struct(d2.alias("d"), nx.alias("x"), ny.alias("y"))
+
+    return F.aggregate(planes, init, step)["d"].cast("long")
+
+
+def hilbert_zonemap(
+    df: DataFrame,
+    x_col: Column,
+    y_col: Column,
+    bucket_bits: int = 10,
+) -> DataFrame:
+    """Hilbert twin of :func:`zorder_zonemap`: identical 16-bit
+    normalization and rollup, curve swapped — per-zone row count and
+    per-dimension min/max of a Hilbert-clustered layout. Same plan
+    shape (two narrow passes + one groupBy); the curve walk rides the
+    projection. Returns (hbucket, n, x_min, x_max, y_min, y_max)."""
+    shift = 2 * Z_BITS - bucket_bits
+    n = _with_norm(df, x_col, y_col)
+    h = n.withColumn(
+        "__h", hvalue_col(F.col("__ux"), F.col("__uy")) + F.col("__chk")
+    )
+    return h.groupBy(
+        F.shiftright(F.col("__h"), shift).cast("bigint").alias("hbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__zx").alias("x_min"),
+        F.max("__zx").alias("x_max"),
+        F.min("__zy").alias("y_min"),
+        F.max("__zy").alias("y_max"),
+    )

@@ -6910,6 +6910,66 @@ FROM zed GROUP BY 1
 SQL_ZORDER_ZONEMAP = _sql_zorder_zonemap()
 
 
+def q_hilbert_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93 (round 6): zone-map summary of a HILBERT-clustered
+    (custkey × orderdate) layout of orders
+    (operators/layout.py:hilbert_zonemap) — the no-jump space-filling
+    curve next to X55's Morton twin, same 16-bit integer-exact
+    normalization and rollup; the curve walk is a 16-plane xy→d fold
+    replayed as a recursive CTE. Full oracle."""
+    from ..operators import layout
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    return layout.hilbert_zonemap(orders, F.col("o_custkey"), day, bucket_bits=10)
+
+
+def _sql_hilbert_zonemap() -> str:
+    from ..operators.layout import u16_sql
+
+    ux = u16_sql("zx", "xmin", "xmax")
+    uy = u16_sql("zy", "ymin", "ymax")
+    return f"""
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT o_custkey AS zx,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS zy
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+), bounds AS MATERIALIZED (
+  SELECT MIN(zx) AS xmin, MAX(zx) AS xmax,
+         MIN(zy) AS ymin, MAX(zy) AS ymax
+  FROM base
+), norm AS MATERIALIZED (
+  SELECT zx, zy, ({ux}) AS ux, ({uy}) AS uy
+  FROM base CROSS JOIN bounds
+), walk AS (
+  SELECT zx, zy, 0 AS step, CAST(0 AS BIGINT) AS d, ux AS x, uy AS y FROM norm
+  UNION ALL
+  SELECT zx, zy, step + 1,
+         d + s * s * CAST(xor(3 * rx, ry) AS BIGINT),
+         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN s - 1 - y ELSE y END ELSE x END,
+         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN s - 1 - x ELSE x END ELSE y END
+  FROM (
+    SELECT zx, zy, step, d, x, y,
+           CAST(32768 >> step AS BIGINT) AS s,
+           CAST(CASE WHEN (x & CAST(32768 >> step AS BIGINT)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS rx,
+           CAST(CASE WHEN (y & CAST(32768 >> step AS BIGINT)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS ry
+    FROM walk WHERE step < 16
+  )
+)
+SELECT d >> 22 AS hbucket, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(zx) AS x_min, MAX(zx) AS x_max,
+       MIN(zy) AS y_min, MAX(zy) AS y_max
+FROM walk WHERE step = 16 GROUP BY 1
+"""
+
+
+SQL_HILBERT_ZONEMAP = _sql_hilbert_zonemap()
+
+
 def q_forecast_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X51 follow-on, uncertainty quantification: split-conformal
     interval on the seasonal-naive backtest
@@ -9019,6 +9079,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rocchio_expand": q_rocchio_expand,
     "mmr_rerank": q_mmr_rerank,
     "dtw_distance": q_dtw_distance,
+    "hilbert_zonemap": q_hilbert_zonemap,
 }
 
 
@@ -9229,6 +9290,7 @@ ORACLE_SQL: dict[str, str] = {
     "rocchio_expand": SQL_ROCCHIO_EXPAND,
     "mmr_rerank": SQL_MMR_RERANK,
     "dtw_distance": SQL_DTW_DISTANCE,
+    "hilbert_zonemap": SQL_HILBERT_ZONEMAP,
 }
 
 
@@ -9256,6 +9318,7 @@ R6_WINDOW: list[str] = [
     "rocchio_expand",
     "mmr_rerank",
     "dtw_distance",
+    "hilbert_zonemap",
     # round-6 promotions (rows-only -> full oracle; zero oracle-driver
     # evidence before this round, so they outrank stale-but-green rows)
     "chunk_documents",
@@ -9275,7 +9338,6 @@ R6_WINDOW: list[str] = [
     "dlq_routing",
     "exact_dedup",
     "ngram_jaccard",
-    "contamination",
     "token_stats",
     "quality_score",
     "lang_id",

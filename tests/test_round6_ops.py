@@ -236,3 +236,58 @@ def test_dtw_distance_matches_reference_dp(spark):
     # elastic alignment beats pointwise L1 on the shifted spike
     l1 = sum(abs(x - y) for x, y in zip(series["a"], series["b"]))
     assert got[("a", "b")]["dtw"] < l1
+
+
+def _xy2d(order, x, y):
+    d, s = 0, order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hvalue_matches_reference_walk(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.layout import (
+        hvalue_col,
+    )
+
+    random.seed(11)
+    pts = [(random.randint(0, 65535), random.randint(0, 65535)) for _ in range(100)]
+    pts += [(0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 0), (0, 1), (1, 1)]
+    df = spark.createDataFrame(sorted(set(pts)), "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in df.select(
+            "x", "y", hvalue_col(F.col("x"), F.col("y")).alias("h")
+        ).collect()
+    }
+    assert all(got[p] == _xy2d(65536, *p) for p in got)
+    # unit steps along the first quadrant of the curve
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(1, 1)] == 2 and got[(0, 1)] == 3
+
+
+def test_hilbert_zonemap_partitions_all_rows(spark):
+    from pyspark.sql import functions as F
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.layout import (
+        hilbert_zonemap,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 1000, (i * 91) % 365) for i in range(2000)],
+        "rid long, k long, d long",
+    )
+    zm = hilbert_zonemap(df, F.col("k"), F.col("d"), bucket_bits=6).collect()
+    assert sum(r["n"] for r in zm) == 2000
+    assert all(0 <= r["hbucket"] < 64 for r in zm)
+    assert all(r["x_min"] <= r["x_max"] and r["y_min"] <= r["y_max"] for r in zm)
