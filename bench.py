@@ -198,6 +198,17 @@ HEADLINE = [
     "token_yield_report",
     "substring_fingerprint_dups",
     "margin_knn_match",
+    # round 6 session 2: quality gates, interval/engagement rollups,
+    # blocking eval, experiment sizing, PRF/MMR retrieval, DTW, Hilbert
+    "gopher_rules",
+    "interval_merge",
+    "active_user_rollup",
+    "blocking_eval",
+    "ab_power",
+    "rocchio_expand",
+    "mmr_rerank",
+    "dtw_distance",
+    "hilbert_zonemap",
     "unimax_weights",
     "propensity_match",
     "degree_assortativity",
