@@ -1187,3 +1187,93 @@ def dtw_distance(
         "n_b",
         F.element_at(dp, nm.cast("int")).alias("dtw"),
     )
+
+
+def cross_corr_lag(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lagged cross-correlation between every pair of groups' daily
+    series (round 6): Pearson r of (a_t, b_{t+lag}) for lag ∈
+    [−max_lag, max_lag] — the lead/lag readout next to X92's DTW
+    (DTW says "these move alike under warping", this names the fixed
+    shift and its sign) and X47's autocorrelation (same moment
+    algebra, two series instead of one).
+
+    Exactness: both series live on the GLOBAL day grid (0-filled), so
+    every lag's overlap sums are plain integer aggregates
+    (n, Σx, Σy, Σx², Σy², Σxy); r = (nΣxy − ΣxΣy) /
+    √((nΣx²−(Σx)²)(nΣy²−(Σy)²)) is one IEEE-exact double expression
+    on those integers, rounded to 6 dp — identical in any engine.
+    Zero-variance sides yield NULL r.
+
+    Scale shape: the grid is |groups|×|days| (report-sized); the lag
+    fan-out is a 2·max_lag+1 literal explode and the pair join is a
+    day-equality join on that small grid — never event-sized. The
+    only corpus-scan is the daily rollup (map-side combined).
+
+    Returns (type_a, type_b, lag, n, r) for type_a < type_b.
+    """
+    daily = (
+        events.where(F.col(group_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(group_col).alias("t"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bounds = daily.agg(
+        F.min("d").alias("__mn"), F.max("d").alias("__mx")
+    )
+    types = daily.select("t").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "t",
+            F.explode(
+                F.sequence(F.col("__mn"), F.col("__mx"))
+            ).alias("d"),
+        )
+        .join(daily, ["t", "d"], "left")
+        .select("t", "d", F.coalesce("c", F.lit(0).cast("long")).alias("c"))
+    )
+    lags = F.explode(
+        F.sequence(F.lit(-max_lag), F.lit(max_lag))
+    ).alias("lag")
+    a = grid.select(
+        F.col("t").alias("type_a"), F.col("d").alias("da"), F.col("c").alias("x")
+    ).select("type_a", "da", "x", lags)
+    b = grid.select(
+        F.col("t").alias("type_b"), F.col("d").alias("db"), F.col("c").alias("y")
+    )
+    sums = (
+        a.join(
+            b,
+            (F.col("type_b") > F.col("type_a"))
+            & (F.col("db") == F.col("da") + F.col("lag")),
+        )
+        .groupBy("type_a", "type_b", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(num / F.sqrt(vx.cast("double") * vy.cast("double")), 6),
+    ).otherwise(F.lit(None).cast("double"))
+    return sums.select(
+        "type_a", "type_b", F.col("lag").cast("long").alias("lag"), "n", r.alias("r")
+    )

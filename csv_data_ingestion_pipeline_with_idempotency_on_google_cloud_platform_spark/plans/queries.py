@@ -8378,6 +8378,56 @@ FROM dp WHERE k = n_a * n_b
 """
 
 
+def q_cross_corr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94 (round 6): lagged Pearson cross-correlation between every
+    pair of event types' daily series
+    (operators/temporal.py:cross_corr_lag) — lead/lag structure on the
+    global 0-filled day grid; integer moment sums, one IEEE-exact
+    double r per (pair, lag), NULL on zero variance. Full oracle."""
+    from ..operators.temporal import cross_corr_lag
+
+    return cross_corr_lag(load_table(spark, sf_dir, "events"))
+
+
+SQL_CROSS_CORR_LAG = r"""
+WITH daily AS (
+  SELECT event_type AS t,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily
+), grid AS (
+  SELECT ty.t, gd.d, COALESCE(daily.c, 0) AS c
+  FROM (SELECT DISTINCT t FROM daily) ty
+  CROSS JOIN (SELECT mn + u.o AS d
+              FROM bounds CROSS JOIN LATERAL
+                   (SELECT UNNEST(range(0, mx - mn + 1)) AS o) u) gd
+  LEFT JOIN daily ON daily.t = ty.t AND daily.d = gd.d
+), sums AS (
+  SELECT a.t AS type_a, b.t AS type_b, l.lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a.c) AS BIGINT) AS sx,
+         CAST(SUM(b.c) AS BIGINT) AS sy,
+         CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+         CAST(SUM(b.c * b.c) AS BIGINT) AS syy,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS sxy
+  FROM grid a
+  CROSS JOIN (SELECT CAST(UNNEST(range(-7, 8)) AS BIGINT) AS lag) l
+  JOIN grid b ON b.t > a.t AND b.d = a.d + l.lag
+  GROUP BY 1, 2, 3
+)
+SELECT type_a, type_b, lag, n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            ELSE NULL END AS r
+FROM sums
+"""
+
+
 def q_substring_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X83 (round 6): character-level substring duplication screen via
     0-mod-p k-gram fingerprint sampling
@@ -9080,6 +9130,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": q_mmr_rerank,
     "dtw_distance": q_dtw_distance,
     "hilbert_zonemap": q_hilbert_zonemap,
+    "cross_corr_lag": q_cross_corr_lag,
 }
 
 
@@ -9291,6 +9342,7 @@ ORACLE_SQL: dict[str, str] = {
     "mmr_rerank": SQL_MMR_RERANK,
     "dtw_distance": SQL_DTW_DISTANCE,
     "hilbert_zonemap": SQL_HILBERT_ZONEMAP,
+    "cross_corr_lag": SQL_CROSS_CORR_LAG,
 }
 
 
@@ -9319,6 +9371,7 @@ R6_WINDOW: list[str] = [
     "mmr_rerank",
     "dtw_distance",
     "hilbert_zonemap",
+    "cross_corr_lag",
     # round-6 promotions (rows-only -> full oracle; zero oracle-driver
     # evidence before this round, so they outrank stale-but-green rows)
     "chunk_documents",
@@ -9339,7 +9392,6 @@ R6_WINDOW: list[str] = [
     "exact_dedup",
     "ngram_jaccard",
     "token_stats",
-    "quality_score",
     "lang_id",
     "pii_redact",
     "props_json_extract",

@@ -291,3 +291,26 @@ def test_hilbert_zonemap_partitions_all_rows(spark):
     assert sum(r["n"] for r in zm) == 2000
     assert all(0 <= r["hbucket"] < 64 for r in zm)
     assert all(r["x_min"] <= r["x_max"] and r["y_min"] <= r["y_max"] for r in zm)
+
+
+def test_cross_corr_lag_finds_planted_shift(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        cross_corr_lag,
+    )
+
+    rows = []
+    pattern = [(i % 3) + 1 for i in range(10)]
+    for i, c in enumerate(pattern):
+        for j in range(c):
+            rows.append(("a", f"2024-05-{i + 1:02d} 00:00:{j:02d}"))
+            rows.append(("b", f"2024-05-{i + 3:02d} 00:00:{j:02d}"))  # +2 days
+    df = spark.createDataFrame(rows, "event_type string, ts string").selectExpr(
+        "event_type", "cast(ts as timestamp) as ts"
+    )
+    got = {r["lag"]: r.asDict() for r in cross_corr_lag(df, max_lag=3).collect()}
+    assert len(got) == 7  # one pair, lags -3..3
+    # b is a copy of a shifted +2 days: perfect correlation at lag 2
+    assert got[2]["r"] == 1.0
+    assert all(got[l]["r"] < 1.0 for l in got if l != 2)
+    # overlap shrinks by |lag| off the 12-day grid
+    assert got[0]["n"] == 12 and got[3]["n"] == 9 and got[-3]["n"] == 9
