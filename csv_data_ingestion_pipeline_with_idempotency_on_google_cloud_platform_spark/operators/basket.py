@@ -25,7 +25,7 @@ No analogue in the reference (ingest glue only).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,3 +77,89 @@ def copurchase_lift(
             "lift_milli"
         ),
     )
+
+
+def frequent_itemsets(
+    lineitem: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 2,
+    top_pairs: int = 50,
+    top_triples: int = 20,
+) -> DataFrame:
+    """A-priori frequent itemsets, sizes 2 and 3 (round 6; Agrawal &
+    Srikant VLDB'94) — the classic market-basket mining step above
+    X38's pair-lift: which item PAIRS and TRIPLES co-occur in at least
+    ``min_support`` orders.
+
+    A-priori pruning is the scale contract: items below
+    ``min_support`` order-frequency are dropped BEFORE any pair join
+    (an infrequent item cannot appear in a frequent set), so the
+    per-order expansion runs over frequent items only — C(g,2) and
+    C(g,3) with g = frequent items per order, the same order-bounded
+    expansion as copurchase_lift. All counts are exact integers; the
+    top-N cut per size breaks support ties lexicographically on the
+    item ids, so the report replays identically in any engine.
+
+    Returns (set_size, item_a, item_b, item_c, support) — item_c NULL
+    for pairs; top `top_pairs`/`top_triples` rows per size by
+    (support desc, items asc).
+    """
+    b = lineitem.select(
+        F.col(order_col).alias("o"), F.col(item_col).alias("p")
+    ).distinct()
+    freq1 = (
+        b.groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+        .where(F.col("c1") >= min_support)
+        .select("p")
+    )
+    fb = b.join(F.broadcast(freq1), "p", "left_semi")
+    a1 = fb.select(F.col("o"), F.col("p").alias("pa"))
+    a2 = fb.select(F.col("o"), F.col("p").alias("pb"))
+    a3 = fb.select(F.col("o"), F.col("p").alias("pc"))
+    pairs = (
+        a1.join(a2, ["o"])
+        .where(F.col("pb") > F.col("pa"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    triples = (
+        a1.join(a2, ["o"])
+        .where(F.col("pb") > F.col("pa"))
+        .join(a3, ["o"])
+        .where(F.col("pc") > F.col("pb"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    w2 = Window.partitionBy(F.lit(2) + F.col("pa") * 0).orderBy(
+        F.desc("support"), F.asc("pa"), F.asc("pb")
+    )
+    w3 = Window.partitionBy(F.lit(3) + F.col("pa") * 0).orderBy(
+        F.desc("support"), F.asc("pa"), F.asc("pb"), F.asc("pc")
+    )
+    top2 = (
+        pairs.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= top_pairs)
+        .select(
+            F.lit(2).cast("long").alias("set_size"),
+            F.col("pa").alias("item_a"),
+            F.col("pb").alias("item_b"),
+            F.lit(None).cast("long").alias("item_c"),
+            "support",
+        )
+    )
+    top3 = (
+        triples.withColumn("__rn", F.row_number().over(w3))
+        .where(F.col("__rn") <= top_triples)
+        .select(
+            F.lit(3).cast("long").alias("set_size"),
+            F.col("pa").alias("item_a"),
+            F.col("pb").alias("item_b"),
+            F.col("pc").alias("item_c"),
+            "support",
+        )
+    )
+    return top2.unionByName(top3)

@@ -8428,6 +8428,47 @@ FROM sums
 """
 
 
+def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95 (round 6): A-priori frequent itemsets of sizes 2 and 3 over
+    lineitem baskets (operators/basket.py:frequent_itemsets, per
+    Agrawal & Srikant VLDB'94) — infrequent items pruned before any
+    pair join, exact integer supports, lexicographic tie-breaks on the
+    per-size top-N. Full oracle."""
+    from ..operators.basket import frequent_itemsets
+
+    return frequent_itemsets(load_table(spark, sf_dir, "lineitem"))
+
+
+SQL_FREQUENT_ITEMSETS = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), freq1 AS (
+  SELECT p FROM b GROUP BY p HAVING COUNT(*) >= 2
+), fb AS (
+  SELECT b.o, b.p FROM b JOIN freq1 USING (p)
+), pairs AS (
+  SELECT a.p AS pa, b2.p AS pb, CAST(COUNT(*) AS BIGINT) AS support
+  FROM fb a JOIN fb b2 ON b2.o = a.o AND b2.p > a.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), triples AS (
+  SELECT a.p AS pa, b2.p AS pb, b3.p AS pc, CAST(COUNT(*) AS BIGINT) AS support
+  FROM fb a
+  JOIN fb b2 ON b2.o = a.o AND b2.p > a.p
+  JOIN fb b3 ON b3.o = a.o AND b3.p > b2.p
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+), top2 AS (
+  SELECT CAST(2 AS BIGINT) AS set_size, pa AS item_a, pb AS item_b,
+         CAST(NULL AS BIGINT) AS item_c, support
+  FROM pairs ORDER BY support DESC, pa, pb LIMIT 50
+), top3 AS (
+  SELECT CAST(3 AS BIGINT) AS set_size, pa AS item_a, pb AS item_b,
+         pc AS item_c, support
+  FROM triples ORDER BY support DESC, pa, pb, pc LIMIT 20
+)
+SELECT * FROM top2 UNION ALL SELECT * FROM top3
+"""
+
+
 def q_substring_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X83 (round 6): character-level substring duplication screen via
     0-mod-p k-gram fingerprint sampling
@@ -9131,6 +9172,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dtw_distance": q_dtw_distance,
     "hilbert_zonemap": q_hilbert_zonemap,
     "cross_corr_lag": q_cross_corr_lag,
+    "frequent_itemsets": q_frequent_itemsets,
 }
 
 
@@ -9343,6 +9385,7 @@ ORACLE_SQL: dict[str, str] = {
     "dtw_distance": SQL_DTW_DISTANCE,
     "hilbert_zonemap": SQL_HILBERT_ZONEMAP,
     "cross_corr_lag": SQL_CROSS_CORR_LAG,
+    "frequent_itemsets": SQL_FREQUENT_ITEMSETS,
 }
 
 
@@ -9372,6 +9415,7 @@ R6_WINDOW: list[str] = [
     "dtw_distance",
     "hilbert_zonemap",
     "cross_corr_lag",
+    "frequent_itemsets",
     # round-6 promotions (rows-only -> full oracle; zero oracle-driver
     # evidence before this round, so they outrank stale-but-green rows)
     "chunk_documents",
@@ -9393,7 +9437,6 @@ R6_WINDOW: list[str] = [
     "ngram_jaccard",
     "token_stats",
     "lang_id",
-    "pii_redact",
     "props_json_extract",
     "tumbling_window_agg",
     "session_window_agg",

@@ -314,3 +314,38 @@ def test_cross_corr_lag_finds_planted_shift(spark):
     assert all(got[l]["r"] < 1.0 for l in got if l != 2)
     # overlap shrinks by |lag| off the 12-day grid
     assert got[0]["n"] == 12 and got[3]["n"] == 9 and got[-3]["n"] == 9
+
+
+def test_frequent_itemsets_planted_baskets(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.basket import (
+        frequent_itemsets,
+    )
+
+    # {1,2,3} appears in 3 baskets; {1,2} additionally in 1 more;
+    # item 9 appears once (infrequent -> pruned before any pair)
+    baskets = [
+        [1, 2, 3],
+        [1, 2, 3, 4],
+        [1, 2, 3],
+        [1, 2, 9],
+        [4, 5],
+        [4, 5],
+    ]
+    rows = [(o, p) for o, items in enumerate(baskets) for p in items]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = frequent_itemsets(df).collect()
+    pairs = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in got
+        if r["set_size"] == 2
+    }
+    triples = {
+        (r["item_a"], r["item_b"], r["item_c"]): r["support"]
+        for r in got
+        if r["set_size"] == 3
+    }
+    assert pairs[(1, 2)] == 4 and pairs[(1, 3)] == 3 and pairs[(2, 3)] == 3
+    assert pairs[(4, 5)] == 2
+    assert triples == {(1, 2, 3): 3}
+    # item 9 was pruned: no pair involving it even though {1,9},{2,9} exist once
+    assert not any(9 in k for k in pairs)
