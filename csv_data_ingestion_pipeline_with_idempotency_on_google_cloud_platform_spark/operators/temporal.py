@@ -1277,3 +1277,72 @@ def cross_corr_lag(
     return sums.select(
         "type_a", "type_b", F.col("lag").cast("long").alias("lag"), "n", r.alias("r")
     )
+
+
+def nelson_aalen(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_horizon_days: int = 7,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard (round 6) — the non-parametric
+    hazard companion to X46's Kaplan-Meier survival curve, over the
+    SAME unit lifetimes and censoring convention (first-to-last
+    activity days; still-active-near-corpus-end = right-censored):
+
+      H(t) = Σ_{t_i ≤ t} d_i / n_i,   Var ≈ Σ_{t_i ≤ t} d_i / n_i²
+
+    KM answers "what fraction survives to t"; Nelson-Aalen reads the
+    instantaneous churn pressure and is the better-behaved estimator
+    under heavy ties — reporting both from one pass is standard.
+
+    Scale shape is X46's exactly: ONE groupBy(unit), a broadcast 1-row
+    horizon, then cumulative windows over the ≤|window-days| duration
+    rows (non-foldable constant partition key). d and n are exact
+    integers; each d/n term is one IEEE division and the cumulative
+    sums round to 6 dp.
+
+    Output: (duration_days, n_risk, n_events, n_censored, cum_hazard,
+    hazard_var).
+    """
+    per_unit = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.min(F.to_date(ts_col)).alias("d0"),
+        F.max(F.to_date(ts_col)).alias("d1"),
+    )
+    horizon = per_unit.agg(F.max("d1").alias("dmax"))
+    lifet = per_unit.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("d1", "d0").cast("long").alias("duration_days"),
+        (F.col("d1") <= F.date_sub(F.col("dmax"), censor_horizon_days))
+        .cast("long")
+        .alias("observed"),
+    )
+    per_dur = lifet.groupBy("duration_days").agg(
+        F.sum("observed").alias("n_events"),
+        F.sum(F.lit(1) - F.col("observed")).alias("n_censored"),
+    )
+    wall = Window.partitionBy(F.col("duration_days") % 1).orderBy("duration_days")
+    wcum = wall.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wprev = wall.rowsBetween(Window.unboundedPreceding, -1)
+    wtot = Window.partitionBy(F.col("duration_days") % 1)
+    cum = per_dur.select(
+        "duration_days",
+        "n_events",
+        "n_censored",
+        (
+            F.sum(F.col("n_events") + F.col("n_censored")).over(wtot)
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(wprev),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    d = F.col("n_events").cast("double")
+    n = F.col("n_risk").cast("double")
+    return cum.select(
+        "duration_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(F.sum(d / n).over(wcum), 6).alias("cum_hazard"),
+        F.round(F.sum(d / (n * n)).over(wcum), 6).alias("hazard_var"),
+    )

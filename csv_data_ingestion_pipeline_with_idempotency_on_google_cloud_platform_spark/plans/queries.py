@@ -5777,6 +5777,52 @@ FROM cum
 """
 
 
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96 (round 6): Nelson-Aalen cumulative hazard + variance
+    (operators/temporal.py:nelson_aalen) — the hazard companion to
+    X46's Kaplan-Meier over the same unit lifetimes and censoring;
+    exact integer (d, n) per duration, one IEEE division per term,
+    6-dp cumulative sums. Full oracle."""
+    from ..operators.temporal import nelson_aalen
+
+    return nelson_aalen(load_table(spark, sf_dir, "events"))
+
+
+SQL_NELSON_AALEN = """
+WITH pu AS (
+  SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events GROUP BY 1
+), mx AS (SELECT MAX(d1) AS dmax FROM pu),
+lf AS (
+  SELECT CAST(datediff('day', d0, d1) AS BIGINT) AS duration_days,
+         CASE WHEN d1 <= dmax - INTERVAL 7 DAY THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS obs
+  FROM pu CROSS JOIN mx
+), pd AS (
+  SELECT duration_days, CAST(SUM(obs) AS BIGINT) AS n_events,
+         CAST(SUM(1 - obs) AS BIGINT) AS n_censored
+  FROM lf GROUP BY 1
+), cum AS (
+  SELECT duration_days, n_events, n_censored,
+         CAST(SUM(n_events + n_censored) OVER ()
+              - COALESCE(SUM(n_events + n_censored) OVER (
+                  ORDER BY duration_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM pd
+)
+SELECT duration_days, n_risk, n_events, n_censored,
+       round(SUM(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)) OVER (
+               ORDER BY duration_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_hazard,
+       round(SUM(CAST(n_events AS DOUBLE)
+                 / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))) OVER (
+               ORDER BY duration_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS hazard_var
+FROM cum
+"""
+
+
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X44 time series: gap-aware EWMA of per-type daily value totals
     (operators/temporal.py:ewma_smooth) — baked integer milli-weights,
@@ -9173,6 +9219,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hilbert_zonemap": q_hilbert_zonemap,
     "cross_corr_lag": q_cross_corr_lag,
     "frequent_itemsets": q_frequent_itemsets,
+    "nelson_aalen": q_nelson_aalen,
 }
 
 
@@ -9386,6 +9433,7 @@ ORACLE_SQL: dict[str, str] = {
     "hilbert_zonemap": SQL_HILBERT_ZONEMAP,
     "cross_corr_lag": SQL_CROSS_CORR_LAG,
     "frequent_itemsets": SQL_FREQUENT_ITEMSETS,
+    "nelson_aalen": SQL_NELSON_AALEN,
 }
 
 
@@ -9416,6 +9464,7 @@ R6_WINDOW: list[str] = [
     "hilbert_zonemap",
     "cross_corr_lag",
     "frequent_itemsets",
+    "nelson_aalen",
     # round-6 promotions (rows-only -> full oracle; zero oracle-driver
     # evidence before this round, so they outrank stale-but-green rows)
     "chunk_documents",
@@ -9438,7 +9487,6 @@ R6_WINDOW: list[str] = [
     "token_stats",
     "lang_id",
     "props_json_extract",
-    "tumbling_window_agg",
     "session_window_agg",
     "pivot_event_counts",
     "join_revenue_rollup",

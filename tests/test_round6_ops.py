@@ -349,3 +349,38 @@ def test_frequent_itemsets_planted_baskets(spark):
     assert triples == {(1, 2, 3): 3}
     # item 9 was pruned: no pair involving it even though {1,9},{2,9} exist once
     assert not any(9 in k for k in pairs)
+
+
+def test_nelson_aalen_closed_form(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        nelson_aalen,
+    )
+
+    # 4 users: lifetimes 0, 0, 2, 5 days; corpus ends day 12 so all
+    # are observed (censor horizon 7 days before day 12 = day 5)
+    spans = {1: (1, 1), 2: (2, 2), 3: (3, 5), 4: (4, 9)}
+    rows = []
+    for u, (a, b) in spans.items():
+        rows.append((u, f"2024-06-{a:02d} 08:00:00"))
+        rows.append((u, f"2024-06-{b:02d} 08:00:00"))
+    rows.append((5, "2024-06-12 08:00:00"))  # anchor: censored (dur 0)
+    df = spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+        "user_id", "cast(ts as timestamp) as ts"
+    )
+    got = {r["duration_days"]: r.asDict() for r in nelson_aalen(df).collect()}
+    # duration 0: users 1,2 observed + user 5 censored; risk set = all 5
+    d0 = got[0]
+    assert (d0["n_risk"], d0["n_events"], d0["n_censored"]) == (5, 2, 1)
+    assert d0["cum_hazard"] == round(2 / 5, 6)
+    assert d0["hazard_var"] == round(2 / 25, 6)
+    # duration 2: risk set 2 (users 3,4), one event
+    d2 = got[2]
+    assert (d2["n_risk"], d2["n_events"]) == (2, 1)
+    assert d2["cum_hazard"] == round(2 / 5 + 1 / 2, 6)
+    # duration 5: user 4's last activity (06-09) is inside the 7-day
+    # horizon before corpus end (06-12) -> right-censored, no event,
+    # hazard unchanged from duration 2
+    d5 = got[5]
+    assert (d5["n_risk"], d5["n_events"], d5["n_censored"]) == (1, 0, 1)
+    assert d5["cum_hazard"] == d2["cum_hazard"]
+    assert d5["hazard_var"] == d2["hazard_var"]
