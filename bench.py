@@ -209,6 +209,9 @@ HEADLINE = [
     "mmr_rerank",
     "dtw_distance",
     "hilbert_zonemap",
+    "cross_corr_lag",
+    "frequent_itemsets",
+    "nelson_aalen",
     "unimax_weights",
     "propensity_match",
     "degree_assortativity",
