@@ -1081,16 +1081,23 @@ def minhash_blocking_eval(
     number.
 
     Truth is EXACT set Jaccard >= threshold over distinct 2-shingles
-    (integer cross-multiplied: 1000*|A∩B| >= thr*(|A|+|B|-|A∩B|)),
-    computed via the shingle-equality self-join; candidates are the
-    md5-seeded banding stage (engine-replayable, same shingles), so
-    both sides and the final milli ratios are bit-identical in any
-    engine.
+    (integer cross-multiplied: 1000*|A∩B| >= thr*(|A|+|B|-|A∩B|));
+    candidates are the md5-seeded banding stage (engine-replayable,
+    same shingles), so both sides and the final milli ratios are
+    bit-identical in any engine.
 
-    Scale note: the truth side is the expensive half (co-shingle
-    self-join, no hot cap so truth stays exact) — as an EVAL you run
-    it on a sample or a labeled slice, never the full corpus; the
-    candidate side is the production-shaped capped pipeline.
+    Scale shape of the truth side — this is where a naive
+    co-shingle self-join dies (a shingle shared by df docs yields
+    df² pairs; measured: OOM at the 10× ladder): truth candidates
+    come from LOSSLESS prefix filtering (Bayardo et al. WWW'07 /
+    PPJoin): order each doc's shingles by global rarity, keep only
+    the first n − ⌈t·n⌉ + 1 as join keys — any pair with J ≥ t must
+    collide on a prefix key — then verify the exact Jaccard with a
+    per-pair array_intersect (narrow compute, no recall loss). Hot
+    shingles land in prefixes only where they are among a doc's
+    rarest, so the join fan-out tracks rare-term df, not corpus-hot
+    df. The oracle keeps the exhaustive co-shingle formulation
+    (equivalent by the prefix-filter theorem; fixture-sized).
 
     Returns one row: (n_docs, total_pairs, n_true_pairs,
     n_candidate_pairs, n_captured, pairs_completeness_milli,
@@ -1103,15 +1110,40 @@ def minhash_blocking_eval(
         F.col(id_col).alias("i"), F.explode(word_shingles_col(text_col, 2)).alias("s")
     ).distinct()
     sizes = sh.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, [F.col("a.s") == F.col("b.s"), F.col("a.i") < F.col("b.i")])
-        .groupBy(F.col("a.i").alias("id_a"), F.col("b.i").alias("id_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("ni"))
+    df_sh = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    w_rarity = Window.partitionBy("i").orderBy(F.asc("__df"), F.asc("s"))
+    ordered = (
+        sh.join(df_sh, "s")
+        .withColumn("__pos", F.row_number().over(w_rarity).cast("long"))
+        .join(sizes, "i")
+    )
+    # prefix length p = n - ceil(t*n) + 1 (integer ceil via +999 div)
+    p = F.col("n") - F.expr(f"({threshold_milli} * n + 999) div 1000") + 1
+    pref = ordered.where(F.col("__pos") <= p).select("i", "s")
+    sets = ordered.groupBy("i").agg(
+        F.sort_array(F.collect_list("s")).alias("arr"),
+        F.max("n").cast("long").alias("n"),
+    )
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    tcand = (
+        pa.join(pb, [F.col("pa.s") == F.col("pb.s"), F.col("pa.i") < F.col("pb.i")])
+        .select(F.col("pa.i").alias("id_a"), F.col("pb.i").alias("id_b"))
+        .distinct()
     )
     truth = (
-        inter.join(sizes.select(F.col("i").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("i").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        tcand.join(
+            sets.select(
+                F.col("i").alias("id_a"), F.col("arr").alias("__aa"), F.col("n").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("i").alias("id_b"), F.col("arr").alias("__ab"), F.col("n").alias("nb")
+            ),
+            "id_b",
+        )
+        .withColumn("ni", F.size(F.array_intersect("__aa", "__ab")).cast("long"))
         .where(
             1000 * F.col("ni")
             >= threshold_milli * (F.col("na") + F.col("nb") - F.col("ni"))

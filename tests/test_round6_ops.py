@@ -384,3 +384,47 @@ def test_nelson_aalen_closed_form(spark):
     assert (d5["n_risk"], d5["n_events"], d5["n_censored"]) == (1, 0, 1)
     assert d5["cum_hazard"] == d2["cum_hazard"]
     assert d5["hazard_var"] == d2["hazard_var"]
+
+
+def test_blocking_eval_prefix_filter_truth_equals_bruteforce(spark):
+    """The prefix-filtered truth side (Bayardo AllPairs) must find
+    exactly the pairs an exhaustive co-shingle join + exact Jaccard
+    finds — lossless, on a corpus with near-dups at several overlap
+    levels and a corpus-hot shingle."""
+    import itertools
+    import random
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.dedup import (
+        minhash_blocking_eval,
+    )
+
+    random.seed(23)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(30):
+        base = random.sample(vocab, 10) + ["hot", "common"]  # hot pair everywhere
+        texts.append(" ".join(base))
+        if i % 3 == 0:  # plant a near-dup with one word changed
+            mod = list(base)
+            mod[2] = "zz%d" % i
+            texts.append(" ".join(mod))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    row = minhash_blocking_eval(df).collect()[0].asDict()
+
+    # brute-force truth in python on the same 2-shingles
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts) if shingles(t)}
+    n_true = 0
+    for a, b in itertools.combinations(sorted(sets), 2):
+        ni = len(sets[a] & sets[b])
+        na, nb = len(sets[a]), len(sets[b])
+        if 1000 * ni >= 500 * (na + nb - ni):
+            n_true += 1
+    assert row["n_true_pairs"] == n_true
+    assert n_true > 0  # fixture actually plants truth pairs
+    assert row["n_docs"] == len(sets)

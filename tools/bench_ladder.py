@@ -79,6 +79,25 @@ LADDER_QUERIES = [
     "substring_fingerprint_dups",
     "quality_quantile_normalize",
     "token_yield_report",
+    # round-6 session 2: Gopher gates + interval/engagement rollups are
+    # single-scan or user-day-sized (expected <= ~10); blocking_eval's
+    # truth half is the co-shingle self-join (expected like
+    # ngram-jaccard: ~linear at constant shingle-frequency profile);
+    # itemsets are order-bounded C(g,2)/C(g,3); MMR's pool is
+    # CONSTANT-sized (expected ~flat beyond the relevance scan);
+    # DTW/cross-corr run on |groups|x|days| grids (expected ~flat);
+    # hilbert is a per-row fold (expected <= ~10).
+    "gopher_rules",
+    "interval_merge",
+    "active_user_rollup",
+    "blocking_eval",
+    "rocchio_expand",
+    "mmr_rerank",
+    "dtw_distance",
+    "hilbert_zonemap",
+    "cross_corr_lag",
+    "frequent_itemsets",
+    "nelson_aalen",
 ]
 
 SF01 = "/root/testdata/sf0.1"

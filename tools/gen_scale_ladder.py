@@ -219,6 +219,49 @@ def gen_part(scale: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+def gen_orders(scale: int, rng: np.random.Generator) -> pa.Table:
+    """10× orders with 10× DISTINCT customers, preserving what the
+    interval/episode family depends on: the per-customer order-count
+    distribution (drives episode counts for interval_merge) and the
+    orderdate span/density per customer (drives episode lengths), plus
+    empirical price/status/priority marginals."""
+    od = load("orders")
+    n = od.num_rows * scale
+    cust = np.asarray(od.column("o_custkey").to_pylist())
+    _, cnts = np.unique(cust, return_counts=True)
+    n_cust = len(cnts) * scale
+    per_cust = rng.choice(cnts, size=n_cust)
+    custkeys = np.repeat(np.arange(n_cust, dtype=np.int64), per_cust)
+    if len(custkeys) >= n:
+        custkeys = custkeys[:n]
+    else:
+        pad = rng.integers(0, n_cust, size=n - len(custkeys))
+        custkeys = np.concatenate([custkeys, pad])
+    dt_us = np.asarray(od.column("o_orderdate").cast(pa.int64()).to_pylist())
+    prices = np.asarray(od.column("o_totalprice").to_pylist())
+    status = np.asarray(od.column("o_orderstatus").to_pylist())
+    prio = np.asarray(od.column("o_orderpriority").to_pylist())
+    uniq_s, cnt_s = np.unique(status, return_counts=True)
+    uniq_p, cnt_p = np.unique(prio, return_counts=True)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(range(n), type=pa.int64()),
+            "o_custkey": pa.array(custkeys, type=pa.int64()),
+            "o_orderstatus": pa.array(
+                rng.choice(uniq_s, size=n, p=cnt_s / cnt_s.sum())
+            ),
+            "o_totalprice": pa.array(rng.choice(prices, size=n)),
+            "o_orderdate": pa.array(
+                rng.integers(dt_us.min(), dt_us.max() + 1, size=n),
+                type=pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                rng.choice(uniq_p, size=n, p=cnt_p / cnt_p.sum())
+            ),
+        }
+    )
+
+
 def gen_events(scale: int, rng: np.random.Generator) -> pa.Table:
     """10× events with 10× DISTINCT users, preserving the structural
     distributions the statistics family depends on: the per-user
@@ -277,6 +320,7 @@ def main() -> None:
         ("lineitem", gen_lineitem),
         ("part", gen_part),
         ("events", gen_events),
+        ("orders", gen_orders),
     ):
         if only is not None and name not in only:
             continue
