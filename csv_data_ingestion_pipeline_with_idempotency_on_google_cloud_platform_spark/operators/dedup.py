@@ -1070,6 +1070,7 @@ def minhash_blocking_eval(
     band_rows: int = 4,
     threshold_milli: int = 500,
     max_bucket_size: int = 50,
+    truth_sample_milli: int = 1000,
 ) -> DataFrame:
     """Blocking-quality evaluation of the MinHash-LSH candidate stage
     (round 6): pairs completeness (what fraction of TRUE near-dup
@@ -1086,71 +1087,57 @@ def minhash_blocking_eval(
     same shingles), so both sides and the final milli ratios are
     bit-identical in any engine.
 
-    Scale shape of the truth side — this is where a naive
-    co-shingle self-join dies (a shingle shared by df docs yields
-    df² pairs; measured: OOM at the 10× ladder): truth candidates
-    come from LOSSLESS prefix filtering (Bayardo et al. WWW'07 /
-    PPJoin): order each doc's shingles by global rarity, keep only
-    the first n − ⌈t·n⌉ + 1 as join keys — any pair with J ≥ t must
-    collide on a prefix key — then verify the exact Jaccard with a
-    per-pair array_intersect (narrow compute, no recall loss). Hot
-    shingles land in prefixes only where they are among a doc's
-    rarest, so the join fan-out tracks rare-term df, not corpus-hot
-    df. The oracle keeps the exhaustive co-shingle formulation
-    (equivalent by the prefix-filter theorem; fixture-sized).
+    Scale contract — the truth side is inherently quadratic in
+    shingle document-frequency (a shingle shared by df docs yields
+    df² co-pairs; on this corpus's dense shingle space that is 3.6e9
+    pairs at 10×sf0.1 — measured OOM; prefix filtering does not
+    help when "rare" shingles still have df in the hundreds). The
+    standard blocking-evaluation answer (Christen 2012) is to
+    estimate pairs completeness on a DOC SAMPLE: truth and capture
+    are computed within a deterministic md5 hash-sample of documents
+    (``truth_sample_milli``/1000 of them — engine-replayable, so
+    still full-oracle), which holds the truth-side pair work
+    constant as the corpus grows; the candidate count and reduction
+    ratio stay global and exact. 1000 = exhaustive truth (fixture
+    scale).
 
-    Returns one row: (n_docs, total_pairs, n_true_pairs,
-    n_candidate_pairs, n_captured, pairs_completeness_milli,
-    reduction_ratio_milli).
+    Returns one row: (n_docs, n_docs_sampled, total_pairs,
+    n_true_pairs, n_candidate_pairs, n_captured,
+    pairs_completeness_milli, reduction_ratio_milli).
     """
     cand = _minhash_md5_candidates(
         docs, id_col, text_col, num_hashes, band_rows, max_bucket_size
     ).select("id_a", "id_b")
-    sh = docs.select(
+    sh_all = docs.select(
         F.col(id_col).alias("i"), F.explode(word_shingles_col(text_col, 2)).alias("s")
     ).distinct()
+    if truth_sample_milli < 1000:
+        lim = f"{truth_sample_milli * 4096 // 1000:03x}"
+        sh = sh_all.where(
+            F.substring(F.md5(F.col("i").cast("string")), 1, 3) < lim
+        )
+    else:
+        sh = sh_all
     sizes = sh.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    df_sh = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("__df"))
-    w_rarity = Window.partitionBy("i").orderBy(F.asc("__df"), F.asc("s"))
-    ordered = (
-        sh.join(df_sh, "s")
-        .withColumn("__pos", F.row_number().over(w_rarity).cast("long"))
-        .join(sizes, "i")
-    )
-    # prefix length p = n - ceil(t*n) + 1 (integer ceil via +999 div)
-    p = F.col("n") - F.expr(f"({threshold_milli} * n + 999) div 1000") + 1
-    pref = ordered.where(F.col("__pos") <= p).select("i", "s")
-    sets = ordered.groupBy("i").agg(
-        F.sort_array(F.collect_list("s")).alias("arr"),
-        F.max("n").cast("long").alias("n"),
-    )
-    pa, pb = pref.alias("pa"), pref.alias("pb")
-    tcand = (
-        pa.join(pb, [F.col("pa.s") == F.col("pb.s"), F.col("pa.i") < F.col("pb.i")])
-        .select(F.col("pa.i").alias("id_a"), F.col("pb.i").alias("id_b"))
-        .distinct()
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, [F.col("a.s") == F.col("b.s"), F.col("a.i") < F.col("b.i")])
+        .groupBy(F.col("a.i").alias("id_a"), F.col("b.i").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ni"))
     )
     truth = (
-        tcand.join(
-            sets.select(
-                F.col("i").alias("id_a"), F.col("arr").alias("__aa"), F.col("n").alias("na")
-            ),
-            "id_a",
-        )
-        .join(
-            sets.select(
-                F.col("i").alias("id_b"), F.col("arr").alias("__ab"), F.col("n").alias("nb")
-            ),
-            "id_b",
-        )
-        .withColumn("ni", F.size(F.array_intersect("__aa", "__ab")).cast("long"))
+        inter.join(sizes.select(F.col("i").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("i").alias("id_b"), F.col("n").alias("nb")), "id_b")
         .where(
             1000 * F.col("ni")
             >= threshold_milli * (F.col("na") + F.col("nb") - F.col("ni"))
         )
         .select("id_a", "id_b")
     )
-    m_docs = sizes.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    m_docs = sh_all.select("i").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    m_sampled = sizes.agg(F.count(F.lit(1)).cast("long").alias("n_docs_sampled"))
     m_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
     m_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
     m_capt = truth.join(cand, ["id_a", "id_b"]).agg(
@@ -1158,11 +1145,13 @@ def minhash_blocking_eval(
     )
     total = F.expr("(n_docs * (n_docs - 1)) div 2")
     return (
-        m_docs.crossJoin(F.broadcast(m_true))
+        m_docs.crossJoin(F.broadcast(m_sampled))
+        .crossJoin(F.broadcast(m_true))
         .crossJoin(F.broadcast(m_cand))
         .crossJoin(F.broadcast(m_capt))
         .select(
             "n_docs",
+            "n_docs_sampled",
             total.cast("long").alias("total_pairs"),
             "n_true_pairs",
             "n_candidate_pairs",

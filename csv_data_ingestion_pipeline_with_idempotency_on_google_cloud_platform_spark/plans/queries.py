@@ -8179,7 +8179,16 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_blocking_eval(load_table(spark, sf_dir, "documents"))
 
 
-SQL_BLOCKING_EVAL = r"""
+def _sql_blocking_eval(sample_milli: int = 1000) -> str:
+    samp = (
+        ""
+        if sample_milli >= 1000
+        else (
+            " WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 3)"
+            f" < '{sample_milli * 4096 // 1000:03x}'"
+        )
+    )
+    return rf"""
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
@@ -8205,11 +8214,13 @@ WITH toks AS (
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
   JOIN okbuckets ok ON ok.band = a.band AND ok.bkey = a.bkey
+), tsh AS (
+  SELECT doc_id, s FROM shingles{samp}
 ), sizes AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY 1
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tsh GROUP BY 1
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS ni
-  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM tsh a JOIN tsh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), truth AS (
   SELECT i.id_a, i.id_b
@@ -8218,13 +8229,14 @@ WITH toks AS (
   JOIN sizes sb ON sb.doc_id = i.id_b
   WHERE CAST(1000 AS BIGINT) * i.ni >= CAST(500 AS BIGINT) * (sa.n + sb.n - i.ni)
 ), m AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS n_docs,
+  SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM shingles) AS n_docs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS n_docs_sampled,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
           JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_captured
 )
-SELECT n_docs,
+SELECT n_docs, n_docs_sampled,
        (n_docs * (n_docs - 1)) // 2 AS total_pairs,
        n_true_pairs, n_candidate_pairs, n_captured,
        (CAST(1000 AS BIGINT) * n_captured) // greatest(n_true_pairs, 1) AS pairs_completeness_milli,
@@ -8232,6 +8244,10 @@ SELECT n_docs,
          // greatest((n_docs * (n_docs - 1)) // 2, 1) AS reduction_ratio_milli
 FROM m
 """
+
+
+SQL_BLOCKING_EVAL = _sql_blocking_eval()
+SQL_BLOCKING_EVAL_SAMPLED = _sql_blocking_eval(250)
 
 
 def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8513,6 +8529,17 @@ WITH b AS (
 )
 SELECT * FROM top2 UNION ALL SELECT * FROM top3
 """
+
+
+def q_blocking_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88 scale mode (round 6): blocking-quality eval with the truth
+    side on a deterministic 25% md5 doc-sample — the constant-work
+    form a growing corpus runs (truth pair work is quadratic in
+    shingle df; the sample holds it flat while candidates/reduction
+    ratio stay global and exact). Full oracle."""
+    return dedup.minhash_blocking_eval(
+        load_table(spark, sf_dir, "documents"), truth_sample_milli=250
+    )
 
 
 def q_substring_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9212,6 +9239,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_merge": q_interval_merge,
     "active_user_rollup": q_active_user_rollup,
     "blocking_eval": q_blocking_eval,
+    "blocking_eval_sampled": q_blocking_eval_sampled,
     "ab_power": q_ab_power,
     "rocchio_expand": q_rocchio_expand,
     "mmr_rerank": q_mmr_rerank,
@@ -9426,6 +9454,7 @@ ORACLE_SQL: dict[str, str] = {
     "interval_merge": SQL_INTERVAL_MERGE,
     "active_user_rollup": SQL_ACTIVE_USER_ROLLUP,
     "blocking_eval": SQL_BLOCKING_EVAL,
+    "blocking_eval_sampled": SQL_BLOCKING_EVAL_SAMPLED,
     "ab_power": SQL_AB_POWER,
     "rocchio_expand": SQL_ROCCHIO_EXPAND,
     "mmr_rerank": SQL_MMR_RERANK,

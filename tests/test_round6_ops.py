@@ -386,11 +386,11 @@ def test_nelson_aalen_closed_form(spark):
     assert d5["hazard_var"] == d2["hazard_var"]
 
 
-def test_blocking_eval_prefix_filter_truth_equals_bruteforce(spark):
-    """The prefix-filtered truth side (Bayardo AllPairs) must find
-    exactly the pairs an exhaustive co-shingle join + exact Jaccard
-    finds — lossless, on a corpus with near-dups at several overlap
-    levels and a corpus-hot shingle."""
+def test_blocking_eval_truth_equals_bruteforce(spark):
+    """The default (unsampled) truth side must find exactly the pairs
+    an exhaustive python brute force over the same 2-shingle sets
+    finds, on a corpus with near-dups at several overlap levels and a
+    corpus-hot shingle."""
     import itertools
     import random
 
@@ -412,6 +412,7 @@ def test_blocking_eval_prefix_filter_truth_equals_bruteforce(spark):
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
     row = minhash_blocking_eval(df).collect()[0].asDict()
+    sampled = minhash_blocking_eval(df, truth_sample_milli=500).collect()[0].asDict()
 
     # brute-force truth in python on the same 2-shingles
     def shingles(t):
@@ -427,4 +428,9 @@ def test_blocking_eval_prefix_filter_truth_equals_bruteforce(spark):
             n_true += 1
     assert row["n_true_pairs"] == n_true
     assert n_true > 0  # fixture actually plants truth pairs
-    assert row["n_docs"] == len(sets)
+    assert row["n_docs"] == len(sets) == row["n_docs_sampled"]
+    # the sampled variant restricts truth to a doc subset: counts can
+    # only shrink, the global candidate side is unchanged
+    assert sampled["n_docs_sampled"] < sampled["n_docs"]
+    assert sampled["n_true_pairs"] <= row["n_true_pairs"]
+    assert sampled["n_candidate_pairs"] == row["n_candidate_pairs"]

