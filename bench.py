@@ -204,6 +204,7 @@ HEADLINE = [
     "interval_merge",
     "active_user_rollup",
     "blocking_eval",
+    "blocking_eval_sampled",
     "ab_power",
     "rocchio_expand",
     "mmr_rerank",
