@@ -1196,3 +1196,140 @@ def ab_power_analysis(
         "coverage_milli_80",
         F.expr("(1000 * users_a) div n_req_80").cast("long"),
     )
+
+
+def did_estimator(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Difference-in-differences estimate (round 6): the (treated −
+    control) × (post − pre) interaction on per-unit outcomes — the
+    workhorse quasi-experimental readout when assignment is by cohort
+    and time, sitting next to X45's z-test (pure A/B) and X52's CUPED
+    (variance reduction).
+
+    Arms are the same md5 hash split as ab_conversion_ztest; periods
+    split the observed day range at its midpoint (pre = first half).
+    The outcome is each unit's value total per period in exact cents;
+    cell moments (n, Σy, Σy²) are exact integers and the estimate
+
+      did = (ȳ_b,post − ȳ_b,pre) − (ȳ_a,post − ȳ_a,pre),
+      se  = √(Σ_cells s²/n),  z = did/se
+
+    is scalar IEEE arithmetic on them, rounded to 6 dp.
+
+    Scale shape: one distinct-ish groupBy to per-(unit, period) sums,
+    one 4-cell rollup, broadcast 1-row date bounds — the
+    ab_conversion_ztest plan with a period key.
+
+    Returns one row: (n_a_pre, n_a_post, n_b_pre, n_b_post, mean_a_pre,
+    mean_a_post, mean_b_pre, mean_b_post, did, se, z).
+    """
+    base = events.where(
+        F.col(unit_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(unit_col).alias("u"),
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).cast("long").alias("d"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    bounds = base.agg(F.min("d").alias("__mn"), F.max("d").alias("__mx"))
+    per_up = (
+        base.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "period",
+            F.when(
+                2 * (F.col("d") - F.col("__mn")) < F.col("__mx") - F.col("__mn"),
+                F.lit("pre"),
+            ).otherwise(F.lit("post")),
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                hash_bucket_col(F.col("u"), 1) < F.lit("8"), F.lit("a")
+            ).otherwise(F.lit("b")),
+        )
+        .groupBy("u", "arm", "period")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    cells = per_up.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    # 4-cell fold: conditional aggregates on the 4-row cell frame
+    m = cells.agg(
+        *[
+            agg
+            for arm in ("a", "b")
+            for period in ("pre", "post")
+            for agg in (
+                F.sum(
+                    F.when(
+                        (F.col("arm") == arm) & (F.col("period") == period),
+                        F.col("n"),
+                    )
+                )
+                .cast("long")
+                .alias(f"n_{arm}_{period}"),
+                F.sum(
+                    F.when(
+                        (F.col("arm") == arm) & (F.col("period") == period),
+                        F.col("sy"),
+                    )
+                )
+                .cast("long")
+                .alias(f"sy_{arm}_{period}"),
+                F.sum(
+                    F.when(
+                        (F.col("arm") == arm) & (F.col("period") == period),
+                        F.col("syy"),
+                    )
+                )
+                .cast("long")
+                .alias(f"syy_{arm}_{period}"),
+            )
+        ]
+    )
+
+    def mean(c):
+        return F.col(f"sy_{c}").cast("double") / (
+            F.lit(100.0) * F.col(f"n_{c}").cast("double")
+        )
+
+    def var_over_n(c):
+        n = F.col(f"n_{c}").cast("double")
+        sy = F.col(f"sy_{c}").cast("double")
+        syy = F.col(f"syy_{c}").cast("double")
+        # sample variance of the cents outcome, in value units (/100^2)
+        return F.when(
+            F.col(f"n_{c}") >= 2,
+            ((syy - sy * sy / n) / (n - 1.0)) / (10000.0 * n),
+        ).otherwise(F.lit(0.0))
+
+    did = (mean("b_post") - mean("b_pre")) - (mean("a_post") - mean("a_pre"))
+    se2 = (
+        var_over_n("a_pre")
+        + var_over_n("a_post")
+        + var_over_n("b_pre")
+        + var_over_n("b_post")
+    )
+    return m.select(
+        "n_a_pre",
+        "n_a_post",
+        "n_b_pre",
+        "n_b_post",
+        F.round(mean("a_pre"), 6).alias("mean_a_pre"),
+        F.round(mean("a_post"), 6).alias("mean_a_post"),
+        F.round(mean("b_pre"), 6).alias("mean_b_pre"),
+        F.round(mean("b_post"), 6).alias("mean_b_post"),
+        F.round(did, 6).alias("did"),
+        F.round(F.sqrt(se2), 6).alias("se"),
+        F.round(
+            F.when(se2 > 0, did / F.sqrt(se2)).otherwise(F.lit(0.0)), 6
+        ).alias("z"),
+    )

@@ -5823,6 +5823,75 @@ FROM cum
 """
 
 
+def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97 (round 6): difference-in-differences
+    (operators/stats.py:did_estimator) — the (hash-arm) × (pre/post
+    midpoint) interaction on per-unit value totals in exact cents;
+    cell moments exact integers, did/se/z scalar IEEE on them. Full
+    oracle."""
+    from ..operators.stats import did_estimator
+
+    return did_estimator(load_table(spark, sf_dir, "events"))
+
+
+SQL_DID_ESTIMATOR = """
+WITH base AS (
+  SELECT user_id AS u,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM base),
+per_up AS (
+  SELECT u,
+         CASE WHEN substring(md5(CAST(u AS VARCHAR)), 1, 1) < '8'
+              THEN 'a' ELSE 'b' END AS arm,
+         CASE WHEN 2 * (d - mn) < mx - mn THEN 'pre' ELSE 'post' END AS period,
+         CAST(SUM(cents) AS BIGINT) AS y
+  FROM base CROSS JOIN b GROUP BY 1, 2, 3
+), cells AS (
+  SELECT arm, period, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM per_up GROUP BY 1, 2
+), m AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 'a' AND period = 'pre' THEN n END) AS BIGINT) AS n_a_pre,
+    CAST(SUM(CASE WHEN arm = 'a' AND period = 'post' THEN n END) AS BIGINT) AS n_a_post,
+    CAST(SUM(CASE WHEN arm = 'b' AND period = 'pre' THEN n END) AS BIGINT) AS n_b_pre,
+    CAST(SUM(CASE WHEN arm = 'b' AND period = 'post' THEN n END) AS BIGINT) AS n_b_post,
+    CAST(SUM(CASE WHEN arm = 'a' AND period = 'pre' THEN sy END) AS BIGINT) AS sy_a_pre,
+    CAST(SUM(CASE WHEN arm = 'a' AND period = 'post' THEN sy END) AS BIGINT) AS sy_a_post,
+    CAST(SUM(CASE WHEN arm = 'b' AND period = 'pre' THEN sy END) AS BIGINT) AS sy_b_pre,
+    CAST(SUM(CASE WHEN arm = 'b' AND period = 'post' THEN sy END) AS BIGINT) AS sy_b_post,
+    CAST(SUM(CASE WHEN arm = 'a' AND period = 'pre' THEN syy END) AS BIGINT) AS syy_a_pre,
+    CAST(SUM(CASE WHEN arm = 'a' AND period = 'post' THEN syy END) AS BIGINT) AS syy_a_post,
+    CAST(SUM(CASE WHEN arm = 'b' AND period = 'pre' THEN syy END) AS BIGINT) AS syy_b_pre,
+    CAST(SUM(CASE WHEN arm = 'b' AND period = 'post' THEN syy END) AS BIGINT) AS syy_b_post
+  FROM cells
+), f AS (
+  SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+         CAST(sy_a_pre AS DOUBLE) / (100.0 * n_a_pre) AS m_a_pre,
+         CAST(sy_a_post AS DOUBLE) / (100.0 * n_a_post) AS m_a_post,
+         CAST(sy_b_pre AS DOUBLE) / (100.0 * n_b_pre) AS m_b_pre,
+         CAST(sy_b_post AS DOUBLE) / (100.0 * n_b_post) AS m_b_post,
+         CASE WHEN n_a_pre >= 2 THEN ((CAST(syy_a_pre AS DOUBLE) - CAST(sy_a_pre AS DOUBLE) * CAST(sy_a_pre AS DOUBLE) / n_a_pre) / (n_a_pre - 1.0)) / (10000.0 * n_a_pre) ELSE 0.0 END
+       + CASE WHEN n_a_post >= 2 THEN ((CAST(syy_a_post AS DOUBLE) - CAST(sy_a_post AS DOUBLE) * CAST(sy_a_post AS DOUBLE) / n_a_post) / (n_a_post - 1.0)) / (10000.0 * n_a_post) ELSE 0.0 END
+       + CASE WHEN n_b_pre >= 2 THEN ((CAST(syy_b_pre AS DOUBLE) - CAST(sy_b_pre AS DOUBLE) * CAST(sy_b_pre AS DOUBLE) / n_b_pre) / (n_b_pre - 1.0)) / (10000.0 * n_b_pre) ELSE 0.0 END
+       + CASE WHEN n_b_post >= 2 THEN ((CAST(syy_b_post AS DOUBLE) - CAST(sy_b_post AS DOUBLE) * CAST(sy_b_post AS DOUBLE) / n_b_post) / (n_b_post - 1.0)) / (10000.0 * n_b_post) ELSE 0.0 END AS se2
+  FROM m
+)
+SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+       round(m_a_pre, 6) AS mean_a_pre, round(m_a_post, 6) AS mean_a_post,
+       round(m_b_pre, 6) AS mean_b_pre, round(m_b_post, 6) AS mean_b_post,
+       round((m_b_post - m_b_pre) - (m_a_post - m_a_pre), 6) AS did,
+       round(sqrt(se2), 6) AS se,
+       round(CASE WHEN se2 > 0
+                  THEN ((m_b_post - m_b_pre) - (m_a_post - m_a_pre)) / sqrt(se2)
+                  ELSE 0.0 END, 6) AS z
+FROM f
+"""
+
+
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X44 time series: gap-aware EWMA of per-type daily value totals
     (operators/temporal.py:ewma_smooth) — baked integer milli-weights,
@@ -9248,6 +9317,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_corr_lag": q_cross_corr_lag,
     "frequent_itemsets": q_frequent_itemsets,
     "nelson_aalen": q_nelson_aalen,
+    "did_estimator": q_did_estimator,
 }
 
 
@@ -9463,6 +9533,7 @@ ORACLE_SQL: dict[str, str] = {
     "cross_corr_lag": SQL_CROSS_CORR_LAG,
     "frequent_itemsets": SQL_FREQUENT_ITEMSETS,
     "nelson_aalen": SQL_NELSON_AALEN,
+    "did_estimator": SQL_DID_ESTIMATOR,
 }
 
 
@@ -9494,6 +9565,7 @@ R6_WINDOW: list[str] = [
     "cross_corr_lag",
     "frequent_itemsets",
     "nelson_aalen",
+    "did_estimator",
     # round-6 promotions (rows-only -> full oracle; zero oracle-driver
     # evidence before this round, so they outrank stale-but-green rows)
     "chunk_documents",
@@ -9522,7 +9594,6 @@ R6_WINDOW: list[str] = [
     "topk_cosine",
     "percentile_value",
     "media_features",
-    "bpe_token_stats",
     "embedding_centroids",
     # r2-witnessed backfill (evidence age: round 2)
     "tpch_q1",

@@ -434,3 +434,33 @@ def test_blocking_eval_truth_equals_bruteforce(spark):
     assert sampled["n_docs_sampled"] < sampled["n_docs"]
     assert sampled["n_true_pairs"] <= row["n_true_pairs"]
     assert sampled["n_candidate_pairs"] == row["n_candidate_pairs"]
+
+
+def test_did_estimator_planted_lift(spark):
+    import hashlib
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        did_estimator,
+    )
+
+    def arm(u):
+        return "a" if hashlib.md5(str(u).encode()).hexdigest()[0] < "8" else "b"
+
+    rows = []
+    # 40 users, one event in each period; arm-b gains +10.00 post,
+    # everyone shares a +2.00 secular time trend
+    for u in range(40):
+        rows.append((u, "2024-01-01 10:00:00", 50.0))
+        post = 52.0 + (10.0 if arm(u) == "b" else 0.0)
+        rows.append((u, "2024-01-20 10:00:00", post))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).selectExpr("user_id", "cast(ts as timestamp) as ts", "value")
+    r = did_estimator(df).collect()[0].asDict()
+    assert r["n_a_pre"] == r["n_a_post"] and r["n_b_pre"] == r["n_b_post"]
+    assert r["n_a_pre"] + r["n_b_pre"] == 40
+    # the secular +2 trend cancels; only the planted +10 interaction remains
+    assert r["mean_a_post"] - r["mean_a_pre"] == 2.0
+    assert round(r["did"], 6) == 10.0
+    # zero within-cell variance -> se 0, z guarded to 0
+    assert r["se"] == 0.0 and r["z"] == 0.0
