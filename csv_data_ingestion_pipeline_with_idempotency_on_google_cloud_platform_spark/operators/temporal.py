@@ -1346,3 +1346,90 @@ def nelson_aalen(
         F.round(F.sum(d / n).over(wcum), 6).alias("cum_hazard"),
         F.round(F.sum(d / (n * n)).over(wcum), 6).alias("hazard_var"),
     )
+
+
+def seasonal_decompose(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Additive weekly decomposition of each group's daily-count series
+    (round 6): y = trend + seasonal + residual — the classical-
+    decomposition step above X47's seasonal_profile (that reports raw
+    day-of-week means; this removes the trend first, so a growing
+    series doesn't masquerade as seasonality) and the input CUSUM/
+    changepoint monitors want deseasonalized.
+
+    Exact integer algebra: series on the per-group 0-filled day grid;
+    trend = centered 7-day moving mean in milli ((1000·Σ) div 7 —
+    non-negative, truncating div == floor), defined only where the
+    full window exists; seasonal(dow) = floor-mean of the detrended
+    milli values per (group, epoch-day mod 7) — floor(double-div) on
+    exact integers, engine-identical since the quotient's distance
+    from any integer is ≥ 1/n ≫ ulp; residual = detrended − seasonal.
+
+    Scale shape: one daily rollup (map-side combined), the grid join,
+    one rows-window per group, one (group, dow) aggregate broadcast
+    back — all |groups|×|days|-sized.
+
+    Returns (event_type, day, y, trend_milli, seasonal_milli,
+    residual_milli) for days where the trend window is complete.
+    """
+    daily = (
+        events.where(F.col(group_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(group_col).alias("t"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bounds = daily.groupBy("t").agg(
+        F.min("d").alias("__mn"), F.max("d").alias("__mx")
+    )
+    grid = (
+        bounds.select(
+            "t", F.explode(F.sequence(F.col("__mn"), F.col("__mx"))).alias("d")
+        )
+        .join(daily, ["t", "d"], "left")
+        .select("t", "d", F.coalesce("c", F.lit(0).cast("long")).alias("y"))
+    )
+    w7 = Window.partitionBy("t").orderBy("d").rowsBetween(-3, 3)
+    with_trend = (
+        grid.withColumn("__s7", F.sum("y").over(w7).cast("long"))
+        .withColumn("__n7", F.count(F.lit(1)).over(w7).cast("long"))
+        .where(F.col("__n7") == 7)
+        .select(
+            "t",
+            "d",
+            "y",
+            F.expr("(1000 * __s7) div 7").cast("long").alias("trend_milli"),
+        )
+        .withColumn("det_milli", (1000 * F.col("y") - F.col("trend_milli")).cast("long"))
+        .withColumn("dow", (F.col("d") % 7).cast("long"))
+    )
+    seasonal = with_trend.groupBy("t", "dow").agg(
+        F.floor(
+            F.sum("det_milli").cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .cast("long")
+        .alias("seasonal_milli")
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    return (
+        with_trend.join(F.broadcast(seasonal), ["t", "dow"])
+        .select(
+            F.col("t").alias("event_type"),
+            F.date_format(F.date_add(epoch, F.col("d").cast("int")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "y",
+            "trend_milli",
+            "seasonal_milli",
+            (F.col("det_milli") - F.col("seasonal_milli")).cast("long").alias(
+                "residual_milli"
+            ),
+        )
+    )

@@ -5892,6 +5892,57 @@ FROM f
 """
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98 (round 6): additive weekly decomposition
+    (operators/temporal.py:seasonal_decompose) — centered 7-day milli
+    trend on the 0-filled grid, floor-mean day-of-week seasonal on
+    the detrended values, residual = det − seasonal; integer end to
+    end (floor(double-div) on exact integers is engine-identical).
+    Full oracle."""
+    from ..operators.temporal import seasonal_decompose
+
+    return seasonal_decompose(load_table(spark, sf_dir, "events"))
+
+
+SQL_SEASONAL_DECOMPOSE = r"""
+WITH daily AS (
+  SELECT event_type AS t,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT t, MIN(d) AS mn, MAX(d) AS mx FROM daily GROUP BY 1
+), grid AS (
+  SELECT b.t, b.mn + u.o AS d, COALESCE(daily.c, 0) AS y
+  FROM bounds b
+  CROSS JOIN LATERAL (SELECT UNNEST(range(0, b.mx - b.mn + 1)) AS o) u
+  LEFT JOIN daily ON daily.t = b.t AND daily.d = b.mn + u.o
+), tr AS (
+  SELECT t, d, y,
+         CAST(SUM(y) OVER w7 AS BIGINT) AS s7,
+         CAST(COUNT(*) OVER w7 AS BIGINT) AS n7
+  FROM grid
+  WINDOW w7 AS (PARTITION BY t ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT t, d, y,
+         (CAST(1000 AS BIGINT) * s7) // 7 AS trend_milli,
+         CAST(1000 AS BIGINT) * y - (CAST(1000 AS BIGINT) * s7) // 7 AS det_milli,
+         d % 7 AS dow
+  FROM tr WHERE n7 = 7
+), seas AS (
+  SELECT t, dow,
+         CAST(floor(CAST(SUM(det_milli) AS DOUBLE) / COUNT(*)) AS BIGINT) AS seasonal_milli
+  FROM det GROUP BY 1, 2
+)
+SELECT det.t AS event_type,
+       strftime(DATE '1970-01-01' + CAST(det.d AS INTEGER), '%Y-%m-%d') AS day,
+       det.y, det.trend_milli, seas.seasonal_milli,
+       CAST(det.det_milli - seas.seasonal_milli AS BIGINT) AS residual_milli
+FROM det JOIN seas ON seas.t = det.t AND seas.dow = det.dow
+"""
+
+
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X44 time series: gap-aware EWMA of per-type daily value totals
     (operators/temporal.py:ewma_smooth) — baked integer milli-weights,
@@ -9318,6 +9369,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frequent_itemsets": q_frequent_itemsets,
     "nelson_aalen": q_nelson_aalen,
     "did_estimator": q_did_estimator,
+    "seasonal_decompose": q_seasonal_decompose,
 }
 
 
@@ -9534,6 +9586,7 @@ ORACLE_SQL: dict[str, str] = {
     "frequent_itemsets": SQL_FREQUENT_ITEMSETS,
     "nelson_aalen": SQL_NELSON_AALEN,
     "did_estimator": SQL_DID_ESTIMATOR,
+    "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
 }
 
 
@@ -9566,6 +9619,7 @@ R6_WINDOW: list[str] = [
     "frequent_itemsets",
     "nelson_aalen",
     "did_estimator",
+    "seasonal_decompose",
     # round-6 promotions (rows-only -> full oracle; zero oracle-driver
     # evidence before this round, so they outrank stale-but-green rows)
     "chunk_documents",
@@ -9594,7 +9648,6 @@ R6_WINDOW: list[str] = [
     "topk_cosine",
     "percentile_value",
     "media_features",
-    "embedding_centroids",
     # r2-witnessed backfill (evidence age: round 2)
     "tpch_q1",
     "asof_join",

@@ -464,3 +464,34 @@ def test_did_estimator_planted_lift(spark):
     assert round(r["did"], 6) == 10.0
     # zero within-cell variance -> se 0, z guarded to 0
     assert r["se"] == 0.0 and r["z"] == 0.0
+
+
+def test_seasonal_decompose_recovers_planted_weekly_bump(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    # 28 days, flat base of 10 events/day plus +3 every dow==0 day
+    rows = []
+    for d in range(28):
+        epoch_day = 19723 + d  # arbitrary anchor
+        n = 10 + (3 if epoch_day % 7 == 0 else 0)
+        day = f"{1970 + epoch_day // 365}"  # unused; build ts from epoch
+        for j in range(n):
+            rows.append(("a", epoch_day, j))
+    df = spark.createDataFrame(rows, "event_type string, ed long, j long").selectExpr(
+        "event_type",
+        "timestamp_seconds(ed * 86400 + j) as ts",
+    )
+    out = seasonal_decompose(df).collect()
+    assert len(out) == 22  # 28 days minus 3 on each edge
+    for r in out:
+        # additive identity holds exactly
+        assert 1000 * r["y"] == r["trend_milli"] + r["seasonal_milli"] + r["residual_milli"]
+        # constant-level series: trend is the same everywhere
+        assert r["trend_milli"] == (1000 * 73) // 7
+        assert r["residual_milli"] == 0
+    seas = {r["day"]: r["seasonal_milli"] for r in out}
+    bumps = [v for v in seas.values() if v > 0]
+    assert len(bumps) == 4 and all(v == 13000 - 73000 // 7 for v in bumps)
+    assert all(v == 10000 - 73000 // 7 for v in seas.values() if v < 0)
