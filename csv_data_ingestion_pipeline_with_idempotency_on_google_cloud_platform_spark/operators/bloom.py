@@ -160,3 +160,61 @@ def bloom_anti_join(
     maybe = probed.filter(F.col("might_contain")).drop("might_contain")
     corrected = maybe.join(right.select(on), on, "left_anti")
     return sure_new.unionByName(corrected)
+
+
+# m/n coefficients -ln(p)/ln(2)^2 and optimal k = round(coeff*ln 2),
+# baked as literals so both engines evaluate the IDENTICAL doubles
+# (the only runtime math is n * literal, round, ceil).
+BLOOM_PLAN_TARGETS: list[tuple[int, float, int]] = [
+    (10000, 9.585058377367439, 7),   # 1% fpp
+    (1000, 14.37758756605116, 10),   # 0.1% fpp
+]
+
+
+def bloom_size_planner(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Analytic Bloom-filter sizing for the X15 dedup key universe
+    (round 6): count the distinct normalized-content hashes the
+    cross-corpus anti-join would insert, then report the optimal
+    (m bits, k hashes, bytes) for standard false-positive targets —
+    the capacity-planning query an operator runs before allocating
+    filter state, m = ceil(n·(−ln p)/ln²2), k = round((m/n)·ln 2).
+
+    The coefficients are baked literals (module constant), so the
+    only runtime arithmetic is one exact distinct-count times a
+    literal with round-before-ceil — engine-stable at any n. One
+    map-side-combined distinct count; the target fan-out is a
+    literal explode.
+
+    Returns one row per target: (fpp_ppm, n_keys, m_bits, k_hashes,
+    filter_bytes).
+    """
+    from ..functions.text import content_hash_col
+
+    n = docs.select(content_hash_col(text_col).alias("h")).agg(
+        F.count_distinct("h").cast("long").alias("n_keys")
+    )
+    targets = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(ppm).cast("long").alias("fpp_ppm"),
+                    F.lit(coeff).alias("coeff"),
+                    F.lit(k).cast("long").alias("k_hashes"),
+                )
+                for ppm, coeff, k in BLOOM_PLAN_TARGETS
+            ]
+        )
+    ).alias("t")
+    out = n.select("n_keys", targets).select(
+        F.col("t.fpp_ppm").alias("fpp_ppm"),
+        "n_keys",
+        F.ceil(F.round(F.col("n_keys").cast("double") * F.col("t.coeff"), 6))
+        .cast("long")
+        .alias("m_bits"),
+        F.col("t.k_hashes").alias("k_hashes"),
+    )
+    return out.withColumn(
+        "filter_bytes", F.expr("(m_bits + 7) div 8").cast("long")
+    )

@@ -5943,6 +5943,37 @@ FROM det JOIN seas ON seas.t = det.t AND seas.dow = det.dow
 """
 
 
+def q_bloom_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99 (round 6): analytic Bloom sizing for the X15 dedup key
+    universe (operators/bloom.py:bloom_size_planner) — distinct
+    normalized-content hashes × baked −ln(p)/ln²2 literals with
+    round-before-ceil; 1% and 0.1% targets. Full oracle."""
+    from ..operators.bloom import bloom_size_planner
+
+    return bloom_size_planner(load_table(spark, sf_dir, "documents"))
+
+
+SQL_BLOOM_SIZE_PLANNER = r"""
+WITH n AS (
+  SELECT CAST(COUNT(DISTINCT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS BIGINT) AS n_keys
+  FROM documents
+), t AS (
+  SELECT * FROM (VALUES
+    (CAST(10000 AS BIGINT), 9.585058377367439, CAST(7 AS BIGINT)),
+    (CAST(1000 AS BIGINT), 14.37758756605116, CAST(10 AS BIGINT))
+  ) AS v(fpp_ppm, coeff, k_hashes)
+), sized AS (
+  SELECT t.fpp_ppm, n.n_keys,
+         CAST(ceil(round(CAST(n.n_keys AS DOUBLE) * t.coeff, 6)) AS BIGINT) AS m_bits,
+         t.k_hashes
+  FROM n CROSS JOIN t
+)
+SELECT fpp_ppm, n_keys, m_bits, k_hashes,
+       (m_bits + 7) // 8 AS filter_bytes
+FROM sized
+"""
+
+
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X44 time series: gap-aware EWMA of per-type daily value totals
     (operators/temporal.py:ewma_smooth) — baked integer milli-weights,
@@ -9370,6 +9401,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nelson_aalen": q_nelson_aalen,
     "did_estimator": q_did_estimator,
     "seasonal_decompose": q_seasonal_decompose,
+    "bloom_size_planner": q_bloom_size_planner,
 }
 
 
@@ -9587,6 +9619,7 @@ ORACLE_SQL: dict[str, str] = {
     "nelson_aalen": SQL_NELSON_AALEN,
     "did_estimator": SQL_DID_ESTIMATOR,
     "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
+    "bloom_size_planner": SQL_BLOOM_SIZE_PLANNER,
 }
 
 

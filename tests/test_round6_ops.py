@@ -495,3 +495,25 @@ def test_seasonal_decompose_recovers_planted_weekly_bump(spark):
     bumps = [v for v in seas.values() if v > 0]
     assert len(bumps) == 4 and all(v == 13000 - 73000 // 7 for v in bumps)
     assert all(v == 10000 - 73000 // 7 for v in seas.values() if v < 0)
+
+
+def test_bloom_size_planner_closed_form(spark):
+    import math
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.bloom import (
+        bloom_size_planner,
+    )
+
+    # 10 docs, 2 exact duplicates after normalization -> 9 distinct keys
+    texts = [f"doc number {i} words" for i in range(9)] + ["Doc  number 0   words"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["fpp_ppm"]: r.asDict() for r in bloom_size_planner(df).collect()}
+    assert got[10000]["n_keys"] == got[1000]["n_keys"] == 9
+    for ppm, p in ((10000, 0.01), (1000, 0.001)):
+        m = math.ceil(round(9 * (-math.log(p) / math.log(2) ** 2), 6))
+        assert got[ppm]["m_bits"] == m
+        assert got[ppm]["filter_bytes"] == (m + 7) // 8
+        assert got[ppm]["k_hashes"] == round(-math.log(p) / math.log(2))
+    assert got[1000]["m_bits"] > got[10000]["m_bits"]
