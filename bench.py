@@ -213,6 +213,9 @@ HEADLINE = [
     "cross_corr_lag",
     "frequent_itemsets",
     "nelson_aalen",
+    "did_estimator",
+    "seasonal_decompose",
+    "bloom_size_planner",
     "unimax_weights",
     "propensity_match",
     "degree_assortativity",
