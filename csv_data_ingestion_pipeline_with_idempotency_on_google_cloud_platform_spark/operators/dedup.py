@@ -1134,9 +1134,14 @@ def minhash_blocking_eval(
         )
         .select("id_a", "id_b")
     )
-    m_docs = sh_all.select("i").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
+    if truth_sample_milli < 1000:
+        m_docs = sh_all.select("i").distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+    else:
+        # unsampled: the truth-side sizes frame already holds every doc
+        # with >=1 shingle — don't pay a second shingle explode
+        m_docs = sizes.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     m_sampled = sizes.agg(F.count(F.lit(1)).cast("long").alias("n_docs_sampled"))
     m_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
     m_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
