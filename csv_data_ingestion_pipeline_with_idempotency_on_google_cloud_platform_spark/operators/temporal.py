@@ -1267,12 +1267,19 @@ def cross_corr_lag(
             F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         )
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # moments go to double BEFORE the products: n*sxx and sx*sx stay
+    # exact here (fixture magnitudes < 2^53) but would overflow BIGINT
+    # on billion-event days; IEEE multiply is identical in any engine
+    # either way, so parity is unaffected by the widening
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx_d, syy_d = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = n_d * F.col("sxy").cast("double") - sx_d * sy_d
+    vx = n_d * sxx_d - sx_d * sx_d
+    vy = n_d * syy_d - sy_d * sy_d
     r = F.when(
         (vx > 0) & (vy > 0),
-        F.round(num / F.sqrt(vx.cast("double") * vy.cast("double")), 6),
+        F.round(num / F.sqrt(vx * vy), 6),
     ).otherwise(F.lit(None).cast("double"))
     return sums.select(
         "type_a", "type_b", F.col("lag").cast("long").alias("lag"), "n", r.alias("r")

@@ -8632,10 +8632,11 @@ WITH daily AS (
   GROUP BY 1, 2, 3
 )
 SELECT type_a, type_b, lag, n,
-       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
-                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+             AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+            THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
             ELSE NULL END AS r
 FROM sums
 """
