@@ -1333,3 +1333,70 @@ def did_estimator(
             F.when(se2 > 0, did / F.sqrt(se2)).otherwise(F.lit(0.0)), 6
         ).alias("z"),
     )
+
+
+def burstiness_profile(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Count-data overdispersion diagnostics per group (round 6): the
+    index of dispersion D = s²/x̄ of the daily counts on the 0-filled
+    day grid, with the chi-square statistic (n−1)·D — the standard
+    test of "is this arrival process Poisson-like or bursty?" that
+    decides whether rate alarms can use Poisson bands (X46 CUSUM) or
+    need the MAD/robust family (X45). D ≈ 1 Poisson; D ≫ 1 bursty;
+    D < 1 more-regular-than-random.
+
+    Integer moments (n, Σy, Σy²) on the grid, one IEEE expression on
+    top rounded to 6 dp; overdispersed flag via the exact integer
+    cross-multiplication n·Σy² − Σy² > Σy·(n−1) (D > 1 without any
+    float in the decision).
+
+    Scale shape: the daily rollup + a |groups|-row moment aggregate —
+    the cross_corr_lag grid without the lag fan-out.
+
+    Returns (event_type, n_days, mean_daily, dispersion, chi2,
+    overdispersed).
+    """
+    daily = (
+        events.where(F.col(group_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(group_col).alias("t"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = (
+        daily.groupBy("t")
+        .agg(F.min("d").alias("__mn"), F.max("d").alias("__mx"))
+        .select("t", F.explode(F.sequence(F.col("__mn"), F.col("__mx"))).alias("d"))
+        .join(daily, ["t", "d"], "left")
+        .select("t", F.coalesce("c", F.lit(0).cast("long")).alias("y"))
+    )
+    m = grid.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sy_d = F.col("sy").cast("double")
+    syy_d = F.col("syy").cast("double")
+    var = (n_d * syy_d - sy_d * sy_d) / (n_d * (n_d - 1.0))
+    mean = sy_d / n_d
+    disp = var / mean
+    return m.where((F.col("n") >= 2) & (F.col("sy") > 0)).select(
+        F.col("t").alias("event_type"),
+        F.col("n").alias("n_days"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(disp, 6).alias("dispersion"),
+        F.round((n_d - 1.0) * disp, 6).alias("chi2"),
+        # D > 1  <=>  n*syy - sy^2 > sy*(n-1), exact in doubles here
+        # and overflow-safe (moments widened like cross_corr_lag)
+        (n_d * syy_d - sy_d * sy_d > sy_d * (n_d - 1.0)).cast("int").alias(
+            "overdispersed"
+        ),
+    )

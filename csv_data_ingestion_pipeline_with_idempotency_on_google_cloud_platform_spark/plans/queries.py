@@ -5974,6 +5974,50 @@ FROM sized
 """
 
 
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X100 (round 6): count-data overdispersion diagnostics
+    (operators/stats.py:burstiness_profile) — index of dispersion
+    s²/x̄ of each type's 0-filled daily counts with the (n−1)·D
+    chi-square and a double-exact overdispersed flag; decides Poisson
+    vs robust alarm bands. Full oracle."""
+    from ..operators.stats import burstiness_profile
+
+    return burstiness_profile(load_table(spark, sf_dir, "events"))
+
+
+SQL_BURSTINESS = """
+WITH daily AS (
+  SELECT event_type AS t,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT t, MIN(d) AS mn, MAX(d) AS mx FROM daily GROUP BY 1
+), grid AS (
+  SELECT b.t, COALESCE(daily.c, 0) AS y
+  FROM bounds b
+  CROSS JOIN LATERAL (SELECT UNNEST(range(0, b.mx - b.mn + 1)) AS o) u
+  LEFT JOIN daily ON daily.t = b.t AND daily.d = b.mn + u.o
+), m AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM grid GROUP BY 1
+)
+SELECT t AS event_type, n AS n_days,
+       round(CAST(sy AS DOUBLE) / n, 6) AS mean_daily,
+       round(((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * (n - 1.0)))
+             / (CAST(sy AS DOUBLE) / n), 6) AS dispersion,
+       round((n - 1.0) * (((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * (n - 1.0)))
+             / (CAST(sy AS DOUBLE) / n)), 6) AS chi2,
+       CAST(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy
+            > CAST(sy AS DOUBLE) * (n - 1.0) AS INTEGER) AS overdispersed
+FROM m WHERE n >= 2 AND sy > 0
+"""
+
+
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X44 time series: gap-aware EWMA of per-type daily value totals
     (operators/temporal.py:ewma_smooth) — baked integer milli-weights,
@@ -9403,6 +9447,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "did_estimator": q_did_estimator,
     "seasonal_decompose": q_seasonal_decompose,
     "bloom_size_planner": q_bloom_size_planner,
+    "burstiness": q_burstiness,
 }
 
 
@@ -9621,6 +9666,7 @@ ORACLE_SQL: dict[str, str] = {
     "did_estimator": SQL_DID_ESTIMATOR,
     "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
     "bloom_size_planner": SQL_BLOOM_SIZE_PLANNER,
+    "burstiness": SQL_BURSTINESS,
 }
 
 

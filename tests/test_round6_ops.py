@@ -517,3 +517,32 @@ def test_bloom_size_planner_closed_form(spark):
         assert got[ppm]["filter_bytes"] == (m + 7) // 8
         assert got[ppm]["k_hashes"] == round(-math.log(p) / math.log(2))
     assert got[1000]["m_bits"] > got[10000]["m_bits"]
+
+
+def test_burstiness_profile_separates_poisson_from_bursty(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        burstiness_profile,
+    )
+
+    rows = []
+    # "flat": exactly 5/day for 10 days -> variance 0, D = 0
+    for d in range(10):
+        rows += [("flat", 19000 + d, j) for j in range(5)]
+    # "bursty": 50 on one day, 0 elsewhere across the same span
+    rows += [("bursty", 19000, j) for j in range(50)]
+    rows += [("bursty", 19009, 0)]  # anchor the 10-day range, 1 event
+    df = spark.createDataFrame(rows, "event_type string, ed long, j long").selectExpr(
+        "event_type", "timestamp_seconds(ed * 86400 + j) as ts"
+    )
+    got = {r["event_type"]: r.asDict() for r in burstiness_profile(df).collect()}
+    flat, bursty = got["flat"], got["bursty"]
+    assert flat["n_days"] == bursty["n_days"] == 10
+    assert flat["dispersion"] == 0.0 and flat["overdispersed"] == 0
+    assert bursty["overdispersed"] == 1 and bursty["dispersion"] > 10
+    # closed form for the bursty series: mean 5.1, var = sum((y-m)^2)/9
+    ys = [51 if False else 0] * 10
+    ys[0], ys[9] = 50, 1
+    m = sum(ys) / 10
+    var = sum((y - m) ** 2 for y in ys) / 9
+    assert bursty["dispersion"] == round(var / m, 6)
+    assert bursty["chi2"] == round(9 * (var / m), 6)
