@@ -898,3 +898,86 @@ def quality_quantile_normalize(
             .alias("q_norm_milli"),
         )
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve over corpus prefixes
+    (round 6): cumulative distinct vocabulary and token volume at
+    ``n_checkpoints`` equal-document prefixes of the corpus in doc-id
+    order — the curve whose V ≈ k·Nᵝ shape tells a corpus builder
+    whether more data still buys new vocabulary (β well above 0 ⇒
+    keep crawling; flat ⇒ the source is exhausted). `new_vocab` per
+    checkpoint is the marginal version of the same signal.
+
+    Exact and scalable: the doc's checkpoint bucket comes from
+    X10's assign_global_ids (range-partition + partition-offset rank —
+    NO global-sort window), so bucket = (rank·k) div N is one integer
+    expression; cumulative distinct vocabulary uses the first-seen
+    rewrite (X60's trick): each term's MIN bucket, counted per bucket,
+    prefix-summed over the k-row frame — never a distinct per prefix.
+
+    Returns (checkpoint, n_docs_cum, n_tokens_cum, n_vocab_cum,
+    new_vocab), checkpoint 1..n_checkpoints.
+    """
+    from ..functions.text import tokens_col
+    from ..operators.packing import assign_global_ids
+
+    ids = assign_global_ids(docs.select(id_col), id_col)
+    n = ids.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    decs = ids.crossJoin(F.broadcast(n)).select(
+        id_col,
+        (
+            F.expr(f"(row_id * {n_checkpoints}) div __n").cast("long") + 1
+        ).alias("ck"),
+    )
+    per_doc = docs.select(
+        F.col(id_col), token_count_col(text_col).alias("__nt")
+    )
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(tokens_col(text_col), lambda x: F.lower(x))
+        ).alias("term"),
+    )
+    d_docs = decs.groupBy("ck").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    d_tok = (
+        per_doc.join(decs, id_col)
+        .groupBy("ck")
+        .agg(F.sum("__nt").cast("long").alias("n_tokens"))
+    )
+    first_ck = (
+        tok.join(decs, id_col)
+        .select("term", "ck")
+        .groupBy("term")
+        .agg(F.min("ck").alias("ck"))
+    )
+    newv = first_ck.groupBy("ck").agg(
+        F.count(F.lit(1)).cast("long").alias("new_vocab")
+    )
+    per_ck = (
+        d_docs.join(d_tok, "ck", "left")
+        .join(newv, "ck", "left")
+        .select(
+            "ck",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("new_vocab", F.lit(0)).cast("long").alias("new_vocab"),
+        )
+    )
+    w = (
+        Window.partitionBy(F.col("ck") % 1)
+        .orderBy("ck")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_ck.select(
+        F.col("ck").alias("checkpoint"),
+        F.sum("n_docs").over(w).cast("long").alias("n_docs_cum"),
+        F.sum("n_tokens").over(w).cast("long").alias("n_tokens_cum"),
+        F.sum("new_vocab").over(w).cast("long").alias("n_vocab_cum"),
+        "new_vocab",
+    )

@@ -2910,6 +2910,62 @@ LIMIT 10
 """
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X101 (round 6): Heaps-law vocabulary-growth curve
+    (operators/textstats.py:vocab_growth) — cumulative vocab/token
+    volume at 10 equal-document corpus prefixes via X10's offset-rank
+    buckets and the first-seen MIN-bucket rewrite (no per-prefix
+    distinct). Full oracle."""
+    from ..operators.textstats import vocab_growth
+
+    return vocab_growth(load_table(spark, sf_dir, "documents"))
+
+
+SQL_VOCAB_GROWTH = r"""
+WITH ordered AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS idx FROM documents
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+decs AS (
+  SELECT doc_id, CAST((idx * 10) // n + 1 AS BIGINT) AS ck FROM ordered, nn
+), toksrc AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS t
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS nt FROM toksrc
+), tok AS (
+  SELECT doc_id, lower(unnest(t)) AS term FROM toksrc
+), d_docs AS (
+  SELECT ck, CAST(COUNT(*) AS BIGINT) AS n_docs FROM decs GROUP BY 1
+), d_tok AS (
+  SELECT ck, CAST(SUM(nt) AS BIGINT) AS n_tokens
+  FROM per_doc JOIN decs USING (doc_id) GROUP BY 1
+), first_ck AS (
+  SELECT term, MIN(ck) AS ck
+  FROM (SELECT DISTINCT t.term, d.ck FROM tok t JOIN decs d USING (doc_id))
+  GROUP BY 1
+), newv AS (
+  SELECT ck, CAST(COUNT(*) AS BIGINT) AS new_vocab FROM first_ck GROUP BY 1
+), per_ck AS (
+  SELECT d_docs.ck,
+         d_docs.n_docs,
+         COALESCE(d_tok.n_tokens, 0) AS n_tokens,
+         COALESCE(newv.new_vocab, 0) AS new_vocab
+  FROM d_docs
+  LEFT JOIN d_tok ON d_tok.ck = d_docs.ck
+  LEFT JOIN newv ON newv.ck = d_docs.ck
+)
+SELECT ck AS checkpoint,
+       CAST(SUM(n_docs) OVER w AS BIGINT) AS n_docs_cum,
+       CAST(SUM(n_tokens) OVER w AS BIGINT) AS n_tokens_cum,
+       CAST(SUM(new_vocab) OVER w AS BIGINT) AS n_vocab_cum,
+       CAST(new_vocab AS BIGINT) AS new_vocab
+FROM per_ck
+WINDOW w AS (ORDER BY ck ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 cleaning: cross-document boilerplate removal
     (operators/textstats.py:remove_boilerplate) at word granularity —
@@ -9448,6 +9504,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_decompose": q_seasonal_decompose,
     "bloom_size_planner": q_bloom_size_planner,
     "burstiness": q_burstiness,
+    "vocab_growth": q_vocab_growth,
 }
 
 
@@ -9667,6 +9724,7 @@ ORACLE_SQL: dict[str, str] = {
     "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
     "bloom_size_planner": SQL_BLOOM_SIZE_PLANNER,
     "burstiness": SQL_BURSTINESS,
+    "vocab_growth": SQL_VOCAB_GROWTH,
 }
 
 

@@ -546,3 +546,32 @@ def test_burstiness_profile_separates_poisson_from_bursty(spark):
     var = sum((y - m) ** 2 for y in ys) / 9
     assert bursty["dispersion"] == round(var / m, 6)
     assert bursty["chi2"] == round(9 * (var / m), 6)
+
+
+def test_vocab_growth_planted_curve(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        vocab_growth,
+    )
+
+    # 20 docs, 2 per checkpoint (k=10): doc i contributes exactly one
+    # NEW word w{i} plus the shared word "base" (introduced by doc 0)
+    texts = [f"base w{i}" for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["checkpoint"]: r.asDict() for r in vocab_growth(df).collect()}
+    assert sorted(got) == list(range(1, 11))
+    assert got[1]["n_docs_cum"] == 2 and got[10]["n_docs_cum"] == 20
+    assert got[10]["n_tokens_cum"] == 40
+    # vocab: "base" + 2 new per checkpoint -> 3, 5, 7, ... 21
+    for ck in range(1, 11):
+        assert got[ck]["n_vocab_cum"] == 1 + 2 * ck
+        assert got[ck]["new_vocab"] == (3 if ck == 1 else 2)
+    # saturated corpus: same text everywhere -> growth flat after ck 1
+    df2 = spark.createDataFrame(
+        [(i, "just the same words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    got2 = {r["checkpoint"]: r.asDict() for r in vocab_growth(df2).collect()}
+    assert got2[1]["n_vocab_cum"] == 4
+    assert all(got2[ck]["new_vocab"] == 0 for ck in range(2, 11))
