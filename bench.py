@@ -216,6 +216,8 @@ HEADLINE = [
     "did_estimator",
     "seasonal_decompose",
     "bloom_size_planner",
+    "burstiness",
+    "vocab_growth",
     "unimax_weights",
     "propensity_match",
     "degree_assortativity",
