@@ -1070,7 +1070,7 @@ def minhash_blocking_eval(
     band_rows: int = 4,
     threshold_milli: int = 500,
     max_bucket_size: int = 50,
-    truth_sample_milli: int = 1000,
+    truth_sample_milli: int = 250,
 ) -> DataFrame:
     """Blocking-quality evaluation of the MinHash-LSH candidate stage
     (round 6): pairs completeness (what fraction of TRUE near-dup
@@ -1098,8 +1098,10 @@ def minhash_blocking_eval(
     (``truth_sample_milli``/1000 of them — engine-replayable, so
     still full-oracle), which holds the truth-side pair work
     constant as the corpus grows; the candidate count and reduction
-    ratio stay global and exact. 1000 = exhaustive truth (fixture
-    scale).
+    ratio stay global and exact. The DEFAULT is the sampled
+    estimator (250 milli — round-7 flip per the r6 verdict: the
+    exhaustive form was the one query that could not survive 100×);
+    pass 1000 explicitly for exhaustive truth at fixture scale only.
 
     Returns one row: (n_docs, n_docs_sampled, total_pairs,
     n_true_pairs, n_candidate_pairs, n_captured,

@@ -1349,9 +1349,16 @@ def burstiness_profile(
     D < 1 more-regular-than-random.
 
     Integer moments (n, Σy, Σy²) on the grid, one IEEE expression on
-    top rounded to 6 dp; overdispersed flag via the exact integer
-    cross-multiplication n·Σy² − Σy² > Σy·(n−1) (D > 1 without any
-    float in the decision).
+    top rounded to 6 dp; overdispersed flag via the cross-
+    multiplication n·Σy² − (Σy)² > Σy·(n−1) with each BIGINT moment
+    widened to double BEFORE multiplying — the repo's overflow-safe
+    convention (cross_corr_lag / did_estimator): engine-identical
+    because both sides widen identically, but the comparison CAN flip
+    within one ULP of the boundary once a moment exceeds 2⁵³ (≈9e15;
+    a corpus would need ~10⁸ events/day-grid-cell² to get there).
+    Exact-integer products are NOT the safer alternative: n·Σy²
+    overflows BIGINT long before the double comparison loses the
+    boundary (r6 ADVICE — docstring now matches the implementation).
 
     Scale shape: the daily rollup + a |groups|-row moment aggregate —
     the cross_corr_lag grid without the lag fan-out.

@@ -1087,6 +1087,7 @@ def dtw_distance(
     events: DataFrame,
     group_col: str = "event_type",
     ts_col: str = "ts",
+    max_cells: int = 1_000_000,
 ) -> DataFrame:
     """Dynamic Time Warping distance between every pair of groups'
     daily-count series (round 6) — the classic elastic similarity for
@@ -1104,9 +1105,16 @@ def dtw_distance(
 
     Scale shape: one daily rollup (map-side combined), one |groups|-row
     series build, one broadcast self-join over group pairs; the DP is
-    per-pair narrow compute, O(n·m) with day-bounded series (the
-    autocorrelation bound) — never a per-cell shuffle. Group count is
-    report-sized; series length is bounded by the date range.
+    per-pair narrow compute — never a per-cell shuffle. The fold
+    appends one cell per step, so the element-copy cost is
+    O((n·m)²) and the final accumulator is one n·m-cell array per
+    pair: fine for day-bounded series (a 365-day pair is 133k cells),
+    ruinous for multi-year ones (2,400 days → 5.8M cells). Nothing
+    upstream enforces the day bound, so ``max_cells`` (default 1e6 ≈
+    a 3-year×1-year pair) HARD-FAILS any pair whose DP would exceed
+    it — a loud per-pair error naming the offending types beats an
+    executor OOM hours in (r6 ADVICE). Coarsen the bucketing (weekly
+    rollup upstream) or raise the cap explicitly for longer series.
 
     Returns (type_a, type_b, n_a, n_b, dtw), pairs alphabetical.
     """
@@ -1180,12 +1188,30 @@ def dtw_distance(
             cell,
         ),
     ).otherwise(base)
+    # guard lives INSIDE the output expression so column pruning can
+    # never optimize it away; fires per-pair with the offending names
+    guarded = F.when(
+        nm <= F.lit(max_cells),
+        F.element_at(dp, nm.cast("int")),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "dtw_distance: DP size n_a*n_b=%s exceeds max_cells=%s "
+                "for pair (%s, %s); coarsen the series bucketing or "
+                "raise max_cells explicitly",
+                nm,
+                F.lit(max_cells).cast("long"),
+                F.col("type_a").cast("string"),
+                F.col("type_b").cast("string"),
+            )
+        ).cast("long")
+    )
     return pairs.select(
         "type_a",
         "type_b",
         "n_a",
         "n_b",
-        F.element_at(dp, nm.cast("int")).alias("dtw"),
+        guarded.alias("dtw"),
     )
 
 

@@ -56,7 +56,9 @@ def test_blocking_eval_identities(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    row = minhash_blocking_eval(df).collect()[0].asDict()
+    # truth_sample_milli=1000 = exhaustive truth: explicit-arg-only since
+    # round 7 (the scale-safe sampled estimator is the default)
+    row = minhash_blocking_eval(df, truth_sample_milli=1000).collect()[0].asDict()
     assert row["n_docs"] == 10
     assert row["total_pairs"] == 45
     # identical docs share every shingle -> truth catches all 3 pairs,
@@ -83,7 +85,7 @@ def test_blocking_eval_no_dups_corpus(spark):
         ],
         "doc_id long, text string",
     )
-    row = minhash_blocking_eval(df).collect()[0].asDict()
+    row = minhash_blocking_eval(df, truth_sample_milli=1000).collect()[0].asDict()
     assert row["n_true_pairs"] == 0
     assert row["n_captured"] == 0
     assert row["pairs_completeness_milli"] == 0  # guarded div
@@ -238,6 +240,31 @@ def test_dtw_distance_matches_reference_dp(spark):
     assert got[("a", "b")]["dtw"] < l1
 
 
+def test_dtw_distance_max_cells_guard(spark):
+    """Pairs whose DP would exceed max_cells must HARD-FAIL with a
+    message naming the pair, not silently build a multi-million-cell
+    array (r6 ADVICE: nothing upstream enforces day-bounded series)."""
+    import pytest as _pytest
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        dtw_distance,
+    )
+
+    rows = [
+        ("a", "2024-01-01 00:00:00"),
+        ("a", "2024-01-10 00:00:00"),  # 10-day grid
+        ("b", "2024-01-01 00:00:00"),
+        ("b", "2024-01-05 00:00:00"),  # 5-day grid -> nm = 50
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts string").selectExpr(
+        "event_type", "cast(ts as timestamp) as ts"
+    )
+    with _pytest.raises(Exception, match="exceeds max_cells"):
+        dtw_distance(df, max_cells=49).collect()
+    # at exactly the cap it still computes
+    assert dtw_distance(df, max_cells=50).collect()[0]["dtw"] is not None
+
+
 def _xy2d(order, x, y):
     d, s = 0, order // 2
     while s > 0:
@@ -387,7 +414,7 @@ def test_nelson_aalen_closed_form(spark):
 
 
 def test_blocking_eval_truth_equals_bruteforce(spark):
-    """The default (unsampled) truth side must find exactly the pairs
+    """The exhaustive (truth_sample_milli=1000) truth side must find exactly the pairs
     an exhaustive python brute force over the same 2-shingle sets
     finds, on a corpus with near-dups at several overlap levels and a
     corpus-hot shingle."""
@@ -411,7 +438,7 @@ def test_blocking_eval_truth_equals_bruteforce(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    row = minhash_blocking_eval(df).collect()[0].asDict()
+    row = minhash_blocking_eval(df, truth_sample_milli=1000).collect()[0].asDict()
     sampled = minhash_blocking_eval(df, truth_sample_milli=500).collect()[0].asDict()
 
     # brute-force truth in python on the same 2-shingles

@@ -220,11 +220,18 @@ def gen_part(scale: int, rng: np.random.Generator) -> pa.Table:
 
 
 def gen_orders(scale: int, rng: np.random.Generator) -> pa.Table:
-    """10× orders with 10× DISTINCT customers, preserving what the
-    interval/episode family depends on: the per-customer order-count
-    distribution (drives episode counts for interval_merge) and the
-    orderdate span/density per customer (drives episode lengths), plus
-    empirical price/status/priority marginals."""
+    """10× orders with 10× DISTINCT customers, preserving the
+    per-customer order-COUNT distribution (resampled from the real
+    counts — drives how many intervals each interval_merge customer
+    contributes) and the global orderdate range plus empirical
+    price/status/priority marginals. NOT preserved (r6 ADVICE): the
+    per-customer orderdate span/density — dates are drawn i.i.d.
+    uniform over the global range independent of customer, so a
+    synthetic customer's episode structure (episode count/length
+    after interval_merge's gap-tolerance chaining) is denser-than-
+    real for heavy customers; ladder wall-times for the episode
+    family are an upper bound on merge work, not a calibrated
+    replay of real per-customer temporal clustering."""
     od = load("orders")
     n = od.num_rows * scale
     cust = np.asarray(od.column("o_custkey").to_pylist())
