@@ -346,6 +346,80 @@ def kmeans_train_assign(
     return emb.withColumn("cluster", col).select(id_col, "cluster")
 
 
+def kmeans_literal_assign(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The k-means E-STEP alone, with the centroids pinned to Lloyd's
+    deterministic INIT (the k lowest-id vectors) and every component
+    scaled to an exact e6 integer (round(x·1e6) BIGINT, the
+    margin_knn/embedding_lsh scheme) — round 7's oracle-replayable
+    twin of the iterative trainer: squared-L2 distances become exact
+    integer sums (order-independent — no float seam anywhere in the
+    argmin), so assignment + distance replay bit-for-bit in any
+    engine. This is the assignment path a served IVF/k-means index
+    runs per query batch once training is done; the rows-only
+    `kmeans_assign` keeps covering the training loop itself.
+
+    Distributed shape: centroids are one bounded k×dim driver collect
+    (the same bounded state the trainer holds) baked into a literal
+    array-of-structs; the per-row argmin is ONE narrow fold — zero
+    joins, zero shuffles, no Python. Magnitudes: |e6 component| ≤
+    ~4e6 ⇒ per-dim square ≤ 1.6e13, ×dim(64) ≤ 1e15 — far inside
+    BIGINT.
+
+    Returns (id_col, cluster, d2) with first-lowest-cid tie-break.
+    """
+    vq = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0).cast("long"),
+    )
+    cents = [
+        (int(r["i"]), [int(x) for x in r["v"]])
+        for r in emb.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).cast("long").alias("i"), vq.alias("v"))
+        .collect()
+    ]
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(c).cast("long") for c in cv]).alias("cv"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    d2 = lambda cv: F.aggregate(  # noqa: E731 - exact integer ΣΔ²
+        F.zip_with(F.col("__v"), cv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = F.aggregate(
+        cent_arr,
+        F.struct(
+            F.lit(-1).cast("long").alias("cid"),
+            F.lit(None).cast("long").alias("d2"),
+        ),
+        lambda acc, c: F.when(
+            acc["d2"].isNull() | (d2(c["cv"]) < acc["d2"]),
+            F.struct(c["cid"].alias("cid"), d2(c["cv"]).alias("d2")),
+        ).otherwise(acc),
+    )
+    return (
+        parallelize_narrow(emb)
+        .select(F.col(id_col), vq.alias("__v"))
+        .select(F.col(id_col), best.alias("__b"))
+        .select(
+            id_col,
+            F.col("__b.cid").alias("cluster"),
+            F.col("__b.d2").alias("d2"),
+        )
+    )
+
+
 def kmeans_two_level(
     emb: DataFrame,
     k1: int = 8,

@@ -1281,6 +1281,61 @@ def q_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(pairs)
 
 
+def q_media_md5_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24 oracle twin (round 7): the EXACT production perceptual-hash
+    pipeline (same n_bits=16 / radius=2 / cap as media_phash_dedup)
+    driven entirely through its md5 FALLBACK — payloads with no
+    decoder ('text/plain' from attach_binary_payload) hash to the low
+    16 bits of md5(payload) (multimodal.ahash_bits fallback), so the
+    pigeonhole block decomposition (5+5+6 bits), the 2..1000-capped
+    `_bucket_pairs` expansion, and the bit_count hamming≤2 filter all
+    replay bit-for-bit in DuckDB. Semantics under md5 bits: exact-
+    content duplicates pair at hamming 0; the remaining pairs are
+    deterministic hash near-collisions — which is precisely what makes
+    this the value-hash gate for the multimodal PAIR PIPELINE (the
+    thing the rows-only decoded-pixel `media_phash_dedup` could never
+    gate) rather than a semantic dedup claim. Full oracle."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs)
+    pairs = multimodal.media_phash_near_dup(
+        media, n_bits=16, radius=2, max_bucket_size=1000
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+SQL_MEDIA_MD5_NEAR_DUP = """
+WITH h AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(text), 29, 4)) AS INTEGER) AS ph
+  FROM documents
+), blocks AS MATERIALIZED (
+  SELECT doc_id, ph, b.block_id,
+         CASE b.block_id
+           WHEN 0 THEN ph % 32
+           WHEN 1 THEN (ph // 32) % 32
+           ELSE ph // 1024
+         END AS block_val
+  FROM h CROSS JOIN (SELECT UNNEST(range(3)) AS block_id) b
+), ok AS (
+  SELECT block_id, block_val FROM blocks GROUP BY 1, 2
+  HAVING COUNT(*) BETWEEN 2 AND 1000
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.ph AS pa, b.ph AS pb
+  FROM blocks a
+  JOIN blocks b ON b.block_id = a.block_id AND b.block_val = a.block_val
+              AND a.doc_id < b.doc_id
+  JOIN ok ON ok.block_id = a.block_id AND ok.block_val = a.block_val
+)
+SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(pa, pb)) <= 2
+"""
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 (BPE-ish budgeting): GPT-2-style pretokenizer match counts vs
     whitespace tokens per language — the cheap token-budget estimator
@@ -1410,6 +1465,41 @@ def q_kmeans_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_kmeans.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.kmeans_two_level(emb, k1=4, k2=2, iters=3)
+
+
+def q_kmeans_literal_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 oracle twin (round 7): the k-means E-step with centroids
+    pinned to Lloyd's deterministic init (the 8 lowest-id vectors) and
+    e6-integer components (operators/similarity.py:
+    kmeans_literal_assign) — squared-L2 argmin as exact integer
+    algebra, zero shuffle, zero float in the decision, so the serving-
+    time assignment path of the k-means/IVF family replays bit-for-bit
+    in DuckDB; the iterative trainer (`kmeans_assign`) stays rows-only.
+    Full oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_literal_assign(emb, k=8)
+
+
+SQL_KMEANS_LITERAL_ASSIGN = """
+WITH vq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings
+), cents AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cv FROM vq ORDER BY vec_id LIMIT 8
+), d AS (
+  SELECT q.vec_id, c.cid,
+         CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+              i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT) AS d2
+  FROM vq q CROSS JOIN cents c
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2
+FROM (SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM d)
+WHERE rn = 1
+"""
 
 
 def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9516,6 +9606,10 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_size_planner": q_bloom_size_planner,
     "burstiness": q_burstiness,
     "vocab_growth": q_vocab_growth,
+    # round-7 additions: oracle-replayable twins converting two more
+    # rows-only families (VERDICT r6 item 4)
+    "media_md5_near_dup": q_media_md5_near_dup,
+    "kmeans_literal_assign": q_kmeans_literal_assign,
 }
 
 
@@ -9736,6 +9830,8 @@ ORACLE_SQL: dict[str, str] = {
     "bloom_size_planner": SQL_BLOOM_SIZE_PLANNER,
     "burstiness": SQL_BURSTINESS,
     "vocab_growth": SQL_VOCAB_GROWTH,
+    "media_md5_near_dup": SQL_MEDIA_MD5_NEAR_DUP,
+    "kmeans_literal_assign": SQL_KMEANS_LITERAL_ASSIGN,
 }
 
 
