@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..utils import parallelize_narrow
+
 PARTIAL_SCHEMA = "pid int, n long, s array<double>, ss array<double>"
 
 
@@ -194,3 +196,58 @@ def zca_whiten(
         return pd.Series(list((x - mu) @ m.T))
 
     return df.withColumn(out_col, _apply(F.col(vec_col)))
+
+
+def jl_project(
+    emb: DataFrame,
+    k_out: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random-SIGN projection to ``k_out`` dims
+    (round 7, per Achlioptas 2003: ±1 entries preserve pairwise
+    distances like Gaussian ones) — the cheap dimensionality reducer
+    in front of ANN/clustering when PCA's two-pass fit is overkill or
+    the corpus is still growing: distances shrink by the constant
+    √(dim/k_out), which rank-based consumers (top-k, LSH bucketing,
+    k-means argmin) never see.
+
+    Engine-exact: components scale to e6 BIGINT, the sign matrix is
+    md5-derived (sign(j,i) = +1 iff the first hex char of
+    md5("j:i") is even — the _md5_hyperplanes convention, no RNG, no
+    seed shipping), and each output component is an exact integer
+    Σ ±x_i — bit-identical in any engine, no float anywhere.
+
+    Scale shape: the 16×64 sign matrix is baked into ONE parsed SQL
+    expression (literals, not py4j calls — the embedding_lsh
+    plan-build lesson), the projection is a narrow per-row fold, and
+    the output explodes to (id, j, comp) rows for stable hashing.
+    Zero shuffle, zero Python, zero driver state.
+
+    Returns (id_col, j, comp) — k_out rows per input vector.
+    """
+    import hashlib
+
+    def sign(j: int, i: int) -> int:
+        return 1 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+    rows = []
+    for j in range(k_out):
+        arr = ", ".join(f"{sign(j, i)}L" for i in range(dim))
+        rows.append(
+            f"named_struct('j', {j}L, 'comp', "
+            f"aggregate(zip_with(__v, array({arr}), (a, s) -> a * s), "
+            f"0L, (acc, x) -> acc + x))"
+        )
+    proj = F.expr("array(" + ", ".join(rows) + ")")
+    vq = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0).cast("long"),
+    )
+    return (
+        parallelize_narrow(emb)
+        .select(F.col(id_col), vq.alias("__v"))
+        .select(F.col(id_col), F.explode(proj).alias("__p"))
+        .select(id_col, F.col("__p.j").alias("j"), F.col("__p.comp").alias("comp"))
+    )

@@ -1407,3 +1407,140 @@ def burstiness_profile(
             "overdispersed"
         ),
     )
+
+
+def trimmed_mean(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    trim_milli: int = 100,
+) -> DataFrame:
+    """Per-group exact trimmed mean (round 7): drop the lowest and
+    highest ``trim_milli``/1000 of rows BY RANK and average the rest —
+    the standard robust location estimate between mean (trim 0) and
+    median (trim 500), the right summary for value columns with
+    heavy-tailed junk that would otherwise dominate a plain mean.
+
+    Engine-exact end to end: values scale to e6 BIGINT micros
+    (round half-up, the repo convention), the trim boundary is the
+    integer count ⌊n·trim/1000⌋ applied to a (value, id)-ordered rank
+    (total order → identical trimmed SET in any engine), and the
+    trimmed mean itself is an integer floor-div of the micro sum.
+
+    Scale shape: one rank window per group (single shuffle on the
+    group key — same shape as every quantile query here) + one
+    map-side-combined aggregate. No driver state.
+
+    Returns (group, n, n_trimmed, trimmed_mean_micro).
+    """
+    v = F.round(F.col(value_col).cast("double") * 1000000.0).cast("long")
+    w = Window.partitionBy("g").orderBy("v", "rid")
+    ranked = (
+        events.where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            v.alias("v"),
+            F.col("event_id").cast("long").alias("rid"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    )
+    cut = F.expr(f"(n * {int(trim_milli)}) div 1000")
+    kept = ranked.where((F.col("rk") > cut) & (F.col("rk") <= F.col("n") - cut))
+    return (
+        kept.groupBy("g")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("v").cast("long").alias("__sv"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            (F.col("n") - F.col("n_kept")).alias("n_trimmed"),
+            F.expr("__sv div n_kept").alias("trimmed_mean_micro"),
+        )
+    )
+
+
+def chisq_independence(
+    events: DataFrame,
+    row_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Chi-square test of independence between the event type and the
+    day-of-week of its timestamp (round 7) — "is the activity MIX
+    day-of-week dependent?", the categorical association readout next
+    to the numeric correlation family (X43) and the two-sample tests
+    (X45/X73). Cramér's V normalizes the statistic to [0,1] effect
+    size so it is comparable across tables.
+
+    Observed counts are exact integers; χ² = Σ (O·N − r·c)² / (N·r·c)
+    is evaluated with each integer widened to double BEFORE any
+    product (the cross_corr_lag overflow convention) and rounded to
+    6 dp; V = sqrt(χ²/(N·min(r−1,c−1))).
+
+    Scale shape: ONE map-side-combined (type, dow) count aggregate
+    (cells bounded by |types|×7), then cell-level arithmetic on the
+    tiny contingency table with broadcast margins. Returns one row
+    (n, n_rows, n_cols, dof, chi2, cramers_v).
+    """
+    cells = (
+        events.where(F.col(row_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(row_col).alias("r"),
+            F.dayofweek(F.to_date(ts_col)).cast("long").alias("c"),
+        )
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rt = cells.groupBy("r").agg(F.sum("o").cast("long").alias("rt"))
+    ct = cells.groupBy("c").agg(F.sum("o").cast("long").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("r").cast("long").alias("n_rows"),
+        F.countDistinct("c").cast("long").alias("n_cols"),
+    )
+    # the full r×c grid (zero cells included — a structurally absent
+    # cell still contributes (0−E)²/E) via the margins' cross join:
+    # both margins are bounded (|types|, ≤7), so this is tiny
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(cells, ["r", "c"], "left")
+        .select("r", "c", "rt", "ct", F.coalesce("o", F.lit(0).cast("long")).alias("o"))
+    )
+    o_d = F.col("o").cast("double")
+    rt_d = F.col("rt").cast("double")
+    ct_d = F.col("ct").cast("double")
+    n_d = F.col("n").cast("double")
+    contrib = (o_d * n_d - rt_d * ct_d) * (o_d * n_d - rt_d * ct_d) / (
+        n_d * rt_d * ct_d
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("n_rows").alias("n_rows"),
+            F.max("n_cols").alias("n_cols"),
+            F.sum(contrib).alias("__chi2"),
+        )
+        .select(
+            "n",
+            "n_rows",
+            "n_cols",
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+            F.round("__chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("__chi2")
+                    / (
+                        F.col("n").cast("double")
+                        * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1).cast(
+                            "double"
+                        )
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

@@ -1466,3 +1466,97 @@ def seasonal_decompose(
             ),
         )
     )
+
+
+def mann_kendall(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Mann–Kendall trend test per group over the 0-filled daily count
+    grid (round 7) — the standard NONPARAMETRIC "is this metric
+    monotonically trending?" test (Mann 1945, Kendall 1975): S =
+    Σ_{i<j} sign(y_j − y_i) needs no linearity or distribution
+    assumption, the rank-based complement to theilsen_trend's slope
+    (X54 gives the magnitude, this gives the significance).
+
+    Exact integers everywhere except the final z: S by definition, the
+    tie-corrected variance as VAR·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    (t = size of each tied-value group), z = (S∓1)/√(var18/18) rounded
+    to 6 dp (0 when S=0 or var=0).
+
+    Scale shape: one map-side-combined daily rollup, then the i<j pair
+    fan-out as a per-group equi-join on the |days|-row grid — |days|²
+    JOIN ROWS per group (flowing through a shuffle join, never an
+    array in memory), bounded by the date range like dtw/cross_corr;
+    tie groups via a second tiny (group, value) count.
+
+    Returns (event_type, n_days, s_stat, var_x18, z_score).
+    """
+    daily = (
+        events.where(F.col(group_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(group_col).alias("t"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = (
+        daily.groupBy("t")
+        .agg(F.min("d").alias("__mn"), F.max("d").alias("__mx"))
+        .select("t", F.explode(F.sequence(F.col("__mn"), F.col("__mx"))).alias("d"))
+        .join(daily, ["t", "d"], "left")
+        .select("t", "d", F.coalesce("c", F.lit(0).cast("long")).alias("y"))
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    s = (
+        a.join(b, [F.col("a.t") == F.col("b.t"), F.col("a.d") < F.col("b.d")])
+        .groupBy(F.col("a.t").alias("t"))
+        .agg(
+            F.sum(F.signum(F.col("b.y") - F.col("a.y")).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    ties = (
+        grid.groupBy("t", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("tt"))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.col("tt") * (F.col("tt") - 1) * (2 * F.col("tt") + 5)
+            )
+            .cast("long")
+            .alias("tie_term"),
+        )
+    )
+    nn = grid.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = (
+        nn.join(s, "t")
+        .join(ties, "t")
+        .select(
+            "t",
+            "n",
+            "s",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            ).alias("var_x18"),
+        )
+    )
+    var_d = F.col("var_x18").cast("double") / 18.0
+    z = (
+        F.when((F.col("s") == 0) | (F.col("var_x18") <= 0), F.lit(0.0))
+        .when(F.col("s") > 0, (F.col("s").cast("double") - 1.0) / F.sqrt(var_d))
+        .otherwise((F.col("s").cast("double") + 1.0) / F.sqrt(var_d))
+    )
+    return m.where(F.col("n") >= 2).select(
+        F.col("t").alias("event_type"),
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        "var_x18",
+        F.round(z, 6).alias("z_score"),
+    )

@@ -981,3 +981,211 @@ def vocab_growth(
         F.sum("new_vocab").over(w).cast("long").alias("n_vocab_cum"),
         "new_vocab",
     )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf rank–frequency fit per source (round 7): OLS slope of
+    ln(freq) on ln(rank) over the top-``top_n`` terms — the companion
+    diagnostic to X101's Heaps curve (vocab GROWTH there, vocabulary
+    CONCENTRATION here). A natural corpus sits near slope −1; a
+    slope far shallower flags templated/boilerplate-heavy text, far
+    steeper flags tiny-vocabulary spam — both route straight into the
+    X4 quality gates.
+
+    Determinism: term counts are exact integers; rank is a total order
+    (freq desc, term asc); the regression runs on exactly top_n
+    (rank, ln f) points with ln/Σ/÷ in doubles rounded to 6 dp — the
+    X13/X48 ln-rounding convention.
+
+    Scale shape: one token-count aggregate (map-side combined), one
+    per-group top-N rank window (single shuffle on the group key),
+    then a |groups|-row regression aggregate. The top-N bound keeps
+    the fit stage constant-size however large the vocabulary grows.
+
+    Returns (source, n_terms_used, slope, intercept).
+    """
+    from ..functions.text import tokens_col
+
+    counts = (
+        docs.where(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(F.transform(tokens_col(text_col), lambda x: F.lower(x))).alias(
+                "term"
+            ),
+        )
+        .groupBy("g", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    w = Window.partitionBy("g").orderBy(F.col("f").desc(), F.col("term").asc())
+    ranked = counts.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= top_n
+    )
+    x = F.log(F.col("rk").cast("double"))
+    y = F.log(F.col("f").cast("double"))
+    m = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_used"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n_d = F.col("n_terms_used").cast("double")
+    denom = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / n_d
+    return m.where(F.col("n_terms_used") >= 2).select(
+        F.col("g").alias(group_col),
+        "n_terms_used",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between sources (round 7):
+    |V_a ∩ V_b| and integer-milli Jaccard for every source pair — the
+    corpus-mixing readout ("which feeds are lexically redundant?")
+    that sits between per-source profiling (X11) and cross-corpus
+    containment (X64): buy a new source only if its vocabulary is not
+    already covered.
+
+    Exact set algebra on distinct (source, lowercased token); the pair
+    fan-out joins on the TOKEN, so a token in k sources contributes
+    C(k,2) rows — bounded by the SOURCE count (k ≤ |sources|, a
+    report-sized constant), never by document count: the classic
+    df²-explosion of document-pair joins (blocking_eval's truth side)
+    structurally cannot happen at the source grain.
+
+    Returns (source_a, source_b, n_a, n_b, n_inter, jaccard_milli).
+    """
+    from ..functions.text import tokens_col
+
+    vocab = (
+        docs.where(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(F.transform(tokens_col(text_col), lambda x: F.lower(x))).alias(
+                "term"
+            ),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(b, [F.col("a.term") == F.col("b.term"), F.col("a.g") < F.col("b.g")])
+        .groupBy(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    # complete pair matrix: disjoint sources matter too ("this feed is
+    # genuinely new vocabulary") — build all ga<gb pairs from the tiny
+    # sizes frame and left-join the intersections
+    allpairs = (
+        sizes.select(F.col("g").alias("ga"), F.col("nv").alias("n_a"))
+        .crossJoin(
+            F.broadcast(sizes.select(F.col("g").alias("gb"), F.col("nv").alias("n_b")))
+        )
+        .where(F.col("ga") < F.col("gb"))
+    )
+    return (
+        allpairs.join(inter, ["ga", "gb"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0).cast("long")))
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.expr("(1000 * n_inter) div (n_a + n_b - n_inter)").alias(
+                "jaccard_milli"
+            ),
+        )
+    )
+
+
+def source_length_info_gain(
+    docs: DataFrame,
+    group_col: str = "source",
+    len_col: str = "n_chars",
+    thresholds: tuple[int, ...] = (200, 400, 800),
+) -> DataFrame:
+    """Information gain of `source` about the document-length bucket
+    (round 7): IG = H(bucket) − H(bucket | source) in milli-nats —
+    "how much does knowing the feed tell you about the length
+    profile?", the mutual-information companion to X40 (feature MI)
+    at the corpus-governance grain. IG ≈ 0 ⇒ sources share one length
+    profile and per-source length gates are redundant; large IG ⇒
+    per-source thresholds genuinely differ.
+
+    Buckets are FIXED integer thresholds (deterministic, no learned
+    quantiles: the gate thresholds a pipeline would actually deploy);
+    entropies are plain-count ratios with ln in doubles, rounded to
+    6 dp at the milli-nat scale (the X48 divergence convention).
+
+    One (source, bucket) count aggregate — cells bounded by
+    |sources|×(len(thresholds)+1). Returns one row
+    (n_docs, n_sources, n_buckets, h_bucket_milli, h_cond_milli,
+    info_gain_milli).
+    """
+    bucket = F.lit(len(thresholds)).cast("long")
+    for i, t in sorted(enumerate(thresholds), reverse=True):
+        bucket = F.when(F.col(len_col) < t, F.lit(i).cast("long")).otherwise(bucket)
+    cells = (
+        docs.where(F.col(group_col).isNotNull() & F.col(len_col).isNotNull())
+        .select(F.col(group_col).alias("g"), bucket.alias("bk"))
+        .groupBy("g", "bk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    gt = cells.groupBy("g").agg(F.sum("c").cast("long").alias("gc"))
+    bt = cells.groupBy("bk").agg(F.sum("c").cast("long").alias("bc"))
+    n = cells.agg(F.sum("c").cast("long").alias("n"))
+    h_b = (
+        bt.crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                -(F.col("bc").cast("double") / F.col("n").cast("double"))
+                * F.log(F.col("bc").cast("double") / F.col("n").cast("double"))
+            ).alias("h")
+        )
+        .select(F.col("h").alias("h_bucket"))
+    )
+    # H(B|G) = Σ_g (n_g/N) Σ_b −(c/n_g)·ln(c/n_g)
+    h_cond = (
+        cells.join(F.broadcast(gt), "g")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                -(F.col("c").cast("double") / F.col("n").cast("double"))
+                * F.log(F.col("c").cast("double") / F.col("gc").cast("double"))
+            ).alias("h_cond")
+        )
+    )
+    counts = cells.agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.countDistinct("g").cast("long").alias("n_sources"),
+        F.countDistinct("bk").cast("long").alias("n_buckets"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(h_b))
+        .crossJoin(F.broadcast(h_cond))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_buckets",
+            F.round(F.col("h_bucket") * 1000.0, 6).alias("h_bucket_milli"),
+            F.round(F.col("h_cond") * 1000.0, 6).alias("h_cond_milli"),
+            F.round((F.col("h_bucket") - F.col("h_cond")) * 1000.0, 6).alias(
+                "info_gain_milli"
+            ),
+        )
+    )

@@ -1502,6 +1502,281 @@ WHERE rn = 1
 """
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102 (round 7): per-type exact 10%-trimmed mean of event values
+    (operators/stats.py:trimmed_mean) — e6-integer micros, total-order
+    rank trim, floor-div mean; no float anywhere. Full oracle."""
+    from ..operators import stats
+
+    return stats.trimmed_mean(load_table(spark, sf_dir, "events"))
+
+
+SQL_TRIMMED_MEAN = """
+WITH vals AS (
+  SELECT event_type AS g,
+         CAST(round(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT) AS v,
+         event_id AS rid
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+), ranked AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v, rid) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM vals
+), kept AS (
+  SELECT g, v, n FROM ranked
+  WHERE rk > (n * 100) // 1000 AND rk <= n - (n * 100) // 1000
+)
+SELECT g AS event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(n) - COUNT(*) AS BIGINT) AS n_trimmed,
+       CAST(CAST(SUM(v) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS BIGINT)
+         AS trimmed_mean_micro
+FROM kept GROUP BY 1
+"""
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103 (round 7): Mann–Kendall monotonic-trend test per event type
+    over the 0-filled daily grid (operators/temporal.py:mann_kendall) —
+    integer S and tie-corrected VAR·18, one rounded z on top; the
+    nonparametric significance twin of X54's Theil–Sen slope. Full
+    oracle."""
+    return temporal.mann_kendall(load_table(spark, sf_dir, "events"))
+
+
+SQL_MANN_KENDALL = """
+WITH daily AS (
+  SELECT event_type AS t,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT t, MIN(d) AS mn, MAX(d) AS mx FROM daily GROUP BY 1
+), grid AS (
+  SELECT b.t, b.mn + u.o AS d, COALESCE(daily.c, 0) AS y
+  FROM bounds b
+  CROSS JOIN LATERAL (SELECT UNNEST(range(0, b.mx - b.mn + 1)) AS o) u
+  LEFT JOIN daily ON daily.t = b.t AND daily.d = b.mn + u.o
+), s AS (
+  SELECT a.t,
+         CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM grid a JOIN grid b ON b.t = a.t AND b.d > a.d GROUP BY 1
+), ties AS (
+  SELECT t, CAST(SUM(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT t, y, CAST(COUNT(*) AS BIGINT) AS tt FROM grid GROUP BY 1, 2)
+  GROUP BY 1
+), nn AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM grid GROUP BY 1
+), m AS (
+  SELECT nn.t, n, s, n * (n - 1) * (2 * n + 5) - tie_term AS var_x18
+  FROM nn JOIN s USING (t) JOIN ties USING (t)
+)
+SELECT t AS event_type, n AS n_days, s AS s_stat, var_x18,
+       round(CASE WHEN s = 0 OR var_x18 <= 0 THEN 0.0
+                  WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                                  / sqrt(CAST(var_x18 AS DOUBLE) / 18.0)
+                  ELSE (CAST(s AS DOUBLE) + 1.0)
+                       / sqrt(CAST(var_x18 AS DOUBLE) / 18.0) END, 6) AS z_score
+FROM m WHERE n >= 2
+"""
+
+
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X104 (round 7): chi-square independence of event type vs
+    day-of-week plus Cramér's V effect size
+    (operators/stats.py:chisq_independence) — exact integer
+    contingency, double-widened cell algebra rounded to 6 dp. Full
+    oracle."""
+    from ..operators import stats
+
+    return stats.chisq_independence(load_table(spark, sf_dir, "events"))
+
+
+SQL_CHISQ_INDEPENDENCE = """
+WITH cells AS (
+  SELECT event_type AS r,
+         CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), rt AS (
+  SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1
+), ct AS (
+  SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT r) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT c) AS BIGINT) AS n_cols
+  FROM cells
+), grid AS (
+  SELECT rt.r, ct.c, rt.rt, ct.ct, COALESCE(cells.o, 0) AS o
+  FROM rt CROSS JOIN ct
+  LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
+), agg AS (
+  SELECT SUM((CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
+             * (CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
+             / (CAST(n AS DOUBLE) * rt * ct)) AS chi2raw
+  FROM grid, tot
+)
+SELECT n, n_rows, n_cols,
+       (n_rows - 1) * (n_cols - 1) AS dof,
+       round(chi2raw, 6) AS chi2,
+       round(sqrt(chi2raw / (CAST(n AS DOUBLE)
+                             * least(n_rows - 1, n_cols - 1))), 6) AS cramers_v
+FROM agg, tot
+"""
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105 (round 7): Zipf rank–frequency OLS slope per source over
+    the top-100 terms (operators/textstats.py:zipf_slope) — the
+    vocabulary-CONCENTRATION twin of X101's Heaps curve; exact counts,
+    total-order ranks, ln-regression rounded to 6 dp. Full oracle."""
+    return textstats.zipf_slope(load_table(spark, sf_dir, "documents"))
+
+
+SQL_ZIPF_SLOPE = r"""
+WITH toks AS (
+  SELECT source AS g, lower(t) AS term FROM (
+    SELECT source,
+           UNNEST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END) AS t
+    FROM documents WHERE source IS NOT NULL)
+), counts AS (
+  SELECT g, term, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT g, f, row_number() OVER (PARTITION BY g ORDER BY f DESC, term ASC) AS rk
+  FROM counts
+), pts AS (
+  SELECT g, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+  FROM ranked WHERE rk <= 100
+), m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_terms_used,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pts GROUP BY 1
+)
+SELECT g AS source, n_terms_used,
+       round((n_terms_used * sxy - sx * sy)
+             / (n_terms_used * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n_terms_used * sxy - sx * sy)
+                    / (n_terms_used * sxx - sx * sx)) * sx)
+             / n_terms_used, 6) AS intercept
+FROM m WHERE n_terms_used >= 2
+"""
+
+
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X106 (round 7): pairwise source vocabulary overlap with integer
+    milli Jaccard (operators/textstats.py:cross_source_overlap) —
+    token-grain join bounded by the source count, exact set algebra.
+    Full oracle."""
+    return textstats.cross_source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+SQL_CROSS_SOURCE_OVERLAP = r"""
+WITH toks AS (
+  SELECT DISTINCT source AS g, lower(t) AS term FROM (
+    SELECT source,
+           UNNEST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END) AS t
+    FROM documents WHERE source IS NOT NULL)
+), sizes AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS nv FROM toks GROUP BY 1
+), inter AS (
+  SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM toks a JOIN toks b ON b.term = a.term AND a.g < b.g
+  GROUP BY 1, 2
+), allpairs AS (
+  SELECT sa.g AS ga, sa.nv AS n_a, sb.g AS gb, sb.nv AS n_b
+  FROM sizes sa CROSS JOIN sizes sb WHERE sa.g < sb.g
+)
+SELECT ga AS source_a, gb AS source_b, n_a, n_b,
+       COALESCE(n_inter, 0) AS n_inter,
+       (CAST(1000 AS BIGINT) * COALESCE(n_inter, 0))
+         // (n_a + n_b - COALESCE(n_inter, 0)) AS jaccard_milli
+FROM allpairs LEFT JOIN inter USING (ga, gb)
+"""
+
+
+def q_source_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107 (round 7): information gain of `source` about the fixed
+    document-length bucket (operators/textstats.py:
+    source_length_info_gain) — exact counts, milli-nat entropies
+    rounded to 6 dp. Full oracle."""
+    return textstats.source_length_info_gain(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_INFO_GAIN = """
+WITH cells AS (
+  SELECT source AS g,
+         CAST(CASE WHEN n_chars < 200 THEN 0
+                   WHEN n_chars < 400 THEN 1
+                   WHEN n_chars < 800 THEN 2
+                   ELSE 3 END AS BIGINT) AS bk,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2
+), gt AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS gc FROM cells GROUP BY 1
+), bt AS (
+  SELECT bk, CAST(SUM(c) AS BIGINT) AS bc FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+), hb AS (
+  SELECT SUM(-(CAST(bc AS DOUBLE) / n) * ln(CAST(bc AS DOUBLE) / n)) AS h_bucket
+  FROM bt, tot
+), hc AS (
+  SELECT SUM(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / gc)) AS h_cond
+  FROM cells JOIN gt USING (g), tot
+), cnts AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_sources,
+         CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_buckets
+  FROM cells
+)
+SELECT n_docs, n_sources, n_buckets,
+       round(h_bucket * 1000.0, 6) AS h_bucket_milli,
+       round(h_cond * 1000.0, 6) AS h_cond_milli,
+       round((h_bucket - h_cond) * 1000.0, 6) AS info_gain_milli
+FROM cnts, hb, hc
+"""
+
+
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X108 (round 7): Johnson–Lindenstrauss md5-sign projection of the
+    embeddings to 16 integer components
+    (operators/linalg.py:jl_project) — exact Σ±x_i on e6 ints, zero
+    shuffle, zero float. Full oracle."""
+    from ..operators import linalg
+
+    return linalg.jl_project(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_JL_PROJECT = """
+WITH vq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings
+), s AS MATERIALIZED (
+  SELECT CAST(jj.j AS BIGINT) AS j, CAST(ii.i AS BIGINT) AS i,
+         CASE WHEN strpos('02468ace',
+                          substring(md5(CAST(jj.j AS VARCHAR) || ':' || CAST(ii.i AS VARCHAR)), 1, 1)) > 0
+              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sgn
+  FROM (SELECT UNNEST(range(16)) AS j) jj
+  CROSS JOIN (SELECT UNNEST(range((SELECT CAST(MAX(len(v)) AS BIGINT) FROM vq))) AS i) ii
+)
+SELECT q.vec_id, s.j,
+       CAST(SUM(s.sgn * q.v[CAST(s.i AS INTEGER) + 1]) AS BIGINT) AS comp
+FROM vq q JOIN s ON s.i < len(q.v)
+GROUP BY 1, 2
+"""
+
+
 def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training over the documents corpus
     (operators/tokenizer.py): 10 merges of the classic word-frequency
@@ -9610,6 +9885,13 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only families (VERDICT r6 item 4)
     "media_md5_near_dup": q_media_md5_near_dup,
     "kmeans_literal_assign": q_kmeans_literal_assign,
+    "trimmed_mean": q_trimmed_mean,
+    "mann_kendall": q_mann_kendall,
+    "chisq_independence": q_chisq_independence,
+    "zipf_slope": q_zipf_slope,
+    "cross_source_overlap": q_cross_source_overlap,
+    "source_info_gain": q_source_info_gain,
+    "jl_project": q_jl_project,
 }
 
 
@@ -9832,6 +10114,13 @@ ORACLE_SQL: dict[str, str] = {
     "vocab_growth": SQL_VOCAB_GROWTH,
     "media_md5_near_dup": SQL_MEDIA_MD5_NEAR_DUP,
     "kmeans_literal_assign": SQL_KMEANS_LITERAL_ASSIGN,
+    "trimmed_mean": SQL_TRIMMED_MEAN,
+    "mann_kendall": SQL_MANN_KENDALL,
+    "chisq_independence": SQL_CHISQ_INDEPENDENCE,
+    "zipf_slope": SQL_ZIPF_SLOPE,
+    "cross_source_overlap": SQL_CROSS_SOURCE_OVERLAP,
+    "source_info_gain": SQL_SOURCE_INFO_GAIN,
+    "jl_project": SQL_JL_PROJECT,
 }
 
 

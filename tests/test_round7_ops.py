@@ -104,3 +104,194 @@ def test_media_md5_fallback_bits_match_hashlib(spark):
     for s in [b"hello world", b"", b"\x00\xff binary-ish \x7f"]:
         expect = int.from_bytes(hashlib.md5(s).digest(), "big") & ((1 << 63) - 1)
         assert ahash_bits(s, "text/plain", n_bits=63) == expect
+
+
+def test_trimmed_mean_exact(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        trimmed_mean,
+    )
+
+    # 20 values, 10% trim -> drop lowest 2 and highest 2 by rank
+    vals = [100.0, -50.0] + [float(i) for i in range(1, 17)] + [999.0, -999.0]
+    rows = [(i, "a", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = trimmed_mean(df).collect()[0].asDict()
+    assert got["n"] == 20
+    assert got["n_trimmed"] == 4
+    kept = sorted(round(v * 1e6) for v in vals)[2:-2]
+    assert got["trimmed_mean_micro"] == int(sum(kept) / len(kept)) if sum(kept) >= 0 else got["trimmed_mean_micro"]
+    # exact: truncating integer division
+    sv = sum(kept)
+    expect = int(sv / len(kept)) if sv >= 0 else -((-sv) // len(kept))
+    assert got["trimmed_mean_micro"] == expect
+
+
+def test_mann_kendall_reference(spark):
+    """S, var18 and z against a python brute force, with planted trend
+    and ties."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        mann_kendall,
+    )
+
+    series = {
+        "up": [1, 2, 2, 3, 5, 8],        # rising with one tie pair
+        "flat": [4, 4, 4, 4],            # all ties -> S=0
+    }
+    rows = []
+    for t, ys in series.items():
+        for day, y in enumerate(ys):
+            for i in range(y):
+                rows.append((t, f"2024-02-{day + 1:02d} 00:00:{i:02d}"))
+    df = spark.createDataFrame(rows, "event_type string, ts string").selectExpr(
+        "event_type", "cast(ts as timestamp) as ts"
+    )
+    got = {r["event_type"]: r.asDict() for r in mann_kendall(df).collect()}
+    import math
+
+    for t, ys in series.items():
+        n = len(ys)
+        s = sum(
+            (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        ties = Counter(ys)
+        tie_term = sum(c * (c - 1) * (2 * c + 5) for c in ties.values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie_term
+        r = got[t]
+        assert r["n_days"] == n
+        assert r["s_stat"] == s
+        assert r["var_x18"] == var18
+        if s == 0 or var18 <= 0:
+            assert r["z_score"] == 0.0
+        else:
+            zz = (s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18.0)
+            assert abs(r["z_score"] - round(zz, 6)) < 1e-9
+
+
+def test_chisq_independence_reference(spark):
+    """chi2 against scipy-free python computation on a planted
+    dependent table."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        chisq_independence,
+    )
+
+    # type A only on Mondays (2024-02-05), type B spread across two days
+    rows = (
+        [("A", "2024-02-05 10:00:00")] * 10
+        + [("B", "2024-02-05 10:00:00")] * 5
+        + [("B", "2024-02-06 10:00:00")] * 15
+    )
+    df = spark.createDataFrame(rows, "event_type string, ts string").selectExpr(
+        "event_type", "cast(ts as timestamp) as ts"
+    )
+    got = chisq_independence(df).collect()[0].asDict()
+    # contingency: rows A,B cols mon,tue -> O = [[10,0],[5,15]]
+    n = 30
+    obs = {("A", 0): 10, ("A", 1): 0, ("B", 0): 5, ("B", 1): 15}
+    rt = {"A": 10, "B": 20}
+    ct = {0: 15, 1: 15}
+    chi2 = sum(
+        (obs[(r, c)] * n - rt[r] * ct[c]) ** 2 / (n * rt[r] * ct[c])
+        for r in rt
+        for c in ct
+    )
+    assert got["n"] == 30 and got["dof"] == 1
+    assert abs(got["chi2"] - round(chi2, 6)) < 1e-9
+    import math
+
+    assert abs(got["cramers_v"] - round(math.sqrt(chi2 / 30), 6)) < 1e-9
+
+
+def test_zipf_slope_planted(spark):
+    """A corpus with freq exactly proportional to 1/rank must fit slope
+    ~ -1."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        zipf_slope,
+    )
+
+    words = []
+    for rank in range(1, 21):
+        words += [f"w{rank:02d}"] * (240 // rank)  # f = 240/rank exactly-ish
+    docs = [(0, "zipfy", " ".join(words))]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    row = zipf_slope(df, top_n=20).collect()[0]
+    assert row["n_terms_used"] == 20
+    assert abs(row["slope"] + 1.0) < 0.03  # 240//rank floor-rounding wiggle
+
+
+def test_cross_source_overlap_exact(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        cross_source_overlap,
+    )
+
+    docs = [
+        (0, "s1", "a b c d"),
+        (1, "s1", "c d e"),
+        (2, "s2", "c d x"),
+        (3, "s3", "zz"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): r.asDict()
+        for r in cross_source_overlap(df).collect()
+    }
+    # s1 vocab {a b c d e} (5), s2 {c d x} (3), s3 {zz} (1)
+    r = got[("s1", "s2")]
+    assert (r["n_a"], r["n_b"], r["n_inter"]) == (5, 3, 2)
+    assert r["jaccard_milli"] == (1000 * 2) // 6
+    assert got[("s1", "s3")]["n_inter"] == 0
+    assert got[("s2", "s3")]["n_inter"] == 0
+
+
+def test_source_info_gain_extremes(spark):
+    """Perfectly source-determined lengths -> IG == H(bucket); identical
+    length profiles -> IG == 0."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        source_length_info_gain,
+    )
+
+    # deterministic: s1 all bucket0 (<200), s2 all bucket3 (>=800)
+    det = [(i, "s1", 100) for i in range(4)] + [(i + 4, "s2", 900) for i in range(4)]
+    df = spark.createDataFrame(det, "doc_id long, source string, n_chars long")
+    row = df and source_length_info_gain(df).collect()[0].asDict()
+    assert abs(row["info_gain_milli"] - row["h_bucket_milli"]) < 1e-6
+    # independent: both sources have the same 50/50 bucket mix
+    ind = (
+        [(i, "s1", 100) for i in range(2)]
+        + [(10 + i, "s1", 900) for i in range(2)]
+        + [(20 + i, "s2", 100) for i in range(2)]
+        + [(30 + i, "s2", 900) for i in range(2)]
+    )
+    df2 = spark.createDataFrame(ind, "doc_id long, source string, n_chars long")
+    row2 = source_length_info_gain(df2).collect()[0].asDict()
+    assert abs(row2["info_gain_milli"]) < 1e-6
+
+
+def test_jl_project_signs_and_sums(spark):
+    """Projected components equal the python-side signed sums with the
+    same md5 sign convention."""
+    import hashlib
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.linalg import (
+        jl_project,
+    )
+
+    def sgn(j, i):
+        return 1 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+    vecs = {0: [0.5, -0.25, 1.0], 1: [0.001, 0.002, -0.003]}
+    df = spark.createDataFrame(
+        list(vecs.items()), "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["vec_id"], r["j"]): r["comp"]
+        for r in jl_project(df, k_out=4, dim=3).collect()
+    }
+    assert len(got) == 8
+    for vid, v in vecs.items():
+        vi = [round(x * 1e6) for x in v]
+        for j in range(4):
+            assert got[(vid, j)] == sum(sgn(j, i) * vi[i] for i in range(3))
