@@ -38,7 +38,7 @@ def oracle_sql() -> dict[str, str]:
 
     Registry layout: the first 50 entries are all oracle-backed (the
     driver's checked window). The window is selected BY NAME
-    (plans/queries.py R6_WINDOW) and guarded at import time — a
+    (plans/queries.py R7_WINDOW) and guarded at import time — a
     mis-rotated registry (window name missing, not oracle-backed, or
     wrong length) raises ImportError before the driver runs anything.
     Round-6 window: the two new oracle-verifiable LSH twins

@@ -218,6 +218,18 @@ HEADLINE = [
     "bloom_size_planner",
     "burstiness",
     "vocab_growth",
+    # round 7: oracle twins for the media pair pipeline + k-means
+    # E-step, robust/categorical/trend statistics, corpus-mixing
+    # diagnostics, JL sign projection
+    "media_md5_near_dup",
+    "kmeans_literal_assign",
+    "trimmed_mean",
+    "mann_kendall",
+    "chisq_independence",
+    "zipf_slope",
+    "cross_source_overlap",
+    "source_info_gain",
+    "jl_project",
     "unimax_weights",
     "propensity_match",
     "degree_assortativity",

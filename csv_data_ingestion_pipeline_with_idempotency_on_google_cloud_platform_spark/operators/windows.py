@@ -714,7 +714,17 @@ def active_user_rollup(
         F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).cast("long").alias("d"),
         F.col(user_col).alias("u"),
     )
-    ud = base.distinct()
+    return rollup_user_days(base.distinct(), wau_days=wau_days, mau_days=mau_days)
+
+
+def rollup_user_days(
+    ud: DataFrame, wau_days: int = 7, mau_days: int = 30
+) -> DataFrame:
+    """DAU/WAU/MAU from a DISTINCT (d, u) user-day frame — the shared
+    core of batch `active_user_rollup` and the streaming engagement
+    twin's readout (streaming/engagement_stream.py), which feeds it
+    the distinct()-ed user-day delta ledger. Same offset-explode /
+    MIN-offset shape as documented on the batch operator."""
     mx = ud.agg(F.max("d").alias("__mxd"))
     contrib = ud.select(
         "u",

@@ -9626,7 +9626,7 @@ FROM m
 
 # The full query registry, in historical (addition) order. The DRIVER
 # WINDOW — the 50-entry prefix the correctness harness actually checks —
-# is selected by name below (R6_WINDOW), NOT by position here, so these
+# is selected by name below (R7_WINDOW), NOT by position here, so these
 # grouping comments never go stale the way position-numbered ones did
 # (ADVICE r5: three 'entries 34-50' rows had drifted out of the window).
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -10125,84 +10125,88 @@ ORACLE_SQL: dict[str, str] = {
 
 
 # The driver's correctness harness checks the FIRST 50 QUERIES entries.
-# Round-6 window (VERDICT r5 item 2 / SURVEY round-6 rotation note):
-# lead with the round-6 additions, then backfill the entries with the
-# OLDEST driver evidence — the r1/r2-witnessed queries, whose green
-# rows predate five rounds of refactors (shingle pipeline, ledger
-# latest-wins rewrite, windowed-agg consolidation).
-R6_WINDOW: list[str] = [
-    # round-6 additions (no driver evidence yet)
-    "simhash_hamming",
-    "embedding_lsh_cosine",
-    "quality_quantile_normalize",
-    "cohens_kappa",
-    "mrr_recall_eval",
-    "token_yield_report",
-    "substring_fingerprint_dups",
-    "margin_knn_match",
-    "gopher_rules",
-    "interval_merge",
-    "active_user_rollup",
+# Round-7 window (VERDICT r6 items 1/2/4 / SURVEY round-7 rotation
+# note): lead with the round-7 additions, the semantics-changed
+# blocking_eval pair, and the three post-freeze r6 tail queries; then
+# backfill the entries with the OLDEST driver evidence (the 14 names
+# the r6 leads displaced, then the r2/r3-witnessed block).
+R7_WINDOW: list[str] = [
+    # round-7 additions (no driver evidence yet): the two rows-only ->
+    # full-oracle conversions and the seven new analytics operators
+    "media_md5_near_dup",
+    "kmeans_literal_assign",
+    "trimmed_mean",
+    "mann_kendall",
+    "chisq_independence",
+    "zipf_slope",
+    "cross_source_overlap",
+    "source_info_gain",
+    "jl_project",
+    # semantics changed this round (sampled-truth default flip) —
+    # the r6 green row witnessed the OLD exhaustive form
     "blocking_eval",
-    "ab_power",
-    "rocchio_expand",
-    "mmr_rerank",
-    "dtw_distance",
-    "hilbert_zonemap",
-    "cross_corr_lag",
-    "frequent_itemsets",
-    "nelson_aalen",
-    "did_estimator",
-    "seasonal_decompose",
-    # round-6 promotions (rows-only -> full oracle; zero oracle-driver
-    # evidence before this round, so they outrank stale-but-green rows)
-    "chunk_documents",
-    "temperature_mix",
-    # r1-witnessed backfill (evidence age: round 1)
-    "csv_scan",
-    "suffix_filter",
-    "sha256_key",
-    "per_file_count",
-    "row_count_validation",
-    "point_lookup",
-    "status_filter_limit",
-    "status_latest_wins",
-    "ledger_upsert",
-    "ledger_time_travel",
-    "idempotency_anti_join",
-    "dlq_routing",
-    "exact_dedup",
-    "ngram_jaccard",
-    "token_stats",
-    "lang_id",
-    "props_json_extract",
-    "session_window_agg",
-    "pivot_event_counts",
-    "join_revenue_rollup",
-    "topk_cosine",
-    "percentile_value",
-    "media_features",
-    # r2-witnessed backfill (evidence age: round 2)
-    "tpch_q1",
-    "asof_join",
-    "json_roundtrip",
+    "blocking_eval_sampled",
+    # round-6 session-2 tail additions that landed after the r6 window
+    # froze (full-oracle, pytest-green, never driver-witnessed)
+    "bloom_size_planner",
+    "burstiness",
+    "vocab_growth",
+    # r6-displaced backfill (oldest driver evidence: r1/r2 rows
+    # displaced by the round-6 leads — SURVEY round-7 rotation note)
+    "distinct_agg",
+    "set_ops",
+    "topk_cosine_batch",
+    "media_resize",
+    "media_frames",
+    "sliding_window_agg",
+    "order_quartiles",
+    "doc_fingerprint",
+    "pack_sequences",
+    "cube_agg",
+    "contamination",
+    "bpe_token_stats",
+    "embedding_centroids",
+    "quality_score",
+    # r2/r3-witnessed backfill (next-oldest evidence)
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q13",
+    "user_event_gaps",
+    "sessionize",
+    "cohort_retention",
+    "funnel_counts",
+    "tfidf_topn",
+    "term_pmi",
+    "event_transitions",
+    "table_profile",
+    "value_drift_psi",
+    "k_anonymity",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q15",
 ]
 
-_window_missing = [n for n in R6_WINDOW if n not in _REGISTRY]
-_window_unbacked = [n for n in R6_WINDOW if n not in ORACLE_SQL]
+_window_missing = [n for n in R7_WINDOW if n not in _REGISTRY]
+_window_unbacked = [n for n in R7_WINDOW if n not in ORACLE_SQL]
 if (
     _window_missing
     or _window_unbacked
-    or len(R6_WINDOW) != 50
-    or len(set(R6_WINDOW)) != 50
+    or len(R7_WINDOW) != 50
+    or len(set(R7_WINDOW)) != 50
 ):  # pragma: no cover - import-time rotation guard
     raise ImportError(
         "bad driver window rotation: "
         f"missing={_window_missing} unbacked={_window_unbacked} "
-        f"len={len(R6_WINDOW)} distinct={len(set(R6_WINDOW))}"
+        f"len={len(R7_WINDOW)} distinct={len(set(R7_WINDOW))}"
     )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    **{n: _REGISTRY[n] for n in R6_WINDOW},
-    **{n: fn for n, fn in _REGISTRY.items() if n not in set(R6_WINDOW)},
+    **{n: _REGISTRY[n] for n in R7_WINDOW},
+    **{n: fn for n, fn in _REGISTRY.items() if n not in set(R7_WINDOW)},
 }

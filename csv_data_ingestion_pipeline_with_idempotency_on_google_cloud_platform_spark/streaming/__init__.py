@@ -24,6 +24,10 @@ from .sketch_stream import (  # noqa: F401
     streaming_countmin,
     streaming_kmv_distinct,
 )
+from .engagement_stream import (  # noqa: F401
+    engagement_rollup_from_ledger,
+    streaming_user_days,
+)
 from .forecast_stream import (  # noqa: F401
     streaming_changepoint_monitor,
     streaming_holt_monitor,
