@@ -100,6 +100,22 @@ LADDER_QUERIES = [
     "cross_corr_lag",
     "frequent_itemsets",
     "nelson_aalen",
+    # round 7: md5 phash pipeline (capped block buckets), literal
+    # k-means E-step + JL projection (narrow folds — expected <= ~10),
+    # robust/trend/categorical statistics (rank window or daily-grid
+    # bounded — trimmed_mean <= ~10, mann_kendall ~flat in corpus size
+    # since the day grid is date-range-bounded), corpus diagnostics
+    # (zipf top-N fit <= ~10; source-overlap join bounded by source
+    # count; info-gain single aggregate <= ~10).
+    "media_md5_near_dup",
+    "kmeans_literal_assign",
+    "trimmed_mean",
+    "mann_kendall",
+    "chisq_independence",
+    "zipf_slope",
+    "cross_source_overlap",
+    "source_info_gain",
+    "jl_project",
 ]
 
 SF01 = "/root/testdata/sf0.1"
