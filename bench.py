@@ -230,6 +230,9 @@ HEADLINE = [
     "cross_source_overlap",
     "source_info_gain",
     "jl_project",
+    "runs_test",
+    "wasserstein_value_drift",
+    "srm_check",
     "unimax_weights",
     "propensity_match",
     "degree_assortativity",

@@ -1544,3 +1544,236 @@ def chisq_independence(
             ).alias("cramers_v"),
         )
     )
+
+
+def runs_test(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per group over the 0-filled daily count
+    grid (round 7): dichotomize each day against the series median,
+    count RUNS of consecutive same-side days, and z-score the count —
+    the classic "is this sequence random or does it cluster?" test
+    that catches serial dependence Mann–Kendall's monotonic S misses
+    (a metric oscillating weekly trends nowhere but is wildly
+    non-random).
+
+    Exact integer mechanics: the median comparison is 2y vs the SUM of
+    the two middle order statistics (no half-integer float), ties drop
+    per the standard test; runs count via a lag over the day-ordered
+    kept sequence; n1/n2/R exact BIGINT. z = (R − μ)/σ with the
+    closed-form moments in doubles rounded to 6 dp (0 when σ
+    degenerates).
+
+    Scale shape: daily rollup + two rank windows on the group key +
+    one lag window — all one-key shuffles; grid bounded by the date
+    range. Returns (event_type, n_above, n_below, n_runs, z_score).
+    """
+    daily = (
+        events.where(F.col(group_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(group_col).alias("t"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = (
+        daily.groupBy("t")
+        .agg(F.min("d").alias("__mn"), F.max("d").alias("__mx"))
+        .select("t", F.explode(F.sequence(F.col("__mn"), F.col("__mx"))).alias("d"))
+        .join(daily, ["t", "d"], "left")
+        .select("t", "d", F.coalesce("c", F.lit(0).cast("long")).alias("y"))
+    )
+    wv = Window.partitionBy("t").orderBy("y", "d")
+    wn = Window.partitionBy("t")
+    ranked = grid.withColumn("rk", F.row_number().over(wv)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    # median2 = y_(⌊(n+1)/2⌋) + y_(⌈(n+1)/2⌉): odd n -> 2×middle,
+    # even n -> sum of the two middle order stats — integers only
+    mid = ranked.where(
+        (F.col("rk") == F.expr("(n + 1) div 2"))
+        | (F.col("rk") == F.expr("(n + 2) div 2"))
+    ).groupBy("t").agg(
+        F.when(F.count(F.lit(1)) == 1, 2 * F.max("y"))
+        .otherwise(F.sum("y"))
+        .cast("long")
+        .alias("med2")
+    )
+    signed = (
+        grid.join(mid, "t")
+        .withColumn(
+            "sgn",
+            F.when(2 * F.col("y") > F.col("med2"), F.lit(1))
+            .when(2 * F.col("y") < F.col("med2"), F.lit(-1))
+            .otherwise(F.lit(0)),
+        )
+        .where(F.col("sgn") != 0)
+    )
+    wlag = Window.partitionBy("t").orderBy("d")
+    runs = signed.withColumn("prev", F.lag("sgn").over(wlag)).groupBy("t").agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).cast("long").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("sgn") != F.col("prev")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    mu = 2.0 * n1d * n2d / nd + 1.0
+    var = (
+        2.0
+        * n1d
+        * n2d
+        * (2.0 * n1d * n2d - n1d - n2d)
+        / (nd * nd * (nd - 1.0))
+    )
+    z = F.when(var > 0, (F.col("r").cast("double") - mu) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
+    return runs.where((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.col("t").alias("event_type"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+def wasserstein_value_drift(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Earth-mover (Wasserstein-1) distance between the VALUE
+    distributions of the two md5 hash arms, per event type (round 7) —
+    the magnitude-aware drift readout next to X73's KS sup-gap: KS
+    sees the worst POINT of CDF divergence, W1 integrates the whole
+    gap in value units, which is what "how many milli-dollars of shift
+    is this?" actually asks. Same deterministic first-hex-char arms as
+    X45/X89 — no assignment table.
+
+    Exactness: values quantize to e3 BIGINT milli; per-distinct-value
+    cumulative arm counts are exact integers; each segment term
+    dx·|cumA·n_b − cumB·n_a| is computed with the integers widened to
+    double BEFORE multiplying (the cross_corr_lag overflow convention
+    — the exact product can pass 2⁶³ at scale), summed and divided by
+    n_a·n_b, rounded to 6 dp.
+
+    Scale shape: one (type, value) count aggregate, two cumulative
+    windows on the type key, one moment aggregate. Returns
+    (event_type, n_a, n_b, n_values, w1_milli).
+    """
+    arm_a = hash_bucket_col(F.col("u"), 1) < F.lit("8")
+    base = (
+        events.where(
+            F.col(unit_col).isNotNull()
+            & F.col(group_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("t"),
+            F.col(unit_col).alias("u"),
+            F.round(F.col(value_col).cast("double") * 1000.0).cast("long").alias("v"),
+        )
+        .select("t", "v", arm_a.alias("is_a"))
+    )
+    cells = base.groupBy("t", "v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    wv = Window.partitionBy("t").orderBy("v")
+    wall = Window.partitionBy("t")
+    stepped = (
+        cells.withColumn("cum_a", F.sum("ca").over(wv))
+        .withColumn("cum_b", F.sum("cb").over(wv))
+        .withColumn("dx", F.lead("v").over(wv) - F.col("v"))
+        .withColumn("n_a", F.sum("ca").over(wall))
+        .withColumn("n_b", F.sum("cb").over(wall))
+    )
+    term = (
+        F.col("dx").cast("double")
+        * F.abs(
+            F.col("cum_a").cast("double") * F.col("n_b").cast("double")
+            - F.col("cum_b").cast("double") * F.col("n_a").cast("double")
+        )
+    )
+    return (
+        stepped.groupBy("t")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum(F.when(F.col("dx").isNotNull(), term).otherwise(F.lit(0.0))).alias(
+                "__s"
+            ),
+        )
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            F.col("t").alias("event_type"),
+            "n_a",
+            "n_b",
+            "n_values",
+            F.round(
+                F.col("__s") / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("w1_milli"),
+        )
+    )
+
+
+def srm_check(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Sample-ratio-mismatch gate per event type (round 7): chi-square
+    goodness-of-fit of the two md5 hash arms' DISTINCT-unit counts
+    against the designed 50/50 — the first thing a trustworthy A/B
+    platform checks before reading any metric (Fabijan 2019: a
+    significant SRM invalidates the experiment, it does not "adjust").
+
+    The flag is EXACT INTEGER: χ² = (u_a−u_b)²/(u_a+u_b) > 3.841
+    (df=1, α=.05) decided as 1000·(u_a−u_b)² > 3841·(u_a+u_b) — no
+    float in the verdict; the reported χ² is one rounded double on
+    the same integers.
+
+    One distinct + one count aggregate per type. Returns
+    (event_type, users_a, users_b, chi2, srm_flag).
+    """
+    arm_a = hash_bucket_col(F.col("u"), 1) < F.lit("8")
+    per_type = (
+        events.where(F.col(unit_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("t"), F.col(unit_col).alias("u"))
+        .distinct()
+        .select("t", arm_a.alias("is_a"))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("ua"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("long").alias("ub"),
+        )
+    )
+    diff = F.col("ua") - F.col("ub")
+    tot = F.col("ua") + F.col("ub")
+    return per_type.where(tot > 0).select(
+        F.col("t").alias("event_type"),
+        F.col("ua").alias("users_a"),
+        F.col("ub").alias("users_b"),
+        F.round(
+            diff.cast("double") * diff.cast("double") / tot.cast("double"), 6
+        ).alias("chi2"),
+        (1000 * diff * diff > 3841 * tot).cast("int").alias("srm_flag"),
+    )

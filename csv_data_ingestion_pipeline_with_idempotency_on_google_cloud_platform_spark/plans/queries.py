@@ -1777,6 +1777,153 @@ GROUP BY 1, 2
 """
 
 
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109 (round 7): Wald–Wolfowitz runs test per event type over the
+    0-filled daily grid (operators/stats.py:runs_test) — integer
+    median2 dichotomy, exact runs count via lag, closed-form z rounded
+    to 6 dp; the serial-dependence complement to X103's monotonic S.
+    Full oracle."""
+    from ..operators import stats
+
+    return stats.runs_test(load_table(spark, sf_dir, "events"))
+
+
+SQL_RUNS_TEST = """
+WITH daily AS (
+  SELECT event_type AS t,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT t, MIN(d) AS mn, MAX(d) AS mx FROM daily GROUP BY 1
+), grid AS (
+  SELECT b.t, b.mn + u.o AS d, COALESCE(daily.c, 0) AS y
+  FROM bounds b
+  CROSS JOIN LATERAL (SELECT UNNEST(range(0, b.mx - b.mn + 1)) AS o) u
+  LEFT JOIN daily ON daily.t = b.t AND daily.d = b.mn + u.o
+), ranked AS (
+  SELECT t, d, y,
+         row_number() OVER (PARTITION BY t ORDER BY y, d) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY t) AS BIGINT) AS n
+  FROM grid
+), mid AS (
+  SELECT t,
+         CAST(CASE WHEN COUNT(*) = 1 THEN 2 * MAX(y) ELSE SUM(y) END AS BIGINT)
+           AS med2
+  FROM ranked
+  WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+  GROUP BY 1
+), signed AS (
+  SELECT g.t, g.d,
+         CASE WHEN 2 * g.y > m.med2 THEN 1 ELSE -1 END AS sgn
+  FROM grid g JOIN mid m ON m.t = g.t
+  WHERE 2 * g.y <> m.med2
+), lagged AS (
+  SELECT t, sgn, lag(sgn) OVER (PARTITION BY t ORDER BY d) AS prev
+  FROM signed
+), runs AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND sgn <> prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lagged GROUP BY 1
+)
+SELECT t AS event_type, n1 AS n_above, n2 AS n_below, r AS n_runs,
+       round(CASE WHEN 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                       / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)
+                          * (CAST(n1 AS DOUBLE) + n2 - 1.0)) > 0
+                  THEN (CAST(r AS DOUBLE)
+                        - (2.0 * n1 * n2 / (CAST(n1 AS DOUBLE) + n2) + 1.0))
+                       / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                              / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)
+                                 * (CAST(n1 AS DOUBLE) + n2 - 1.0)))
+                  ELSE 0.0 END, 6) AS z_score
+FROM runs WHERE n1 > 0 AND n2 > 0
+"""
+
+
+def q_wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X110 (round 7): Wasserstein-1 distance between the two md5 hash
+    arms' value distributions per event type
+    (operators/stats.py:wasserstein_value_drift) — exact integer milli
+    quantization and cumulative counts, double-widened segment terms
+    rounded to 6 dp; the magnitude-aware drift twin of X73's KS
+    sup-gap. Full oracle."""
+    from ..operators import stats
+
+    return stats.wasserstein_value_drift(load_table(spark, sf_dir, "events"))
+
+
+SQL_WASSERSTEIN_VALUE_DRIFT = """
+WITH base AS (
+  SELECT event_type AS t,
+         CAST(round(CAST(value AS DOUBLE) * 1000.0) AS BIGINT) AS v,
+         substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS is_a
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+), cells AS (
+  SELECT t, v,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM base GROUP BY 1, 2
+), stepped AS (
+  SELECT t, v, ca, cb,
+         CAST(SUM(ca) OVER (PARTITION BY t ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER (PARTITION BY t ORDER BY v) AS BIGINT) AS cum_b,
+         lead(v) OVER (PARTITION BY t ORDER BY v) - v AS dx,
+         CAST(SUM(ca) OVER (PARTITION BY t) AS BIGINT) AS n_a,
+         CAST(SUM(cb) OVER (PARTITION BY t) AS BIGINT) AS n_b
+  FROM cells
+)
+SELECT t AS event_type,
+       CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       round(SUM(CASE WHEN dx IS NOT NULL
+                      THEN CAST(dx AS DOUBLE)
+                           * abs(CAST(cum_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                                 - CAST(cum_b AS DOUBLE) * CAST(n_a AS DOUBLE))
+                      ELSE 0.0 END)
+             / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE)), 6) AS w1_milli
+FROM stepped
+GROUP BY 1
+HAVING MAX(n_a) > 0 AND MAX(n_b) > 0
+"""
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X111 (round 7): sample-ratio-mismatch gate per event type
+    (operators/stats.py:srm_check) — chi-square GOF of distinct-unit
+    arm counts vs the designed 50/50 with an EXACT-INTEGER flag
+    (1000·(u_a−u_b)² > 3841·(u_a+u_b)); the experiment-validity check
+    in front of the X45/X89/X97 family. Full oracle."""
+    from ..operators import stats
+
+    return stats.srm_check(load_table(spark, sf_dir, "events"))
+
+
+SQL_SRM_CHECK = """
+WITH units AS (
+  SELECT DISTINCT event_type AS t, user_id AS u
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+), arms AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN substring(md5(CAST(u AS VARCHAR)), 1, 1) < '8'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ua,
+         CAST(SUM(CASE WHEN substring(md5(CAST(u AS VARCHAR)), 1, 1) < '8'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS ub
+  FROM units GROUP BY 1
+)
+SELECT t AS event_type, ua AS users_a, ub AS users_b,
+       round(CAST((ua - ub) AS DOUBLE) * (ua - ub) / (ua + ub), 6) AS chi2,
+       CAST(CAST(1000 AS BIGINT) * (ua - ub) * (ua - ub)
+            > CAST(3841 AS BIGINT) * (ua + ub) AS INTEGER) AS srm_flag
+FROM arms WHERE ua + ub > 0
+"""
+
+
 def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training over the documents corpus
     (operators/tokenizer.py): 10 merges of the classic word-frequency
@@ -9892,6 +10039,9 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_source_overlap": q_cross_source_overlap,
     "source_info_gain": q_source_info_gain,
     "jl_project": q_jl_project,
+    "runs_test": q_runs_test,
+    "wasserstein_value_drift": q_wasserstein_value_drift,
+    "srm_check": q_srm_check,
 }
 
 
@@ -10121,6 +10271,9 @@ ORACLE_SQL: dict[str, str] = {
     "cross_source_overlap": SQL_CROSS_SOURCE_OVERLAP,
     "source_info_gain": SQL_SOURCE_INFO_GAIN,
     "jl_project": SQL_JL_PROJECT,
+    "runs_test": SQL_RUNS_TEST,
+    "wasserstein_value_drift": SQL_WASSERSTEIN_VALUE_DRIFT,
+    "srm_check": SQL_SRM_CHECK,
 }
 
 
@@ -10142,6 +10295,9 @@ R7_WINDOW: list[str] = [
     "cross_source_overlap",
     "source_info_gain",
     "jl_project",
+    "runs_test",
+    "wasserstein_value_drift",
+    "srm_check",
     # semantics changed this round (sampled-truth default flip) —
     # the r6 green row witnessed the OLD exhaustive form
     "blocking_eval",
@@ -10187,9 +10343,6 @@ R7_WINDOW: list[str] = [
     "tpch_q7",
     "tpch_q8",
     "tpch_q10",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q15",
 ]
 
 _window_missing = [n for n in R7_WINDOW if n not in _REGISTRY]

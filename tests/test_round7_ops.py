@@ -295,3 +295,107 @@ def test_jl_project_signs_and_sums(spark):
         vi = [round(x * 1e6) for x in v]
         for j in range(4):
             assert got[(vid, j)] == sum(sgn(j, i) * vi[i] for i in range(3))
+
+
+def test_runs_test_reference(spark):
+    """Runs count, side counts, and z against a python brute force on a
+    planted alternating vs clustered pair of series."""
+    import math
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        runs_test,
+    )
+
+    series = {
+        "alt": [1, 9, 1, 9, 1, 9, 1, 9],  # alternating -> many runs
+        "clump": [9, 9, 9, 9, 1, 1, 1, 1],  # clustered -> 2 runs
+    }
+    rows = []
+    for t, ys in series.items():
+        for day, y in enumerate(ys):
+            for i in range(y):
+                rows.append((t, f"2024-03-{day + 1:02d} 00:00:{i:02d}"))
+    df = spark.createDataFrame(rows, "event_type string, ts string").selectExpr(
+        "event_type", "cast(ts as timestamp) as ts"
+    )
+    got = {r["event_type"]: r.asDict() for r in runs_test(df).collect()}
+    for t, ys in series.items():
+        n = len(ys)
+        order = sorted(ys)
+        med2 = order[(n + 1) // 2 - 1] + order[(n + 2) // 2 - 1]
+        sgns = [1 if 2 * y > med2 else -1 for y in ys if 2 * y != med2]
+        n1 = sgns.count(1)
+        n2 = sgns.count(-1)
+        r_runs = 1 + sum(1 for a, b in zip(sgns, sgns[1:]) if a != b)
+        rr = got[t]
+        assert (rr["n_above"], rr["n_below"], rr["n_runs"]) == (n1, n2, r_runs), t
+        nn = n1 + n2
+        mu = 2 * n1 * n2 / nn + 1
+        var = 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / (nn * nn * (nn - 1))
+        zz = (r_runs - mu) / math.sqrt(var) if var > 0 else 0.0
+        assert abs(rr["z_score"] - round(zz, 6)) < 1e-9
+    assert got["clump"]["n_runs"] == 2
+    assert got["alt"]["n_runs"] == 8
+    assert got["clump"]["z_score"] < got["alt"]["z_score"]
+
+
+def test_wasserstein_reference(spark):
+    """W1 against scipy-free python on hand-placed arm values."""
+    import hashlib
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        wasserstein_value_drift,
+    )
+
+    def arm(u):
+        return "a" if hashlib.md5(str(u).encode()).hexdigest()[0] < "8" else "b"
+
+    # pick unit ids with known arms
+    a_units = [u for u in range(100) if arm(u) == "a"][:4]
+    b_units = [u for u in range(100) if arm(u) == "b"][:4]
+    a_vals = [1.0, 2.0, 2.0, 5.0]
+    b_vals = [2.0, 3.0, 5.0, 9.0]
+    rows = [(i, u, "t", v) for i, (u, v) in enumerate(zip(a_units, a_vals))] + [
+        (100 + i, u, "t", v) for i, (u, v) in enumerate(zip(b_units, b_vals))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    got = wasserstein_value_drift(df).collect()[0].asDict()
+    assert (got["n_a"], got["n_b"]) == (4, 4)
+
+    # brute-force W1 on milli grid
+    am = sorted(round(v * 1000) for v in a_vals)
+    bm = sorted(round(v * 1000) for v in b_vals)
+    xs = sorted(set(am) | set(bm))
+    w1 = 0.0
+    for x0, x1 in zip(xs, xs[1:]):
+        fa = sum(1 for v in am if v <= x0) / len(am)
+        fb = sum(1 for v in bm if v <= x0) / len(bm)
+        w1 += (x1 - x0) * abs(fa - fb)
+    assert abs(got["w1_milli"] - round(w1, 6)) < 1e-6
+
+
+def test_srm_check_flag_boundary(spark):
+    """The integer flag must fire exactly past the 3.841 boundary."""
+    import hashlib
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        srm_check,
+    )
+
+    def arm(u):
+        return "a" if hashlib.md5(str(u).encode()).hexdigest()[0] < "8" else "b"
+
+    pool_a = [u for u in range(4000) if arm(u) == "a"]
+    pool_b = [u for u in range(4000) if arm(u) == "b"]
+
+    def mk(t, na, nb, base):
+        return [(base + i, u, t) for i, u in enumerate(pool_a[:na] + pool_b[:nb])]
+
+    # balanced: chi2 = 0; skewed 120/80: chi2 = 40^2/200 = 8 > 3.841
+    rows = mk("bal", 100, 100, 0) + mk("skew", 120, 80, 10_000)
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    got = {r["event_type"]: r.asDict() for r in srm_check(df).collect()}
+    assert got["bal"]["srm_flag"] == 0 and got["bal"]["chi2"] == 0.0
+    assert got["skew"]["srm_flag"] == 1 and abs(got["skew"]["chi2"] - 8.0) < 1e-9

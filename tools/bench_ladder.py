@@ -116,6 +116,12 @@ LADDER_QUERIES = [
     "cross_source_overlap",
     "source_info_gain",
     "jl_project",
+    # round-7 batch 2: daily-grid windows (runs test ~flat in corpus
+    # size), value-distribution windows (W1 <= ~10), distinct+count
+    # aggregates (SRM <= ~10)
+    "runs_test",
+    "wasserstein_value_drift",
+    "srm_check",
 ]
 
 SF01 = "/root/testdata/sf0.1"
