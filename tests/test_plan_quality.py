@@ -1157,3 +1157,53 @@ def test_holt_winters_fold_is_one_shuffle_no_driver_loop(spark):
     plan = _plan(spark, "holt_winters")
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_kmeans_literal_assign_zero_exchange(spark):
+    """The literal-centroid E-step is a pure narrow fold: no Exchange
+    anywhere in the plan (centroids are literals, argmin is per-row)."""
+    plan = _plan(spark, "kmeans_literal_assign")
+    assert "Exchange" not in plan
+
+
+def test_jl_project_zero_exchange(spark):
+    """The JL sign projection is one narrow fold + explode: no Exchange
+    in the plan."""
+    plan = _plan(spark, "jl_project")
+    assert "Exchange" not in plan
+
+
+def test_trimmed_mean_single_rank_shuffle(spark):
+    """One hash-partitioning exchange on the group key feeds both the
+    rank window and the final aggregate (partial aggregation reuses the
+    window's partitioning); no global window."""
+    plan = _plan(spark, "trimmed_mean")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange SinglePartition" not in plan or plan.count(
+        "Exchange SinglePartition"
+    ) <= 1
+
+
+def test_media_md5_pipeline_bucket_join_shape(spark):
+    """The md5 phash pipeline keeps the production pair shape: the
+    over-cap screen is an aggregate + anti join (never a post-collect
+    filter), and there is no data-by-data cartesian."""
+    plan = _plan(spark, "media_md5_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_mann_kendall_no_cartesian(spark):
+    """The i<j day-pair fan-out must plan as an equi join on the group
+    key (shuffle or broadcast hash join with the inequality as a post
+    condition), never a CartesianProduct over the grid."""
+    plan = _plan(spark, "mann_kendall")
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_source_overlap_token_equi_join(spark):
+    """The source-pair intersection joins on the TOKEN (equi join);
+    the completing pair matrix may broadcast the tiny sizes frame but
+    nothing data-sized is nested-looped."""
+    plan = _plan(spark, "cross_source_overlap")
+    assert "CartesianProduct" not in plan
