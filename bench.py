@@ -233,6 +233,9 @@ HEADLINE = [
     "runs_test",
     "wasserstein_value_drift",
     "srm_check",
+    "acf_daily",
+    "hill_tail_index",
+    "source_hhi",
     "unimax_weights",
     "propensity_match",
     "degree_assortativity",

@@ -1777,3 +1777,121 @@ def srm_check(
         ).alias("chi2"),
         (1000 * diff * diff > 3841 * tot).cast("int").alias("srm_flag"),
     )
+
+
+def hill_tail_index(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 50,
+) -> DataFrame:
+    """Hill estimator of the power-law tail exponent per group
+    (round 7, Hill 1975): α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₎) over the top-k+1
+    order statistics — THE question heavy-tail data forces on every
+    aggregate in this registry: α ≤ 1 means the mean itself does not
+    exist (trimmed_mean/X102 is mandatory), α ≤ 2 means variance-based
+    bands (X45/X46) are garbage; this query names which regime each
+    value feed is in.
+
+    Determinism: top-k+1 by a total order (value desc, event_id) —
+    identical selected SET in any engine; ln/Σ on the k ratios rounded
+    to 6 dp (the X13 ln convention). Only strictly-positive values
+    participate (a power-law tail is positive by definition); groups
+    with fewer than k+1 such rows are dropped rather than estimated
+    from a vanishing tail.
+
+    Scale shape: one rank window on the group key, a k-row-per-group
+    aggregate — the tail is CONSTANT-sized however large the corpus.
+    Returns (group, n_pos, k, alpha, x_k_milli).
+    """
+    pos = events.where(
+        F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & (F.col(value_col) > 0)
+    ).select(
+        F.col(group_col).alias("g"),
+        F.round(F.col(value_col).cast("double") * 1000.0).cast("long").alias("v"),
+        F.col("event_id").cast("long").alias("rid"),
+    ).where(F.col("v") > 0)
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("rid"))
+    wn = Window.partitionBy("g")
+    ranked = (
+        pos.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_pos", F.count(F.lit(1)).over(wn))
+        .where(F.col("rk") <= k + 1)
+    )
+    xk = ranked.where(F.col("rk") == k + 1).select(
+        "g", F.col("v").alias("xk")
+    )
+    tail = ranked.where(F.col("rk") <= k).join(xk, "g")
+    return (
+        tail.groupBy("g")
+        .agg(
+            F.max("n_pos").cast("long").alias("n_pos"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(
+                F.log(F.col("v").cast("double") / F.col("xk").cast("double"))
+            ).alias("__s"),
+            F.max("xk").alias("__xk"),
+        )
+        .where(F.col("k") == k)
+        .select(
+            F.col("g").alias(group_col),
+            "n_pos",
+            "k",
+            F.round(F.col("k").cast("double") / F.col("__s"), 6).alias("alpha"),
+            F.col("__xk").alias("x_k_milli"),
+        )
+    )
+
+
+def corpus_source_hhi(
+    docs: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration of the corpus across sources
+    (round 7): HHI = Σ shareᵢ² and its reciprocal, the EFFECTIVE number
+    of sources — the one-line answer to "is this a 20-source corpus or
+    a 2-source corpus wearing 20 names?" that decides whether X8b
+    temperature mixing / X69 UniMax have anything to rebalance.
+
+    Integer-exact: counts are BIGINT; hhi_micro = (10⁶·Σcᵢ²) div N²
+    with the products widened to double before multiplying (the
+    cross_corr_lag overflow convention — Σc² passes 2⁶³ near 10-billion
+    -doc corpora) then floored — engine-identical because both sides
+    widen identically; effective_sources = round(N²/Σcᵢ², 6).
+
+    One count aggregate + a 1-row rollup. Returns
+    (n_docs, n_sources, hhi_micro, effective_sources, top_share_milli).
+    """
+    counts = (
+        docs.where(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        counts.agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.sum(F.col("c").cast("double") * F.col("c").cast("double")).alias("__s2"),
+            F.max("c").cast("long").alias("__mx"),
+        )
+        .select(
+            "n_docs",
+            "n_sources",
+            F.floor(
+                1000000.0
+                * F.col("__s2")
+                / (F.col("n_docs").cast("double") * F.col("n_docs").cast("double"))
+            )
+            .cast("long")
+            .alias("hhi_micro"),
+            F.round(
+                F.col("n_docs").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("__s2"),
+                6,
+            ).alias("effective_sources"),
+            F.expr("(1000 * __mx) div n_docs").cast("long").alias("top_share_milli"),
+        )
+    )

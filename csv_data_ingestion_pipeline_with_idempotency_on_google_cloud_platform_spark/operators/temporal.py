@@ -1560,3 +1560,83 @@ def mann_kendall(
         "var_x18",
         F.round(z, 6).alias("z_score"),
     )
+
+
+def acf_daily(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function per group's own daily series (round 7):
+    Pearson r of (y_t, y_{t+lag}) for lag ∈ [1, max_lag] on the
+    0-filled PER-GROUP day grid — the seasonality detector X94's
+    CROSS-correlation deliberately excludes (its pair join is
+    type_a < type_b): a spike at lag 7 is the weekly cycle
+    seasonal_decompose (X98) then removes, and the lag-1 value is the
+    serial dependence that decides X100's Poisson-vs-bursty question
+    quantitatively.
+
+    Same exact-moment algebra as cross_corr_lag: overlap sums
+    (n, Σx, Σy, Σx², Σy², Σxy) are plain integer aggregates on the
+    grid self-join, one IEEE r expression on top rounded to 6 dp,
+    NULL where a side is constant. Grid is per-group [first, last]
+    (its own range — an ACF against days the group never lived is
+    noise), lag fan-out is a literal explode, the join is day-equality
+    on the report-sized grid. Returns (event_type, lag, n, r).
+    """
+    daily = (
+        events.where(F.col(group_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(group_col).alias("t"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = (
+        daily.groupBy("t")
+        .agg(F.min("d").alias("__mn"), F.max("d").alias("__mx"))
+        .select("t", F.explode(F.sequence(F.col("__mn"), F.col("__mx"))).alias("d"))
+        .join(daily, ["t", "d"], "left")
+        .select("t", "d", F.coalesce("c", F.lit(0).cast("long")).alias("c"))
+    )
+    lags = F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
+    a = grid.select(
+        F.col("t").alias("ta"), F.col("d").alias("da"), F.col("c").alias("x")
+    ).select("ta", "da", "x", lags)
+    b = grid.select(
+        F.col("t").alias("tb"), F.col("d").alias("db"), F.col("c").alias("y")
+    )
+    sums = (
+        a.join(
+            b,
+            (F.col("tb") == F.col("ta"))
+            & (F.col("db") == F.col("da") + F.col("lag")),
+        )
+        .groupBy("ta", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n_d * F.col("sxy").cast("double") - sx_d * sy_d
+    vx = n_d * F.col("sxx").cast("double") - sx_d * sx_d
+    vy = n_d * F.col("syy").cast("double") - sy_d * sy_d
+    r = F.when(
+        (vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6)
+    ).otherwise(F.lit(None).cast("double"))
+    return sums.select(
+        F.col("ta").alias("event_type"),
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        r.alias("r"),
+    )

@@ -1924,6 +1924,128 @@ FROM arms WHERE ua + ub > 0
 """
 
 
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X112 (round 7): per-type daily autocorrelation for lags 1..7
+    (operators/temporal.py:acf_daily) — exact integer overlap moments
+    on the per-group 0-filled grid self-join, one IEEE r per lag; the
+    seasonality detector feeding X98's weekly decomposition. Full
+    oracle."""
+    return temporal.acf_daily(load_table(spark, sf_dir, "events"))
+
+
+SQL_ACF_DAILY = """
+WITH daily AS (
+  SELECT event_type AS t,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT t, MIN(d) AS mn, MAX(d) AS mx FROM daily GROUP BY 1
+), grid AS (
+  SELECT b.t, b.mn + u.o AS d, COALESCE(daily.c, 0) AS c
+  FROM bounds b
+  CROSS JOIN LATERAL (SELECT UNNEST(range(0, b.mx - b.mn + 1)) AS o) u
+  LEFT JOIN daily ON daily.t = b.t AND daily.d = b.mn + u.o
+), sums AS (
+  SELECT a.t, CAST(l.lag AS BIGINT) AS lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a.c) AS BIGINT) AS sx, CAST(SUM(b.c) AS BIGINT) AS sy,
+         CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+         CAST(SUM(b.c * b.c) AS BIGINT) AS syy,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS sxy
+  FROM grid a
+  CROSS JOIN (SELECT UNNEST(range(1, 8)) AS lag) l
+  JOIN grid b ON b.t = a.t AND b.d = a.d + l.lag
+  GROUP BY 1, 2
+)
+SELECT t AS event_type, lag, n,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+             AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+            THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+            END AS r
+FROM sums
+"""
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X113 (round 7): Hill power-law tail exponent per event type over
+    the top-50 order statistics (operators/stats.py:hill_tail_index) —
+    total-order tail selection, ln-sum rounded to 6 dp; names which
+    heavy-tail regime each value feed is in (α≤2 ⇒ variance-based
+    bands invalid). Full oracle."""
+    from ..operators import stats
+
+    return stats.hill_tail_index(load_table(spark, sf_dir, "events"))
+
+
+SQL_HILL_TAIL_INDEX = """
+WITH pos AS (
+  SELECT event_type AS g,
+         CAST(round(CAST(value AS DOUBLE) * 1000.0) AS BIGINT) AS v,
+         event_id AS rid
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND value > 0
+), pos2 AS (
+  SELECT * FROM pos WHERE v > 0
+), ranked AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v DESC, rid) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n_pos
+  FROM pos2
+), xk AS (
+  SELECT g, v AS xk FROM ranked WHERE rk = 51
+), tail AS (
+  SELECT r.g, r.v, r.n_pos, xk.xk
+  FROM ranked r JOIN xk USING (g) WHERE r.rk <= 50
+)
+SELECT g AS event_type,
+       CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       round(CAST(COUNT(*) AS DOUBLE)
+             / SUM(ln(CAST(v AS DOUBLE) / CAST(xk AS DOUBLE))), 6) AS alpha,
+       CAST(MAX(xk) AS BIGINT) AS x_k_milli
+FROM tail GROUP BY 1 HAVING COUNT(*) = 50
+"""
+
+
+def q_source_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X114 (round 7): Herfindahl–Hirschman source concentration of the
+    documents corpus + effective source count
+    (operators/stats.py:corpus_source_hhi) — exact counts, floored
+    micro HHI, one rounded reciprocal; the corpus-governance sibling
+    of X47's per-type USER-activity HHI (different grain, different
+    question). Decides whether X8b/X69 rebalancing has anything to do.
+    Full oracle."""
+    from ..operators import stats
+
+    return stats.corpus_source_hhi(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_HHI = """
+WITH counts AS (
+  SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents WHERE source IS NOT NULL GROUP BY 1
+), m AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_sources,
+         SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) AS s2,
+         CAST(MAX(c) AS BIGINT) AS mx
+  FROM counts
+)
+SELECT n_docs, n_sources,
+       CAST(floor(1000000.0 * s2
+                  / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))) AS BIGINT)
+         AS hhi_micro,
+       round(CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) / s2, 6)
+         AS effective_sources,
+       (CAST(1000 AS BIGINT) * mx) // n_docs AS top_share_milli
+FROM m
+"""
+
+
 def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training over the documents corpus
     (operators/tokenizer.py): 10 merges of the classic word-frequency
@@ -10042,6 +10164,9 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "runs_test": q_runs_test,
     "wasserstein_value_drift": q_wasserstein_value_drift,
     "srm_check": q_srm_check,
+    "acf_daily": q_acf_daily,
+    "hill_tail_index": q_hill_tail_index,
+    "source_hhi": q_source_hhi,
 }
 
 
@@ -10274,6 +10399,9 @@ ORACLE_SQL: dict[str, str] = {
     "runs_test": SQL_RUNS_TEST,
     "wasserstein_value_drift": SQL_WASSERSTEIN_VALUE_DRIFT,
     "srm_check": SQL_SRM_CHECK,
+    "acf_daily": SQL_ACF_DAILY,
+    "hill_tail_index": SQL_HILL_TAIL_INDEX,
+    "source_hhi": SQL_SOURCE_HHI,
 }
 
 
@@ -10298,6 +10426,9 @@ R7_WINDOW: list[str] = [
     "runs_test",
     "wasserstein_value_drift",
     "srm_check",
+    "acf_daily",
+    "hill_tail_index",
+    "source_hhi",
     # semantics changed this round (sampled-truth default flip) —
     # the r6 green row witnessed the OLD exhaustive form
     "blocking_eval",
@@ -10340,9 +10471,6 @@ R7_WINDOW: list[str] = [
     "tpch_q2",
     "tpch_q4",
     "tpch_q5",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
 ]
 
 _window_missing = [n for n in R7_WINDOW if n not in _REGISTRY]

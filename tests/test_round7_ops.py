@@ -399,3 +399,76 @@ def test_srm_check_flag_boundary(spark):
     got = {r["event_type"]: r.asDict() for r in srm_check(df).collect()}
     assert got["bal"]["srm_flag"] == 0 and got["bal"]["chi2"] == 0.0
     assert got["skew"]["srm_flag"] == 1 and abs(got["skew"]["chi2"] - 8.0) < 1e-9
+
+
+def test_acf_daily_weekly_cycle(spark):
+    """A strict 2-day alternating series must have r = -1 at lag 1 and
+    r = +1 at lag 2 (perfect anticorrelation / correlation)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.temporal import (
+        acf_daily,
+    )
+
+    ys = [5, 1] * 6  # 12 days alternating
+    rows = []
+    for day, y in enumerate(ys):
+        for i in range(y):
+            rows.append(("t", f"2024-03-{day + 1:02d} 00:00:{i:02d}"))
+    df = spark.createDataFrame(rows, "event_type string, ts string").selectExpr(
+        "event_type", "cast(ts as timestamp) as ts"
+    )
+    got = {r["lag"]: r["r"] for r in acf_daily(df, max_lag=3).collect()}
+    assert got[1] == -1.0
+    assert got[2] == 1.0
+    assert got[3] == -1.0
+
+
+def test_hill_tail_index_pareto(spark):
+    """On exact Pareto(alpha) order statistics x_(i) = (k/i)^(1/alpha)
+    the Hill estimator recovers alpha closely."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        hill_tail_index,
+    )
+
+    alpha = 2.0
+    n = 300
+    # deterministic Pareto sample via inverse CDF on a uniform grid
+    vals = [(1.0 - (i + 0.5) / n) ** (-1.0 / alpha) for i in range(n)]
+    rows = [(i, "p", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = hill_tail_index(df, k=50).collect()[0].asDict()
+    assert got["k"] == 50 and got["n_pos"] == n
+    assert abs(got["alpha"] - alpha) < 0.35  # k=50 estimator noise
+
+
+def test_hill_tail_index_drops_short_groups(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        hill_tail_index,
+    )
+
+    rows = [(i, "small", float(i + 1)) for i in range(20)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    assert hill_tail_index(df, k=50).count() == 0
+
+
+def test_corpus_source_hhi_extremes(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        corpus_source_hhi,
+    )
+
+    # single source: HHI = 1e6 micro, effective = 1
+    one = spark.createDataFrame(
+        [(i, "s") for i in range(10)], "doc_id long, source string"
+    )
+    r = corpus_source_hhi(one).collect()[0].asDict()
+    assert (r["hhi_micro"], r["effective_sources"], r["top_share_milli"]) == (
+        1000000,
+        1.0,
+        1000,
+    )
+    # 4 equal sources: HHI = 0.25, effective = 4
+    four = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(40)], "doc_id long, source string"
+    )
+    r4 = corpus_source_hhi(four).collect()[0].asDict()
+    assert (r4["hhi_micro"], r4["effective_sources"]) == (250000, 4.0)
+    assert r4["top_share_milli"] == 250

@@ -122,6 +122,11 @@ LADDER_QUERIES = [
     "runs_test",
     "wasserstein_value_drift",
     "srm_check",
+    # round-7 batch 3: grid self-joins (ACF ~flat), constant-size tail
+    # windows (Hill <= ~10), two-aggregate rollups (HHI <= ~10)
+    "acf_daily",
+    "hill_tail_index",
+    "source_hhi",
 ]
 
 SF01 = "/root/testdata/sf0.1"
