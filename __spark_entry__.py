@@ -41,9 +41,11 @@ def oracle_sql() -> dict[str, str]:
     (plans/queries.py R7_WINDOW) and guarded at import time — a
     mis-rotated registry (window name missing, not oracle-backed, or
     wrong length) raises ImportError before the driver runs anything.
-    Round-6 window: the two new oracle-verifiable LSH twins
-    (simhash_hamming, embedding_lsh_cosine) + 48 backfill slots for
-    the queries whose driver evidence was oldest (r1/r2). Past the
+    Round-7 window: the 15 round-7 additions (X102–X114 + the
+    media-md5 / literal-kmeans oracle twins), the semantics-changed
+    blocking_eval pair, the 3 post-freeze r6 tail queries, then 30
+    backfill slots for the queries whose driver evidence was oldest
+    (the 14 r6-displaced names + an r2/r3 block). Past the
     window sit the rows-only entries and the remaining oracle-backed
     ones (every ORACLE_SQL key past registry position 50 —
     tests/test_queries_oracle.py runs the identical parity check on
