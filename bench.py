@@ -236,6 +236,9 @@ HEADLINE = [
     "acf_daily",
     "hill_tail_index",
     "source_hhi",
+    "hash_uniformity_audit",
+    "markov_entropy_rate",
+    "dup_cluster_histogram",
     "unimax_weights",
     "propensity_match",
     "degree_assortativity",

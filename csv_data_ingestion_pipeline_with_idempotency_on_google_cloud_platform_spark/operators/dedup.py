@@ -1403,3 +1403,46 @@ def substring_fingerprint_dups(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def dup_cluster_histogram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-duplicate cluster-SIZE distribution (round 7): one row per
+    observed cluster size with how many clusters have it, how many
+    documents sit in them, and the integer-milli share of the corpus —
+    the shape readout behind X1's flat dedup counts: a corpus where
+    duplication lives in two 10k-copy boilerplate clusters needs a
+    different fix (source-level kill) than one with a million pairs
+    (fuzzy upstream), and only the size HISTOGRAM tells them apart
+    (the dedup-rate scalar is identical in both).
+
+    Same sha256 normalized-content key as X1/the reference's
+    content-addressed id (main.py:15-18); two map-side-combined
+    groupBys (hash → size, size → counts), exact integers, milli
+    share by integer div. Returns (cluster_size, n_clusters, n_docs,
+    docs_milli) ordered by the driver's sort.
+    """
+    from ..functions.text import content_hash_col
+
+    sizes = (
+        docs.where(F.col(text_col).isNotNull())
+        .groupBy(content_hash_col(text_col).alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    total = sizes.agg(F.sum("sz").cast("long").alias("n_total"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).alias("n_docs"),
+            F.expr("(1000 * sz * n_clusters) div n_total")
+            .cast("long")
+            .alias("docs_milli"),
+        )
+    )

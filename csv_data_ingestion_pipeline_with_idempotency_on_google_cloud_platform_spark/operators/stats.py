@@ -1895,3 +1895,167 @@ def corpus_source_hhi(
             F.expr("(1000 * __mx) div n_docs").cast("long").alias("top_share_milli"),
         )
     )
+
+
+def hash_uniformity_audit(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Uniformity audit of the md5 bucket assignment every splitter in
+    this repo trusts (round 7): KS sup-gap of distinct units across
+    the 256 two-hex-char buckets against the uniform CDF — the infra
+    check behind hash_split / the A/B arms / the reservoir samples:
+    if md5-over-this-key-space is NOT uniform, every "deterministic
+    10% sample" downstream silently isn't one.
+
+    Exact integers end to end: bucket = first two hex chars (0..255);
+    D·(n·256) = max over buckets of |256·cum_count − n·(b+1)| is an
+    exact BIGINT cross-multiplication (no float in the sup); the
+    reported d_milli and the 1.358/√n (α=.05, two-sided, baked
+    coefficient 1358) flag are one rounded/int expression on top.
+
+    One distinct + one 256-cell aggregate + a cumulative window over
+    256 rows. Returns one row (n_units, n_buckets, max_abs_dev_x,
+    d_milli, ks_flag) where max_abs_dev_x = max|256·cum − n·(b+1)|.
+    """
+    units = (
+        events.where(F.col(unit_col).isNotNull())
+        .select(F.col(unit_col).cast("string").alias("u"))
+        .distinct()
+        .select(
+            F.conv(F.substring(F.md5(F.col("u")), 1, 2), 16, 10)
+            .cast("long")
+            .alias("b")
+        )
+    )
+    cells = units.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # complete 0-filled bucket axis so empty buckets still move the CDF
+    axis = (
+        cells.sparkSession.range(n_buckets)
+        .select(F.col("id").cast("long").alias("b"))
+        .join(cells, "b", "left")
+        .select("b", F.coalesce("c", F.lit(0).cast("long")).alias("c"))
+    )
+    w = Window.partitionBy(F.col("b") % 1).orderBy("b")
+    stepped = (
+        axis.withColumn("cum", F.sum("c").over(w))
+        .withColumn("n", F.sum("c").over(Window.partitionBy(F.col("b") % 1)))
+        .withColumn(
+            "dev",
+            F.abs(
+                F.lit(n_buckets).cast("long") * F.col("cum")
+                - F.col("n") * (F.col("b") + 1)
+            ),
+        )
+    )
+    nb = F.lit(n_buckets).cast("long")
+    return stepped.groupBy().agg(
+        F.max("n").alias("n_units"),
+        nb.alias("n_buckets"),
+        F.max("dev").alias("max_abs_dev_x"),
+    ).select(
+        "n_units",
+        "n_buckets",
+        "max_abs_dev_x",
+        F.expr("(1000 * max_abs_dev_x) div (n_units * n_buckets)")
+        .cast("long")
+        .alias("d_milli"),
+        # D = dev_x/(n·B) > 1.358/√n  ⟺  dev_x² · 10⁶ > 1358² · n · B²
+        # (square both sides, scale the 1.358 to the integer 1358/10³)
+        # — double-widened per the overflow convention, identical in
+        # any engine because both sides widen identically
+        (
+            F.col("max_abs_dev_x").cast("double")
+            * F.col("max_abs_dev_x").cast("double")
+            * 1000000.0
+            > 1358.0
+            * 1358.0
+            * F.col("n_units").cast("double")
+            * F.col("n_buckets").cast("double")
+            * F.col("n_buckets").cast("double")
+        )
+        .cast("int")
+        .alias("ks_flag"),
+    )
+
+
+def markov_entropy_rate(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """First-order Markov entropy rate of event sequences (round 7):
+    H(next | prev) = Σ p(prev)·H(next|prev) in milli-nats over the
+    per-user event streams, next to the unconditional type entropy
+    H(next) — the gap between them is exactly how much the previous
+    event type PREDICTS the next one (zero gap: types arrive i.i.d.,
+    sequence models have nothing to learn from order; large gap:
+    transition structure carries real signal — the go/no-go number
+    for sequence-aware features over X23's path mining).
+
+    Exact transition counts via the same lag-over-(user, ts, id)
+    ordering as X6's transition matrix; entropies are count ratios
+    with ln in doubles rounded to 6 dp at milli scale (X48
+    convention). One lag window + two tiny aggregates over the
+    |types|² matrix. Returns one row
+    (n_transitions, n_types, h_next_milli, h_cond_milli,
+    predictability_gain_milli).
+    """
+    wseq = Window.partitionBy("u").orderBy("ts", "eid")
+    pairs = (
+        events.where(
+            F.col(unit_col).isNotNull()
+            & F.col(type_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(unit_col).alias("u"),
+            F.col(type_col).alias("nxt"),
+            F.col(ts_col).alias("ts"),
+            F.col("event_id").alias("eid"),
+        )
+        .withColumn("prv", F.lag("nxt").over(wseq))
+        .where(F.col("prv").isNotNull())
+        .groupBy("prv", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pt = pairs.groupBy("prv").agg(F.sum("c").cast("long").alias("cp"))
+    nt = pairs.groupBy("nxt").agg(F.sum("c").cast("long").alias("cn"))
+    tot = pairs.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.countDistinct("nxt").cast("long").alias("n_types"),
+    )
+    h_next = (
+        nt.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                -(F.col("cn").cast("double") / F.col("n").cast("double"))
+                * F.log(F.col("cn").cast("double") / F.col("n").cast("double"))
+            ).alias("h")
+        )
+    )
+    h_cond = (
+        pairs.join(F.broadcast(pt), "prv")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                -(F.col("c").cast("double") / F.col("n").cast("double"))
+                * F.log(F.col("c").cast("double") / F.col("cp").cast("double"))
+            ).alias("hc")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(h_next))
+        .crossJoin(F.broadcast(h_cond))
+        .select(
+            F.col("n").alias("n_transitions"),
+            "n_types",
+            F.round(F.col("h") * 1000.0, 6).alias("h_next_milli"),
+            F.round(F.col("hc") * 1000.0, 6).alias("h_cond_milli"),
+            F.round((F.col("h") - F.col("hc")) * 1000.0, 6).alias(
+                "predictability_gain_milli"
+            ),
+        )
+    )

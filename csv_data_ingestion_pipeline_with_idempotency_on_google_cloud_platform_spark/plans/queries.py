@@ -2046,6 +2046,119 @@ FROM m
 """
 
 
+def q_hash_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X115 (round 7): KS uniformity audit of the md5 bucket assignment
+    (operators/stats.py:hash_uniformity_audit) — exact integer sup-gap
+    over the 256 two-hex buckets of distinct users, double-widened
+    1.358/√n flag; the infra check every hash_split / A/B arm /
+    reservoir sample silently relies on. Full oracle."""
+    from ..operators import stats
+
+    return stats.hash_uniformity_audit(load_table(spark, sf_dir, "events"))
+
+
+SQL_HASH_UNIFORMITY_AUDIT = """
+WITH units AS (
+  SELECT CAST(('0x' || substring(md5(CAST(u AS VARCHAR)), 1, 2)) AS INTEGER) AS b
+  FROM (SELECT DISTINCT user_id AS u FROM events WHERE user_id IS NOT NULL)
+), cells AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM units GROUP BY 1
+), axis AS (
+  SELECT CAST(r.b AS BIGINT) AS b, COALESCE(cells.c, 0) AS c
+  FROM (SELECT UNNEST(range(256)) AS b) r
+  LEFT JOIN cells ON cells.b = r.b
+), stepped AS (
+  SELECT b, c,
+         CAST(SUM(c) OVER (ORDER BY b) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM axis
+), m AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_units,
+         CAST(256 AS BIGINT) AS n_buckets,
+         CAST(MAX(abs(256 * cum - n * (b + 1))) AS BIGINT) AS max_abs_dev_x
+  FROM stepped
+)
+SELECT n_units, n_buckets, max_abs_dev_x,
+       (CAST(1000 AS BIGINT) * max_abs_dev_x) // (n_units * n_buckets) AS d_milli,
+       CAST(CAST(max_abs_dev_x AS DOUBLE) * CAST(max_abs_dev_x AS DOUBLE) * 1000000.0
+            > 1358.0 * 1358.0 * CAST(n_units AS DOUBLE)
+              * CAST(n_buckets AS DOUBLE) * CAST(n_buckets AS DOUBLE)
+            AS INTEGER) AS ks_flag
+FROM m
+"""
+
+
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X116 (round 7): first-order Markov entropy rate of per-user
+    event sequences (operators/stats.py:markov_entropy_rate) — exact
+    lag-transition counts (the X6 ordering), H(next) vs H(next|prev)
+    in milli-nats; the "does order carry signal?" go/no-go for
+    sequence features. Full oracle."""
+    from ..operators import stats
+
+    return stats.markov_entropy_rate(load_table(spark, sf_dir, "events"))
+
+
+SQL_MARKOV_ENTROPY_RATE = """
+WITH seq AS (
+  SELECT event_type AS nxt,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prv
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+), pairs AS (
+  SELECT prv, nxt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE prv IS NOT NULL GROUP BY 1, 2
+), pt AS (
+  SELECT prv, CAST(SUM(c) AS BIGINT) AS cp FROM pairs GROUP BY 1
+), nt AS (
+  SELECT nxt, CAST(SUM(c) AS BIGINT) AS cn FROM pairs GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT nxt) AS BIGINT) AS n_types
+  FROM pairs
+), hn AS (
+  SELECT SUM(-(CAST(cn AS DOUBLE) / n) * ln(CAST(cn AS DOUBLE) / n)) AS h
+  FROM nt, tot
+), hc AS (
+  SELECT SUM(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / cp)) AS hc
+  FROM pairs JOIN pt USING (prv), tot
+)
+SELECT n AS n_transitions, n_types,
+       round(h * 1000.0, 6) AS h_next_milli,
+       round(hc * 1000.0, 6) AS h_cond_milli,
+       round((h - hc) * 1000.0, 6) AS predictability_gain_milli
+FROM tot, hn, hc
+"""
+
+
+def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X117 (round 7): exact-duplicate cluster-size histogram
+    (operators/dedup.py:dup_cluster_histogram) — clusters/docs/milli
+    share per observed size on the X1 sha256 content key; tells the
+    two-boilerplate-clusters corpus apart from the million-pairs one
+    when the dedup-rate scalar cannot. Full oracle."""
+    return dedup.dup_cluster_histogram(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DUP_CLUSTER_HISTOGRAM = r"""
+WITH hashed AS (
+  SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+  FROM documents WHERE text IS NOT NULL
+), sizes AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS sz FROM hashed GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(sz) AS BIGINT) AS n_total FROM sizes
+)
+SELECT sz AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+       (CAST(1000 AS BIGINT) * sz * COUNT(*)) // CAST(MAX(n_total) AS BIGINT)
+         AS docs_milli
+FROM sizes, tot
+GROUP BY sz, n_total
+"""
+
+
 def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training over the documents corpus
     (operators/tokenizer.py): 10 merges of the classic word-frequency
@@ -10167,6 +10280,9 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "acf_daily": q_acf_daily,
     "hill_tail_index": q_hill_tail_index,
     "source_hhi": q_source_hhi,
+    "hash_uniformity_audit": q_hash_uniformity_audit,
+    "markov_entropy_rate": q_markov_entropy_rate,
+    "dup_cluster_histogram": q_dup_cluster_histogram,
 }
 
 
@@ -10402,6 +10518,9 @@ ORACLE_SQL: dict[str, str] = {
     "acf_daily": SQL_ACF_DAILY,
     "hill_tail_index": SQL_HILL_TAIL_INDEX,
     "source_hhi": SQL_SOURCE_HHI,
+    "hash_uniformity_audit": SQL_HASH_UNIFORMITY_AUDIT,
+    "markov_entropy_rate": SQL_MARKOV_ENTROPY_RATE,
+    "dup_cluster_histogram": SQL_DUP_CLUSTER_HISTOGRAM,
 }
 
 
@@ -10429,6 +10548,9 @@ R7_WINDOW: list[str] = [
     "acf_daily",
     "hill_tail_index",
     "source_hhi",
+    "hash_uniformity_audit",
+    "markov_entropy_rate",
+    "dup_cluster_histogram",
     # semantics changed this round (sampled-truth default flip) —
     # the r6 green row witnessed the OLD exhaustive form
     "blocking_eval",
@@ -10468,9 +10590,6 @@ R7_WINDOW: list[str] = [
     "table_profile",
     "value_drift_psi",
     "k_anonymity",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q5",
 ]
 
 _window_missing = [n for n in R7_WINDOW if n not in _REGISTRY]

@@ -472,3 +472,96 @@ def test_corpus_source_hhi_extremes(spark):
     r4 = corpus_source_hhi(four).collect()[0].asDict()
     assert (r4["hhi_micro"], r4["effective_sources"]) == (250000, 4.0)
     assert r4["top_share_milli"] == 250
+
+
+def test_hash_uniformity_audit_reference(spark):
+    """Exact sup-gap against a python brute force over the same md5
+    bucket assignment."""
+    import hashlib
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        hash_uniformity_audit,
+    )
+
+    rows = [(i, u) for i, u in enumerate(range(500))]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    got = hash_uniformity_audit(df).collect()[0].asDict()
+    counts = [0] * 256
+    for u in range(500):
+        counts[int(hashlib.md5(str(u).encode()).hexdigest()[:2], 16)] += 1
+    n = 500
+    cum = 0
+    dev = 0
+    for b in range(256):
+        cum += counts[b]
+        dev = max(dev, abs(256 * cum - n * (b + 1)))
+    assert got["n_units"] == n
+    assert got["max_abs_dev_x"] == dev
+    assert got["d_milli"] == (1000 * dev) // (n * 256)
+    expect_flag = int(dev * dev * 1e6 > 1358.0**2 * n * 256 * 256)
+    assert got["ks_flag"] == expect_flag
+
+
+def test_hash_uniformity_flags_broken_hash_space(spark):
+    """A key space that collapses to few buckets must trip the flag."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        hash_uniformity_audit,
+    )
+    import hashlib
+
+    # pick 200 keys that all land in bucket < 16 (first hex char '0')
+    keys = [u for u in range(100000) if hashlib.md5(str(u).encode()).hexdigest()[0] == "0"][:200]
+    df = spark.createDataFrame([(i, k) for i, k in enumerate(keys)], "event_id long, user_id long")
+    got = hash_uniformity_audit(df).collect()[0].asDict()
+    assert got["ks_flag"] == 1
+    assert got["d_milli"] > 900  # nearly all mass before bucket 16
+
+
+def test_markov_entropy_rate_extremes(spark):
+    """Deterministic A->B->A->B chains: H(next) = ln 2, H(next|prev)=0,
+    gain = ln 2. IID uniform arrivals: gain ~ 0."""
+    import math
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        markov_entropy_rate,
+    )
+
+    det = []
+    for u in range(4):
+        for i in range(20):
+            det.append((u * 100 + i, u, "AB"[i % 2], f"2024-01-01 00:{i:02d}:00"))
+    df = spark.createDataFrame(
+        det, "event_id long, user_id long, event_type string, ts string"
+    ).selectExpr("event_id", "user_id", "event_type", "cast(ts as timestamp) as ts")
+    got = markov_entropy_rate(df).collect()[0].asDict()
+    assert got["n_types"] == 2
+    # per user the 19 next-types are 10 B / 9 A (sequence starts at A),
+    # so the marginal is H(36/76, 40/76), slightly under ln 2
+    ca, cb = 4 * 9, 4 * 10
+    n = ca + cb
+    h_expect = -(ca / n) * math.log(ca / n) - (cb / n) * math.log(cb / n)
+    assert got["n_transitions"] == n
+    assert abs(got["h_next_milli"] - round(h_expect * 1000, 6)) < 1e-6
+    # the chain itself is fully deterministic: H(next|prev) = 0
+    assert got["h_cond_milli"] == 0.0
+    assert abs(got["predictability_gain_milli"] - round(h_expect * 1000, 6)) < 1e-6
+
+
+def test_dup_cluster_histogram_planted(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.dedup import (
+        dup_cluster_histogram,
+    )
+
+    texts = (
+        ["boilerplate page"] * 5       # one size-5 cluster
+        + ["terms of service"] * 2     # one size-2 cluster
+        + ["unique a", "unique b", "unique c"]  # three singletons
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["cluster_size"]: r.asDict() for r in dup_cluster_histogram(df).collect()}
+    assert got[5]["n_clusters"] == 1 and got[5]["n_docs"] == 5
+    assert got[2]["n_clusters"] == 1 and got[2]["n_docs"] == 2
+    assert got[1]["n_clusters"] == 3 and got[1]["n_docs"] == 3
+    assert got[5]["docs_milli"] == 500 and got[1]["docs_milli"] == 300

@@ -127,6 +127,12 @@ LADDER_QUERIES = [
     "acf_daily",
     "hill_tail_index",
     "source_hhi",
+    # round-7 batch 4: 256-cell KS audit (<= ~10 via the distinct),
+    # lag-window transition entropy (<= ~10), content-hash histogram
+    # (<= ~10, map-side combined)
+    "hash_uniformity_audit",
+    "markov_entropy_rate",
+    "dup_cluster_histogram",
 ]
 
 SF01 = "/root/testdata/sf0.1"
