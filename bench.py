@@ -239,6 +239,8 @@ HEADLINE = [
     "hash_uniformity_audit",
     "markov_entropy_rate",
     "dup_cluster_histogram",
+    "new_user_share",
+    "near_dup_threshold_sweep",
     "unimax_weights",
     "propensity_match",
     "degree_assortativity",

@@ -1446,3 +1446,53 @@ def dup_cluster_histogram(
             .alias("docs_milli"),
         )
     )
+
+
+def near_dup_threshold_sweep(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_rows: int = 4,
+    max_bucket_size: int = 50,
+) -> DataFrame:
+    """Operating curve of the MinHash-LSH candidate stage (round 7):
+    candidate-pair counts per 100-milli Jaccard-estimate band, plus
+    the cumulative "pairs you would merge at threshold ≥ band" count —
+    the one-pass answer to "where should the dedup threshold sit?"
+    that otherwise takes one full rerun per candidate threshold.
+    (Pair count elbows at a band boundary = a natural threshold; a
+    fat 300–500 band = the corpus has a near-dup GRAY ZONE the policy
+    must own either way.)
+
+    Built on the oracle-replayable md5 signature pipeline
+    (minhash_jaccard_pairs' `_minhash_md5_candidates`), so the full
+    sweep — signatures, capped band buckets, pair expansion, integer
+    milli estimates, band histogram, reverse-cumulative counts —
+    replays bit-for-bit in DuckDB. Estimates are 1000·matches div
+    num_hashes, banded by integer div; the cumulative count is a
+    rank-window sum over ≤11 band rows.
+
+    Returns (band_milli, n_pairs, n_pairs_at_or_above), bands at
+    0,62,125,…,1000 granularity collapsed to 100-milli floors.
+    """
+    pairs = _minhash_md5_candidates(
+        docs, id_col, text_col, num_hashes, band_rows, max_bucket_size
+    )
+    matches = F.size(
+        F.filter(F.zip_with("pa", "pb", lambda a, b: a == b), lambda x: x)
+    )
+    est = F.expr(f"(1000 * __m) div {num_hashes}")
+    banded = (
+        pairs.select((matches).cast("long").alias("__m"))
+        .select(est.alias("__est"))
+        .select(F.expr("((__est div 100) * 100)").cast("long").alias("band_milli"))
+        .groupBy("band_milli")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = Window.partitionBy(F.col("band_milli") % 1).orderBy(
+        F.col("band_milli").desc()
+    )
+    return banded.withColumn(
+        "n_pairs_at_or_above", F.sum("n_pairs").over(w).cast("long")
+    )

@@ -750,3 +750,53 @@ def rollup_user_days(
             "mau",
         )
     )
+
+
+def new_user_share(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-day new-vs-returning split of active users (round 7): DAU,
+    how many of them are FIRST-EVER-SEEN that day, and the integer
+    milli new-user share — the growth-vs-retention headline that sits
+    one join away from X87's DAU/WAU/MAU (same user-day grain; a
+    product where new_milli stays near 1000 is all acquisition and no
+    retention, near 0 is saturated).
+
+    Shape: the distinct user-day frame (the X87 primitive — the
+    streaming engagement ledger computes exactly this incrementally),
+    a per-user MIN-day aggregate (map-side combined, no window over
+    events), one join back on (user, day), one per-day rollup. All
+    exact integers. Returns (day, dau, n_new, new_milli).
+    """
+    ud = (
+        events.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d"),
+            F.col(user_col).alias("u"),
+        )
+        .distinct()
+    )
+    first = ud.groupBy("u").agg(F.min("d").alias("fd"))
+    per_day = (
+        ud.join(first, "u")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dau"),
+            F.sum(F.when(F.col("d") == F.col("fd"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    return per_day.select(
+        F.date_format(F.date_add(epoch, F.col("d").cast("int")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "dau",
+        "n_new",
+        F.expr("(1000 * n_new) div dau").cast("long").alias("new_milli"),
+    )

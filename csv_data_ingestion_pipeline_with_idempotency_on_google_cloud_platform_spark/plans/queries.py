@@ -2159,6 +2159,89 @@ GROUP BY sz, n_total
 """
 
 
+def q_new_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X118 (round 7): per-day new-vs-returning active-user split
+    (operators/windows.py:new_user_share) — DAU, first-ever-seen
+    count, integer milli share; the growth/retention headline on the
+    same user-day primitive the X87 rollup and its streaming ledger
+    share. Full oracle."""
+    return windows.new_user_share(load_table(spark, sf_dir, "events"))
+
+
+SQL_NEW_USER_SHARE = """
+WITH ud AS (
+  SELECT DISTINCT
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         user_id AS u
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), firsts AS (
+  SELECT u, MIN(d) AS fd FROM ud GROUP BY 1
+), per_day AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS dau,
+         CAST(SUM(CASE WHEN d = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM ud JOIN firsts USING (u) GROUP BY 1
+)
+SELECT strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m-%d') AS day,
+       dau, n_new,
+       (CAST(1000 AS BIGINT) * n_new) // dau AS new_milli
+FROM per_day
+"""
+
+
+def q_near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X119 (round 7): MinHash-LSH operating curve — candidate-pair
+    counts per 100-milli Jaccard-estimate band with reverse-cumulative
+    merge counts (operators/dedup.py:near_dup_threshold_sweep), on the
+    md5 oracle-replayable signature pipeline; answers "where should
+    the dedup threshold sit" in one pass. Full oracle."""
+    return dedup.near_dup_threshold_sweep(load_table(spark, sf_dir, "documents"))
+
+
+SQL_NEAR_DUP_THRESHOLD_SWEEP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS t
+  FROM documents
+), starts AS (
+  SELECT doc_id, t, UNNEST(range(1, greatest(len(t) - 1, 1) + 1)) AS i FROM toks
+), shingles AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS s FROM starts
+), hashes AS (
+  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || s) AS h
+  FROM shingles CROSS JOIN (SELECT UNNEST(range(0, 16)) AS seed) seeds
+), sigs AS (
+  SELECT doc_id, seed, MIN(h) AS sig FROM hashes GROUP BY 1, 2
+), bands AS (
+  SELECT doc_id, seed // 4 AS band, string_agg(sig, '|' ORDER BY seed) AS bkey
+  FROM sigs GROUP BY 1, 2
+), okbuckets AS (
+  SELECT band, bkey FROM bands GROUP BY 1, 2
+  HAVING COUNT(*) BETWEEN 2 AND 50
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  JOIN okbuckets ok ON ok.band = a.band AND ok.bkey = a.bkey
+), est AS (
+  SELECT p.id_a, p.id_b,
+         CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b AND sb.seed = sa.seed
+  GROUP BY 1, 2
+), banded AS (
+  SELECT ((((CAST(1000 AS BIGINT) * m) // 16) // 100) * 100) AS band_milli,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM est GROUP BY 1
+)
+SELECT band_milli, n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY band_milli DESC) AS BIGINT)
+         AS n_pairs_at_or_above
+FROM banded
+"""
+
+
 def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training over the documents corpus
     (operators/tokenizer.py): 10 merges of the classic word-frequency
@@ -10283,6 +10366,8 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_uniformity_audit": q_hash_uniformity_audit,
     "markov_entropy_rate": q_markov_entropy_rate,
     "dup_cluster_histogram": q_dup_cluster_histogram,
+    "new_user_share": q_new_user_share,
+    "near_dup_threshold_sweep": q_near_dup_threshold_sweep,
 }
 
 
@@ -10521,6 +10606,8 @@ ORACLE_SQL: dict[str, str] = {
     "hash_uniformity_audit": SQL_HASH_UNIFORMITY_AUDIT,
     "markov_entropy_rate": SQL_MARKOV_ENTROPY_RATE,
     "dup_cluster_histogram": SQL_DUP_CLUSTER_HISTOGRAM,
+    "new_user_share": SQL_NEW_USER_SHARE,
+    "near_dup_threshold_sweep": SQL_NEAR_DUP_THRESHOLD_SWEEP,
 }
 
 
@@ -10551,6 +10638,8 @@ R7_WINDOW: list[str] = [
     "hash_uniformity_audit",
     "markov_entropy_rate",
     "dup_cluster_histogram",
+    "new_user_share",
+    "near_dup_threshold_sweep",
     # semantics changed this round (sampled-truth default flip) —
     # the r6 green row witnessed the OLD exhaustive form
     "blocking_eval",
@@ -10588,8 +10677,6 @@ R7_WINDOW: list[str] = [
     "term_pmi",
     "event_transitions",
     "table_profile",
-    "value_drift_psi",
-    "k_anonymity",
 ]
 
 _window_missing = [n for n in R7_WINDOW if n not in _REGISTRY]

@@ -565,3 +565,60 @@ def test_dup_cluster_histogram_planted(spark):
     assert got[2]["n_clusters"] == 1 and got[2]["n_docs"] == 2
     assert got[1]["n_clusters"] == 3 and got[1]["n_docs"] == 3
     assert got[5]["docs_milli"] == 500 and got[1]["docs_milli"] == 300
+
+
+def test_new_user_share_reference(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        new_user_share,
+    )
+
+    rows = [
+        (0, 1, "2024-01-01 09:00:00"),
+        (1, 2, "2024-01-01 10:00:00"),   # day 1: 2 users, both new
+        (2, 1, "2024-01-02 09:00:00"),
+        (3, 3, "2024-01-02 10:00:00"),   # day 2: 1 returning + 1 new
+        (4, 1, "2024-01-03 09:00:00"),
+        (5, 2, "2024-01-03 10:00:00"),
+        (6, 3, "2024-01-03 11:00:00"),   # day 3: all returning
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string").selectExpr(
+        "event_id", "user_id", "cast(ts as timestamp) as ts"
+    )
+    got = {r["day"]: (r["dau"], r["n_new"], r["new_milli"]) for r in new_user_share(df).collect()}
+    assert got["2024-01-01"] == (2, 2, 1000)
+    assert got["2024-01-02"] == (2, 1, 500)
+    assert got["2024-01-03"] == (3, 0, 0)
+
+
+def test_near_dup_threshold_sweep_bands(spark):
+    """Band histogram must partition the candidate pairs exactly and
+    the reverse-cumulative counts must telescope."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.dedup import (
+        minhash_jaccard_pairs,
+        near_dup_threshold_sweep,
+    )
+
+    texts = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(8):
+        texts.append(base)                       # exact dups -> est 1000
+        mod = base.split()
+        mod[i % 10] = f"zz{i}"
+        texts.append(" ".join(mod))              # near dups
+    texts += [f"totally different words number {i} here now" for i in range(6)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = near_dup_threshold_sweep(df).collect()
+    bands = {r["band_milli"]: r for r in rows}
+    total = sum(r["n_pairs"] for r in rows)
+    # all candidate pairs (threshold 0 on the same pipeline) are banded
+    all_pairs = minhash_jaccard_pairs(df, threshold_milli=0).count()
+    assert total == all_pairs
+    # reverse-cumulative telescopes: at the max band, cum == n_pairs;
+    # at the min band, cum == total
+    mx, mn = max(bands), min(bands)
+    assert bands[mx]["n_pairs_at_or_above"] == bands[mx]["n_pairs"]
+    assert bands[mn]["n_pairs_at_or_above"] == total
+    # the planted exact dups land in the 1000 band
+    assert bands.get(1000) is not None and bands[1000]["n_pairs"] >= 8

@@ -133,6 +133,10 @@ LADDER_QUERIES = [
     "hash_uniformity_audit",
     "markov_entropy_rate",
     "dup_cluster_histogram",
+    # round-7 batch 5: user-day first-seen rollup (<= ~10), LSH band
+    # histogram (same capped pipeline as minhash_jaccard, <= ~10)
+    "new_user_share",
+    "near_dup_threshold_sweep",
 ]
 
 SF01 = "/root/testdata/sf0.1"
