@@ -241,6 +241,7 @@ HEADLINE = [
     "dup_cluster_histogram",
     "new_user_share",
     "near_dup_threshold_sweep",
+    "embedding_norm_profile",
     "unimax_weights",
     "propensity_match",
     "degree_assortativity",

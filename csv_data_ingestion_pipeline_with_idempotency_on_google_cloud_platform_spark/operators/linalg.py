@@ -27,7 +27,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..utils import parallelize_narrow
@@ -250,4 +250,71 @@ def jl_project(
         .select(F.col(id_col), vq.alias("__v"))
         .select(F.col(id_col), F.explode(proj).alias("__p"))
         .select(id_col, F.col("__p.j").alias("j"), F.col("__p.comp").alias("comp"))
+    )
+
+
+def embedding_norm_profile(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label profile of squared embedding norms (round 7) — the
+    embedding-QA readout every vector pipeline wants before trusting
+    cosine anything: a label whose norms collapse toward 0 (dead
+    encoder head) or explode (un-normalized mix-in) poisons both the
+    ANN distances (X3) and the e6 integer quantization the oracle
+    twins rely on; the p50/p90 spread also says whether L2-normalizing
+    is a no-op or a rescue.
+
+    Exact integers end to end: ||v||² on e6-quantized components is an
+    exact BIGINT (the kmeans_literal_assign magnitude argument), and
+    p50/p90 are order statistics at rank ⌈q·n⌉ via the total order
+    (norm², vec_id) — no interpolation, engine-identical. The mean is
+    an integer floor-div.
+
+    One narrow fold + one rank window on the label key. Returns
+    (label, n_vecs, mean_norm2, p50_norm2, p90_norm2) with norms² in
+    e12 integer units.
+    """
+    vq = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0).cast("long"),
+    )
+    n2 = F.aggregate(
+        F.zip_with(vq, vq, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = (
+        parallelize_narrow(emb)
+        .where(F.col(label_col).isNotNull())
+        .select(
+            F.col(label_col).cast("long").alias("lb"),
+            n2.alias("n2"),
+            F.col("vec_id").cast("long").alias("rid"),
+        )
+    )
+    w = Window.partitionBy("lb").orderBy("n2", "rid")
+    wn = Window.partitionBy("lb")
+    ranked = base.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    pick = lambda q: F.max(  # noqa: E731 - order stat at rank ⌈q·n⌉
+        F.when(F.col("rk") == F.expr(f"cast(ceil({q} * n) as bigint)"), F.col("n2"))
+    )
+    return (
+        ranked.groupBy("lb")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.expr("sum(n2) div count(1)").cast("long").alias("mean_norm2"),
+            pick(0.5).cast("long").alias("p50_norm2"),
+            pick(0.9).cast("long").alias("p90_norm2"),
+        )
+        .select(
+            F.col("lb").alias(label_col),
+            "n_vecs",
+            "mean_norm2",
+            "p50_norm2",
+            "p90_norm2",
+        )
     )

@@ -2242,6 +2242,44 @@ FROM banded
 """
 
 
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X120 (round 7): per-label squared-norm profile of the embeddings
+    (operators/linalg.py:embedding_norm_profile) — exact e12-integer
+    ||v||², total-order p50/p90 order statistics, floor-div mean; the
+    norm-collapse/explosion QA gate in front of every cosine consumer.
+    Full oracle."""
+    from ..operators import linalg
+
+    return linalg.embedding_norm_profile(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_NORM_PROFILE = """
+WITH vq AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS lb,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings WHERE label IS NOT NULL
+), n2 AS (
+  SELECT vec_id, lb,
+         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+  FROM vq
+), ranked AS (
+  SELECT lb, n2,
+         row_number() OVER (PARTITION BY lb ORDER BY n2, vec_id) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY lb) AS BIGINT) AS n
+  FROM n2
+)
+SELECT lb AS label,
+       CAST(MAX(n) AS BIGINT) AS n_vecs,
+       CAST(CAST(SUM(n2) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_norm2,
+       CAST(MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN n2 END) AS BIGINT)
+         AS p50_norm2,
+       CAST(MAX(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN n2 END) AS BIGINT)
+         AS p90_norm2
+FROM ranked GROUP BY 1
+"""
+
+
 def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training over the documents corpus
     (operators/tokenizer.py): 10 merges of the classic word-frequency
@@ -10368,6 +10406,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_cluster_histogram": q_dup_cluster_histogram,
     "new_user_share": q_new_user_share,
     "near_dup_threshold_sweep": q_near_dup_threshold_sweep,
+    "embedding_norm_profile": q_embedding_norm_profile,
 }
 
 
@@ -10608,6 +10647,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_cluster_histogram": SQL_DUP_CLUSTER_HISTOGRAM,
     "new_user_share": SQL_NEW_USER_SHARE,
     "near_dup_threshold_sweep": SQL_NEAR_DUP_THRESHOLD_SWEEP,
+    "embedding_norm_profile": SQL_EMBEDDING_NORM_PROFILE,
 }
 
 
@@ -10640,6 +10680,7 @@ R7_WINDOW: list[str] = [
     "dup_cluster_histogram",
     "new_user_share",
     "near_dup_threshold_sweep",
+    "embedding_norm_profile",
     # semantics changed this round (sampled-truth default flip) —
     # the r6 green row witnessed the OLD exhaustive form
     "blocking_eval",
@@ -10676,7 +10717,6 @@ R7_WINDOW: list[str] = [
     "tfidf_topn",
     "term_pmi",
     "event_transitions",
-    "table_profile",
 ]
 
 _window_missing = [n for n in R7_WINDOW if n not in _REGISTRY]

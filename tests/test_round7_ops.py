@@ -622,3 +622,32 @@ def test_near_dup_threshold_sweep_bands(spark):
     assert bands[mn]["n_pairs_at_or_above"] == total
     # the planted exact dups land in the 1000 band
     assert bands.get(1000) is not None and bands[1000]["n_pairs"] >= 8
+
+
+def test_embedding_norm_profile_reference(spark):
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.linalg import (
+        embedding_norm_profile,
+    )
+
+    # label 0: collapsing norms; label 1: healthy unit-ish norms
+    rows = []
+    for i in range(10):
+        rows.append((i, [0.001 * (i + 1), 0.0], 0))
+    for i in range(10):
+        rows.append((100 + i, [1.0, 0.1 * i], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r["label"]: r.asDict() for r in embedding_norm_profile(df).collect()}
+
+    def n2(v):
+        return sum(round(x * 1e6) ** 2 for x in v)
+
+    for lb in (0, 1):
+        vals = sorted(n2(r[1]) for r in rows if r[2] == lb)
+        n = len(vals)
+        assert got[lb]["n_vecs"] == n
+        import math
+
+        assert got[lb]["p50_norm2"] == vals[math.ceil(0.5 * n) - 1]
+        assert got[lb]["p90_norm2"] == vals[math.ceil(0.9 * n) - 1]
+        assert got[lb]["mean_norm2"] == sum(vals) // n
+    assert got[0]["p90_norm2"] < got[1]["p50_norm2"]  # collapse is visible

@@ -137,6 +137,7 @@ LADDER_QUERIES = [
     # histogram (same capped pipeline as minhash_jaccard, <= ~10)
     "new_user_share",
     "near_dup_threshold_sweep",
+    "embedding_norm_profile",
 ]
 
 SF01 = "/root/testdata/sf0.1"
