@@ -223,7 +223,12 @@ def jl_project(
     expression (literals, not py4j calls — the embedding_lsh
     plan-build lesson), the projection is a narrow per-row fold, and
     the output explodes to (id, j, comp) rows for stable hashing.
-    Zero shuffle, zero Python, zero driver state.
+    Zero shuffle, zero Python, zero driver state. Vectors whose
+    length differs from ``dim`` RAISE (inside the projected column, so
+    the optimizer cannot prune the guard — the dtw max_cells lesson)
+    rather than silently NULL-padding through zip_with; the oracle
+    derives its range from len(embedding), so a silent mismatch would
+    diverge instead of fail loudly.
 
     Returns (id_col, j, comp) — k_out rows per input vector.
     """
@@ -245,9 +250,17 @@ def jl_project(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * 1000000.0).cast("long"),
     )
+    guarded = F.when(F.size(F.col(vec_col)) == dim, vq).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"jl_project: embedding length must be {dim}, got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
     return (
         parallelize_narrow(emb)
-        .select(F.col(id_col), vq.alias("__v"))
+        .select(F.col(id_col), guarded.alias("__v"))
         .select(F.col(id_col), F.explode(proj).alias("__p"))
         .select(id_col, F.col("__p.j").alias("j"), F.col("__p.comp").alias("comp"))
     )
@@ -270,7 +283,10 @@ def embedding_norm_profile(
     exact BIGINT (the kmeans_literal_assign magnitude argument), and
     p50/p90 are order statistics at rank ⌈q·n⌉ via the total order
     (norm², vec_id) — no interpolation, engine-identical. The mean is
-    an integer floor-div.
+    an integer floor-div with the sum widened to decimal(38,0) first
+    (n2 ≈ 6e13 for unit-norm e6 64-dim vectors, so ~1e5 vectors per
+    label would overflow a BIGINT sum; the oracle widens to HUGEINT
+    the same way).
 
     One narrow fold + one rank window on the label key. Returns
     (label, n_vecs, mean_norm2, p50_norm2, p90_norm2) with norms² in
@@ -306,7 +322,9 @@ def embedding_norm_profile(
         ranked.groupBy("lb")
         .agg(
             F.max("n").cast("long").alias("n_vecs"),
-            F.expr("sum(n2) div count(1)").cast("long").alias("mean_norm2"),
+            F.expr("sum(cast(n2 as decimal(38,0))) div count(1)")
+            .cast("long")
+            .alias("mean_norm2"),
             pick(0.5).cast("long").alias("p50_norm2"),
             pick(0.9).cast("long").alias("p90_norm2"),
         )

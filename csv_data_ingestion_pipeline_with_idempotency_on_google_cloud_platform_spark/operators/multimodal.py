@@ -38,8 +38,12 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Real deployments read `spark.read.format('binaryFile')` or Parquet
     with a binary column; the downstream plumbing is identical.
+    NULL-text documents are dropped here (no bytes → no media row):
+    downstream batch decoders call bytes(payload) and would crash on a
+    NULL payload, while the DuckDB oracles silently skip NULL hashes —
+    filtering at the source keeps both engines agreeing.
     """
-    return docs.select(
+    return docs.where(F.col(text_col).isNotNull()).select(
         "doc_id",
         F.lit("text/plain").alias("media_type"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),

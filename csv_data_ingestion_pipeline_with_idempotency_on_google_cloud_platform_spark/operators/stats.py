@@ -1798,7 +1798,10 @@ def hill_tail_index(
     to 6 dp (the X13 ln convention). Only strictly-positive values
     participate (a power-law tail is positive by definition); groups
     with fewer than k+1 such rows are dropped rather than estimated
-    from a vanishing tail.
+    from a vanishing tail, and so are degenerate groups whose top k+1
+    values are all EQUAL (ln-sum exactly 0 — a capped/constant feed has
+    no tail to estimate; ANSI Spark would raise DIVIDE_BY_ZERO where
+    the oracle NULLs, so both engines drop the group instead).
 
     Scale shape: one rank window on the group key, a k-row-per-group
     aggregate — the tail is CONSTANT-sized however large the corpus.
@@ -1834,7 +1837,7 @@ def hill_tail_index(
             ).alias("__s"),
             F.max("xk").alias("__xk"),
         )
-        .where(F.col("k") == k)
+        .where((F.col("k") == k) & (F.col("__s") > 0))
         .select(
             F.col("g").alias(group_col),
             "n_pos",

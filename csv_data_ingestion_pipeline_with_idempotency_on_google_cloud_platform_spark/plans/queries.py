@@ -943,7 +943,7 @@ WITH m AS (
   SELECT doc_id,
          sha256(text) AS hx,
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
        'text/plain' AS media_type,
@@ -972,7 +972,8 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_FRAMES = """
 WITH m AS (
-  SELECT doc_id, octet_length(encode(text)) AS blen FROM documents
+  SELECT doc_id, octet_length(encode(text)) AS blen
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
        CAST(frame_idx AS INTEGER) AS frame_idx,
@@ -1206,7 +1207,7 @@ SELECT doc_id,
        octet_length(encode(text)) AS orig_len,
        64 AS thumb_len,
        lower(rpad(substring(hex(encode(text)), 1, 128), 128, '0')) AS thumb_hex
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 def _text_as_pgm_media(docs: DataFrame) -> DataFrame:
@@ -1311,7 +1312,7 @@ SQL_MEDIA_MD5_NEAR_DUP = """
 WITH h AS MATERIALIZED (
   SELECT doc_id,
          CAST(('0x' || substring(md5(text), 29, 4)) AS INTEGER) AS ph
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), blocks AS MATERIALIZED (
   SELECT doc_id, ph, b.block_id,
          CASE b.block_id
@@ -2007,7 +2008,9 @@ SELECT g AS event_type,
        round(CAST(COUNT(*) AS DOUBLE)
              / SUM(ln(CAST(v AS DOUBLE) / CAST(xk AS DOUBLE))), 6) AS alpha,
        CAST(MAX(xk) AS BIGINT) AS x_k_milli
-FROM tail GROUP BY 1 HAVING COUNT(*) = 50
+FROM tail GROUP BY 1
+HAVING COUNT(*) = 50
+   AND SUM(ln(CAST(v AS DOUBLE) / CAST(xk AS DOUBLE))) > 0
 """
 
 
