@@ -336,3 +336,69 @@ def embedding_norm_profile(
             "p90_norm2",
         )
     )
+
+
+def embedding_clip_bounds(
+    emb: DataFrame,
+    p_low: float = 0.01,
+    p_high: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-DIMENSION clipping bounds for the embedding matrix (round
+    8): exact p01/p99 (plus min/max) of every component on the e6
+    integer grid — the QA pass that decides the clip range before
+    int8/PQ quantization (X3's `quantize_embeddings` assumes a range;
+    a single outlier dimension silently eats the whole quantizer's
+    resolution, and this profile is how you catch it). The column-wise
+    companion of `embedding_norm_profile`'s row-wise norms.
+
+    Exact integers end to end: components quantize to e6 BIGINT
+    (the package-wide convention), and the percentiles are order
+    statistics at rank ⌈q·n⌉ under the total order (value, vec_id) —
+    no interpolation, engine-identical.
+
+    Scale shape: posexplode → ONE rank window partitioned by the
+    dimension index. Parallelism is bounded by dim (64 partitions),
+    which is the honest cost of EXACT order statistics — the same
+    bound trimmed_mean accepts per event type; at 100 TB swap in
+    approx_percentile per dimension (map-side combinable sketch) and
+    keep this as the audit pass on a sample. Output is dim rows.
+
+    Returns (pos, n_vecs, min_e6, p_low_e6, p_high_e6, max_e6).
+    """
+    vq = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0).cast("long"),
+    )
+    base = (
+        parallelize_narrow(emb)
+        .select(F.col(id_col).cast("long").alias("rid"), vq.alias("__v"))
+        .select("rid", F.posexplode("__v").alias("pos", "v"))
+    )
+    w = Window.partitionBy("pos").orderBy("v", "rid")
+    wn = Window.partitionBy("pos")
+    ranked = base.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    pick = lambda q: F.max(  # noqa: E731 - order stat at rank ⌈q·n⌉
+        F.when(F.col("rk") == F.expr(f"cast(ceil({q} * n) as bigint)"), F.col("v"))
+    )
+    return (
+        ranked.groupBy("pos")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.min("v").cast("long").alias("min_e6"),
+            pick(p_low).cast("long").alias("p_low_e6"),
+            pick(p_high).cast("long").alias("p_high_e6"),
+            F.max("v").cast("long").alias("max_e6"),
+        )
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            "n_vecs",
+            "min_e6",
+            "p_low_e6",
+            "p_high_e6",
+            "max_e6",
+        )
+    )

@@ -408,3 +408,137 @@ def append_to_ivfpq_index(
         .mode("append")
         .parquet(f"{path}/codes")
     )
+
+
+def pq_literal_adc(
+    emb: DataFrame,
+    m: int = 4,
+    k_code: int = 8,
+    query_vec_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ ENCODE + ADC SCORE path with the codebook pinned to its
+    deterministic init (subspace slices of the ``k_code`` lowest-id
+    vectors) and every component scaled to an exact e6 integer — round
+    8's oracle-replayable twin of the trained `pq_topk` pipeline, the
+    `kmeans_literal_assign` trick applied to product quantization:
+    per-subspace argmin and the asymmetric distance table are exact
+    integer algebra (no float seam anywhere), so code assignment AND
+    the ADC distance replay bit-for-bit in any engine. The trained
+    form (`pq_search`) keeps covering Lloyd's-over-subspaces; this is
+    the serving path a PQ index runs per query batch once the codebook
+    is frozen.
+
+    Distributed shape: the m×k_code codebook is ONE bounded
+    k_code×dim driver collect baked into literal arrays (m·k_code=32
+    codeword structs — far under the m·k≈256 Catalyst-analysis
+    blow-up bar documented in this module's header); encode is a
+    narrow per-row fold over subvector slices, ADC is m element_at
+    lookups on a literal m×k_code integer table. Zero joins, zero
+    shuffles, zero Python. Magnitudes: per-dim Δ² ≤ 1.6e13 × dsub(16)
+    ≤ 2.6e14 per subspace, ×m(4) ≈ 1e15 — far inside BIGINT.
+
+    Returns every row's (id_col, codes_csv, adc_d2): the code word per
+    subspace as a comma-joined string plus the exact integer ADC
+    distance to the query vector — gating encode and score together
+    without a global sort (consumers TakeOrderedAndProject their own
+    top-k).
+    """
+    vq = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0).cast("long"),
+    )
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot build a PQ codebook on an empty frame")
+    dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    seeds = [
+        [int(x) for x in r["v"]]
+        for r in emb.orderBy(id_col)
+        .limit(k_code)
+        .select(vq.alias("v"))
+        .collect()
+    ]
+    qrow = (
+        emb.where(F.col(id_col) == query_vec_id).select(vq.alias("v")).first()
+    )
+    if qrow is None:
+        raise ValueError(f"query {id_col}={query_vec_id} not found")
+    qv = [int(x) for x in qrow["v"]]
+
+    def subspace_codewords(s: int) -> list[list[int]]:
+        return [sv[s * dsub : (s + 1) * dsub] for sv in seeds]
+
+    def d2_expr(slice_col, cw: list[int] | None, cw_col=None):
+        lit = (
+            cw_col
+            if cw_col is not None
+            else F.array(*[F.lit(c).cast("long") for c in cw])
+        )
+        return F.aggregate(
+            F.zip_with(slice_col, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    code_cols, adc_terms = [], []
+    for s in range(m):
+        sl = F.slice(F.col("__v"), s * dsub + 1, dsub)
+        cws = subspace_codewords(s)
+        # literal array-of-structs + one aggregate fold (the
+        # kmeans_literal_assign shape): a chained when()-argmin would
+        # re-reference every earlier candidate twice per level and blow
+        # the expression tree up exponentially
+        cw_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("int").alias("j"),
+                    F.array(*[F.lit(c).cast("long") for c in cw]).alias("cw"),
+                )
+                for j, cw in enumerate(cws)
+            ]
+        )
+        best = F.aggregate(
+            cw_arr,
+            F.struct(
+                F.lit(-1).cast("int").alias("j"),
+                F.lit(None).cast("long").alias("d2"),
+            ),
+            lambda acc, c: F.when(
+                acc["d2"].isNull() | (d2_expr(sl, None, c["cw"]) < acc["d2"]),
+                F.struct(c["j"].alias("j"), d2_expr(sl, None, c["cw"]).alias("d2")),
+            ).otherwise(acc),
+        )
+        code_cols.append(best["j"].alias(f"__c{s}"))
+        table = [
+            sum(
+                (qv[s * dsub + p] - cw[p]) * (qv[s * dsub + p] - cw[p])
+                for p in range(dsub)
+            )
+            for cw in cws
+        ]
+        lut = F.array(*[F.lit(int(x)).cast("long") for x in table])
+        adc_terms.append((lut, f"__c{s}"))
+
+    from ..utils import parallelize_narrow
+
+    coded = (
+        parallelize_narrow(emb)
+        .select(F.col(id_col), vq.alias("__v"))
+        .select(F.col(id_col), *code_cols)
+    )
+    adc = None
+    for lut, c in adc_terms:
+        term = F.element_at(lut, F.col(c) + 1)
+        adc = term if adc is None else adc + term
+    return coded.select(
+        F.col(id_col),
+        F.concat_ws(
+            ",", *[F.col(f"__c{s}").cast("string") for s in range(m)]
+        ).alias("codes_csv"),
+        adc.cast("long").alias("adc_d2"),
+    )

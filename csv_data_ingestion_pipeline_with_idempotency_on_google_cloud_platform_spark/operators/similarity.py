@@ -1182,3 +1182,108 @@ def mmr_rerank(
     return emb.sparkSession.createDataFrame(
         selected, "mmr_rank long, vec_id long, rel_e6 long, score_e6 long"
     )
+
+
+def ivf_literal_probe(
+    emb: DataFrame,
+    k_cells: int = 4,
+    nprobe: int = 2,
+    query_vec_id: int = 0,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF SERVE path — coarse cell assignment, cell pruning, and
+    in-cell exact scoring — with the coarse centroids pinned to
+    Lloyd's deterministic init (the ``k_cells`` lowest-id vectors) and
+    every component an exact e6 integer (round 8): the
+    `kmeans_literal_assign` trick applied to the full probe, so cell
+    membership, the probed-cell choice, AND the candidate scores all
+    replay bit-for-bit in any engine. The trained form
+    (`topk_cosine_ivf`) keeps covering the iterative coarse trainer;
+    this twin gates what a frozen IVF index executes per query.
+
+    Ranking is by exact integer DOT product on the e6 grid (e12
+    units) — on L2-normalized embeddings dot order == cosine order,
+    and keeping the score integer is what makes the oracle exact.
+    Ties break to the lower id. The query's ``nprobe`` nearest cells
+    come from pure integer argmin over the same literal centroids
+    (driver-side on the already-collected k_cells×dim ints — bounded
+    planning state, not data).
+
+    Distributed shape: centroids ride as one literal array (zero
+    join); the cell filter prunes (k_cells−nprobe)/k_cells of the
+    corpus BEFORE any scoring — the entire point of IVF — and the
+    top-k is a TakeOrderedAndProject, never a global sort. Zero
+    shuffles end to end.
+
+    Returns (id_col, cell, dot_e12, rank) for the top-``topk``
+    candidates in the probed cells, query row excluded.
+    """
+    vq = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0).cast("long"),
+    )
+    cents = [
+        [int(x) for x in r["v"]]
+        for r in emb.orderBy(id_col)
+        .limit(k_cells)
+        .select(vq.alias("v"))
+        .collect()
+    ]
+    qrow = (
+        emb.where(F.col(id_col) == query_vec_id).select(vq.alias("v")).first()
+    )
+    if qrow is None:
+        raise ValueError(f"query {id_col}={query_vec_id} not found")
+    qv = [int(x) for x in qrow["v"]]
+    qd2 = [
+        (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cid)
+        for cid, cv in enumerate(cents)
+    ]
+    probe_cells = [cid for _d2, cid in sorted(qd2)[:nprobe]]
+
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(c).cast("long") for c in cv]).alias("cv"),
+            )
+            for cid, cv in enumerate(cents)
+        ]
+    )
+    d2 = lambda cv: F.aggregate(  # noqa: E731 - exact integer ΣΔ²
+        F.zip_with(F.col("__v"), cv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = F.aggregate(
+        cent_arr,
+        F.struct(
+            F.lit(-1).cast("long").alias("cid"),
+            F.lit(None).cast("long").alias("d2"),
+        ),
+        lambda acc, c: F.when(
+            acc["d2"].isNull() | (d2(c["cv"]) < acc["d2"]),
+            F.struct(c["cid"].alias("cid"), d2(c["cv"]).alias("d2")),
+        ).otherwise(acc),
+    )
+    qlit = F.array(*[F.lit(x).cast("long") for x in qv])
+    dot = F.aggregate(
+        F.zip_with(F.col("__v"), qlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        parallelize_narrow(emb)
+        .where(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col), vq.alias("__v"))
+        .select(F.col(id_col), best["cid"].alias("cell"), F.col("__v"))
+        .where(F.col("cell").isin([int(c) for c in probe_cells]))
+        .select(F.col(id_col), "cell", dot.alias("dot_e12"))
+    )
+    top = scored.orderBy(F.desc("dot_e12"), F.asc(id_col)).limit(topk)
+    w = Window.partitionBy(F.col(id_col).isNotNull()).orderBy(
+        F.desc("dot_e12"), F.asc(id_col)
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -2062,3 +2062,215 @@ def markov_entropy_rate(
             ),
         )
     )
+
+
+def kruskal_wallis(
+    events: DataFrame,
+    type_col: str = "event_type",
+    unit_col: str = "user_id",
+    value_col: str = "value",
+    n_arms: int = 4,
+) -> DataFrame:
+    """Kruskal–Wallis H test of ``value`` across ``n_arms`` md5 hash
+    arms, per event type (round 8) — the k-sample generalization of
+    `mann_whitney`: the omnibus gate a multi-variant experiment runs
+    BEFORE any pairwise comparison (k·(k−1)/2 Mann–Whitney tests
+    without it is the classic multiple-testing foot-gun).
+
+    Same integer discipline as mann_whitney: values collapse to
+    (type, value) tie groups, average ranks are carried DOUBLED
+    (2·rank is an integer, so every per-arm rank sum is an exact
+    long), and the tie-corrected H is scalar double math over those
+    exact sums, rounded to 6 dp — with Σ_g R_g²/n_g evaluated as a
+    FIXED-ORDER arm-0..arm-3 chain on both engines (pivoted columns,
+    not an unordered SUM), so even the pre-round double is
+    bit-identical:
+
+        H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),  H_c = H / (1 − ΣT/(N³−N))
+
+    Arms come from the first hex char of md5(user_id): char div
+    (16/n_arms) — uniform, deterministic, engine-identical. The rank
+    window partitions by type (parallel across types); tie groups are
+    map-side combinable before it. Output:
+    (event_type, n, arm_sizes_csv, h_stat, h_corrected) for types
+    where every arm is non-empty. R_g² can pass 2⁶³ only past ~3e9
+    rows per type; deployments at that scale bucket values first.
+    """
+    arm = (
+        F.conv(F.substring(F.md5(F.col(unit_col).cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        / (16 // n_arms)
+    ).cast("int")
+    base = events.where(F.col(value_col).isNotNull()).select(
+        F.col(type_col).alias("t"),
+        F.col(value_col).alias("v"),
+        arm.alias("arm"),
+    )
+    grp = base.groupBy("t", "v", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tie = grp.groupBy("t", "v").agg(F.sum("cnt").cast("long").alias("tot"))
+    w = Window.partitionBy("t").orderBy("v")
+    ranked = tie.withColumn(
+        "start", F.sum("tot").over(w) - F.col("tot") + 1
+    )
+    # doubled average rank of the tie group (integer)
+    joined = grp.join(ranked.select("t", "v", "tot", "start"), ["t", "v"])
+    r2 = (2 * F.col("start") + F.col("tot") - 1) * F.col("cnt")
+    # pivot to one exact-integer column pair per arm: the Σ R_g²/n_g
+    # reduction then runs as a FIXED-ORDER 4-term double sum, so the
+    # float result is bit-identical to the oracle's identical chain
+    # (an unordered SUM over double terms could differ in the last ulp)
+    piv = joined.groupBy("t").agg(
+        *[
+            F.sum(F.when(F.col("arm") == a, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias(f"__n{a}")
+            for a in range(n_arms)
+        ],
+        *[
+            F.sum(F.when(F.col("arm") == a, r2).otherwise(0))
+            .cast("long")
+            .alias(f"__r{a}")
+            for a in range(n_arms)
+        ],
+    )
+    ties = tie.groupBy("t").agg(
+        F.sum(
+            F.col("tot") * F.col("tot") * F.col("tot") - F.col("tot")
+        ).cast("long").alias("__T")
+    )
+    all_nonempty = F.col("__n0") > 0
+    for a in range(1, n_arms):
+        all_nonempty = all_nonempty & (F.col(f"__n{a}") > 0)
+    nonempty = piv.where(all_nonempty).join(ties, "t")
+    n_total = None
+    for a in range(n_arms):
+        term = F.col(f"__n{a}")
+        n_total = term if n_total is None else n_total + term
+    sr2 = None
+    for a in range(n_arms):
+        t = (
+            (F.col(f"__r{a}").cast("double") / 2.0)
+            * (F.col(f"__r{a}").cast("double") / 2.0)
+            / F.col(f"__n{a}").cast("double")
+        )
+        sr2 = t if sr2 is None else sr2 + t
+    sums = nonempty.withColumn("n", n_total.cast("long")).withColumn(
+        "__sr2", sr2
+    )
+    nn = F.col("n").cast("double")
+    h = 12.0 / (nn * (nn + 1.0)) * F.col("__sr2") - 3.0 * (nn + 1.0)
+    corr = 1.0 - F.col("__T").cast("double") / (nn * nn * nn - nn)
+    hc = F.when(corr > 0, h / corr).otherwise(F.lit(0.0))
+    return sums.select(
+        F.col("t").alias(type_col),
+        "n",
+        F.concat_ws(
+            ",", *[F.col(f"__n{a}").cast("string") for a in range(n_arms)]
+        ).alias("arm_sizes_csv"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(hc, 6).alias("h_corrected"),
+    )
+
+
+def sprt_ab_test(
+    events: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    threshold_milli: int = 50_000,
+    p0_milli: int = 400,
+    p1_milli: int = 600,
+    alpha_milli: int = 50,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per event type (round
+    8, Wald 1945): walk the type's events in (ts, event_id) order,
+    treat value > threshold as a Bernoulli success, accumulate the
+    log-likelihood ratio of H1: p=p1 vs H0: p=p0, and stop at the
+    first crossing of the ±ln((1−β)/α) boundaries — the ONLINE
+    experiment gate that calls a winner in O(1/KL) samples instead of
+    waiting for the fixed-horizon test (`ab_power` sizes that one).
+    This batch fold is the replayable twin of a streaming monitor:
+    state per type is two integers (successes, trials).
+
+    Integer-exact: the per-observation LLR increments are CONSTANTS
+    (micro-scaled: s·round(1e6·ln(p1/p0)) + f·round(1e6·ln((1−p1)/
+    (1−p0)))), so the cumulative LLR is an exact integer cumsum and
+    the first-crossing index is engine-identical; ln() runs on driver
+    literals only, never per row.
+
+    Scale shape: one cumsum window per type + one first-crossing
+    aggregate — parallel across types, map-side nothing to combine
+    (sequential semantics are the point). Returns
+    (event_type, n_events, n_success, llr_micro_final, decision,
+    n_at_decision, llr_micro_at_decision).
+    """
+    import math
+
+    a_mil = alpha_milli / 1000.0
+    up = round(1e6 * math.log((1 - a_mil) / a_mil))
+    lo = -up
+    l_s = round(1e6 * math.log(p1_milli / p0_milli))
+    l_f = round(1e6 * math.log((1000 - p1_milli) / (1000 - p0_milli)))
+    base = events.where(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).cast("long").alias("rid"),
+        (
+            F.round(F.col(value_col).cast("double") * 1000.0).cast("long")
+            > F.lit(int(threshold_milli))
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    w = Window.partitionBy("t").orderBy("ts", "rid")
+    walked = base.withColumn(
+        "llr",
+        F.sum(
+            F.col("s") * F.lit(int(l_s)) + (1 - F.col("s")) * F.lit(int(l_f))
+        ).over(w),
+    ).withColumn("rn", F.row_number().over(w))
+    first = (
+        walked.where(
+            (F.col("llr") >= F.lit(int(up))) | (F.col("llr") <= F.lit(int(lo)))
+        )
+        .groupBy("t")
+        .agg(F.min(F.struct("rn", "llr")).alias("__f"))
+        .select(
+            "t",
+            F.col("__f.rn").cast("long").alias("n_at_decision"),
+            F.col("__f.llr").cast("long").alias("llr_micro_at_decision"),
+        )
+    )
+    out = (
+        walked.groupBy("t")
+        .agg(
+            F.max("rn").cast("long").alias("n_events"),
+            F.sum("s").cast("long").alias("n_success"),
+            F.max(F.struct("rn", "llr"))["llr"].cast("long").alias(
+                "llr_micro_final"
+            ),
+        )
+        .join(first, "t", "left")
+        .select(
+            F.col("t").alias(type_col),
+            "n_events",
+            "n_success",
+            "llr_micro_final",
+            F.when(F.col("llr_micro_at_decision") >= F.lit(int(up)), F.lit("accept_h1"))
+            .when(F.col("llr_micro_at_decision") <= F.lit(int(lo)), F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+            F.coalesce(F.col("n_at_decision"), F.lit(0)).cast("long").alias(
+                "n_at_decision"
+            ),
+            F.coalesce(F.col("llr_micro_at_decision"), F.lit(0)).cast("long").alias(
+                "llr_micro_at_decision"
+            ),
+        )
+    )
+    return out

@@ -1189,3 +1189,69 @@ def source_length_info_gain(
             ),
         )
     )
+
+
+def dup_ngram_ratio(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document repeated n-gram fraction (round 8): what share
+    of a document's word n-gram OCCURRENCES belong to an n-gram that
+    appears 2+ times in that same document — the Gopher repetition
+    screen (Rae et al. 2021 Table A1's "duplicate n-grams" family)
+    that `gopher_rules` deliberately leaves out: cross-document dedup
+    (X1/X2) never sees a looping generator or a boilerplate-stuffed
+    page that repeats ITSELF, and those poison an LM corpus just as
+    hard as exact duplicates.
+
+    Exact integers: occurrences are non-distinct (repetition counting
+    needs every occurrence — the shingle helpers dedup, so the n-gram
+    build here keeps multiplicity), dup share is a 1000-scaled
+    floor-div. Texts with fewer than n words have one degenerate
+    shingle (the whole text) and ratio 0 unless that shingle repeats
+    — count conventions identical in both engines.
+
+    Scale shape: explode → two map-side-combinable aggregates keyed
+    by (doc, gram) then doc — partial aggregation collapses repeats
+    before the shuffle, so the wire carries distinct grams, not
+    occurrences. No window, no join.
+
+    Returns (doc_id, n_grams, dup_grams, dup_ratio_milli).
+    """
+    from ..functions.text import tokens_col
+
+    def _grams(t):
+        n_sh = F.greatest(F.size(t) - (n - 1), F.lit(1))
+        starts = F.sequence(F.lit(1), n_sh)
+        return F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(t, i, n))
+        )
+
+    grams = F.element_at(
+        F.transform(F.array(tokens_col(text_col)), _grams), 1
+    )
+    occ = (
+        parallelize_narrow(docs)
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        occ.groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("dup_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "dup_grams",
+            F.expr("(1000 * dup_grams) div n_grams").cast("long").alias(
+                "dup_ratio_milli"
+            ),
+        )
+    )

@@ -10135,6 +10135,316 @@ FROM m
 # is selected by name below (R7_WINDOW), NOT by position here, so these
 # grouping comments never go stale the way position-numbered ones did
 # (ADVICE r5: three 'entries 34-50' rows had drifted out of the window).
+
+
+# --------------------------------------------------------------------------
+# round-8 additions: two more literal-synopsis oracle twins for the
+# remaining rows-only vector families (VERDICT r7 item 4) + four new
+# analytics/corpus-QA operators (X123-X126)
+# --------------------------------------------------------------------------
+
+
+def q_pq_literal_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X121 (round 8): PQ encode + ADC scoring with the codebook pinned
+    to its deterministic init and e6-integer components
+    (operators/pq.py:pq_literal_adc) — per-subspace argmin codes and
+    the asymmetric distance to query vec 0 as exact integer algebra,
+    zero shuffle, bounded m*k_code collect; the PQ family's oracle-
+    gated member (the Lloyd's-trained `pq_search` stays rows-only).
+    Full oracle."""
+    from ..operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq.pq_literal_adc(emb, m=4, k_code=8, query_vec_id=0)
+
+
+SQL_PQ_LITERAL_ADC = """
+WITH vq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings
+), seeds AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+  FROM (SELECT vec_id, v FROM vq ORDER BY vec_id LIMIT 8)
+), cw AS MATERIALIZED (
+  SELECT sub.ss AS s, seeds.j,
+         list_transform(range(1, 17), i -> seeds.v[sub.ss * 16 + i]) AS cv
+  FROM seeds CROSS JOIN (SELECT UNNEST(range(4)) AS ss) sub
+), q AS MATERIALIZED (
+  SELECT v FROM vq WHERE vec_id = 0
+), lut AS MATERIALIZED (
+  SELECT cw.s, cw.j,
+         CAST(list_sum(list_transform(range(1, 17),
+              i -> (q.v[cw.s * 16 + i] - cw.cv[i])
+                 * (q.v[cw.s * 16 + i] - cw.cv[i]))) AS BIGINT) AS qd2
+  FROM cw CROSS JOIN q
+), d AS (
+  SELECT vq.vec_id, cw.s, cw.j,
+         CAST(list_sum(list_transform(range(1, 17),
+              i -> (vq.v[cw.s * 16 + i] - cw.cv[i])
+                 * (vq.v[cw.s * 16 + i] - cw.cv[i]))) AS BIGINT) AS d2
+  FROM vq CROSS JOIN cw
+), codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT c.vec_id,
+       string_agg(CAST(c.j AS VARCHAR), ',' ORDER BY c.s) AS codes_csv,
+       CAST(SUM(l.qd2) AS BIGINT) AS adc_d2
+FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.j
+GROUP BY c.vec_id
+"""
+
+
+def q_ivf_literal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X122 (round 8): the IVF serve path — literal init-pinned coarse
+    centroids, integer cell argmin, nprobe=2 cell pruning, exact e12
+    integer dot top-10 (operators/similarity.py:ivf_literal_probe) —
+    the IVF family's oracle-gated member (the trained
+    `topk_cosine_ivf` stays rows-only). Full oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_literal_probe(
+        emb, k_cells=4, nprobe=2, query_vec_id=0, topk=10
+    )
+
+
+SQL_IVF_LITERAL_PROBE = """
+WITH vq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings
+), cents AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM vq ORDER BY vec_id LIMIT 4)
+), q AS MATERIALIZED (
+  SELECT v FROM vq WHERE vec_id = 0
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vq.vec_id, c.cid,
+           row_number() OVER (PARTITION BY vq.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(vq.v) + 1),
+                      i -> (vq.v[i] - c.cv[i]) * (vq.v[i] - c.cv[i]))),
+             c.cid) AS rn
+    FROM vq CROSS JOIN cents c
+  ) WHERE rn = 1
+), qcells AS (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (ORDER BY
+             list_sum(list_transform(range(1, len(q.v) + 1),
+                      i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))),
+             c.cid) AS rn
+    FROM cents c CROSS JOIN q
+  ) WHERE rn <= 2
+), scored AS (
+  SELECT a.vec_id, a.cid AS cell,
+         CAST(list_sum(list_transform(range(1, len(vq.v) + 1),
+              i -> vq.v[i] * q.v[i])) AS BIGINT) AS dot_e12
+  FROM assign a
+  JOIN vq ON vq.vec_id = a.vec_id
+  JOIN qcells ON qcells.cid = a.cid
+  CROSS JOIN q
+  WHERE a.vec_id <> 0
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell, dot_e12, rank FROM (
+  SELECT vec_id, cell, dot_e12,
+         CAST(row_number() OVER (ORDER BY dot_e12 DESC, vec_id) AS BIGINT)
+           AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_embedding_clip_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X123 (round 8): per-DIMENSION exact p01/p99 clip bounds on the
+    e6 grid (operators/linalg.py:embedding_clip_bounds) — the
+    pre-quantization range audit, column-wise companion of X120's
+    row-wise norm profile. Full oracle."""
+    from ..operators import linalg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return linalg.embedding_clip_bounds(emb, p_low=0.01, p_high=0.99)
+
+
+SQL_EMBEDDING_CLIP_BOUNDS = """
+WITH comps AS (
+  SELECT vec_id AS rid, i - 1 AS pos,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+), ranked AS (
+  SELECT pos, v,
+         row_number() OVER (PARTITION BY pos ORDER BY v, rid) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY pos) AS BIGINT) AS n
+  FROM comps
+)
+SELECT CAST(pos AS INTEGER) AS pos,
+       CAST(MAX(n) AS BIGINT) AS n_vecs,
+       CAST(MIN(v) AS BIGINT) AS min_e6,
+       CAST(MAX(CASE WHEN rk = CAST(ceil(0.01 * n) AS BIGINT) THEN v END)
+            AS BIGINT) AS p_low_e6,
+       CAST(MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN v END)
+            AS BIGINT) AS p_high_e6,
+       CAST(MAX(v) AS BIGINT) AS max_e6
+FROM ranked GROUP BY pos
+"""
+
+
+def q_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X124 (round 8): within-document repeated-trigram fraction — the
+    Gopher repetition screen cross-doc dedup can't see
+    (operators/textstats.py:dup_ngram_ratio); non-distinct occurrence
+    counts, 1000-scaled floor-div ratio. Full oracle."""
+    from ..operators.textstats import dup_ngram_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngram_ratio(docs, n=3)
+
+
+SQL_DUP_NGRAM_RATIO = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+         END AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+), occ AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_grams,
+       (CAST(1000 AS BIGINT)
+        * CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT))
+         // CAST(SUM(c) AS BIGINT) AS dup_ratio_milli
+FROM occ GROUP BY 1
+"""
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X125 (round 8): Kruskal-Wallis H across 4 md5 hash arms per
+    event type (operators/stats.py:kruskal_wallis) — tie-aware doubled
+    ranks (exact longs), fixed-order 4-term double reduction, the
+    omnibus gate before pairwise mann_whitney. Full oracle."""
+    from ..operators.stats import kruskal_wallis
+
+    return kruskal_wallis(load_table(spark, sf_dir, "events"))
+
+
+SQL_KRUSKAL_WALLIS = """
+WITH base AS (
+  SELECT event_type AS t, value AS v,
+         CAST((strpos('0123456789abcdef',
+                      substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+              // 4 AS INTEGER) AS arm
+  FROM events WHERE value IS NOT NULL
+), grp AS MATERIALIZED (
+  SELECT t, v, arm, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2, 3
+), tie AS MATERIALIZED (
+  SELECT t, v, CAST(SUM(cnt) AS BIGINT) AS tot FROM grp GROUP BY 1, 2
+), ranked AS (
+  SELECT t, v, tot,
+         SUM(tot) OVER (PARTITION BY t ORDER BY v) - tot + 1 AS start
+  FROM tie
+), joined AS (
+  SELECT g.t, g.arm, g.cnt, (2 * r.start + r.tot - 1) * g.cnt AS r2
+  FROM grp g JOIN ranked r ON r.t = g.t AND r.v = g.v
+), piv AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN arm = 0 THEN cnt ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 2 THEN cnt ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN arm = 3 THEN cnt ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN arm = 0 THEN r2 ELSE 0 END) AS BIGINT) AS r0,
+         CAST(SUM(CASE WHEN arm = 1 THEN r2 ELSE 0 END) AS BIGINT) AS r1,
+         CAST(SUM(CASE WHEN arm = 2 THEN r2 ELSE 0 END) AS BIGINT) AS r2s,
+         CAST(SUM(CASE WHEN arm = 3 THEN r2 ELSE 0 END) AS BIGINT) AS r3
+  FROM joined GROUP BY 1
+), ties AS (
+  SELECT t, CAST(SUM(tot * tot * tot - tot) AS BIGINT) AS tt
+  FROM tie GROUP BY 1
+), ready AS (
+  SELECT p.t, (n0 + n1 + n2 + n3) AS n, n0, n1, n2, n3,
+         (CAST(r0 AS DOUBLE) / 2.0) * (CAST(r0 AS DOUBLE) / 2.0)
+           / CAST(n0 AS DOUBLE)
+         + (CAST(r1 AS DOUBLE) / 2.0) * (CAST(r1 AS DOUBLE) / 2.0)
+           / CAST(n1 AS DOUBLE)
+         + (CAST(r2s AS DOUBLE) / 2.0) * (CAST(r2s AS DOUBLE) / 2.0)
+           / CAST(n2 AS DOUBLE)
+         + (CAST(r3 AS DOUBLE) / 2.0) * (CAST(r3 AS DOUBLE) / 2.0)
+           / CAST(n3 AS DOUBLE) AS sr2,
+         tt
+  FROM piv p JOIN ties ON ties.t = p.t
+  WHERE n0 > 0 AND n1 > 0 AND n2 > 0 AND n3 > 0
+)
+SELECT t AS event_type, CAST(n AS BIGINT) AS n,
+       concat_ws(',', CAST(n0 AS VARCHAR), CAST(n1 AS VARCHAR),
+                 CAST(n2 AS VARCHAR), CAST(n3 AS VARCHAR)) AS arm_sizes_csv,
+       round(12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * sr2 - 3.0 * (n + 1.0),
+             6) AS h_stat,
+       round(CASE WHEN 1.0 - CAST(tt AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * n * n - n) > 0
+             THEN (12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * sr2
+                   - 3.0 * (n + 1.0))
+                  / (1.0 - CAST(tt AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * n * n - n))
+             ELSE 0.0 END, 6) AS h_corrected
+FROM ready
+"""
+
+
+def q_sprt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X126 (round 8): Wald SPRT per event type — value>50 successes in
+    (ts, event_id) order, constant micro-LLR increments, first-crossing
+    decision at ±ln(19) (operators/stats.py:sprt_ab_test); the online
+    experiment gate whose state is two integers per type. Full
+    oracle."""
+    from ..operators.stats import sprt_ab_test
+
+    return sprt_ab_test(load_table(spark, sf_dir, "events"))
+
+
+SQL_SPRT_AB_TEST = """
+WITH base AS (
+  SELECT event_type AS t, ts, event_id AS rid,
+         CASE WHEN CAST(round(CAST(value AS DOUBLE) * 1000.0) AS BIGINT)
+                   > 50000 THEN 1 ELSE 0 END AS s
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), walked AS (
+  SELECT t, s,
+         SUM(s * 405465 + (1 - s) * (-405465))
+           OVER (PARTITION BY t ORDER BY ts, rid) AS llr,
+         row_number() OVER (PARTITION BY t ORDER BY ts, rid) AS rn
+  FROM base
+), finals AS (
+  SELECT t, CAST(MAX(rn) AS BIGINT) AS n_events,
+         CAST(SUM(s) AS BIGINT) AS n_success,
+         CAST(max_by(llr, rn) AS BIGINT) AS llr_micro_final
+  FROM walked GROUP BY 1
+), firsts AS (
+  SELECT t, CAST(min(rn) AS BIGINT) AS n_at_decision,
+         CAST(min_by(llr, rn) AS BIGINT) AS llr_micro_at_decision
+  FROM walked WHERE llr >= 2944439 OR llr <= -2944439
+  GROUP BY 1
+)
+SELECT f.t AS event_type, f.n_events, f.n_success, f.llr_micro_final,
+       CASE WHEN fi.llr_micro_at_decision >= 2944439 THEN 'accept_h1'
+            WHEN fi.llr_micro_at_decision <= -2944439 THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       COALESCE(fi.n_at_decision, 0) AS n_at_decision,
+       COALESCE(fi.llr_micro_at_decision, 0) AS llr_micro_at_decision
+FROM finals f LEFT JOIN firsts fi ON fi.t = f.t
+"""
+
+
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 window leads: the 19 oracle-backed r4 session-7/8
     # additions (driver-green in CORRECTNESS_r05)
@@ -10410,6 +10720,14 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "new_user_share": q_new_user_share,
     "near_dup_threshold_sweep": q_near_dup_threshold_sweep,
     "embedding_norm_profile": q_embedding_norm_profile,
+    # round-8 additions: literal-synopsis twins for the PQ and IVF
+    # families (VERDICT r7 item 4) + four new analytics operators
+    "pq_literal_adc": q_pq_literal_adc,
+    "ivf_literal_probe": q_ivf_literal_probe,
+    "embedding_clip_bounds": q_embedding_clip_bounds,
+    "dup_ngram_ratio": q_dup_ngram_ratio,
+    "kruskal_wallis": q_kruskal_wallis,
+    "sprt_ab_test": q_sprt_ab_test,
 }
 
 
@@ -10632,6 +10950,12 @@ ORACLE_SQL: dict[str, str] = {
     "vocab_growth": SQL_VOCAB_GROWTH,
     "media_md5_near_dup": SQL_MEDIA_MD5_NEAR_DUP,
     "kmeans_literal_assign": SQL_KMEANS_LITERAL_ASSIGN,
+    "pq_literal_adc": SQL_PQ_LITERAL_ADC,
+    "ivf_literal_probe": SQL_IVF_LITERAL_PROBE,
+    "embedding_clip_bounds": SQL_EMBEDDING_CLIP_BOUNDS,
+    "dup_ngram_ratio": SQL_DUP_NGRAM_RATIO,
+    "kruskal_wallis": SQL_KRUSKAL_WALLIS,
+    "sprt_ab_test": SQL_SPRT_AB_TEST,
     "trimmed_mean": SQL_TRIMMED_MEAN,
     "mann_kendall": SQL_MANN_KENDALL,
     "chisq_independence": SQL_CHISQ_INDEPENDENCE,
