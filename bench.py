@@ -251,6 +251,13 @@ HEADLINE = [
     "changepoint_detect",
     "holt_winters",
     "funnel_time_percentiles",
+    # round-8 additions
+    "pq_literal_adc",
+    "ivf_literal_probe",
+    "embedding_clip_bounds",
+    "dup_ngram_ratio",
+    "kruskal_wallis",
+    "sprt_ab_test",
 ]
 
 

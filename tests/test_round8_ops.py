@@ -1,0 +1,280 @@
+"""Round-8 operator unit tests (beyond the sf0.001 oracle parity in
+test_queries_oracle.py): the PQ/IVF literal-synopsis twins and the four
+new analytics operators."""
+
+from __future__ import annotations
+
+import math
+
+
+def _q6(x: float) -> int:
+    # e6 quantization matching F.round(x * 1e6).cast("long"): Spark
+    # round() is HALF_UP on the double grid
+    from decimal import Decimal, ROUND_HALF_UP
+
+    return int(Decimal(repr(x * 1000000.0)).quantize(0, ROUND_HALF_UP))
+
+
+def test_pq_literal_adc_matches_python(spark):
+    """Codes and ADC distance must equal a python brute force over the
+    same init-pinned e6 codebook (m=2 subspaces, k_code=3, dim=4)."""
+    import random
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.pq import (
+        pq_literal_adc,
+    )
+
+    random.seed(11)
+    vecs = {i: [round(random.uniform(-2, 2), 4) for _ in range(4)] for i in range(25)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["codes_csv"], r["adc_d2"])
+        for r in pq_literal_adc(df, m=2, k_code=3, query_vec_id=0).collect()
+    }
+    q = [_q6(x) for x in vecs[0]]
+    seeds = [[_q6(x) for x in vecs[i]] for i in sorted(vecs)[:3]]
+    for i, v in vecs.items():
+        vq = [_q6(x) for x in v]
+        codes, adc = [], 0
+        for s in range(2):
+            sl = vq[s * 2 : (s + 1) * 2]
+            d2s = [
+                sum((a - b) * (a - b) for a, b in zip(sl, sv[s * 2 : (s + 1) * 2]))
+                for sv in seeds
+            ]
+            j = d2s.index(min(d2s))  # first-lowest tie-break
+            codes.append(j)
+            qsl = q[s * 2 : (s + 1) * 2]
+            cw = seeds[j][s * 2 : (s + 1) * 2]
+            adc += sum((a - b) * (a - b) for a, b in zip(qsl, cw))
+        assert got[i] == (",".join(map(str, codes)), adc), i
+
+
+def test_pq_literal_adc_query_is_exact_zero(spark):
+    """The query vector's own ADC distance is the distance to its
+    codewords — for a corpus where the query IS a seed, every subspace
+    argmin picks the query's own slice and adc_d2 == 0."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.pq import (
+        pq_literal_adc,
+    )
+
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [-1.0, 5.0, 0.5, 2.5]),
+        (2, [4.0, 4.0, 4.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["adc_d2"] for r in pq_literal_adc(df, m=2, k_code=3).collect()}
+    assert got[0] == 0
+
+
+def test_ivf_literal_probe_matches_brute_force(spark):
+    """Probe results must equal a python IVF replay: integer cell
+    argmin, 2 nearest cells to the query, exact integer dot top-k with
+    (dot desc, id) order."""
+    import random
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.similarity import (
+        ivf_literal_probe,
+    )
+
+    random.seed(23)
+    vecs = {i: [round(random.uniform(-1, 1), 4) for _ in range(6)] for i in range(60)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = ivf_literal_probe(df, k_cells=4, nprobe=2, query_vec_id=0, topk=5).collect()
+
+    qi = {i: [_q6(x) for x in v] for i, v in vecs.items()}
+    cents = [qi[i] for i in sorted(vecs)[:4]]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    cells = {
+        i: min(range(4), key=lambda c: (d2(v, cents[c]), c)) for i, v in qi.items()
+    }
+    probe = [c for _d, c in sorted((d2(qi[0], cents[c]), c) for c in range(4))[:2]]
+    cand = [
+        (-sum(a * b for a, b in zip(qi[i], qi[0])), i)
+        for i in qi
+        if i != 0 and cells[i] in probe
+    ]
+    want = sorted(cand)[:5]
+    got = [(r["rank"], r["vec_id"], r["dot_e12"], r["cell"]) for r in out]
+    got.sort()
+    assert [(v, -d) for d, v in want] == [(g[1], g[2]) for g in got]
+    for _rank, vid, _dot, cell in got:
+        assert cells[vid] == cell
+        assert cell in probe
+
+
+def test_ivf_literal_probe_prunes_cells(spark):
+    """No result may come from a non-probed cell even when that cell
+    holds the true nearest neighbor (the documented IVF recall
+    trade-off, here deterministic)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.similarity import (
+        ivf_literal_probe,
+    )
+
+    # centroids: ids 0..3. id 10 sits in cell 3's corner but has the
+    # highest dot with the query — it must NOT appear (cell 3 unprobed).
+    rows = [
+        (0, [1.0, 0.0, 0.0]),    # query + centroid 0
+        (1, [0.9, 0.1, 0.0]),    # centroid 1 (cell probed 2nd)
+        (2, [-1.0, 0.0, 0.0]),   # centroid 2
+        (3, [0.0, -1.0, 5.0]),   # centroid 3 (far)
+        (10, [0.1, -0.9, 4.9]),  # lands in cell 3
+        (11, [0.8, 0.2, 0.0]),   # cell 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_literal_probe(df, k_cells=4, nprobe=2, query_vec_id=0, topk=10).collect()
+    ids = {r["vec_id"] for r in out}
+    assert 10 not in ids
+    assert 11 in ids
+
+
+def test_embedding_clip_bounds_exact_order_stats(spark):
+    """p_low/p_high are the values at rank ceil(q*n) under
+    (value, vec_id) total order, per dimension."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.linalg import (
+        embedding_clip_bounds,
+    )
+
+    # dim 0: values 1..10 -> p10 at rank 1, p90 at rank 9
+    rows = [(i, [float(i + 1), 100.0 - i]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["pos"]: r for r in embedding_clip_bounds(df, p_low=0.1, p_high=0.9).collect()
+    }
+    assert got[0]["n_vecs"] == 10
+    assert got[0]["min_e6"] == 1_000_000
+    assert got[0]["p_low_e6"] == 1_000_000      # ceil(0.1*10) = rank 1
+    assert got[0]["p_high_e6"] == 9_000_000     # ceil(0.9*10) = rank 9
+    assert got[0]["max_e6"] == 10_000_000
+    assert got[1]["max_e6"] == 100_000_000
+
+
+def test_dup_ngram_ratio_counts_occurrences(spark):
+    """Repetition counts use every occurrence, not the distinct set."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        dup_ngram_ratio,
+    )
+
+    rows = [
+        (1, "a b c a b c a b c"),   # 7 trigrams; "a b c" x3, "b c a" x2, "c a b" x2 -> all 7 dup
+        (2, "w x y z"),             # 2 trigrams, both unique
+        (3, "hi"),                  # <3 words -> single degenerate gram
+        (4, "p q p q p q p q"),     # 6 trigrams: "p q p" x3, "q p q" x3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_ngram_ratio(df, n=3).collect()}
+    assert (got[1]["n_grams"], got[1]["dup_grams"], got[1]["dup_ratio_milli"]) == (7, 7, 1000)
+    assert (got[2]["n_grams"], got[2]["dup_grams"], got[2]["dup_ratio_milli"]) == (2, 0, 0)
+    assert (got[3]["n_grams"], got[3]["dup_grams"]) == (1, 0)
+    assert (got[4]["n_grams"], got[4]["dup_grams"], got[4]["dup_ratio_milli"]) == (6, 6, 1000)
+
+
+def test_kruskal_wallis_matches_scipy_formula(spark):
+    """H on a crafted 4-arm dataset must match the textbook
+    tie-corrected formula computed in python over the same md5 arms."""
+    import hashlib
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    # enough users that all 4 arms are hit
+    rows = []
+    for uid in range(200):
+        rows.append((uid, "t1", float(uid % 13) + (uid % 3) * 0.5))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    out = kruskal_wallis(df).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    def arm(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[0], 16) // 4
+
+    vals = [(arm(u), v) for u, _t, v in rows]
+    svals = sorted({v for _a, v in vals})
+    # average ranks with ties
+    ranks = {}
+    pos = 1
+    from collections import Counter
+
+    cnt = Counter(v for _a, v in vals)
+    for v in svals:
+        c = cnt[v]
+        ranks[v] = (2 * pos + c - 1) / 2.0
+        pos += c
+    n = len(vals)
+    groups = {}
+    for a, v in vals:
+        groups.setdefault(a, []).append(ranks[v])
+    assert set(groups) == {0, 1, 2, 3}
+    sr2 = sum(sum(g) ** 2 / len(g) for g in groups.values())
+    h = 12.0 / (n * (n + 1)) * sr2 - 3 * (n + 1)
+    t_corr = sum(c ** 3 - c for c in cnt.values())
+    hc = h / (1 - t_corr / (n ** 3 - n))
+    assert abs(r["h_stat"] - h) < 1e-5
+    assert abs(r["h_corrected"] - hc) < 1e-5
+    assert r["n"] == n
+    sizes = [len(groups[a]) for a in range(4)]
+    assert r["arm_sizes_csv"] == ",".join(map(str, sizes))
+
+
+def test_sprt_first_crossing(spark):
+    """A type whose every value succeeds crosses +ln(19) after exactly
+    ceil(2944439/405465)=8 observations; an alternating type never
+    leaves the continue band."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        sprt_ab_test,
+    )
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        rows.append((i, t0 + datetime.timedelta(seconds=i), 1, "winner", 100.0, None))
+    for i in range(20, 60):
+        rows.append(
+            (i, t0 + datetime.timedelta(seconds=i), 2, "coin",
+             100.0 if i % 2 else 1.0, None)
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["event_type"]: r for r in sprt_ab_test(df).collect()}
+    w = got["winner"]
+    assert w["decision"] == "accept_h1"
+    assert w["n_at_decision"] == 8
+    assert w["llr_micro_at_decision"] == 8 * 405465
+    assert w["n_success"] == 20
+    c = got["coin"]
+    assert c["decision"] == "continue"
+    assert c["n_at_decision"] == 0
+    assert c["llr_micro_final"] in (0, -405465, 405465)
+
+
+def test_sprt_accepts_h0_on_failures(spark):
+    """All-failure stream crosses the lower boundary after 8 steps."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        sprt_ab_test,
+    )
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), 1, "loser", 1.0, None)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r = sprt_ab_test(df).collect()[0]
+    assert r["decision"] == "accept_h0"
+    assert r["n_at_decision"] == 8
+    assert r["llr_micro_at_decision"] == -8 * 405465
