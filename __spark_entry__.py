@@ -38,14 +38,17 @@ def oracle_sql() -> dict[str, str]:
 
     Registry layout: the first 50 entries are all oracle-backed (the
     driver's checked window). The window is selected BY NAME
-    (plans/queries.py R7_WINDOW) and guarded at import time — a
+    (plans/queries.py R8_WINDOW) and guarded at import time — a
     mis-rotated registry (window name missing, not oracle-backed, or
     wrong length) raises ImportError before the driver runs anything.
-    Round-7 window: the 15 round-7 additions (X102–X114 + the
-    media-md5 / literal-kmeans oracle twins), the semantics-changed
-    blocking_eval pair, the 3 post-freeze r6 tail queries, then 30
-    backfill slots for the queries whose driver evidence was oldest
-    (the 14 r6-displaced names + an r2/r3 block). Past the
+    Round-8 window: the 6 round-8 additions (X121–X126, incl. the PQ
+    and IVF literal-synopsis oracle twins), the 7 queries whose
+    semantics or oracle text changed closing the r7 ADVICE items
+    (hill_tail_index, the media payload family, jl_project,
+    embedding_norm_profile), then 37 backfill slots for the queries
+    whose driver evidence was oldest (the r3-witnessed TPC-H block
+    tpch_q2/q4/q5/q7–q22, the governance trio, and the r3/r4
+    temporal-join / retrieval / sketches families). Past the
     window sit the rows-only entries and the remaining oracle-backed
     ones (every ORACLE_SQL key past registry position 50 —
     tests/test_queries_oracle.py runs the identical parity check on

@@ -10132,7 +10132,7 @@ FROM m
 
 # The full query registry, in historical (addition) order. The DRIVER
 # WINDOW — the 50-entry prefix the correctness harness actually checks —
-# is selected by name below (R7_WINDOW), NOT by position here, so these
+# is selected by name below (R8_WINDOW), NOT by position here, so these
 # grouping comments never go stale the way position-numbered ones did
 # (ADVICE r5: three 'entries 34-50' rows had drifted out of the window).
 
@@ -10984,83 +10984,83 @@ ORACLE_SQL: dict[str, str] = {
 # blocking_eval pair, and the three post-freeze r6 tail queries; then
 # backfill the entries with the OLDEST driver evidence (the 14 names
 # the r6 leads displaced, then the r2/r3-witnessed block).
-R7_WINDOW: list[str] = [
-    # round-7 additions (no driver evidence yet): the two rows-only ->
-    # full-oracle conversions and the seven new analytics operators
-    "media_md5_near_dup",
-    "kmeans_literal_assign",
-    "trimmed_mean",
-    "mann_kendall",
-    "chisq_independence",
-    "zipf_slope",
-    "cross_source_overlap",
-    "source_info_gain",
-    "jl_project",
-    "runs_test",
-    "wasserstein_value_drift",
-    "srm_check",
-    "acf_daily",
+R8_WINDOW: list[str] = [
+    # round-8 additions (no driver evidence yet): the PQ and IVF
+    # literal-synopsis oracle twins + four new analytics operators
+    "pq_literal_adc",
+    "ivf_literal_probe",
+    "embedding_clip_bounds",
+    "dup_ngram_ratio",
+    "kruskal_wallis",
+    "sprt_ab_test",
+    # semantics changed this round (r7 ADVICE closures): hill gained a
+    # degenerate-group guard, the media family gained the NULL-text
+    # source filter, jl_project a dim guard, norm-profile the
+    # decimal-widened mean — re-witness them all
     "hill_tail_index",
-    "source_hhi",
-    "hash_uniformity_audit",
-    "markov_entropy_rate",
-    "dup_cluster_histogram",
-    "new_user_share",
-    "near_dup_threshold_sweep",
+    "media_md5_near_dup",
+    "jl_project",
     "embedding_norm_profile",
-    # semantics changed this round (sampled-truth default flip) —
-    # the r6 green row witnessed the OLD exhaustive form
-    "blocking_eval",
-    "blocking_eval_sampled",
-    # round-6 session-2 tail additions that landed after the r6 window
-    # froze (full-oracle, pytest-green, never driver-witnessed)
-    "bloom_size_planner",
-    "burstiness",
-    "vocab_growth",
-    # r6-displaced backfill (oldest driver evidence: r1/r2 rows
-    # displaced by the round-6 leads — SURVEY round-7 rotation note)
-    "distinct_agg",
-    "set_ops",
-    "topk_cosine_batch",
-    "media_resize",
+    "media_features",
     "media_frames",
-    "sliding_window_agg",
-    "order_quartiles",
-    "doc_fingerprint",
-    "pack_sequences",
-    "cube_agg",
-    "contamination",
-    "bpe_token_stats",
-    "embedding_centroids",
-    "quality_score",
-    # r2/r3-witnessed backfill (next-oldest evidence)
-    "tpch_q3",
-    "tpch_q6",
-    "tpch_q13",
-    "user_event_gaps",
-    "sessionize",
-    "cohort_retention",
-    "funnel_counts",
-    "tfidf_topn",
-    "term_pmi",
-    "event_transitions",
+    "media_resize",
+    # backfill: the oldest driver evidence (r3-witnessed TPC-H block +
+    # governance trio — SURVEY round-8 rotation note)
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "table_profile",
+    "value_drift_psi",
+    "k_anonymity",
+    # r3/r4 analytics block: temporal joins, retrieval, sketches
+    "asof_join",
+    "range_join_count",
+    "interval_join",
+    "bm25_search",
+    "bm25_indexed",
+    "hybrid_search",
+    "mmr_rerank",
+    "kmv_distinct",
+    "countmin_freq",
+    "kmv_join_estimate",
+    "kmv_rollup",
+    "percentile_value",
+    "pivot_event_counts",
+    "corpus_diff",
+    "constraint_checks",
+    "dup_passages",
 ]
 
-_window_missing = [n for n in R7_WINDOW if n not in _REGISTRY]
-_window_unbacked = [n for n in R7_WINDOW if n not in ORACLE_SQL]
+_window_missing = [n for n in R8_WINDOW if n not in _REGISTRY]
+_window_unbacked = [n for n in R8_WINDOW if n not in ORACLE_SQL]
 if (
     _window_missing
     or _window_unbacked
-    or len(R7_WINDOW) != 50
-    or len(set(R7_WINDOW)) != 50
+    or len(R8_WINDOW) != 50
+    or len(set(R8_WINDOW)) != 50
 ):  # pragma: no cover - import-time rotation guard
     raise ImportError(
         "bad driver window rotation: "
         f"missing={_window_missing} unbacked={_window_unbacked} "
-        f"len={len(R7_WINDOW)} distinct={len(set(R7_WINDOW))}"
+        f"len={len(R8_WINDOW)} distinct={len(set(R8_WINDOW))}"
     )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    **{n: _REGISTRY[n] for n in R7_WINDOW},
-    **{n: fn for n, fn in _REGISTRY.items() if n not in set(R7_WINDOW)},
+    **{n: _REGISTRY[n] for n in R8_WINDOW},
+    **{n: fn for n, fn in _REGISTRY.items() if n not in set(R8_WINDOW)},
 }
