@@ -32,3 +32,10 @@ from .forecast_stream import (  # noqa: F401
     streaming_changepoint_monitor,
     streaming_holt_monitor,
 )
+from .guardrail_stream import (  # noqa: F401
+    binned_w1,
+    srm_from_ledger,
+    streaming_binned_w1_monitor,
+    streaming_unit_deltas,
+    train_value_bins,
+)
