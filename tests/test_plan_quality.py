@@ -1211,3 +1211,66 @@ def test_cross_source_overlap_token_equi_join(spark):
     nothing data-sized is nested-looped."""
     plan = _plan(spark, "cross_source_overlap")
     assert "CartesianProduct" not in plan
+
+
+def test_pq_literal_adc_zero_semantic_shuffle(spark):
+    """PQ encode + ADC with a literal codebook is a pure narrow fold
+    (codes via per-subspace aggregate over literal structs, ADC via
+    element_at on literal tables): no hash or single-partition
+    exchange — only parallelize_narrow's round-robin spread."""
+    plan = _plan(spark, "pq_literal_adc")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ivf_literal_probe_prunes_then_takeordered(spark):
+    """The IVF probe filters to the probed cells BEFORE scoring (cell
+    argmin + isin are per-row expressions, no join) and the top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, "ivf_literal_probe")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan  # centroids are literals, not a frame
+
+
+def test_embedding_clip_bounds_single_rank_shuffle(spark):
+    """posexplode then ONE hash exchange on the dimension key feeding
+    both the rank window and the final aggregate."""
+    plan = _plan(spark, "embedding_clip_bounds")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_dup_ngram_ratio_two_combined_groupbys(spark):
+    """Occurrence counting is two map-side-combinable aggregates (the
+    (doc, gram) count collapses repeats before the shuffle); no window,
+    no join."""
+    plan = _plan(spark, "dup_ngram_ratio")
+    assert "partial_count" in plan.lower() or "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_kruskal_wallis_no_cartesian_single_window(spark):
+    """Tie groups are map-side combined before the per-type rank
+    window; the tie join is an equi join on (type, value); the pivoted
+    arm reduction adds no extra shuffle wave."""
+    plan = _plan(spark, "kruskal_wallis")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_sprt_ab_test_partitioned_cumsum(spark):
+    """The LLR walk is a per-type cumulative window (partitioned —
+    parallel across types), never an unpartitioned global sort."""
+    plan = _plan(spark, "sprt_ab_test")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_theilsen_rank_median_no_object_aggregate(spark):
+    """Round 8: the exact median is rank-based (sort window), not the
+    ObjectHashAggregate percentile buffer that cost 3.9 s at sf0.1 and
+    would OOM on a hot user's slope buffer at 100 TB."""
+    plan = _plan(spark, "theilsen_trend")
+    assert "ObjectHashAggregate" not in plan
