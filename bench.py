@@ -258,6 +258,10 @@ HEADLINE = [
     "dup_ngram_ratio",
     "kruskal_wallis",
     "sprt_ab_test",
+    "vocab_coverage_estimate",
+    "spearman_activity_value",
+    "top_terms_drift",
+    "media_byte_entropy",
 ]
 
 

@@ -2274,3 +2274,94 @@ def sprt_ab_test(
         )
     )
     return out
+
+
+def spearman_activity_value(
+    events: DataFrame,
+    type_col: str = "event_type",
+    unit_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Spearman rank correlation between a user's ACTIVITY (event
+    count) and VALUE (total value) per event type (round 8) — the
+    robust "do heavy users spend more?" readout that X43's Pearson
+    matrix gets wrong on heavy-tailed value feeds (one whale user sets
+    the Pearson sign; Spearman sees only ranks).
+
+    Integer discipline (the mann_whitney scheme): per-user totals are
+    exact (value in e3 milli longs), tie groups carry DOUBLED average
+    ranks so every rank is an exact integer, and ρ is computed from
+    the rank covariance in one fixed double chain on exact integer
+    sums (the squared-rank moments widened to decimal(38,0) — Σrx²
+    reaches 4n³ and would pass BIGINT near a million users per type;
+    DuckDB's SUM widens to HUGEINT the same way), rounded to 6 dp. With d_i = rx_i − ry_i (doubled-rank
+    difference), ρ = 1 − 6·Σd²/(4·n(n²−1)) adjusted for ties via the
+    standard Pearson-on-ranks form — implemented as Pearson over the
+    doubled ranks (tie-exact, no approximation).
+
+    Scale shape: one per-(type, user) aggregate (map-side combined),
+    two rank windows on the type key, one moment rollup. Returns
+    (event_type, n_users, rho).
+    """
+    per_user = (
+        events.where(
+            F.col(unit_col).isNotNull()
+            & F.col(type_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(type_col).alias("t"), F.col(unit_col).alias("u")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(
+                F.round(F.col(value_col).cast("double") * 1000.0).cast("long")
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+
+    def doubled_rank(col: str, out: str):
+        grp = per_user.groupBy("t", F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        w = Window.partitionBy("t").orderBy("v")
+        ranked = grp.withColumn(
+            "start", F.sum("cnt").over(w) - F.col("cnt") + 1
+        ).select(
+            "t",
+            F.col("v").alias(col),
+            (2 * F.col("start") + F.col("cnt") - 1).alias(out),
+        )
+        return ranked
+
+    rx = doubled_rank("x", "rx")
+    ry = doubled_rank("y", "ry")
+    joined = per_user.join(rx, ["t", "x"]).join(ry, ["t", "y"])
+    sums = joined.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.expr("cast(rx * rx as decimal(38,0))")).alias("sxx"),
+        F.sum(F.expr("cast(ry * ry as decimal(38,0))")).alias("syy"),
+        F.sum(F.expr("cast(rx * ry as decimal(38,0))")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    rho = F.when(
+        (vx > 0) & (vy > 0), cov / F.sqrt(vx) / F.sqrt(vy)
+    ).otherwise(F.lit(0.0))
+    return sums.where(F.col("n") >= 2).select(
+        F.col("t").alias(type_col),
+        F.col("n").alias("n_users"),
+        F.round(rho, 6).alias("rho"),
+    )

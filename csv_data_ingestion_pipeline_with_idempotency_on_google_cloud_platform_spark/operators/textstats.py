@@ -17,6 +17,7 @@ from ..functions.text import (
     quality_score_cols,
     repetition_cols,
     token_count_col,
+    tokens_col,
 )
 from ..utils import parallelize_narrow
 
@@ -1253,5 +1254,155 @@ def dup_ngram_ratio(
             F.expr("(1000 * dup_grams) div n_grams").cast("long").alias(
                 "dup_ratio_milli"
             ),
+        )
+    )
+
+
+def vocab_coverage_estimate(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chao1 vocabulary-richness + Good–Turing missing-mass estimate
+    per language (round 8) — the "how much corpus is still out there"
+    pair every data-acquisition plan wants next to X101's Heaps curve:
+    Chao1 (Chao 1984) lower-bounds the TRUE vocabulary size from the
+    singleton/doubleton counts (V + F1²/(2·F2)); Good–Turing's P₀ =
+    F1/N says what probability mass the next crawl batch will consist
+    of unseen words — together they answer "is this language's corpus
+    saturated or barely scratched".
+
+    Exact integers: V, F1, F2, N are exact counts; chao1_est is ONE
+    float expression on them (F2=0 falls back to the bias-corrected
+    F1·(F1−1)/2 form, Chao's own convention), missing_mass_milli is
+    an integer floor-div. Scale shape: two map-side-combinable
+    aggregates — (lang, token) counts collapse before the shuffle,
+    then one rollup per lang. No window, no join.
+
+    Returns (lang, n_tokens, vocab, f1_singletons, f2_doubletons,
+    chao1_est, missing_mass_milli).
+    """
+    toks = parallelize_narrow(docs).where(
+        F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"), F.explode(tokens_col(text_col)).alias("w")
+    )
+    counts = toks.groupBy("g", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = counts.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao1 = F.when(
+        F.col("f2") > 0, F.col("vocab").cast("double") + f1 * f1 / (2.0 * f2)
+    ).otherwise(
+        F.col("vocab").cast("double") + f1 * (f1 - 1.0) / 2.0
+    )
+    return agg.where(F.col("n_tokens") > 0).select(
+        F.col("g").alias(group_col),
+        "n_tokens",
+        "vocab",
+        F.col("f1").alias("f1_singletons"),
+        F.col("f2").alias("f2_doubletons"),
+        F.round(chao1, 6).alias("chao1_est"),
+        F.expr("(1000 * f1) div n_tokens").cast("long").alias(
+            "missing_mass_milli"
+        ),
+    )
+
+
+def top_terms_drift(
+    docs: DataFrame,
+    k: int = 20,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temporal vocabulary drift per source (round 8): Jaccard overlap
+    of the top-k term sets between the corpus's FIRST and SECOND half
+    (by doc_id — the fixture's arrival order) — the cheap "did this
+    source change what it talks about" gate that catches a feed
+    silently switching domain/language mid-crawl, which every
+    downstream mixing weight (X8b/X69) silently inherits.
+
+    Deterministic: halves split at the per-source MEDIAN doc_id rank
+    (first ⌈n/2⌉ docs vs the rest), top-k by (count desc, term) total
+    order — identical set selection in any engine; Jaccard on exact
+    set sizes as a 1000-scaled floor-div.
+
+    Scale shape: (source, half, term) counts map-side combine; one
+    rank window per (source, half); the final per-source overlap is a
+    k-row self-join on tiny frames. Returns
+    (source, n_docs, top_k_first, top_k_second, n_common,
+    jaccard_milli).
+    """
+    w = Window.partitionBy("g").orderBy("rid")
+    wn = Window.partitionBy("g")
+    halves = (
+        parallelize_narrow(docs)
+        .where(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.col(id_col).cast("long").alias("rid"),
+            tokens_col(text_col).alias("__t"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "half",
+            F.when(
+                F.col("rk") <= F.expr("cast(ceil(n / 2.0) as bigint)"), 1
+            ).otherwise(2),
+        )
+        .select("g", "n", "half", F.explode("__t").alias("w"))
+    )
+    counts = halves.groupBy("g", "half", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.max("n").cast("long").alias("n_docs"),
+    )
+    wr = Window.partitionBy("g", "half").orderBy(
+        F.col("c").desc(), F.col("w")
+    )
+    top = counts.withColumn("trk", F.row_number().over(wr)).where(
+        F.col("trk") <= k
+    )
+    a = top.where(F.col("half") == 1).select(
+        "g", F.col("w").alias("wa"), F.col("n_docs").alias("n_docs")
+    )
+    b = top.where(F.col("half") == 2).select("g", F.col("w").alias("wb"))
+    inter = (
+        a.join(b, (a["g"] == b["g"]) & (F.col("wa") == F.col("wb")))
+        .groupBy(a["g"].alias("g"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sizes = top.groupBy("g").agg(
+        F.max("n_docs").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("ka"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("kb"),
+    )
+    return (
+        sizes.join(inter, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            F.col("ka").alias("top_k_first"),
+            F.col("kb").alias("top_k_second"),
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias(
+                "n_common"
+            ),
+            F.expr(
+                "(1000 * coalesce(n_common, 0)) div (ka + kb - coalesce(n_common, 0))"
+            )
+            .cast("long")
+            .alias("jaccard_milli"),
         )
     )

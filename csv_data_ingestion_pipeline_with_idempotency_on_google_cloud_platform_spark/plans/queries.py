@@ -10445,6 +10445,203 @@ FROM finals f LEFT JOIN firsts fi ON fi.t = f.t
 """
 
 
+
+
+def q_vocab_coverage_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X127 (round 8): Chao1 vocabulary-richness lower bound +
+    Good-Turing missing mass per language
+    (operators/textstats.py:vocab_coverage_estimate) — exact
+    singleton/doubleton counts, one float Chao1 expression, integer
+    milli missing mass; the "is this corpus saturated" readout next to
+    X101's Heaps curve. Full oracle."""
+    from ..operators.textstats import vocab_coverage_estimate
+
+    return vocab_coverage_estimate(load_table(spark, sf_dir, "documents"))
+
+
+SQL_VOCAB_COVERAGE_ESTIMATE = r"""
+WITH toks AS (
+  SELECT lang,
+         UNNEST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(
+                            regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                END) AS w
+  FROM documents WHERE lang IS NOT NULL
+), counts AS (
+  SELECT lang AS g, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+), agg AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM counts GROUP BY 1
+)
+SELECT g AS lang, n_tokens, vocab,
+       f1 AS f1_singletons, f2 AS f2_doubletons,
+       round(CASE WHEN f2 > 0
+             THEN CAST(vocab AS DOUBLE)
+                  + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)
+                    / (2.0 * CAST(f2 AS DOUBLE))
+             ELSE CAST(vocab AS DOUBLE)
+                  + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0) / 2.0
+             END, 6) AS chao1_est,
+       (CAST(1000 AS BIGINT) * f1) // n_tokens AS missing_mass_milli
+FROM agg WHERE n_tokens > 0
+"""
+
+
+def q_spearman_activity_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X128 (round 8): Spearman rank correlation between per-user
+    event count and total value per event type
+    (operators/stats.py:spearman_activity_value) — doubled tie-average
+    ranks (exact longs), decimal-widened rank moments, Pearson-on-ranks
+    in one fixed double chain; the whale-proof "do heavy users spend
+    more" readout. Full oracle."""
+    from ..operators.stats import spearman_activity_value
+
+    return spearman_activity_value(load_table(spark, sf_dir, "events"))
+
+
+SQL_SPEARMAN_ACTIVITY_VALUE = """
+WITH per_user AS MATERIALIZED (
+  SELECT event_type AS t, user_id AS u,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 1000.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+), rx AS MATERIALIZED (
+  SELECT t, v AS x, 2 * start + cnt - 1 AS rx FROM (
+    SELECT t, v, cnt, SUM(cnt) OVER (PARTITION BY t ORDER BY v) - cnt + 1 AS start
+    FROM (SELECT t, x AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM per_user GROUP BY 1, 2))
+), ry AS MATERIALIZED (
+  SELECT t, v AS y, 2 * start + cnt - 1 AS ry FROM (
+    SELECT t, v, cnt, SUM(cnt) OVER (PARTITION BY t ORDER BY v) - cnt + 1 AS start
+    FROM (SELECT t, y AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM per_user GROUP BY 1, 2))
+), joined AS (
+  SELECT p.t, rx.rx, ry.ry
+  FROM per_user p
+  JOIN rx ON rx.t = p.t AND rx.x = p.x
+  JOIN ry ON ry.t = p.t AND ry.y = p.y
+), sums AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+         SUM(CAST(rx * rx AS HUGEINT)) AS sxx,
+         SUM(CAST(ry * ry AS HUGEINT)) AS syy,
+         SUM(CAST(rx * ry AS HUGEINT)) AS sxy
+  FROM joined GROUP BY 1
+)
+SELECT t AS event_type, n AS n_users,
+       round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             ELSE 0.0 END, 6) AS rho
+FROM sums WHERE n >= 2
+"""
+
+
+def q_top_terms_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X129 (round 8): top-20-term Jaccard between a source's first and
+    second half by doc_id (operators/textstats.py:top_terms_drift) —
+    total-order top-k selection, exact set overlap, 1000-scaled
+    floor-div; the feed-switched-domain gate. Full oracle."""
+    from ..operators.textstats import top_terms_drift
+
+    return top_terms_drift(load_table(spark, sf_dir, "documents"), k=20)
+
+
+SQL_TOP_TERMS_DRIFT = r"""
+WITH docs2 AS MATERIALIZED (
+  SELECT source AS g, doc_id AS rid, text,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM documents WHERE source IS NOT NULL
+), halves AS (
+  SELECT g, n,
+         CASE WHEN rk <= CAST(ceil(n / 2.0) AS BIGINT) THEN 1 ELSE 2 END AS half,
+         UNNEST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(
+                            regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                END) AS w
+  FROM docs2
+), counts AS MATERIALIZED (
+  SELECT g, half, w, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(MAX(n) AS BIGINT) AS n_docs
+  FROM halves GROUP BY 1, 2, 3
+), top AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT g, half, w, n_docs,
+           row_number() OVER (PARTITION BY g, half ORDER BY c DESC, w) AS trk
+    FROM counts)
+  WHERE trk <= 20
+), inter AS (
+  SELECT a.g, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM top a JOIN top b ON b.g = a.g AND a.half = 1 AND b.half = 2 AND a.w = b.w
+  GROUP BY 1
+), sizes AS (
+  SELECT g, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ka,
+         CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS kb
+  FROM top GROUP BY 1
+)
+SELECT s.g AS source, s.n_docs,
+       s.ka AS top_k_first, s.kb AS top_k_second,
+       CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+       (CAST(1000 AS BIGINT) * CAST(COALESCE(i.n_common, 0) AS BIGINT))
+         // (s.ka + s.kb - CAST(COALESCE(i.n_common, 0) AS BIGINT))
+         AS jaccard_milli
+FROM sizes s LEFT JOIN inter i ON i.g = s.g
+"""
+
+
+def q_media_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X130 (round 8): byte-histogram entropy per opaque media payload
+    (operators/multimodal.py:media_byte_entropy) — the decoder-free
+    corruption/compression detector; hex-pair byte counts (exact),
+    X13 ln entropy in milli-nats. Full oracle."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs)
+    return multimodal.media_byte_entropy(media)
+
+
+SQL_MEDIA_BYTE_ENTROPY = """
+WITH m AS MATERIALIZED (
+  SELECT doc_id, lower(hex(encode(text))) AS hx
+  FROM documents WHERE text IS NOT NULL
+), bytes AS (
+  SELECT doc_id, substring(hx, (i - 1) * 2 + 1, 2) AS b
+  FROM m, UNNEST(range(1, greatest(CAST(length(hx) / 2 AS INTEGER), 1) + 1)) AS t(i)
+  WHERE length(hx) > 0
+), counts AS (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM bytes GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(MAX(t.n) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+       round(SUM(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))) * 1000.0, 6)
+         AS entropy_milli
+FROM counts c JOIN tot t USING (doc_id)
+GROUP BY 1
+"""
+
+
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 window leads: the 19 oracle-backed r4 session-7/8
     # additions (driver-green in CORRECTNESS_r05)
@@ -10728,6 +10925,12 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_ngram_ratio": q_dup_ngram_ratio,
     "kruskal_wallis": q_kruskal_wallis,
     "sprt_ab_test": q_sprt_ab_test,
+    # round-8 batch 2 (post-window-freeze tail: oracle-backed, pytest-
+    # gated this round, driver evidence next rotation)
+    "vocab_coverage_estimate": q_vocab_coverage_estimate,
+    "spearman_activity_value": q_spearman_activity_value,
+    "top_terms_drift": q_top_terms_drift,
+    "media_byte_entropy": q_media_byte_entropy,
 }
 
 
@@ -10956,6 +11159,10 @@ ORACLE_SQL: dict[str, str] = {
     "dup_ngram_ratio": SQL_DUP_NGRAM_RATIO,
     "kruskal_wallis": SQL_KRUSKAL_WALLIS,
     "sprt_ab_test": SQL_SPRT_AB_TEST,
+    "vocab_coverage_estimate": SQL_VOCAB_COVERAGE_ESTIMATE,
+    "spearman_activity_value": SQL_SPEARMAN_ACTIVITY_VALUE,
+    "top_terms_drift": SQL_TOP_TERMS_DRIFT,
+    "media_byte_entropy": SQL_MEDIA_BYTE_ENTROPY,
     "trimmed_mean": SQL_TRIMMED_MEAN,
     "mann_kendall": SQL_MANN_KENDALL,
     "chisq_independence": SQL_CHISQ_INDEPENDENCE,

@@ -278,3 +278,99 @@ def test_sprt_accepts_h0_on_failures(spark):
     assert r["decision"] == "accept_h0"
     assert r["n_at_decision"] == 8
     assert r["llr_micro_at_decision"] == -8 * 405465
+
+
+def test_vocab_coverage_chao1_formula(spark):
+    """Chao1 and missing mass from hand-counted singleton/doubleton
+    frequencies, including the F2=0 fallback branch."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        vocab_coverage_estimate,
+    )
+
+    rows = [
+        (1, "a a b b c d e", "en", "s1", 7),     # F1={c,d,e}=3, F2={a,b}=2
+        (2, "x y z", "fr", "s1", 3),              # F1=3, F2=0 -> fallback
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["lang"]: r for r in vocab_coverage_estimate(df).collect()}
+    en = got["en"]
+    assert (en["n_tokens"], en["vocab"], en["f1_singletons"], en["f2_doubletons"]) == (7, 5, 3, 2)
+    assert abs(en["chao1_est"] - (5 + 9 / 4)) < 1e-9
+    assert en["missing_mass_milli"] == (1000 * 3) // 7
+    fr = got["fr"]
+    assert fr["f2_doubletons"] == 0
+    assert abs(fr["chao1_est"] - (3 + 3 * 2 / 2)) < 1e-9
+
+
+def test_spearman_perfect_and_inverse(spark):
+    """Monotone activity-value relation gives rho=1; inverse gives -1
+    (no ties, exact doubled ranks)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        spearman_activity_value,
+    )
+
+    rows = []
+    # type "up": user u has u+1 events of value 10 each -> x and y both increase
+    for u in range(5):
+        for i in range(u + 1):
+            rows.append((len(rows), None, u, "up", 10.0, None))
+    # type "down": user u has u+1 events, each of value 100/(u+1)^2 -> y decreases
+    for u in range(5):
+        for i in range(u + 1):
+            rows.append((len(rows), None, u, "down", 100.0 / (u + 1) ** 2, None))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["event_type"]: r for r in spearman_activity_value(df).collect()}
+    assert got["up"]["rho"] == 1.0
+    assert got["down"]["rho"] == -1.0
+    assert got["up"]["n_users"] == 5
+
+
+def test_top_terms_drift_detects_switch(spark):
+    """A source that switches vocabulary mid-stream gets jaccard 0; a
+    stable source gets 1000."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        top_terms_drift,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "alpha beta gamma", "en", "switchy", 10))
+    for i in range(10, 20):
+        rows.append((i, "delta epsilon zeta", "en", "switchy", 10))
+    for i in range(100, 120):
+        rows.append((i, "same words here", "en", "stable", 10))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["source"]: r for r in top_terms_drift(df, k=5).collect()}
+    assert got["switchy"]["n_common"] == 0
+    assert got["switchy"]["jaccard_milli"] == 0
+    assert got["stable"]["jaccard_milli"] == 1000
+    assert got["stable"]["top_k_first"] == 3  # only 3 distinct terms
+
+
+def test_media_byte_entropy_bounds(spark):
+    """Constant payload -> 0 entropy; 256 distinct bytes -> ln(256)
+    milli-nats exactly."""
+    import math
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.multimodal import (
+        media_byte_entropy,
+    )
+
+    rows = [
+        (1, bytes([65] * 100)),            # "AAAA..." -> entropy 0
+        (2, bytes(range(256))),             # uniform -> ln 256
+        (3, b"ab"),                         # two bytes -> ln 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in media_byte_entropy(df).collect()}
+    assert got[1]["entropy_milli"] == 0.0
+    assert got[1]["n_distinct_bytes"] == 1
+    assert abs(got[2]["entropy_milli"] - round(1000 * math.log(256), 6)) < 1e-4
+    assert got[2]["n_bytes"] == 256
+    assert abs(got[3]["entropy_milli"] - round(1000 * math.log(2), 6)) < 1e-4
