@@ -1274,3 +1274,29 @@ def test_theilsen_rank_median_no_object_aggregate(spark):
     would OOM on a hot user's slope buffer at 100 TB."""
     plan = _plan(spark, "theilsen_trend")
     assert "ObjectHashAggregate" not in plan
+
+
+def test_vocab_coverage_two_combined_groupbys(spark):
+    """(lang, token) counts collapse map-side before the shuffle; the
+    per-lang rollup is a second combined aggregate — no window, no
+    join."""
+    plan = _plan(spark, "vocab_coverage_estimate")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_spearman_no_cartesian(spark):
+    """Rank frames join back on (type, value) equi keys; nothing is
+    nested-looped and no global window exists."""
+    plan = _plan(spark, "spearman_activity_value")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_media_byte_entropy_combined_counts(spark):
+    """The (doc, byte) histogram collapses repeats map-side (<=256
+    rows per doc on the wire) and no per-doc data is nested-looped."""
+    plan = _plan(spark, "media_byte_entropy")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
