@@ -138,6 +138,20 @@ LADDER_QUERIES = [
     "new_user_share",
     "near_dup_threshold_sweep",
     "embedding_norm_profile",
+    # round-8 additions: literal-synopsis vector twins (narrow folds,
+    # expected ~linear), repetition/coverage/drift text passes
+    # (combined aggregates, <=10x), rank/sequential stats (window on
+    # the type key, <=10x), byte-entropy (bounded 256 rows/doc wire)
+    "pq_literal_adc",
+    "ivf_literal_probe",
+    "embedding_clip_bounds",
+    "dup_ngram_ratio",
+    "kruskal_wallis",
+    "sprt_ab_test",
+    "vocab_coverage_estimate",
+    "spearman_activity_value",
+    "top_terms_drift",
+    "media_byte_entropy",
 ]
 
 SF01 = "/root/testdata/sf0.1"
