@@ -262,6 +262,10 @@ HEADLINE = [
     "spearman_activity_value",
     "top_terms_drift",
     "media_byte_entropy",
+    "rbo_bm25_length_norm",
+    "lang_label_audit",
+    "overdispersion_index",
+    "activation_latency",
 ]
 
 

@@ -395,3 +395,57 @@ def mrr_recall_eval(
             .alias("recall_milli"),
         )
     )
+
+
+def rbo_rank_overlap(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Rank-biased overlap between two top-k rankings (round 8,
+    Webber/Moffat/Zobel 2010): the top-weighted set-overlap measure
+    retrieval teams use to answer "how much did the ranking actually
+    CHANGE" when a scorer parameter moves — unlike Kendall/Spearman it
+    handles non-conjoint lists (an id in one top-k but not the other),
+    which is the normal case for top-k rankings.
+
+    Truncated form: RBO@k = (1−p)·Σ_{d=1..k} p^(d−1)·|A_d ∩ B_d|/d.
+    Overlap counts at every depth are EXACT integers (one inner join
+    on id, k conditional sums); the depth weights are python-computed
+    double literals shared verbatim with the oracle SQL, and the
+    weighted reduction is a FIXED-ORDER k-term chain (the
+    kruskal_wallis convention) — engine-identical to the last bit
+    before the 6 dp round.
+
+    Both inputs are top-k frames (≤k rows) — the join is trivially
+    broadcast; nothing here touches corpus-sized data. Returns one row
+    (k, overlap_at_k, rbo).
+    """
+    a = rank_a.select(F.col(id_col).alias("id"), F.col(rank_col).alias("ra"))
+    b = rank_b.select(F.col(id_col).alias("id"), F.col(rank_col).alias("rb"))
+    j = a.join(b, "id")
+    agg = j.agg(
+        *[
+            F.sum(
+                ((F.col("ra") <= d) & (F.col("rb") <= d)).cast("long")
+            )
+            .cast("long")
+            .alias(f"__o{d}")
+            for d in range(1, k + 1)
+        ]
+    )
+    rbo = None
+    for d in range(1, k + 1):
+        w = (1 - p) * p ** (d - 1) / d
+        term = F.coalesce(F.col(f"__o{d}"), F.lit(0)).cast("double") * F.lit(w)
+        rbo = term if rbo is None else rbo + term
+    return agg.select(
+        F.lit(k).cast("long").alias("k"),
+        F.coalesce(F.col(f"__o{k}"), F.lit(0)).cast("long").alias(
+            "overlap_at_k"
+        ),
+        F.round(rbo, 6).alias("rbo"),
+    )

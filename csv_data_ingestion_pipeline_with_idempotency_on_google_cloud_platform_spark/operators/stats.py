@@ -2365,3 +2365,51 @@ def spearman_activity_value(
         F.col("n").alias("n_users"),
         F.round(rho, 6).alias("rho"),
     )
+
+
+def overdispersion_index(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Variance-to-mean ratio of the DAILY event-count series per type
+    (round 8): D = Var(c_d)/E(c_d) over every day in the type's
+    observed span (absent days are true zeros — they enter through the
+    span length, not a grid explode) — the one-number answer to "is
+    this feed Poisson or bursty", which decides whether X45/X46's
+    variance bands need a negative-binomial correction and whether
+    X96's burstiness flag has a base rate to stand on.
+
+    Exact integers into one double chain: per-day counts are exact,
+    Σc and Σc² are exact longs, n_days = max−min+1 exactly; mean =
+    S1/n, population var = S2/n − mean², D = var/mean, all rounded
+    6 dp. One (type, day) aggregate + one rollup. Returns
+    (event_type, n_days, n_events, mean_per_day, dispersion).
+    """
+    base = events.where(
+        F.col(type_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(type_col).alias("t"),
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    )
+    daily = base.groupBy("t", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = daily.groupBy("t").agg(
+        (F.max("d") - F.min("d") + 1).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mean * mean
+    disp = F.when(mean > 0, var / mean).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("t").alias(type_col),
+        "n_days",
+        F.col("s1").alias("n_events"),
+        F.round(mean, 6).alias("mean_per_day"),
+        F.round(disp, 6).alias("dispersion"),
+    )

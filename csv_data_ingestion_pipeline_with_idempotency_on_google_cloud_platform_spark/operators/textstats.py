@@ -1406,3 +1406,84 @@ def top_terms_drift(
             .alias("jaccard_milli"),
         )
     )
+
+
+def lang_label_audit(
+    docs: DataFrame,
+    group_col: str = "source",
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Label-vs-heuristic language agreement per source (round 8): run
+    the X4 `lang_id_col` heuristic over every document and score it
+    against the corpus's own lang LABELS, per source — the label-QA
+    audit that finds the mislabeled subcorpus (a feed whose 'en' label
+    is wrong poisons every per-language mixing weight and tokenizer
+    budget downstream; disagreement CONCENTRATED in one source is the
+    actionable signature, global accuracy alone hides it).
+
+    Exact integers: agreement counts and 1000-scaled floor-div
+    accuracy; the heuristic is the same deterministic expression the
+    `lang_id` query ships. One combined aggregate per (source, label,
+    predicted) then a per-source rollup — no window, no join.
+
+    Returns (source, n_docs, n_agree, accuracy_milli,
+    top_confusion, top_confusion_n) where top_confusion is the most
+    frequent disagreeing label->predicted pair ('label->pred',
+    ties to the lexically first pair).
+    """
+    from ..functions.text import lang_id_col
+
+    base = (
+        parallelize_narrow(docs)
+        .where(F.col(group_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.col(label_col).alias("lb"),
+            lang_id_col(text_col).alias("pred"),
+        )
+    )
+    cells = base.groupBy("g", "lb", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # the top confusion is picked deterministically via a window with
+    # a (count desc, label, pred) total order — max_by over struct keys
+    # is engine-fiddly and has no tie contract
+    wrong = cells.where(F.col("lb") != F.col("pred"))
+    w = Window.partitionBy("g").orderBy(
+        F.col("c").desc(), F.col("lb"), F.col("pred")
+    )
+    top = (
+        wrong.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "g",
+            F.concat(F.col("lb"), F.lit("->"), F.col("pred")).alias(
+                "top_confusion"
+            ),
+            F.col("c").alias("top_confusion_n"),
+        )
+    )
+    sums = cells.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("lb") == F.col("pred"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    return (
+        sums.join(top, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "n_agree",
+            F.expr("(1000 * n_agree) div n_docs").cast("long").alias(
+                "accuracy_milli"
+            ),
+            F.coalesce(F.col("top_confusion"), F.lit("none")).alias(
+                "top_confusion"
+            ),
+            F.coalesce(F.col("top_confusion_n"), F.lit(0))
+            .cast("long")
+            .alias("top_confusion_n"),
+        )
+    )

@@ -837,3 +837,86 @@ def new_user_share(
         "n_new",
         F.expr("(1000 * n_new) div dau").cast("long").alias("new_milli"),
     )
+
+
+def activation_latency(
+    events: DataFrame,
+    nth: int = 5,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-to-Nth-event per user, summarized per event type (round
+    8): for every user with ≥ nth events of a type, the latency from
+    their FIRST to their Nth event of that type, reported as exact
+    p50/p90 order statistics in whole seconds — the activation-speed
+    readout product teams pair with X118's new-user share (how many
+    users start vs how fast the starters reach the habit threshold).
+
+    Exact: event order is the (ts, event_id) total order, latency is
+    an integer micros difference floored to seconds, and percentiles
+    are rank-⌈q·n⌉ order statistics under (latency, user) — no
+    interpolation. Two windows: one per-(type,user) row_number (the
+    per-user sequence), one per-type rank. Returns
+    (event_type, n_activated, p50_latency_s, p90_latency_s,
+    max_latency_s).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.where(
+        F.col(type_col).isNotNull()
+        & F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(type_col).alias("t"),
+        F.col(user_col).alias("u"),
+        us.alias("__us"),
+        F.col(id_col).cast("long").alias("rid"),
+    )
+    w = Window.partitionBy("t", "u").orderBy("__us", "rid")
+    seq = base.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk").isin(1, nth)
+    )
+    lat = (
+        seq.groupBy("t", "u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__k"),
+            F.min(F.when(F.col("rk") == 1, F.col("__us"))).alias("__first"),
+            F.min(F.when(F.col("rk") == nth, F.col("__us"))).alias("__nth"),
+        )
+        .where(F.col("__nth").isNotNull())
+        .select(
+            "t",
+            "u",
+            F.floor(
+                (F.col("__nth") - F.col("__first")) / 1_000_000
+            ).cast("long").alias("lat_s"),
+        )
+    )
+    wr = Window.partitionBy("t").orderBy("lat_s", "u")
+    wn = Window.partitionBy("t")
+    ranked = lat.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    pick = lambda q: F.max(  # noqa: E731 - order stat at rank ⌈q·n⌉
+        F.when(
+            F.col("rk") == F.expr(f"cast(ceil({q} * n) as bigint)"),
+            F.col("lat_s"),
+        )
+    )
+    return (
+        ranked.groupBy("t")
+        .agg(
+            F.max("n").cast("long").alias("n_activated"),
+            pick(0.5).cast("long").alias("p50_latency_s"),
+            pick(0.9).cast("long").alias("p90_latency_s"),
+            F.max("lat_s").cast("long").alias("max_latency_s"),
+        )
+        .select(
+            F.col("t").alias(type_col),
+            "n_activated",
+            "p50_latency_s",
+            "p90_latency_s",
+            "max_latency_s",
+        )
+    )

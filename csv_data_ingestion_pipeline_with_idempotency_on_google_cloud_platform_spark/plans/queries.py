@@ -10642,6 +10642,214 @@ GROUP BY 1
 """
 
 
+
+
+def q_rbo_bm25_length_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X131 (round 8): rank-biased overlap (Webber 2010, truncated
+    p=0.9) between BM25 top-10 at b=0.75 and b=0 for the standing
+    query — "how much does length normalization change the ranking"
+    (operators/evaluate.py:rbo_rank_overlap); exact depth overlaps,
+    literal depth weights shared verbatim with the oracle, fixed-order
+    reduction. Full oracle."""
+    from ..operators.evaluate import rbo_rank_overlap
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["vector", "hash", "join"]
+    a = bm25_topk(docs, terms, k=10)
+    b = bm25_topk(docs, terms, k=10, b=0.0)
+    return rbo_rank_overlap(a, b, k=10, p=0.9)
+
+
+SQL_RBO_BM25_LENGTH_NORM = r"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+         END AS toks
+  FROM documents
+), post AS (
+  SELECT doc_id, len(toks) AS dl, lower(unnest(toks)) AS term FROM d
+), tf AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*) AS tf, any_value(dl) AS dl
+  FROM post WHERE term IN ('vector', 'hash', 'join') GROUP BY 1, 2
+), stats AS MATERIALIZED (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d
+), dfreq AS MATERIALIZED (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), s75 AS (
+  SELECT doc_id,
+         round(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats GROUP BY doc_id
+), s00 AS (
+  SELECT doc_id,
+         round(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2)), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats GROUP BY doc_id
+), ra AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS ra
+  FROM s75 ORDER BY score DESC, doc_id LIMIT 10
+), rb AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rb
+  FROM s00 ORDER BY score DESC, doc_id LIMIT 10
+), j AS (
+  SELECT ra.ra, rb.rb FROM ra JOIN rb USING (doc_id)
+), o AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN ra <= 1 AND rb <= 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o1,
+    CAST(COALESCE(SUM(CASE WHEN ra <= 2 AND rb <= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o2,
+    CAST(COALESCE(SUM(CASE WHEN ra <= 3 AND rb <= 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o3,
+    CAST(COALESCE(SUM(CASE WHEN ra <= 4 AND rb <= 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o4,
+    CAST(COALESCE(SUM(CASE WHEN ra <= 5 AND rb <= 5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o5,
+    CAST(COALESCE(SUM(CASE WHEN ra <= 6 AND rb <= 6 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o6,
+    CAST(COALESCE(SUM(CASE WHEN ra <= 7 AND rb <= 7 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o7,
+    CAST(COALESCE(SUM(CASE WHEN ra <= 8 AND rb <= 8 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o8,
+    CAST(COALESCE(SUM(CASE WHEN ra <= 9 AND rb <= 9 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o9,
+    CAST(COALESCE(SUM(CASE WHEN ra <= 10 AND rb <= 10 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o10
+  FROM j
+)
+SELECT CAST(10 AS BIGINT) AS k, o10 AS overlap_at_k,
+       round(CAST(o1 AS DOUBLE) * 0.1
+             + CAST(o2 AS DOUBLE) * 0.045000000000000005
+             + CAST(o3 AS DOUBLE) * 0.027000000000000007
+             + CAST(o4 AS DOUBLE) * 0.018225
+             + CAST(o5 AS DOUBLE) * 0.013122
+             + CAST(o6 AS DOUBLE) * 0.009841500000000001
+             + CAST(o7 AS DOUBLE) * 0.007592014285714287
+             + CAST(o8 AS DOUBLE) * 0.005978711250000001
+             + CAST(o9 AS DOUBLE) * 0.0047829690000000015
+             + CAST(o10 AS DOUBLE) * 0.0038742048900000012, 6) AS rbo
+FROM o
+"""
+
+
+def q_lang_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X132 (round 8): per-source agreement between the lang LABEL and
+    the X4 lang_id heuristic (operators/textstats.py:lang_label_audit)
+    — exact counts, milli accuracy, deterministic top confusion pair;
+    the mislabeled-subcorpus detector. Full oracle."""
+    from ..operators.textstats import lang_label_audit
+
+    return lang_label_audit(load_table(spark, sf_dir, "documents"))
+
+
+SQL_LANG_LABEL_AUDIT = r"""
+WITH pred AS (
+  SELECT source AS g, lang AS lb,
+         CASE
+           WHEN regexp_matches(text, '[\x{0E00}-\x{0E7F}]') THEN 'th'
+           WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+           WHEN regexp_matches(text, '[\x{0400}-\x{04FF}]') THEN 'ru'
+           WHEN len(list_intersect(
+                  CASE WHEN length(regexp_replace(lower(text), '^\s+|\s+$', '', 'g')) = 0
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(
+                              regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END,
+                  ['the','a','an','and','or','of','to','in','is','it'])) > 0
+                THEN 'en'
+           ELSE 'unknown'
+         END AS pred
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+), cells AS MATERIALIZED (
+  SELECT g, lb, pred, CAST(COUNT(*) AS BIGINT) AS c FROM pred GROUP BY 1, 2, 3
+), sums AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN lb = pred THEN c ELSE 0 END) AS BIGINT) AS n_agree
+  FROM cells GROUP BY 1
+), top AS (
+  SELECT g, lb || '->' || pred AS top_confusion, c AS top_confusion_n FROM (
+    SELECT g, lb, pred, c,
+           row_number() OVER (PARTITION BY g ORDER BY c DESC, lb, pred) AS rk
+    FROM cells WHERE lb <> pred)
+  WHERE rk = 1
+)
+SELECT s.g AS source, s.n_docs, s.n_agree,
+       (CAST(1000 AS BIGINT) * s.n_agree) // s.n_docs AS accuracy_milli,
+       COALESCE(t.top_confusion, 'none') AS top_confusion,
+       CAST(COALESCE(t.top_confusion_n, 0) AS BIGINT) AS top_confusion_n
+FROM sums s LEFT JOIN top t ON t.g = s.g
+"""
+
+
+def q_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X133 (round 8): variance-to-mean ratio of the daily event-count
+    series per type with absent days as true zeros via the span length
+    (operators/stats.py:overdispersion_index) — the Poisson-or-bursty
+    gate under X45/X46's variance bands. Full oracle."""
+    from ..operators.stats import overdispersion_index
+
+    return overdispersion_index(load_table(spark, sf_dir, "events"))
+
+
+SQL_OVERDISPERSION_INDEX = """
+WITH daily AS (
+  SELECT event_type AS t, CAST(date_diff('day', DATE '1970-01-01',
+         CAST(ts AS DATE)) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), agg AS (
+  SELECT t, CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM daily GROUP BY 1
+)
+SELECT t AS event_type, n_days, s1 AS n_events,
+       round(CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_per_day,
+       round(CASE WHEN CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) > 0
+             THEN (CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+                   - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)))
+                  / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+             ELSE 0.0 END, 6) AS dispersion
+FROM agg
+"""
+
+
+def q_activation_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X134 (round 8): per-type p50/p90 time from a user's 1st to 5th
+    event (operators/windows.py:activation_latency) — exact (ts,
+    event_id) order, integer second latencies, rank-based order
+    statistics; the activation-speed pair to X118. Full oracle."""
+    from ..operators.windows import activation_latency
+
+    return activation_latency(load_table(spark, sf_dir, "events"), nth=5)
+
+
+SQL_ACTIVATION_LATENCY = """
+WITH seq AS (
+  SELECT event_type AS t, user_id AS u, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY event_type, user_id
+                            ORDER BY ts, event_id) AS rk
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+), lat AS MATERIALIZED (
+  SELECT t, u,
+         CAST((MIN(CASE WHEN rk = 5 THEN us END)
+               - MIN(CASE WHEN rk = 1 THEN us END)) // 1000000 AS BIGINT)
+           AS lat_s
+  FROM seq WHERE rk IN (1, 5) GROUP BY 1, 2
+  HAVING MIN(CASE WHEN rk = 5 THEN us END) IS NOT NULL
+), ranked AS (
+  SELECT t, u, lat_s,
+         row_number() OVER (PARTITION BY t ORDER BY lat_s, u) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY t) AS BIGINT) AS n
+  FROM lat
+)
+SELECT t AS event_type,
+       CAST(MAX(n) AS BIGINT) AS n_activated,
+       CAST(MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN lat_s END)
+            AS BIGINT) AS p50_latency_s,
+       CAST(MAX(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN lat_s END)
+            AS BIGINT) AS p90_latency_s,
+       CAST(MAX(lat_s) AS BIGINT) AS max_latency_s
+FROM ranked GROUP BY 1
+"""
+
+
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 window leads: the 19 oracle-backed r4 session-7/8
     # additions (driver-green in CORRECTNESS_r05)
@@ -10931,6 +11139,10 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spearman_activity_value": q_spearman_activity_value,
     "top_terms_drift": q_top_terms_drift,
     "media_byte_entropy": q_media_byte_entropy,
+    "rbo_bm25_length_norm": q_rbo_bm25_length_norm,
+    "lang_label_audit": q_lang_label_audit,
+    "overdispersion_index": q_overdispersion_index,
+    "activation_latency": q_activation_latency,
 }
 
 
@@ -11163,6 +11375,10 @@ ORACLE_SQL: dict[str, str] = {
     "spearman_activity_value": SQL_SPEARMAN_ACTIVITY_VALUE,
     "top_terms_drift": SQL_TOP_TERMS_DRIFT,
     "media_byte_entropy": SQL_MEDIA_BYTE_ENTROPY,
+    "rbo_bm25_length_norm": SQL_RBO_BM25_LENGTH_NORM,
+    "lang_label_audit": SQL_LANG_LABEL_AUDIT,
+    "overdispersion_index": SQL_OVERDISPERSION_INDEX,
+    "activation_latency": SQL_ACTIVATION_LATENCY,
     "trimmed_mean": SQL_TRIMMED_MEAN,
     "mann_kendall": SQL_MANN_KENDALL,
     "chisq_independence": SQL_CHISQ_INDEPENDENCE,

@@ -1300,3 +1300,35 @@ def test_media_byte_entropy_combined_counts(spark):
     plan = _plan(spark, "media_byte_entropy")
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_rbo_joins_only_topk_frames(spark):
+    """The RBO reduction joins two <=10-row frames; the underlying
+    BM25 pipelines keep their TakeOrderedAndProject top-k (no global
+    sort of the corpus)."""
+    plan = _plan(spark, "rbo_bm25_length_norm")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lang_label_audit_combined_cells(spark):
+    """(source, label, pred) cells collapse map-side; the top-confusion
+    pick is a per-source window, not a global one."""
+    plan = _plan(spark, "lang_label_audit")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_overdispersion_two_combined_groupbys(spark):
+    plan = _plan(spark, "overdispersion_index")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_activation_latency_partitioned_windows(spark):
+    """Both windows partition on real keys (type,user) / (type) —
+    never an unpartitioned global sort."""
+    plan = _plan(spark, "activation_latency")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

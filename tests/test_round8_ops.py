@@ -374,3 +374,131 @@ def test_media_byte_entropy_bounds(spark):
     assert abs(got[2]["entropy_milli"] - round(1000 * math.log(256), 6)) < 1e-4
     assert got[2]["n_bytes"] == 256
     assert abs(got[3]["entropy_milli"] - round(1000 * math.log(2), 6)) < 1e-4
+
+
+def test_rbo_identical_and_disjoint(spark):
+    """RBO of a ranking with itself is (1-p)*sum(p^(d-1)) and of two
+    disjoint rankings is 0."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.evaluate import (
+        rbo_rank_overlap,
+    )
+
+    a = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_id long, rnk long"
+    )
+    b = spark.createDataFrame(
+        [(100 + i, i + 1) for i in range(10)], "doc_id long, rnk long"
+    )
+    same = rbo_rank_overlap(a, a, k=10, p=0.9).collect()[0]
+    want = sum(0.1 * 0.9 ** (d - 1) for d in range(1, 11))
+    assert abs(same["rbo"] - round(want, 6)) < 1e-9
+    assert same["overlap_at_k"] == 10
+    disj = rbo_rank_overlap(a, b, k=10, p=0.9).collect()[0]
+    assert disj["rbo"] == 0.0
+    assert disj["overlap_at_k"] == 0
+
+
+def test_rbo_weights_top_heavy(spark):
+    """Agreement only at rank 1 outweighs agreement only at rank 10."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.evaluate import (
+        rbo_rank_overlap,
+    )
+
+    a = spark.createDataFrame([(i, i + 1) for i in range(10)], "doc_id long, rnk long")
+    # b1 agrees with a only on the rank-1 item
+    b1 = spark.createDataFrame(
+        [(0, 1)] + [(200 + i, i + 2) for i in range(9)], "doc_id long, rnk long"
+    )
+    # b2 agrees only on the rank-10 item
+    b2 = spark.createDataFrame(
+        [(9, 10)] + [(300 + i, i + 1) for i in range(9)], "doc_id long, rnk long"
+    )
+    r1 = rbo_rank_overlap(a, b1, k=10).collect()[0]["rbo"]
+    r2 = rbo_rank_overlap(a, b2, k=10).collect()[0]["rbo"]
+    assert r1 > r2 > 0
+
+
+def test_lang_label_audit_finds_mislabeled_source(spark):
+    """A source whose labels disagree with the heuristic gets flagged
+    with the right confusion pair."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.textstats import (
+        lang_label_audit,
+    )
+
+    rows = [
+        (1, "the cat and the dog", "en", "good", 1),
+        (2, "a fish in the sea", "en", "good", 1),
+        (3, "the cat and the dog", "fr", "bad", 1),   # labeled fr, reads en
+        (4, "an old tree of oak", "fr", "bad", 1),
+        (5, "qqq zzz www", "en", "bad", 1),            # no stopwords -> unknown
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["source"]: r for r in lang_label_audit(df).collect()}
+    assert got["good"]["accuracy_milli"] == 1000
+    assert got["good"]["top_confusion"] == "none"
+    bad = got["bad"]
+    assert bad["n_docs"] == 3 and bad["n_agree"] == 0
+    assert bad["top_confusion"] == "fr->en" and bad["top_confusion_n"] == 2
+
+
+def test_overdispersion_poisson_vs_bursty(spark):
+    """Constant 1-per-day counts give dispersion 0 (var 0); all events
+    on one day of a long span give dispersion ~span-scaled."""
+    import datetime
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        overdispersion_index,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(10):
+        rows.append((d, t0 + datetime.timedelta(days=d), 1, "flat", 1.0, None))
+    for i in range(10):
+        rows.append((100 + i, t0, 1, "burst", 1.0, None))
+    # burst type also needs a span: one event 9 days later
+    rows.append((200, t0 + datetime.timedelta(days=9), 1, "burst", 1.0, None))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["event_type"]: r for r in overdispersion_index(df).collect()}
+    assert got["flat"]["n_days"] == 10
+    assert got["flat"]["dispersion"] == 0.0
+    b = got["burst"]
+    # s1=11, n=10, mean=1.1; s2=100+1=101; var=10.1-1.21=8.89; D=8.0818...
+    assert b["n_days"] == 10 and b["n_events"] == 11
+    assert abs(b["dispersion"] - round(8.89 / 1.1 - 0.0, 6)) < 1e-4
+
+
+def test_activation_latency_exact_ranks(spark):
+    """Latency is first->5th event in (ts, event_id) order; users with
+    <5 events are excluded; percentiles are exact rank stats."""
+    import datetime
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.windows import (
+        activation_latency,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user u reaches 5 events in u*10 seconds (u = 1..4)
+    eid = 0
+    for u in range(1, 5):
+        for i in range(5):
+            rows.append((eid, t0 + datetime.timedelta(seconds=i * u * 10 / 4), u, "t", 1.0, None))
+            eid += 1
+    # user 99: only 3 events -> excluded
+    for i in range(3):
+        rows.append((eid, t0 + datetime.timedelta(seconds=i), 99, "t", 1.0, None))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r = activation_latency(df, nth=5).collect()[0]
+    assert r["n_activated"] == 4
+    # latencies: u*10 seconds for u=1..4 -> 10,20,30,40
+    assert r["p50_latency_s"] == 20   # rank ceil(0.5*4)=2
+    assert r["p90_latency_s"] == 40   # rank ceil(0.9*4)=4
+    assert r["max_latency_s"] == 40

@@ -152,6 +152,10 @@ LADDER_QUERIES = [
     "spearman_activity_value",
     "top_terms_drift",
     "media_byte_entropy",
+    "rbo_bm25_length_norm",
+    "lang_label_audit",
+    "overdispersion_index",
+    "activation_latency",
 ]
 
 SF01 = "/root/testdata/sf0.1"
