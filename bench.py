@@ -266,6 +266,7 @@ HEADLINE = [
     "lang_label_audit",
     "overdispersion_index",
     "activation_latency",
+    "media_type_sniff",
 ]
 
 

@@ -476,3 +476,58 @@ def media_byte_entropy(
             "entropy_milli",
         )
     )
+
+def media_type_sniff(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Magic-byte media-type sniff (round 8): classify every opaque
+    payload by its leading byte signature — the intake router that
+    decides which decoder pool a payload goes to (and catches the
+    mislabeled feed whose 'image/png' column fronts JPEG bytes)
+    without spending a single decode cycle. Covers the signatures the
+    decode seam knows (binary Netpbm P5/P6) plus the common container
+    magics; everything else is 'unknown'.
+
+    Engine-exact: the decision is a CASE over hex prefixes of the
+    payload (two hex chars per byte, the media_byte_entropy
+    convention) — pure string compares, no Python. One narrow
+    projection; pipelines with the scan at any scale.
+
+    Returns (doc_id, declared_type, sniffed_type, match) where match
+    is an integer flag (1 when the declared media_type's family
+    agrees with the sniffed family, 0 otherwise; declared types this
+    package never emits compare as 'unknown').
+    """
+    hx = F.lower(F.hex(F.col(payload_col)))
+    pre = F.substring(hx, 1, 16)
+    sniffed = (
+        F.when(pre.startswith("50350a") | pre.startswith("503520"), F.lit("image/x-portable-graymap"))
+        .when(pre.startswith("50360a") | pre.startswith("503620"), F.lit("image/x-portable-pixmap"))
+        .when(pre.startswith("89504e47"), F.lit("image/png"))
+        .when(pre.startswith("ffd8ff"), F.lit("image/jpeg"))
+        .when(pre.startswith("47494638"), F.lit("image/gif"))
+        .when(pre.startswith("52494646"), F.lit("audio/riff"))
+        .when(pre.startswith("1f8b"), F.lit("application/gzip"))
+        .when(pre.startswith("504b0304"), F.lit("application/zip"))
+        .otherwise(F.lit("unknown"))
+    )
+    declared = F.coalesce(F.col("media_type"), F.lit("unknown"))
+    fam = lambda c: F.split(c, "/")[0]  # noqa: E731
+    return (
+        media.where(F.col(payload_col).isNotNull())
+        .select(
+            F.col(id_col),
+            declared.alias("declared_type"),
+            sniffed.alias("sniffed_type"),
+            F.when(
+                (sniffed != F.lit("unknown"))
+                & (fam(sniffed) == fam(declared)),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("match"),
+        )
+    )

@@ -10850,6 +10850,73 @@ FROM ranked GROUP BY 1
 """
 
 
+
+
+def q_media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X135 (round 8): magic-byte media-type sniff over a deterministic
+    mixed-feed fixture — doc_id%3==0 payloads get a PNG magic prefix
+    (declared image/png: families agree), %3==1 get a JPEG magic but
+    are DECLARED image/gif (same family: agree — the sniffer routes by
+    family), else raw text declared text/plain (no magic: unknown,
+    mismatch) (operators/multimodal.py:media_type_sniff). Pure hex
+    prefix CASE, no Python. Full oracle."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    payload = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.unhex(F.lit("89504e47")), F.encode("text", "UTF-8")),
+    ).when(
+        F.col("doc_id") % 3 == 1,
+        F.concat(F.unhex(F.lit("ffd8ffe0")), F.encode("text", "UTF-8")),
+    ).otherwise(F.encode("text", "UTF-8"))
+    declared = F.when(F.col("doc_id") % 3 == 0, F.lit("image/png")).when(
+        F.col("doc_id") % 3 == 1, F.lit("image/gif")
+    ).otherwise(F.lit("text/plain"))
+    media = docs.select(
+        "doc_id", declared.alias("media_type"), payload.alias("payload")
+    )
+    return multimodal.media_type_sniff(media)
+
+
+SQL_MEDIA_TYPE_SNIFF = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'image/gif'
+              ELSE 'text/plain' END AS declared_type,
+         lower(CASE WHEN doc_id % 3 = 0 THEN '89504e47' || hex(encode(text))
+                    WHEN doc_id % 3 = 1 THEN 'ffd8ffe0' || hex(encode(text))
+                    ELSE hex(encode(text)) END) AS hx
+  FROM documents WHERE text IS NOT NULL
+), sniffed AS (
+  SELECT doc_id, declared_type,
+         CASE
+           WHEN substring(hx, 1, 6) IN ('50350a', '503520')
+                THEN 'image/x-portable-graymap'
+           WHEN substring(hx, 1, 6) IN ('50360a', '503620')
+                THEN 'image/x-portable-pixmap'
+           WHEN substring(hx, 1, 8) = '89504e47' THEN 'image/png'
+           WHEN substring(hx, 1, 6) = 'ffd8ff' THEN 'image/jpeg'
+           WHEN substring(hx, 1, 8) = '47494638' THEN 'image/gif'
+           WHEN substring(hx, 1, 8) = '52494646' THEN 'audio/riff'
+           WHEN substring(hx, 1, 4) = '1f8b' THEN 'application/gzip'
+           WHEN substring(hx, 1, 8) = '504b0304' THEN 'application/zip'
+           ELSE 'unknown'
+         END AS sniffed_type
+  FROM m
+)
+SELECT doc_id, declared_type, sniffed_type,
+       CAST(CASE WHEN sniffed_type <> 'unknown'
+                  AND split_part(sniffed_type, '/', 1)
+                      = split_part(declared_type, '/', 1)
+             THEN 1 ELSE 0 END AS INTEGER) AS match
+FROM sniffed
+"""
+
+
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 window leads: the 19 oracle-backed r4 session-7/8
     # additions (driver-green in CORRECTNESS_r05)
@@ -11143,6 +11210,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_label_audit": q_lang_label_audit,
     "overdispersion_index": q_overdispersion_index,
     "activation_latency": q_activation_latency,
+    "media_type_sniff": q_media_type_sniff,
 }
 
 
@@ -11379,6 +11447,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_label_audit": SQL_LANG_LABEL_AUDIT,
     "overdispersion_index": SQL_OVERDISPERSION_INDEX,
     "activation_latency": SQL_ACTIVATION_LATENCY,
+    "media_type_sniff": SQL_MEDIA_TYPE_SNIFF,
     "trimmed_mean": SQL_TRIMMED_MEAN,
     "mann_kendall": SQL_MANN_KENDALL,
     "chisq_independence": SQL_CHISQ_INDEPENDENCE,

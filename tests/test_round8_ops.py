@@ -502,3 +502,28 @@ def test_activation_latency_exact_ranks(spark):
     assert r["p50_latency_s"] == 20   # rank ceil(0.5*4)=2
     assert r["p90_latency_s"] == 40   # rank ceil(0.9*4)=4
     assert r["max_latency_s"] == 40
+
+
+def test_media_type_sniff_magics(spark):
+    """Every covered magic routes to its type; family-level match flag
+    (png declared as gif still matches: both 'image')."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.multimodal import (
+        media_type_sniff,
+    )
+
+    rows = [
+        (1, "image/png", bytes.fromhex("89504e47") + b"rest"),
+        (2, "image/gif", bytes.fromhex("ffd8ffe0") + b"jpeg-bytes"),  # family match
+        (3, "text/plain", b"just words"),
+        (4, "image/x-portable-graymap", b"P5\n2 2\n255\n\x00\x01\x02\x03"),
+        (5, "application/zip", bytes.fromhex("504b0304") + b"zz"),
+        (6, "audio/wav", bytes.fromhex("52494646") + b"wave"),       # riff family audio
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    got = {r["doc_id"]: (r["sniffed_type"], r["match"]) for r in media_type_sniff(df).collect()}
+    assert got[1] == ("image/png", 1)
+    assert got[2] == ("image/jpeg", 1)
+    assert got[3] == ("unknown", 0)
+    assert got[4] == ("image/x-portable-graymap", 1)
+    assert got[5] == ("application/zip", 1)
+    assert got[6] == ("audio/riff", 1)

@@ -156,6 +156,7 @@ LADDER_QUERIES = [
     "lang_label_audit",
     "overdispersion_index",
     "activation_latency",
+    "media_type_sniff",
 ]
 
 SF01 = "/root/testdata/sf0.1"
