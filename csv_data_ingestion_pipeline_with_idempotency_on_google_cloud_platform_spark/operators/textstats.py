@@ -1371,13 +1371,19 @@ def top_terms_drift(
     top = counts.withColumn("trk", F.row_number().over(wr)).where(
         F.col("trk") <= k
     )
+    # rename BOTH join keys before the self-join: a[g]==b[g] on two
+    # frames sharing one lineage triggers Spark's ambiguous-self-join
+    # resolution (it warns "trivially true equals predicate") — renamed
+    # columns make the equi-join unambiguous by construction
     a = top.where(F.col("half") == 1).select(
-        "g", F.col("w").alias("wa"), F.col("n_docs").alias("n_docs")
+        F.col("g").alias("ga"), F.col("w").alias("wa")
     )
-    b = top.where(F.col("half") == 2).select("g", F.col("w").alias("wb"))
+    b = top.where(F.col("half") == 2).select(
+        F.col("g").alias("gb"), F.col("w").alias("wb")
+    )
     inter = (
-        a.join(b, (a["g"] == b["g"]) & (F.col("wa") == F.col("wb")))
-        .groupBy(a["g"].alias("g"))
+        a.join(b, (F.col("ga") == F.col("gb")) & (F.col("wa") == F.col("wb")))
+        .groupBy(F.col("ga").alias("g"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
     sizes = top.groupBy("g").agg(
