@@ -267,6 +267,9 @@ HEADLINE = [
     "overdispersion_index",
     "activation_latency",
     "media_type_sniff",
+    "lsh_band_planner",
+    "logrank_test",
+    "event_freshness",
 ]
 
 

@@ -1496,3 +1496,75 @@ def near_dup_threshold_sweep(
     return banded.withColumn(
         "n_pairs_at_or_above", F.sum("n_pairs").over(w).cast("long")
     )
+
+
+def lsh_band_planner(
+    docs: DataFrame,
+    num_hashes: int = 128,
+    target_jaccard_milli: int = 800,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH banding planner (round 8): for every (bands b,
+    rows r) factorization of ``num_hashes``, the detection probability
+    1−(1−s^r)^b at the target Jaccard s and the scheme's threshold
+    s* = (1/b)^(1/r) — the standing "which banding do I deploy" table
+    (Leskovec/Rajaraman/Ullman ch.3) that X119's empirical sweep
+    validates after the fact; the `bloom_size_planner` pattern applied
+    to LSH. Corpus context (n_docs, mean distinct shingles) rides
+    along so the plan is readable against the corpus it plans for.
+
+    Engine-exact, the `bloom_size_planner` convention: every
+    transcendental (the detection probability and the threshold) is a
+    PYTHON-precomputed literal baked into the grid — pow() is not a
+    correctly-rounded IEEE op, so computing it in-engine would gamble
+    the value hash on two libm implementations agreeing; the grid is
+    data-independent, so nothing is lost. The two corpus scalars are
+    exact integers (milli floor-div mean). One shingle aggregate + one
+    1-row cross join with a num_divisors-row literal frame.
+
+    Returns (bands, rows_per_band, n_docs, mean_shingles_milli,
+    p_detect_milli, threshold_jaccard_milli) for each factorization.
+    """
+    configs = []
+    sj = target_jaccard_milli / 1000.0
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b == 0:
+            r = num_hashes // b
+            p = 1.0 - (1.0 - sj**r) ** b
+            thr = (1.0 / b) ** (1.0 / r)
+            configs.append(
+                (b, r, round(p * 1000.0, 6), round(thr * 1000.0, 6))
+            )
+    grid = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.lit(float(p)).alias("p_detect_milli"),
+                F.lit(float(t)).alias("threshold_jaccard_milli"),
+            )
+            for b, r, p, t in configs
+        ]
+    )
+    sh = parallelize_narrow(docs).select(
+        F.col(id_col).alias("id"),
+        F.size(word_shingles_col(text_col, 3)).cast("long").alias("n_sh"),
+    )
+    stats = sh.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("(1000 * sum(n_sh)) div count(1)")
+        .cast("long")
+        .alias("mean_shingles_milli"),
+    )
+    rows = stats.select(
+        "n_docs", "mean_shingles_milli", F.explode(grid).alias("c")
+    )
+    return rows.select(
+        F.col("c.bands").alias("bands"),
+        F.col("c.rows_per_band").alias("rows_per_band"),
+        "n_docs",
+        "mean_shingles_milli",
+        F.col("c.p_detect_milli").alias("p_detect_milli"),
+        F.col("c.threshold_jaccard_milli").alias("threshold_jaccard_milli"),
+    )

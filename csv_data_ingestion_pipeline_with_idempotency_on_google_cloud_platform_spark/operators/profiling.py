@@ -385,3 +385,73 @@ def skyline_pareto(
         .filter(F.col(max_col) == F.col("__gmax"))
         .select(id_col, min_col, max_col)
     )
+
+
+def event_freshness(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-type feed freshness (round 8): how far each event type's
+    newest record lags the corpus's global high-water mark, plus the
+    exact p95 inter-arrival gap — the two numbers a pipeline on-call
+    reads first (a type whose staleness exceeds its own p95 cadence
+    is LATE by its own historical standard, not by a magic constant).
+
+    Exact: timestamps compare in integer micros; gaps are lag() diffs
+    under the (ts, event_id) total order; p95 is the rank-⌈.95·n⌉
+    order statistic. One lag window + one rank window per type key +
+    a 1-row global max broadcast. Returns (event_type, n_events,
+    last_ts, staleness_s, p95_gap_s) with last_ts serialized to a
+    string (the scd2_build timestamp-at-the-boundary convention).
+    """
+    base = events.where(
+        F.col(type_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(type_col).alias("t"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(id_col).cast("long").alias("rid"),
+    )
+    w = Window.partitionBy("t").orderBy("us", "rid")
+    gaps = base.withColumn(
+        "gap_s",
+        F.floor((F.col("us") - F.lag("us").over(w)) / 1_000_000).cast("long"),
+    )
+    wr = Window.partitionBy("t").orderBy("gap_s", "rid")
+    wn = Window.partitionBy("t")
+    ranked = (
+        gaps.where(F.col("gap_s").isNotNull())
+        .withColumn("rk", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    p95 = (
+        ranked.where(
+            F.col("rk") == F.expr("cast(ceil(0.95 * n) as bigint)")
+        )
+        .groupBy("t")
+        .agg(F.max("gap_s").cast("long").alias("p95_gap_s"))
+    )
+    tops = base.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("us").alias("last_us"),
+    )
+    gmax = tops.agg(F.max("last_us").alias("gmax"))
+    return (
+        tops.crossJoin(F.broadcast(gmax))
+        .join(p95, "t", "left")
+        .select(
+            F.col("t").alias(type_col),
+            "n_events",
+            F.date_format(
+                F.timestamp_micros(F.col("last_us")),
+                "yyyy-MM-dd HH:mm:ss.SSSSSS",
+            ).alias("last_ts"),
+            F.floor(
+                (F.col("gmax") - F.col("last_us")) / 1_000_000
+            ).cast("long").alias("staleness_s"),
+            F.coalesce(F.col("p95_gap_s"), F.lit(0)).cast("long").alias(
+                "p95_gap_s"
+            ),
+        )
+    )

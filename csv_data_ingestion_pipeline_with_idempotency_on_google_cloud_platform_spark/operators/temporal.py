@@ -1640,3 +1640,106 @@ def acf_daily(
         "n",
         r.alias("r"),
     )
+
+
+def logrank_test(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_horizon_days: int = 7,
+) -> DataFrame:
+    """Two-arm log-rank test on unit lifetimes (round 8, Mantel 1966):
+    the inferential closer for the survival family — X56's
+    Kaplan–Meier DRAWS the two retention curves, this says whether the
+    md5 hash arms' curves differ beyond chance. Same lifetime and
+    right-censoring conventions as kaplan_meier (days from first to
+    last activity; still-active-near-corpus-end = censored), same
+    deterministic first-hex-char arms as X45/X89.
+
+    Exact integers into one double chain: per distinct duration t the
+    at-risk counts n_t, n_at and event counts d_t, d_at are exact
+    longs (cumulative windows over the per-duration aggregate);
+    O−E = Σ(d_at − d_t·n_at/n_t) and the hypergeometric variance
+    V = Σ d_t·(n_at/n_t)·(1−n_at/n_t)·(n_t−d_t)/(n_t−1) (terms with
+    n_t ≤ 1 contribute 0) are sums over ≤ window-days rows, rounded
+    6 dp; chi2 = (O−E)²/V with a V>0 guard.
+
+    Scale shape: one groupBy(unit), a 1-row horizon broadcast, then
+    everything runs on the tiny per-duration frame (the kaplan_meier
+    shape with an arm split). Returns one row
+    (n_a, n_b, events_a, events_b, o_minus_e, variance, chi2).
+    """
+    arm_a = (
+        F.substring(F.md5(F.col("u").cast("string")), 1, 1) < F.lit("8")
+    )
+    per_unit = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.min(F.to_date(ts_col)).alias("d0"),
+        F.max(F.to_date(ts_col)).alias("d1"),
+    )
+    horizon = per_unit.agg(F.max("d1").alias("dmax"))
+    lifet = per_unit.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("d1", "d0").cast("long").alias("t"),
+        (F.col("d1") <= F.date_sub(F.col("dmax"), censor_horizon_days))
+        .cast("long")
+        .alias("observed"),
+        arm_a.cast("long").alias("is_a"),
+    )
+    per_dur = lifet.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("is_a").cast("long").alias("ma"),
+        F.sum("observed").cast("long").alias("d"),
+        F.sum(F.col("observed") * F.col("is_a")).cast("long").alias("da"),
+    )
+    wall = Window.partitionBy(F.col("t") % 1).orderBy("t")
+    wprev = wall.rowsBetween(Window.unboundedPreceding, -1)
+    wtot = Window.partitionBy(F.col("t") % 1)
+    cum = per_dur.select(
+        "t",
+        "d",
+        "da",
+        (
+            F.sum("m").over(wtot)
+            - F.coalesce(F.sum("m").over(wprev), F.lit(0))
+        ).cast("long").alias("n"),
+        (
+            F.sum("ma").over(wtot)
+            - F.coalesce(F.sum("ma").over(wprev), F.lit(0))
+        ).cast("long").alias("na"),
+    )
+    nd, nad = F.col("n").cast("double"), F.col("na").cast("double")
+    dd = F.col("d").cast("double")
+    e_term = dd * nad / nd
+    v_term = F.when(
+        F.col("n") > 1,
+        dd
+        * (nad / nd)
+        * (1.0 - nad / nd)
+        * (nd - dd)
+        / (nd - 1.0),
+    ).otherwise(F.lit(0.0))
+    totals = lifet.agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("n_b"),
+        F.sum(F.col("observed") * F.col("is_a")).cast("long").alias("events_a"),
+        (F.sum("observed") - F.sum(F.col("observed") * F.col("is_a")))
+        .cast("long")
+        .alias("events_b"),
+    )
+    ome = cum.agg(
+        F.sum(F.col("da").cast("double") - e_term).alias("__ome"),
+        F.sum(v_term).alias("__v"),
+    )
+    joined = totals.crossJoin(F.broadcast(ome))
+    chi2 = F.when(
+        F.col("__v") > 0,
+        F.col("__ome") * F.col("__ome") / F.col("__v"),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "n_a",
+        "n_b",
+        "events_a",
+        "events_b",
+        F.round(F.col("__ome"), 6).alias("o_minus_e"),
+        F.round(F.col("__v"), 6).alias("variance"),
+        F.round(chi2, 6).alias("chi2"),
+    )

@@ -10917,6 +10917,162 @@ FROM sniffed
 """
 
 
+
+
+def q_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X136 (round 8): MinHash-LSH banding planner — every (bands,
+    rows) factorization of 128 hashes with python-precomputed literal
+    detection probability at Jaccard .8 and scheme threshold (the
+    bloom_size_planner literal-transcendental convention), crossed
+    with the exact corpus scalars (operators/dedup.py:
+    lsh_band_planner). Full oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_band_planner(docs, num_hashes=128, target_jaccard_milli=800)
+
+
+SQL_LSH_BAND_PLANNER = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS t
+  FROM documents
+), starts AS (
+  SELECT doc_id, t, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+  FROM toks
+), shingles AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM starts
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shingles GROUP BY 1
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         (CAST(1000 AS BIGINT) * CAST(SUM(n_sh) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+           AS mean_shingles_milli
+  FROM per_doc
+), grid AS (
+  SELECT * FROM (VALUES
+    (CAST(1 AS BIGINT), CAST(128 AS BIGINT), 0.0, 1000.0),
+    (CAST(2 AS BIGINT), CAST(64 AS BIGINT), 0.001255, 989.228013),
+    (CAST(4 AS BIGINT), CAST(32 AS BIGINT), 3.165362, 957.603281),
+    (CAST(8 AS BIGINT), CAST(16 AS BIGINT), 204.201974, 878.12608),
+    (CAST(16 AS BIGINT), CAST(8 AS BIGINT), 947.048796, 707.106781),
+    (CAST(32 AS BIGINT), CAST(4 AS BIGINT), 999.999953, 420.448208),
+    (CAST(64 AS BIGINT), CAST(2 AS BIGINT), 1000.0, 125.0),
+    (CAST(128 AS BIGINT), CAST(1 AS BIGINT), 1000.0, 7.8125)
+  ) AS v(bands, rows_per_band, p_detect_milli, threshold_jaccard_milli)
+)
+SELECT bands, rows_per_band, n_docs, mean_shingles_milli,
+       p_detect_milli, threshold_jaccard_milli
+FROM stats CROSS JOIN grid
+"""
+
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X137 (round 8): two-arm log-rank test on user lifetimes with the
+    kaplan_meier censoring convention and md5 hash arms
+    (operators/temporal.py:logrank_test) — exact per-duration risk/
+    event tables, O−E and hypergeometric variance over the tiny
+    per-duration frame, chi2 with a V>0 guard. Full oracle."""
+    from ..operators.temporal import logrank_test
+
+    return logrank_test(load_table(spark, sf_dir, "events"))
+
+
+SQL_LOGRANK_TEST = """
+WITH per_unit AS (
+  SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events GROUP BY 1
+), horizon AS (
+  SELECT MAX(d1) AS dmax FROM per_unit
+), lifet AS MATERIALIZED (
+  SELECT CAST(date_diff('day', d0, d1) AS BIGINT) AS t,
+         CASE WHEN d1 <= dmax - INTERVAL 7 DAY THEN 1 ELSE 0 END AS observed,
+         CASE WHEN substring(md5(CAST(u AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE 0 END AS is_a
+  FROM per_unit CROSS JOIN horizon
+), per_dur AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(is_a) AS BIGINT) AS ma,
+         CAST(SUM(observed) AS BIGINT) AS d,
+         CAST(SUM(observed * is_a) AS BIGINT) AS da
+  FROM lifet GROUP BY 1
+), cum AS (
+  SELECT t, d, da,
+         CAST(SUM(m) OVER () - COALESCE(SUM(m) OVER (
+              ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n,
+         CAST(SUM(ma) OVER () - COALESCE(SUM(ma) OVER (
+              ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS na
+  FROM per_dur
+), ome AS (
+  SELECT SUM(CAST(da AS DOUBLE) - CAST(d AS DOUBLE) * CAST(na AS DOUBLE)
+                                   / CAST(n AS DOUBLE)) AS ome,
+         SUM(CASE WHEN n > 1
+             THEN CAST(d AS DOUBLE) * (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1.0)
+             ELSE 0.0 END) AS v
+  FROM cum
+), totals AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS n_b,
+         CAST(SUM(observed * is_a) AS BIGINT) AS events_a,
+         CAST(SUM(observed) - SUM(observed * is_a) AS BIGINT) AS events_b
+  FROM lifet
+)
+SELECT n_a, n_b, events_a, events_b,
+       round(ome, 6) AS o_minus_e,
+       round(v, 6) AS variance,
+       round(CASE WHEN v > 0 THEN ome * ome / v ELSE 0.0 END, 6) AS chi2
+FROM totals CROSS JOIN ome
+"""
+
+
+def q_event_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X138 (round 8): per-type staleness behind the corpus high-water
+    mark + exact p95 inter-arrival gap
+    (operators/profiling.py:event_freshness) — the late-by-its-own-
+    standard feed monitor. Full oracle."""
+    from ..operators.profiling import event_freshness
+
+    return event_freshness(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENT_FRESHNESS = """
+WITH base AS (
+  SELECT event_type AS t, epoch_us(ts) AS us, event_id AS rid
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+), gaps AS (
+  SELECT t, rid,
+         (us - lag(us) OVER (PARTITION BY t ORDER BY us, rid)) // 1000000
+           AS gap_s
+  FROM base
+), ranked AS (
+  SELECT t, gap_s,
+         row_number() OVER (PARTITION BY t ORDER BY gap_s, rid) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY t) AS BIGINT) AS n
+  FROM gaps WHERE gap_s IS NOT NULL
+), p95 AS (
+  SELECT t, CAST(MAX(gap_s) AS BIGINT) AS p95_gap_s
+  FROM ranked WHERE rk = CAST(ceil(0.95 * n) AS BIGINT) GROUP BY 1
+), tops AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_events, MAX(us) AS last_us
+  FROM base GROUP BY 1
+), gmax AS (
+  SELECT MAX(last_us) AS g FROM tops
+)
+SELECT tops.t AS event_type, tops.n_events,
+       strftime(make_timestamp(tops.last_us), '%Y-%m-%d %H:%M:%S.%f')
+         AS last_ts,
+       CAST((gmax.g - tops.last_us) // 1000000 AS BIGINT) AS staleness_s,
+       CAST(COALESCE(p95.p95_gap_s, 0) AS BIGINT) AS p95_gap_s
+FROM tops CROSS JOIN gmax LEFT JOIN p95 ON p95.t = tops.t
+"""
+
+
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 window leads: the 19 oracle-backed r4 session-7/8
     # additions (driver-green in CORRECTNESS_r05)
@@ -11211,6 +11367,9 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "overdispersion_index": q_overdispersion_index,
     "activation_latency": q_activation_latency,
     "media_type_sniff": q_media_type_sniff,
+    "lsh_band_planner": q_lsh_band_planner,
+    "logrank_test": q_logrank_test,
+    "event_freshness": q_event_freshness,
 }
 
 
@@ -11448,6 +11607,9 @@ ORACLE_SQL: dict[str, str] = {
     "overdispersion_index": SQL_OVERDISPERSION_INDEX,
     "activation_latency": SQL_ACTIVATION_LATENCY,
     "media_type_sniff": SQL_MEDIA_TYPE_SNIFF,
+    "lsh_band_planner": SQL_LSH_BAND_PLANNER,
+    "logrank_test": SQL_LOGRANK_TEST,
+    "event_freshness": SQL_EVENT_FRESHNESS,
     "trimmed_mean": SQL_TRIMMED_MEAN,
     "mann_kendall": SQL_MANN_KENDALL,
     "chisq_independence": SQL_CHISQ_INDEPENDENCE,

@@ -1332,3 +1332,24 @@ def test_activation_latency_partitioned_windows(spark):
     plan = _plan(spark, "activation_latency")
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_band_planner_grid_is_literal(spark):
+    """The planner's grid never joins data: one shingle aggregate plus
+    a 1-row cross join with the literal config frame."""
+    plan = _plan(spark, "lsh_band_planner")
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_logrank_runs_on_per_duration_frame(spark):
+    """The heavy groupBy is per-unit; everything after runs on the
+    tiny per-duration frame (no data-sized window)."""
+    plan = _plan(spark, "logrank_test")
+    assert "CartesianProduct" not in plan
+
+
+def test_event_freshness_partitioned_windows(spark):
+    plan = _plan(spark, "event_freshness")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

@@ -157,6 +157,9 @@ LADDER_QUERIES = [
     "overdispersion_index",
     "activation_latency",
     "media_type_sniff",
+    "lsh_band_planner",
+    "logrank_test",
+    "event_freshness",
 ]
 
 SF01 = "/root/testdata/sf0.1"
