@@ -401,8 +401,11 @@ def event_freshness(
 
     Exact: timestamps compare in integer micros; gaps are lag() diffs
     under the (ts, event_id) total order; p95 is the rank-⌈.95·n⌉
-    order statistic. One lag window + one rank window per type key +
-    a 1-row global max broadcast. Returns (event_type, n_events,
+    order statistic (computed over map-side-combined (type, gap)
+    tie groups — distinct integer gaps are few however many events
+    there are). Lags run as a two-level decomposition (within-day
+    windows + a tiny day-boundary frame, the sprt_ab_test pattern), so
+    no window ever partitions on the bare low-cardinality type key. Returns (event_type, n_events,
     last_ts, staleness_s, p95_gap_s) with last_ts serialized to a
     string (the scd2_build timestamp-at-the-boundary convention).
     """
@@ -411,26 +414,64 @@ def event_freshness(
     ).select(
         F.col(type_col).alias("t"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .cast("long")
+        .alias("__day"),
         F.col(id_col).cast("long").alias("rid"),
     )
-    w = Window.partitionBy("t").orderBy("us", "rid")
-    gaps = base.withColumn(
-        "gap_s",
-        F.floor((F.col("us") - F.lag("us").over(w)) / 1_000_000).cast("long"),
-    )
-    wr = Window.partitionBy("t").orderBy("gap_s", "rid")
-    wn = Window.partitionBy("t")
-    ranked = (
-        gaps.where(F.col("gap_s").isNotNull())
-        .withColumn("rk", F.row_number().over(wr))
-        .withColumn("n", F.count(F.lit(1)).over(wn))
-    )
-    p95 = (
-        ranked.where(
-            F.col("rk") == F.expr("cast(ceil(0.95 * n) as bigint)")
+    # TWO-LEVEL lag (the sprt_ab_test decomposition): a bare-type lag
+    # window serializes each type through one task (measured 10x at
+    # the 100x events decade). Within-day lags run parallel across the
+    # types×days grid; the day-boundary gaps (first event of a present
+    # day vs last event of the previous present day) come from a lag
+    # over the TINY per-day stats frame. The gap MULTISET equals the
+    # global-lag form exactly — days are a prefix of the (us, rid)
+    # total order.
+    wd = Window.partitionBy("t", "__day").orderBy("us", "rid")
+    within = (
+        base.withColumn(
+            "gap_s",
+            F.floor((F.col("us") - F.lag("us").over(wd)) / 1_000_000).cast(
+                "long"
+            ),
         )
+        .where(F.col("gap_s").isNotNull())
+        .select("t", "gap_s")
+    )
+    day_stats = base.groupBy("t", "__day").agg(
+        F.min("us").alias("__first"), F.max("us").alias("__last")
+    )
+    wdays = Window.partitionBy("t").orderBy("__day")
+    boundary = (
+        day_stats.withColumn("__prev_last", F.lag("__last").over(wdays))
+        .where(F.col("__prev_last").isNotNull())
+        .select(
+            "t",
+            F.floor(
+                (F.col("__first") - F.col("__prev_last")) / 1_000_000
+            ).cast("long").alias("gap_s"),
+        )
+    )
+    gap_rows = within.unionByName(boundary)
+    # exact p95 via tie groups: gaps collapse map-side to (type, gap)
+    # counts, the cumulative walk runs over the small distinct-gap
+    # frame, and the p95 is the smallest gap whose cumulative count
+    # reaches rank ceil(0.95*n) — identical to the rank-window form.
+    cells = gap_rows.groupBy("t", "gap_s").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wg = Window.partitionBy("t").orderBy("gap_s")
+    wt = Window.partitionBy("t")
+    p95 = (
+        cells.withColumn("cum", F.sum("c").over(wg))
+        .withColumn("n", F.sum("c").over(wt))
+        .where(
+            F.col("cum") - F.col("c")
+            < F.expr("cast(ceil(0.95 * n) as bigint)")
+        )
+        .where(F.col("cum") >= F.expr("cast(ceil(0.95 * n) as bigint)"))
         .groupBy("t")
-        .agg(F.max("gap_s").cast("long").alias("p95_gap_s"))
+        .agg(F.min("gap_s").cast("long").alias("p95_gap_s"))
     )
     tops = base.groupBy("t").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),

@@ -2201,9 +2201,12 @@ def sprt_ab_test(
     the first-crossing index is engine-identical; ln() runs on driver
     literals only, never per row.
 
-    Scale shape: one cumsum window per type + one first-crossing
-    aggregate — parallel across types, map-side nothing to combine
-    (sequential semantics are the point). Returns
+    Scale shape: the sequential walk is a TWO-LEVEL prefix sum —
+    cumsum windows within (type, day) partitions plus a per-day offset
+    from a cumsum over the tiny day-totals frame (broadcast back), so
+    parallelism is types×days instead of bare types; a bare-type
+    window serialized each type through one task and measured 8.7×
+    at the 100× events decade before this decomposition. Returns
     (event_type, n_events, n_success, llr_micro_final, decision,
     n_at_decision, llr_micro_at_decision).
     """
@@ -2219,6 +2222,9 @@ def sprt_ab_test(
     ).select(
         F.col(type_col).alias("t"),
         F.col(ts_col).alias("ts"),
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("__day"),
         F.col(id_col).cast("long").alias("rid"),
         (
             F.round(F.col(value_col).cast("double") * 1000.0).cast("long")
@@ -2227,13 +2233,40 @@ def sprt_ab_test(
         .cast("long")
         .alias("s"),
     )
-    w = Window.partitionBy("t").orderBy("ts", "rid")
-    walked = base.withColumn(
-        "llr",
-        F.sum(
-            F.col("s") * F.lit(int(l_s)) + (1 - F.col("s")) * F.lit(int(l_f))
-        ).over(w),
-    ).withColumn("rn", F.row_number().over(w))
+    # TWO-LEVEL prefix sum: a cumsum window partitioned by the bare
+    # type key serializes each type through ONE task (5 types = 5
+    # tasks; measured 8.7x at the 100x events decade). Instead the
+    # walk runs WITHIN (type, day) partitions — parallel across the
+    # types×days grid — and each day adds a per-(type,day) offset
+    # computed by a cumsum over the TINY per-day totals frame. The
+    # (ts, rid) total order is preserved exactly: days are a prefix of
+    # it, so offset(day) + within-day prefix == the global prefix.
+    inc = F.col("s") * F.lit(int(l_s)) + (1 - F.col("s")) * F.lit(int(l_f))
+    wd = Window.partitionBy("t", "__day").orderBy("ts", "rid")
+    within = base.withColumn("__cum", F.sum(inc).over(wd)).withColumn(
+        "__drn", F.row_number().over(wd)
+    )
+    day_tot = base.groupBy("t", "__day").agg(
+        F.sum(inc).cast("long").alias("__dt"),
+        F.count(F.lit(1)).cast("long").alias("__dn"),
+    )
+    wdays = Window.partitionBy("t").orderBy("__day")
+    offsets = day_tot.select(
+        "t",
+        "__day",
+        (F.coalesce(F.sum("__dt").over(wdays), F.lit(0)) - F.col("__dt"))
+        .cast("long")
+        .alias("__off"),
+        (F.coalesce(F.sum("__dn").over(wdays), F.lit(0)) - F.col("__dn"))
+        .cast("long")
+        .alias("__noff"),
+    )
+    walked = within.join(F.broadcast(offsets), ["t", "__day"]).select(
+        "t",
+        "s",
+        (F.col("__off") + F.col("__cum")).alias("llr"),
+        (F.col("__noff") + F.col("__drn")).alias("rn"),
+    )
     first = (
         walked.where(
             (F.col("llr") >= F.lit(int(up))) | (F.col("llr") <= F.lit(int(lo)))
