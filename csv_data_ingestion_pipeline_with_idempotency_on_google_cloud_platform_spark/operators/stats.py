@@ -1427,33 +1427,47 @@ def trimmed_mean(
     (total order → identical trimmed SET in any engine), and the
     trimmed mean itself is an integer floor-div of the micro sum.
 
-    Scale shape: one rank window per group (single shuffle on the
-    group key — same shape as every quantile query here) + one
-    map-side-combined aggregate. No driver state.
+    Scale shape (round 8): TIE GROUPS, not a row rank — a rank window
+    partitioned by the bare low-cardinality group key serializes each
+    group through one task (measured 9.5× at the 100× events decade).
+    Values collapse map-side to (group, value) counts, the cumulative
+    walk runs over the small distinct-value frame, and each tie group
+    contributes the exact overlap of its rank interval with the kept
+    band (clip(min(cum, n−cut) − max(cum−c, cut))) — identical kept
+    SET because equal values are interchangeable under the
+    (value, id) total order. All integers; no float anywhere.
 
     Returns (group, n, n_trimmed, trimmed_mean_micro).
     """
     v = F.round(F.col(value_col).cast("double") * 1000000.0).cast("long")
-    w = Window.partitionBy("g").orderBy("v", "rid")
-    ranked = (
-        events.where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
-        .select(
-            F.col(group_col).alias("g"),
-            v.alias("v"),
-            F.col("event_id").cast("long").alias("rid"),
+    cells = (
+        events.where(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
         )
-        .withColumn("rk", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .select(F.col(group_col).alias("g"), v.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wv = Window.partitionBy("g").orderBy("v")
+    wt = Window.partitionBy("g")
+    stepped = cells.withColumn("cum", F.sum("c").over(wv)).withColumn(
+        "n", F.sum("c").over(wt)
     )
     cut = F.expr(f"(n * {int(trim_milli)}) div 1000")
-    kept = ranked.where((F.col("rk") > cut) & (F.col("rk") <= F.col("n") - cut))
+    kept_i = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - cut)
+        - F.greatest(F.col("cum") - F.col("c"), cut),
+    )
     return (
-        kept.groupBy("g")
+        stepped.select("g", "v", "n", kept_i.alias("ki"))
+        .groupBy("g")
         .agg(
             F.max("n").cast("long").alias("n"),
-            F.count(F.lit(1)).cast("long").alias("n_kept"),
-            F.sum("v").cast("long").alias("__sv"),
+            F.sum("ki").cast("long").alias("n_kept"),
+            F.sum(F.col("ki") * F.col("v")).cast("long").alias("__sv"),
         )
+        .where(F.col("n_kept") > 0)
         .select(
             F.col("g").alias(group_col),
             "n",
@@ -1793,8 +1807,10 @@ def hill_tail_index(
     bands (X45/X46) are garbage; this query names which regime each
     value feed is in.
 
-    Determinism: top-k+1 by a total order (value desc, event_id) —
-    identical selected SET in any engine; ln/Σ on the k ratios rounded
+    Determinism: top-k+1 by a total order (value desc, event_id),
+    realized as clipped TIE-GROUP counts (equal values are
+    interchangeable, so the selected SET is identical and no per-row
+    rank window on the bare group key is needed); ln/Σ on the k ratios rounded
     to 6 dp (the X13 ln convention). Only strictly-positive values
     participate (a power-law tail is positive by definition); groups
     with fewer than k+1 such rows are dropped rather than estimated
@@ -1814,27 +1830,54 @@ def hill_tail_index(
     ).select(
         F.col(group_col).alias("g"),
         F.round(F.col(value_col).cast("double") * 1000.0).cast("long").alias("v"),
-        F.col("event_id").cast("long").alias("rid"),
     ).where(F.col("v") > 0)
-    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("rid"))
-    wn = Window.partitionBy("g")
-    ranked = (
-        pos.withColumn("rk", F.row_number().over(w))
-        .withColumn("n_pos", F.count(F.lit(1)).over(wn))
-        .where(F.col("rk") <= k + 1)
+    # TIE GROUPS, not a row rank (round 8): ranking every positive row
+    # by the bare low-cardinality group key serialized each group
+    # through one task (measured 10.5x at the 100x events decade).
+    # Equal values are interchangeable under the (value desc, id)
+    # total order, so the top-k+1 SET is: full tie groups while the
+    # descending cumulative count stays under k+1, plus the exact
+    # remainder of the boundary group — and x_k is the boundary
+    # group's value. The oracle SQL computes the same clipped-count
+    # form so the ln-term multiset matches exactly.
+    cells = pos.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    xk = ranked.where(F.col("rk") == k + 1).select(
-        "g", F.col("v").alias("xk")
+    wv = Window.partitionBy("g").orderBy(F.col("v").desc())
+    wt = Window.partitionBy("g")
+    stepped = cells.withColumn("cum", F.sum("c").over(wv)).withColumn(
+        "n_pos", F.sum("c").over(wt)
     )
-    tail = ranked.where(F.col("rk") <= k).join(xk, "g")
+    xk = stepped.where(
+        (F.col("cum") - F.col("c") < k + 1) & (F.col("cum") >= k + 1)
+    ).select("g", F.col("v").alias("xk"))
+    clip50 = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.lit(int(k)).cast("long"))
+        - (F.col("cum") - F.col("c")),
+    )
+    tail = (
+        stepped.where(F.col("cum") - F.col("c") < k)
+        .join(xk, "g")
+        .select(
+            "g",
+            "n_pos",
+            clip50.alias("ck"),
+            (
+                clip50.cast("double")
+                * F.log(
+                    F.col("v").cast("double") / F.col("xk").cast("double")
+                )
+            ).alias("__term"),
+            F.col("xk"),
+        )
+    )
     return (
         tail.groupBy("g")
         .agg(
             F.max("n_pos").cast("long").alias("n_pos"),
-            F.count(F.lit(1)).cast("long").alias("k"),
-            F.sum(
-                F.log(F.col("v").cast("double") / F.col("xk").cast("double"))
-            ).alias("__s"),
+            F.sum("ck").cast("long").alias("k"),
+            F.sum("__term").alias("__s"),
             F.max("xk").alias("__xk"),
         )
         .where((F.col("k") == k) & (F.col("__s") > 0))

@@ -1985,32 +1985,37 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_HILL_TAIL_INDEX = """
 WITH pos AS (
   SELECT event_type AS g,
-         CAST(round(CAST(value AS DOUBLE) * 1000.0) AS BIGINT) AS v,
-         event_id AS rid
+         CAST(round(CAST(value AS DOUBLE) * 1000.0) AS BIGINT) AS v
   FROM events
   WHERE event_type IS NOT NULL AND value IS NOT NULL AND value > 0
 ), pos2 AS (
   SELECT * FROM pos WHERE v > 0
-), ranked AS (
-  SELECT g, v,
-         row_number() OVER (PARTITION BY g ORDER BY v DESC, rid) AS rk,
-         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n_pos
-  FROM pos2
+), cells AS (
+  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM pos2 GROUP BY 1, 2
+), stepped AS (
+  SELECT g, v, c,
+         CAST(SUM(c) OVER (PARTITION BY g ORDER BY v DESC) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n_pos
+  FROM cells
 ), xk AS (
-  SELECT g, v AS xk FROM ranked WHERE rk = 51
+  SELECT g, v AS xk FROM stepped WHERE cum - c < 51 AND cum >= 51
 ), tail AS (
-  SELECT r.g, r.v, r.n_pos, xk.xk
-  FROM ranked r JOIN xk USING (g) WHERE r.rk <= 50
+  SELECT s.g, s.n_pos, s.xk2 AS xk,
+         greatest(CAST(0 AS BIGINT), least(s.cum, 50) - (s.cum - s.c)) AS ck,
+         CAST(greatest(CAST(0 AS BIGINT), least(s.cum, 50) - (s.cum - s.c))
+              AS DOUBLE)
+           * ln(CAST(s.v AS DOUBLE) / CAST(s.xk2 AS DOUBLE)) AS term
+  FROM (SELECT st.*, xk.xk AS xk2
+        FROM stepped st JOIN xk ON xk.g = st.g
+        WHERE st.cum - st.c < 50) s
 )
 SELECT g AS event_type,
        CAST(MAX(n_pos) AS BIGINT) AS n_pos,
-       CAST(COUNT(*) AS BIGINT) AS k,
-       round(CAST(COUNT(*) AS DOUBLE)
-             / SUM(ln(CAST(v AS DOUBLE) / CAST(xk AS DOUBLE))), 6) AS alpha,
+       CAST(SUM(ck) AS BIGINT) AS k,
+       round(CAST(SUM(ck) AS DOUBLE) / SUM(term), 6) AS alpha,
        CAST(MAX(xk) AS BIGINT) AS x_k_milli
 FROM tail GROUP BY 1
-HAVING COUNT(*) = 50
-   AND SUM(ln(CAST(v AS DOUBLE) / CAST(xk AS DOUBLE))) > 0
+HAVING SUM(ck) = 50 AND SUM(term) > 0
 """
 
 
