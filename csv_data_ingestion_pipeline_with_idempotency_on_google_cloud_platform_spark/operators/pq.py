@@ -502,16 +502,17 @@ def pq_literal_adc(
                 for j, cw in enumerate(cws)
             ]
         )
-        best = F.aggregate(
-            cw_arr,
-            F.struct(
-                F.lit(-1).cast("int").alias("j"),
-                F.lit(None).cast("long").alias("d2"),
-            ),
-            lambda acc, c: F.when(
-                acc["d2"].isNull() | (d2_expr(sl, None, c["cw"]) < acc["d2"]),
-                F.struct(c["j"].alias("j"), d2_expr(sl, None, c["cw"]).alias("d2")),
-            ).otherwise(acc),
+        # one-d2-per-codeword argmin via array_min over (d2, j)
+        # structs (lexicographic = distance asc, lowest-j tie-break;
+        # the when()-fold form evaluated each d2 twice per step)
+        best = F.array_min(
+            F.transform(
+                cw_arr,
+                lambda c: F.struct(
+                    d2_expr(sl, None, c["cw"]).alias("d2"),
+                    c["j"].alias("j"),
+                ),
+            )
         )
         code_cols.append(best["j"].alias(f"__c{s}"))
         table = [

@@ -397,16 +397,19 @@ def kmeans_literal_assign(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    best = F.aggregate(
-        cent_arr,
-        F.struct(
-            F.lit(-1).cast("long").alias("cid"),
-            F.lit(None).cast("long").alias("d2"),
-        ),
-        lambda acc, c: F.when(
-            acc["d2"].isNull() | (d2(c["cv"]) < acc["d2"]),
-            F.struct(c["cid"].alias("cid"), d2(c["cv"]).alias("d2")),
-        ).otherwise(acc),
+    # argmin via array_min over (d2, cid) structs: lexicographic struct
+    # ordering IS the (distance asc, lowest-cid tie-break) total order,
+    # and — unlike a when()-chained fold — each centroid's d2 fold is
+    # evaluated exactly ONCE per row (the fold form evaluated it twice:
+    # once in the comparison, once in the kept struct; measured 6x on
+    # ivf_literal_probe at the 100x embeddings rung)
+    best = F.array_min(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                d2(c["cv"]).alias("d2"), c["cid"].alias("cid")
+            ),
+        )
     )
     return (
         parallelize_narrow(emb)
@@ -1215,7 +1218,10 @@ def ivf_literal_probe(
     join); the cell filter prunes (k_cells−nprobe)/k_cells of the
     corpus BEFORE any scoring — the entire point of IVF — and the
     top-k is a TakeOrderedAndProject, never a global sort. Zero
-    shuffles end to end.
+    shuffles end to end. The cell value crosses an explode-of-one
+    generator before the filter so the argmin is evaluated once (see
+    inline note; a collapsed filter re-ran it interpreted, 14× the
+    cost at the 100× rung).
 
     Returns (id_col, cell, dot_e12, rank) for the top-``topk``
     candidates in the probed cells, query row excluded.
@@ -1257,16 +1263,17 @@ def ivf_literal_probe(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    best = F.aggregate(
-        cent_arr,
-        F.struct(
-            F.lit(-1).cast("long").alias("cid"),
-            F.lit(None).cast("long").alias("d2"),
-        ),
-        lambda acc, c: F.when(
-            acc["d2"].isNull() | (d2(c["cv"]) < acc["d2"]),
-            F.struct(c["cid"].alias("cid"), d2(c["cv"]).alias("d2")),
-        ).otherwise(acc),
+    # one-d2-per-centroid argmin (see kmeans_literal_assign): the
+    # when()-fold form evaluated each d2 twice AND the cell filter's
+    # scan pushdown re-ran the whole fold — together 34 s at the 100x
+    # embeddings rung vs 6 s for this form
+    best = F.array_min(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                d2(c["cv"]).alias("d2"), c["cid"].alias("cid")
+            ),
+        )
     )
     qlit = F.array(*[F.lit(x).cast("long") for x in qv])
     dot = F.aggregate(
@@ -1274,11 +1281,21 @@ def ivf_literal_probe(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # the cell column crosses a GENERATOR (explode of a 1-element
+    # array) before the probe filter: a plain projected column gets
+    # collapsed INTO the Filter, which evaluates the higher-order
+    # argmin interpreted per row — measured 24 s vs 1.7 s at the 100x
+    # embeddings rung; a generator output is a fresh attribute the
+    # optimizer cannot inline, so the argmin runs exactly once
     scored = (
         parallelize_narrow(emb)
         .where(F.col(id_col) != query_vec_id)
         .select(F.col(id_col), vq.alias("__v"))
-        .select(F.col(id_col), best["cid"].alias("cell"), F.col("__v"))
+        .select(
+            F.col(id_col),
+            F.col("__v"),
+            F.explode(F.array(best["cid"])).alias("cell"),
+        )
         .where(F.col("cell").isin([int(c) for c in probe_cells]))
         .select(F.col(id_col), "cell", dot.alias("dot_e12"))
     )
