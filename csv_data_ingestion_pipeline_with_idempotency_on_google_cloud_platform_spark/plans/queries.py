@@ -10957,7 +10957,10 @@ WITH toks AS (
            AS mean_shingles_milli
   FROM per_doc
 ), grid AS (
-  SELECT * FROM (VALUES
+  SELECT bands, rows_per_band,
+         CAST(p_detect_milli AS DOUBLE) AS p_detect_milli,
+         CAST(threshold_jaccard_milli AS DOUBLE) AS threshold_jaccard_milli
+  FROM (VALUES
     (CAST(1 AS BIGINT), CAST(128 AS BIGINT), 0.0, 1000.0),
     (CAST(2 AS BIGINT), CAST(64 AS BIGINT), 0.001255, 989.228013),
     (CAST(4 AS BIGINT), CAST(32 AS BIGINT), 3.165362, 957.603281),
