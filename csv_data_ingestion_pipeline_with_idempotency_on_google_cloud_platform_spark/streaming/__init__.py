@@ -32,6 +32,9 @@ from .forecast_stream import (  # noqa: F401
     streaming_changepoint_monitor,
     streaming_holt_monitor,
 )
+from .sprt_stream import (  # noqa: F401
+    streaming_sprt_monitor,
+)
 from .guardrail_stream import (  # noqa: F401
     binned_w1,
     srm_from_ledger,

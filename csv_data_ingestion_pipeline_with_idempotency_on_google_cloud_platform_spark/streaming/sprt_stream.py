@@ -1,0 +1,118 @@
+"""Streaming Wald SPRT monitor: the online twin of batch X126
+`sprt_ab_test` (operators/stats.py) — the experiment gate whose whole
+point is to run WHILE data arrives (Wald 1945: the sequential test
+stops in O(1/KL) observations; a batch rerun per day forfeits exactly
+the early-stopping it exists for).
+
+State per event type is four integers plus a latch — (n_seen,
+n_success, llr_micro, decision, n_at_decision, llr_at_decision) —
+and every increment is the same CONSTANT micro-scaled LLR step the
+batch fold uses (ln() runs on driver literals only, never per row),
+so the stream replays the batch statistic bit-for-bit on the same
+events: integer arithmetic end to end, no float drift across batch
+slicing.
+
+Ordering contract (the anomaly_stream convention): within a
+micro-batch rows are walked in (ts, event_id) order; across batches
+the source must deliver in event-time order (file-per-interval, the
+ingest discipline). A decision LATCHES at its first crossing — later
+data updates the running LLR but never un-decides (Wald's stopping
+rule is a stopping rule; the batch form's "first crossing" is the
+same contract).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_DDL = (
+    "event_type STRING, n_events BIGINT, n_success BIGINT, "
+    "llr_micro_final BIGINT, decision STRING, n_at_decision BIGINT, "
+    "llr_micro_at_decision BIGINT"
+)
+STATE_DDL = (
+    "n BIGINT, s BIGINT, llr BIGINT, decided INT, n_dec BIGINT, "
+    "llr_dec BIGINT"
+)
+
+
+def streaming_sprt_monitor(
+    events_stream: DataFrame,
+    threshold_milli: int = 50_000,
+    p0_milli: int = 400,
+    p1_milli: int = 600,
+    alpha_milli: int = 50,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-type streaming SPRT against the same constants as the batch
+    fold: one update row per type per micro-batch with the running
+    integer LLR and the latched first-crossing decision."""
+    a_mil = alpha_milli / 1000.0
+    up = round(1e6 * math.log((1 - a_mil) / a_mil))
+    lo = -up
+    l_s = round(1e6 * math.log(p1_milli / p0_milli))
+    l_f = round(1e6 * math.log((1000 - p1_milli) / (1000 - p0_milli)))
+
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (group,) = key
+        n, s, llr, decided, n_dec, llr_dec = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "rid"])
+            for ok in pdf["ok"]:
+                n += 1
+                if bool(ok):
+                    s += 1
+                    llr += l_s
+                else:
+                    llr += l_f
+                if decided == 0 and (llr >= up or llr <= lo):
+                    decided = 1 if llr >= up else -1
+                    n_dec, llr_dec = n, llr
+        state.update((n, s, llr, decided, n_dec, llr_dec))
+        yield pd.DataFrame(
+            {
+                "event_type": [group],
+                "n_events": [n],
+                "n_success": [s],
+                "llr_micro_final": [llr],
+                "decision": [
+                    "accept_h1"
+                    if decided == 1
+                    else ("accept_h0" if decided == -1 else "continue")
+                ],
+                "n_at_decision": [n_dec],
+                "llr_micro_at_decision": [llr_dec],
+            }
+        )
+
+    base = events_stream.where(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(type_col).cast("string").alias("t"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).cast("long").alias("rid"),
+        (
+            F.round(F.col(value_col).cast("double") * 1000.0).cast("long")
+            > F.lit(int(threshold_milli))
+        ).alias("ok"),
+    )
+    return base.groupBy("t").applyInPandasWithState(
+        _fn,
+        outputStructType=OUTPUT_DDL,
+        stateStructType=STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

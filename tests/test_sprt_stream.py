@@ -1,0 +1,153 @@
+"""Streaming SPRT monitor (X126 twin): the cross-batch integer LLR
+walk must equal the batch fold bit-for-bit on the same events, the
+decision must latch at its first crossing even when later data walks
+the LLR back, and the state must survive a checkpoint restart."""
+
+from __future__ import annotations
+
+import datetime
+
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+    sprt_ab_test,
+)
+from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.streaming.sprt_stream import (
+    streaming_sprt_monitor,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _row(eid, sec, etype, value):
+    return (eid, T0 + datetime.timedelta(seconds=sec), 1, etype, value, None)
+
+
+def test_sprt_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    b1 = [_row(i, i, "mix", 100.0 if i % 3 else 1.0) for i in range(30)]
+    b2 = [_row(100 + i, 100 + i, "mix", 1.0 if i % 2 else 100.0) for i in range(40)]
+    _df(spark, b1).write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_sprt_monitor(stream)
+        .writeStream.format("memory")
+        .queryName("sprt_mon")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _df(spark, b2).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        rows = spark.sql("select * from sprt_mon").collect()
+    finally:
+        q.stop()
+    last = max(rows, key=lambda r: r["n_events"])
+    want = sprt_ab_test(_df(spark, b1 + b2)).collect()[0]
+    assert last["n_events"] == want["n_events"]
+    assert last["n_success"] == want["n_success"]
+    assert last["llr_micro_final"] == want["llr_micro_final"]
+    assert last["decision"] == want["decision"]
+    assert last["n_at_decision"] == want["n_at_decision"]
+    assert last["llr_micro_at_decision"] == want["llr_micro_at_decision"]
+
+
+def test_sprt_stream_decision_latches(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    # batch 1: 8 straight successes -> accept_h1 at n=8
+    b1 = [_row(i, i, "t", 100.0) for i in range(8)]
+    # batch 2: 40 straight failures walk the LLR far below the lower
+    # boundary — the decision must stay accept_h1 at n=8
+    b2 = [_row(100 + i, 100 + i, "t", 1.0) for i in range(40)]
+    _df(spark, b1).write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_sprt_monitor(stream)
+        .writeStream.format("memory")
+        .queryName("sprt_latch")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = max(
+            spark.sql("select * from sprt_latch").collect(),
+            key=lambda r: r["n_events"],
+        )
+        assert first["decision"] == "accept_h1"
+        assert first["n_at_decision"] == 8
+        _df(spark, b2).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        rows = spark.sql("select * from sprt_latch").collect()
+    finally:
+        q.stop()
+    last = max(rows, key=lambda r: r["n_events"])
+    assert last["decision"] == "accept_h1"       # latched
+    assert last["n_at_decision"] == 8
+    assert last["llr_micro_final"] < 0           # LLR itself kept walking
+
+
+def test_sprt_stream_checkpoint_restart(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    log = str(tmp_path / "log")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        return (
+            streaming_sprt_monitor(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(log)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    _df(spark, [_row(i, i, "t", 100.0) for i in range(5)]).write.parquet(
+        str(src / "b1")
+    )
+    q = _run()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _df(spark, [_row(10 + i, 10 + i, "t", 100.0) for i in range(5)]).write.parquet(
+        str(src / "b2")
+    )
+    q2 = _run()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.read.parquet(log).collect()
+    last = max(rows, key=lambda r: r["n_events"])
+    # 10 successes total, crossing at 8 — state carried across restart
+    assert last["n_events"] == 10
+    assert last["decision"] == "accept_h1"
+    assert last["n_at_decision"] == 8
+    want = sprt_ab_test(
+        _df(spark, [_row(i, i, "t", 100.0) for i in range(5)]
+            + [_row(10 + i, 10 + i, "t", 100.0) for i in range(5)])
+    ).collect()[0]
+    assert last["llr_micro_final"] == want["llr_micro_final"]
