@@ -270,6 +270,7 @@ HEADLINE = [
     "lsh_band_planner",
     "logrank_test",
     "event_freshness",
+    "embedding_distance_profile",
 ]
 
 

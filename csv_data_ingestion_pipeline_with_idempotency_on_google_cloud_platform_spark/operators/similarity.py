@@ -1304,3 +1304,99 @@ def ivf_literal_probe(
         F.desc("dot_e12"), F.asc(id_col)
     )
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def embedding_distance_profile(
+    emb: DataFrame,
+    sample_per_label: int = 40,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Intra-label pairwise-distance profile on a deterministic sample
+    (round 8): for each label, the ``sample_per_label`` lowest-id
+    vectors' exact pairwise squared-L2 distances on the e6 grid,
+    summarized as min/p10/p50/p90/max order statistics — the
+    "is this embedding space collapsing (all distances → 0) or
+    hubbing (distance spread → nothing separates)" QA gate in front
+    of every ANN/k-means consumer; X120 profiles norms (scale),
+    X123 profiles per-dimension ranges, this profiles the GEOMETRY.
+
+    Deterministic and exact: the sample is the id-order prefix per
+    label (a row_number window, then ≤ n·(n−1)/2 pairs per label from
+    a self-join — bounded by the literal sample size, never by the
+    corpus), distances are exact integer Σ∆² (BIGINT-safe: ≤1e15 at
+    dim 64), and the percentiles are rank-⌈q·n⌉ order statistics
+    under the (d2, id_a, id_b) total order.
+
+    Returns (label, n_vecs, n_pairs, min_d2, p10_d2, p50_d2, p90_d2,
+    max_d2) in e12 integer units.
+    """
+    vq = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0).cast("long"),
+    )
+    w = Window.partitionBy("lb").orderBy("rid")
+    sampled = (
+        parallelize_narrow(emb)
+        .where(F.col(label_col).isNotNull())
+        .select(
+            F.col(label_col).cast("long").alias("lb"),
+            F.col(id_col).cast("long").alias("rid"),
+            vq.alias("__v"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= sample_per_label)
+        .select("lb", "rid", "__v")
+    )
+    a = sampled.select(
+        F.col("lb").alias("la"), F.col("rid").alias("ia"), F.col("__v").alias("va")
+    )
+    b = sampled.select(
+        F.col("lb").alias("lbb"), F.col("rid").alias("ib"), F.col("__v").alias("vb")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, (F.col("la") == F.col("lbb")) & (F.col("ia") < F.col("ib")))
+        .select(F.col("la").alias("lb"), "ia", "ib", d2.alias("d2"))
+    )
+    wr = Window.partitionBy("lb").orderBy("d2", "ia", "ib")
+    wn = Window.partitionBy("lb")
+    ranked = pairs.withColumn("prk", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    pick = lambda q: F.max(  # noqa: E731 - order stat at rank ⌈q·n⌉
+        F.when(
+            F.col("prk") == F.expr(f"cast(ceil({q} * n) as bigint)"),
+            F.col("d2"),
+        )
+    )
+    n_vecs = sampled.groupBy("lb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    return (
+        ranked.groupBy("lb")
+        .agg(
+            F.max("n").cast("long").alias("n_pairs"),
+            F.min("d2").cast("long").alias("min_d2"),
+            pick(0.1).cast("long").alias("p10_d2"),
+            pick(0.5).cast("long").alias("p50_d2"),
+            pick(0.9).cast("long").alias("p90_d2"),
+            F.max("d2").cast("long").alias("max_d2"),
+        )
+        .join(n_vecs, "lb")
+        .select(
+            F.col("lb").alias(label_col),
+            "n_vecs",
+            "n_pairs",
+            "min_d2",
+            "p10_d2",
+            "p50_d2",
+            "p90_d2",
+            "max_d2",
+        )
+    )

@@ -11081,6 +11081,61 @@ FROM tops CROSS JOIN gmax LEFT JOIN p95 ON p95.t = tops.t
 """
 
 
+
+
+def q_embedding_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X139 (round 8): intra-label pairwise squared-L2 order statistics
+    on the id-order sample (operators/similarity.py:
+    embedding_distance_profile) — the space-collapse/hubness QA gate;
+    exact e12 integers, rank order stats, sample-bounded pair volume.
+    Full oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_distance_profile(emb, sample_per_label=40)
+
+
+SQL_EMBEDDING_DISTANCE_PROFILE = """
+WITH vq AS MATERIALIZED (
+  SELECT CAST(label AS BIGINT) AS lb, vec_id AS rid,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings WHERE label IS NOT NULL
+), sampled AS MATERIALIZED (
+  SELECT lb, rid, v FROM (
+    SELECT lb, rid, v,
+           row_number() OVER (PARTITION BY lb ORDER BY rid) AS rk
+    FROM vq)
+  WHERE rk <= 40
+), pairs AS MATERIALIZED (
+  SELECT a.lb, a.rid AS ia, b.rid AS ib,
+         CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+              i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS BIGINT) AS d2
+  FROM sampled a JOIN sampled b ON b.lb = a.lb AND a.rid < b.rid
+), ranked AS (
+  SELECT lb, d2,
+         row_number() OVER (PARTITION BY lb ORDER BY d2, ia, ib) AS prk,
+         CAST(COUNT(*) OVER (PARTITION BY lb) AS BIGINT) AS n
+  FROM pairs
+), stats AS (
+  SELECT lb,
+         CAST(MAX(n) AS BIGINT) AS n_pairs,
+         CAST(MIN(d2) AS BIGINT) AS min_d2,
+         CAST(MAX(CASE WHEN prk = CAST(ceil(0.1 * n) AS BIGINT) THEN d2 END)
+              AS BIGINT) AS p10_d2,
+         CAST(MAX(CASE WHEN prk = CAST(ceil(0.5 * n) AS BIGINT) THEN d2 END)
+              AS BIGINT) AS p50_d2,
+         CAST(MAX(CASE WHEN prk = CAST(ceil(0.9 * n) AS BIGINT) THEN d2 END)
+              AS BIGINT) AS p90_d2,
+         CAST(MAX(d2) AS BIGINT) AS max_d2
+  FROM ranked GROUP BY 1
+), nv AS (
+  SELECT lb, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM sampled GROUP BY 1
+)
+SELECT s.lb AS label, nv.n_vecs, s.n_pairs, s.min_d2, s.p10_d2, s.p50_d2,
+       s.p90_d2, s.max_d2
+FROM stats s JOIN nv ON nv.lb = s.lb
+"""
+
+
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 window leads: the 19 oracle-backed r4 session-7/8
     # additions (driver-green in CORRECTNESS_r05)
@@ -11378,6 +11433,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_band_planner": q_lsh_band_planner,
     "logrank_test": q_logrank_test,
     "event_freshness": q_event_freshness,
+    "embedding_distance_profile": q_embedding_distance_profile,
 }
 
 
@@ -11618,6 +11674,7 @@ ORACLE_SQL: dict[str, str] = {
     "lsh_band_planner": SQL_LSH_BAND_PLANNER,
     "logrank_test": SQL_LOGRANK_TEST,
     "event_freshness": SQL_EVENT_FRESHNESS,
+    "embedding_distance_profile": SQL_EMBEDDING_DISTANCE_PROFILE,
     "trimmed_mean": SQL_TRIMMED_MEAN,
     "mann_kendall": SQL_MANN_KENDALL,
     "chisq_independence": SQL_CHISQ_INDEPENDENCE,

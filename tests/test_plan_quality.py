@@ -1353,3 +1353,11 @@ def test_event_freshness_partitioned_windows(spark):
     plan = _plan(spark, "event_freshness")
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_distance_profile_sample_bounded_join(spark):
+    """The pair join runs on the per-label id-prefix SAMPLE (bounded
+    rows), never the corpus; no cartesian."""
+    plan = _plan(spark, "embedding_distance_profile")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan

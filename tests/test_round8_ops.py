@@ -637,3 +637,56 @@ def test_event_freshness_staleness_and_gap(spark):
     assert got["stale"]["staleness_s"] == 60
     assert got["stale"]["p95_gap_s"] == 20
     assert got["live"]["last_ts"].startswith("2024-01-01 00:01:40")
+
+
+def test_embedding_distance_profile_exact(spark):
+    """Order stats replayed in python over the same e6 pairwise grid;
+    the sample is the id-order prefix per label."""
+    import itertools
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.similarity import (
+        embedding_distance_profile,
+    )
+
+    import random
+
+    random.seed(5)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 4) for _ in range(4)], i % 2)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r["label"]: r for r in embedding_distance_profile(df, sample_per_label=10).collect()}
+
+    for lb in (0, 1):
+        sample = sorted([r for r in rows if r[2] == lb])[:10]
+        vq = {i: [_q6(x) for x in v] for i, v, _l in sample}
+        d2s = sorted(
+            sum((a - b) * (a - b) for a, b in zip(vq[i], vq[j]))
+            for i, j in itertools.combinations(sorted(vq), 2)
+        )
+        n = len(d2s)
+        r = got[lb]
+        assert r["n_vecs"] == 10 and r["n_pairs"] == n == 45
+        assert r["min_d2"] == d2s[0] and r["max_d2"] == d2s[-1]
+        import math
+
+        assert r["p10_d2"] == d2s[math.ceil(0.1 * n) - 1]
+        assert r["p50_d2"] == d2s[math.ceil(0.5 * n) - 1]
+        assert r["p90_d2"] == d2s[math.ceil(0.9 * n) - 1]
+
+
+def test_embedding_distance_profile_detects_collapse(spark):
+    """A collapsed label (all identical vectors) profiles to all-zero
+    distances; a spread label does not."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.similarity import (
+        embedding_distance_profile,
+    )
+
+    rows = [(i, [1.0, 2.0], 0) for i in range(8)] + [
+        (100 + i, [float(i), -float(i)], 1) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r["label"]: r for r in embedding_distance_profile(df, sample_per_label=8).collect()}
+    assert got[0]["max_d2"] == 0
+    assert got[1]["min_d2"] > 0

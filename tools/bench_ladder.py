@@ -160,6 +160,7 @@ LADDER_QUERIES = [
     "lsh_band_planner",
     "logrank_test",
     "event_freshness",
+    "embedding_distance_profile",
 ]
 
 SF01 = "/root/testdata/sf0.1"
