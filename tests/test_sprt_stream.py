@@ -19,7 +19,11 @@ T0 = datetime.datetime(2024, 1, 1)
 
 
 def _df(spark, rows):
-    return spark.createDataFrame(rows, SCHEMA)
+    # single output file per batch: the monitor's contract is
+    # event-time-ordered arrival, and maxFilesPerTrigger=1 walks FILES
+    # — a multi-part write would slice one logical batch into
+    # arbitrarily-ordered micro-batches
+    return spark.createDataFrame(rows, SCHEMA).coalesce(1)
 
 
 def _row(eid, sec, etype, value):
