@@ -527,9 +527,20 @@ def pq_literal_adc(
 
     from ..utils import parallelize_narrow
 
+    # in-column dim guard (the jl_project precedent): a mixed-length
+    # vector would otherwise NULL-pad zip_with diffs into silent NULL
+    # subspace distances and wrong codes instead of failing
+    guarded = F.when(F.size(F.col(vec_col)) == dim, vq).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pq_literal_adc: embedding length must be {dim}, got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
     coded = (
         parallelize_narrow(emb)
-        .select(F.col(id_col), vq.alias("__v"))
+        .select(F.col(id_col), guarded.alias("__v"))
         .select(F.col(id_col), *code_cols)
     )
     adc = None

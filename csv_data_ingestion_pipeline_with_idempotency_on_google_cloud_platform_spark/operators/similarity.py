@@ -1287,10 +1287,23 @@ def ivf_literal_probe(
     # argmin interpreted per row — measured 24 s vs 1.7 s at the 100x
     # embeddings rung; a generator output is a fresh attribute the
     # optimizer cannot inline, so the argmin runs exactly once
+    # in-column dim guard (the jl_project precedent): a mixed-length
+    # vector would otherwise NULL-pad zip_with into silent NULL dots
+    dim = len(qv)
+    guarded = F.when(F.size(F.col(vec_col)) == dim, vq).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"ivf_literal_probe: embedding length must be {dim}, got "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
     scored = (
         parallelize_narrow(emb)
         .where(F.col(id_col) != query_vec_id)
-        .select(F.col(id_col), vq.alias("__v"))
+        .select(F.col(id_col), guarded.alias("__v"))
         .select(
             F.col(id_col),
             F.col("__v"),
@@ -1323,31 +1336,78 @@ def embedding_distance_profile(
     X123 profiles per-dimension ranges, this profiles the GEOMETRY.
 
     Deterministic and exact: the sample is the id-order prefix per
-    label (a row_number window, then ≤ n·(n−1)/2 pairs per label from
-    a self-join — bounded by the literal sample size, never by the
-    corpus), distances are exact integer Σ∆² (BIGINT-safe: ≤1e15 at
-    dim 64), and the percentiles are rank-⌈q·n⌉ order statistics
-    under the (d2, id_a, id_b) total order.
+    label (≤ n·(n−1)/2 pairs per label from a self-join — bounded by
+    the literal sample size, never by the corpus), distances are
+    exact integer Σ∆² (BIGINT-safe: ≤1e15 at dim 64), and the
+    percentiles are rank-⌈q·n⌉ order statistics under the
+    (d2, id_a, id_b) total order.
+
+    Scale shape (round-9 fix of the r8 plan defect): labels are
+    LOW-cardinality, so a row_number window partitioned by label over
+    the raw vector-carrying table serializes every label's full row
+    population — with its 64-long quantized vector — through one task
+    (the exact pathology the trimmed_mean/hill tie-group rewrite
+    excised at the 100× rung). The id-prefix sample instead runs on a
+    two-level decomposition of a NARROW (label, rid) frame: (1) rids
+    bucket by ``rid div 4096`` — rid is unique, so a bucket holds ≤
+    4096 rows — and a per-(label, bucket) count cumsums over the
+    per-label BUCKET frame (corpus/4096 narrow rows per label, the
+    sprt/event_freshness day-decomposition precedent); (2) only
+    buckets whose preceding cumulative count < k can contribute to
+    the k lowest ids, and their union holds < k + 4096 rows per
+    label, so the exact row_number prefix runs on that bounded frame.
+    Vectors attach LAST, by broadcast-joining the ≤ k·|labels|
+    sampled ids into the scan — no vector ever crosses a shuffle or a
+    window.
+
+    Non-numeric labels: the label casts to BIGINT with an explicit
+    post-cast null filter (non-castable labels DROP, engine-identical
+    — the oracle uses TRY_CAST + the same filter; a bare CAST would
+    raise in DuckDB where Spark yields a silent NULL group).
 
     Returns (label, n_vecs, n_pairs, min_d2, p10_d2, p50_d2, p90_d2,
     max_d2) in e12 integer units.
     """
     vq = F.transform(
-        F.col(vec_col).cast("array<double>"),
+        F.col("__e").cast("array<double>"),
         lambda x: F.round(x * 1000000.0).cast("long"),
     )
-    w = Window.partitionBy("lb").orderBy("rid")
-    sampled = (
+    bucket_w = 4096
+    base = (
         parallelize_narrow(emb)
-        .where(F.col(label_col).isNotNull())
         .select(
             F.col(label_col).cast("long").alias("lb"),
             F.col(id_col).cast("long").alias("rid"),
-            vq.alias("__v"),
         )
-        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("lb").isNotNull())
+    )
+    bkts = base.groupBy(
+        "lb", F.floor(F.col("rid") / bucket_w).cast("long").alias("bkt")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wb = Window.partitionBy("lb").orderBy("bkt")
+    keep = (
+        bkts.withColumn("prev", F.sum("cnt").over(wb) - F.col("cnt"))
+        .where(F.col("prev") < sample_per_label)
+        .select("lb", "bkt")
+    )
+    wn = Window.partitionBy("lb").orderBy("rid")
+    sampled_ids = (
+        base.withColumn(
+            "bkt", F.floor(F.col("rid") / bucket_w).cast("long")
+        )
+        .join(F.broadcast(keep), ["lb", "bkt"])
+        .withColumn("rk", F.row_number().over(wn))
         .where(F.col("rk") <= sample_per_label)
-        .select("lb", "rid", "__v")
+        .select("lb", "rid")
+    )
+    sampled = (
+        parallelize_narrow(emb)
+        .select(
+            F.col(id_col).cast("long").alias("rid"),
+            F.col(vec_col).alias("__e"),
+        )
+        .join(F.broadcast(sampled_ids), "rid")
+        .select("lb", "rid", vq.alias("__v"))
     )
     a = sampled.select(
         F.col("lb").alias("la"), F.col("rid").alias("ia"), F.col("__v").alias("va")

@@ -2139,12 +2139,20 @@ def kruskal_wallis(
     where every arm is non-empty. R_g² can pass 2⁶³ only past ~3e9
     rows per type; deployments at that scale bucket values first.
     """
+    if n_arms <= 0 or 16 % n_arms != 0:
+        raise ValueError(
+            f"n_arms must divide 16 (hex-char arm split), got {n_arms}"
+        )
     arm = (
         F.conv(F.substring(F.md5(F.col(unit_col).cast("string")), 1, 1), 16, 10)
         .cast("int")
         / (16 // n_arms)
     ).cast("int")
-    base = events.where(F.col(value_col).isNotNull()).select(
+    base = events.where(
+        F.col(value_col).isNotNull()
+        & F.col(unit_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
         F.col(type_col).alias("t"),
         F.col(value_col).alias("v"),
         arm.alias("arm"),

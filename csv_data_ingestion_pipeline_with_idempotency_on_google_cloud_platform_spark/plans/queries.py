@@ -10350,7 +10350,9 @@ WITH base AS (
          CAST((strpos('0123456789abcdef',
                       substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
               // 4 AS INTEGER) AS arm
-  FROM events WHERE value IS NOT NULL
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL
 ), grp AS MATERIALIZED (
   SELECT t, v, arm, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2, 3
 ), tie AS MATERIALIZED (
@@ -11095,10 +11097,13 @@ def q_embedding_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EMBEDDING_DISTANCE_PROFILE = """
 WITH vq AS MATERIALIZED (
-  SELECT CAST(label AS BIGINT) AS lb, vec_id AS rid,
+  -- TRY_CAST + post-cast filter: non-numeric labels DROP, matching
+  -- Spark's cast-to-null + isNotNull (a bare CAST would raise here
+  -- where Spark silently NULLs)
+  SELECT TRY_CAST(label AS BIGINT) AS lb, vec_id AS rid,
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
-  FROM embeddings WHERE label IS NOT NULL
+  FROM embeddings WHERE TRY_CAST(label AS BIGINT) IS NOT NULL
 ), sampled AS MATERIALIZED (
   SELECT lb, rid, v FROM (
     SELECT lb, rid, v,

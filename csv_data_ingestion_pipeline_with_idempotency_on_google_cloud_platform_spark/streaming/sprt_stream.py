@@ -15,10 +15,22 @@ slicing.
 Ordering contract (the anomaly_stream convention): within a
 micro-batch rows are walked in (ts, event_id) order; across batches
 the source must deliver in event-time order (file-per-interval, the
-ingest discipline). A decision LATCHES at its first crossing — later
-data updates the running LLR but never un-decides (Wald's stopping
-rule is a stopping rule; the batch form's "first crossing" is the
-same contract).
+ingest discipline). applyInPandasWithState hands a group's micro-batch
+to the function as MULTIPLE Arrow chunks (split at
+spark.sql.execution.arrow.maxRecordsPerBatch, default 10k) with no
+cross-chunk ordering guarantee, so the walk concatenates every chunk
+first and sorts ONCE — sorting chunks independently would break the
+(ts, event_id) order past 10k rows/type/micro-batch. A decision
+LATCHES at its first crossing — later data updates the running LLR
+but never un-decides (Wald's stopping rule is a stopping rule; the
+batch form's "first crossing" is the same contract).
+
+Throughput: the within-batch walk is vectorized — the per-outcome LLR
+increment is a constant, so the running statistic is
+``np.where(ok, l_s, l_f).cumsum()`` (int64, bit-identical to the
+scalar loop) and the first crossing is an ``argmax`` over the
+threshold mask; no per-row Python. A 1M-row micro-batch walks in
+milliseconds instead of seconds.
 """
 
 from __future__ import annotations
@@ -26,6 +38,7 @@ from __future__ import annotations
 import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -69,18 +82,24 @@ def streaming_sprt_monitor(
         n, s, llr, decided, n_dec, llr_dec = (
             state.get if state.exists else (0, 0, 0, 0, 0, 0)
         )
-        for pdf in pdfs:
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values(["ts", "rid"])
-            for ok in pdf["ok"]:
-                n += 1
-                if bool(ok):
-                    s += 1
-                    llr += l_s
-                else:
-                    llr += l_f
-                if decided == 0 and (llr >= up or llr <= lo):
-                    decided = 1 if llr >= up else -1
-                    n_dec, llr_dec = n, llr
+            ok = pdf["ok"].to_numpy(dtype=bool)
+            run = llr + np.where(
+                ok, np.int64(l_s), np.int64(l_f)
+            ).cumsum()
+            if decided == 0:
+                crossed = (run >= up) | (run <= lo)
+                if crossed.any():
+                    i = int(crossed.argmax())
+                    decided = 1 if run[i] >= up else -1
+                    n_dec = n + i + 1
+                    llr_dec = int(run[i])
+            n += len(ok)
+            s += int(ok.sum())
+            llr = int(run[-1])
         state.update((n, s, llr, decided, n_dec, llr_dec))
         yield pd.DataFrame(
             {

@@ -1361,3 +1361,30 @@ def test_embedding_distance_profile_sample_bounded_join(spark):
     plan = _plan(spark, "embedding_distance_profile")
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_embedding_distance_profile_windows_are_narrow(spark):
+    """The r9 scale fix, pinned: labels are low-cardinality, so no
+    window (the sample prefix rank, the bucket cumsum, the pair rank)
+    may carry the embedding vector through its sort — vectors attach
+    AFTER sampling via a broadcast join of the bounded id set. A
+    window whose Input lists the vector column (__v/__e/embedding)
+    is the r8 defect reappearing."""
+    plan = _plan(spark, "embedding_distance_profile")
+    blocks = plan.split("\n\n")
+    win_blocks = [
+        b
+        for b in blocks
+        if b.lstrip().startswith("(") and ") Window" in b.splitlines()[0]
+    ]
+    assert win_blocks, "expected Window nodes in the X139 plan"
+    for b in win_blocks:
+        input_lines = [l for l in b.splitlines() if l.startswith("Input")]
+        for l in input_lines:
+            assert "__v" not in l and "__e" not in l and "embedding" not in l, (
+                "vector-carrying window in embedding_distance_profile "
+                f"plan:\n{b}"
+            )
+    # vectors attach via a broadcast hash join, never a shuffled join
+    # of the full table against the sample
+    assert "BroadcastHashJoin" in plan

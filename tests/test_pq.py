@@ -203,3 +203,29 @@ def test_ivfpq_append_rejects_dim_mismatch(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="refusing to append"):
         append_to_ivfpq_index(bad, path)
+
+
+def test_literal_adc_mixed_dim_raises(spark):
+    """A mixed-length embedding must fail loudly (the jl_project
+    guard), not NULL-pad zip_with into silent NULL distances."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(10)]
+    rows.append((10, [1.0, 2.0]))  # short vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(SparkRuntimeException, match="embedding length must be 8"):
+        pq.pq_literal_adc(df, m=4, k_code=4).collect()
+
+
+def test_ivf_literal_probe_mixed_dim_raises(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.similarity import (
+        ivf_literal_probe,
+    )
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(10)]
+    rows.append((10, [1.0, 2.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(SparkRuntimeException, match="embedding length must be 8"):
+        ivf_literal_probe(df, k_cells=2, nprobe=2).collect()

@@ -226,6 +226,30 @@ def test_kruskal_wallis_matches_scipy_formula(spark):
     assert r["arm_sizes_csv"] == ",".join(map(str, sizes))
 
 
+def test_kruskal_wallis_null_units_dropped_and_arm_guard(spark):
+    """NULL user_id/event_type rows must not inflate the rank totals
+    or tie correction (md5(NULL) -> arm NULL was counted in N's tie
+    groups but no arm); and n_arms must divide 16 or the hex-char
+    split silently creates an unreachable arm."""
+    import pytest
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    clean = [(uid, "t1", float(uid % 7)) for uid in range(120)]
+    dirty = clean + [(None, "t1", 3.0), (None, "t1", 99.0), (5, None, 2.0)]
+    schema = "user_id long, event_type string, value double"
+    want = kruskal_wallis(spark.createDataFrame(clean, schema)).collect()[0]
+    got = kruskal_wallis(spark.createDataFrame(dirty, schema)).collect()[0]
+    assert got["n"] == want["n"]
+    assert got["h_stat"] == want["h_stat"]
+    assert got["h_corrected"] == want["h_corrected"]
+    assert got["arm_sizes_csv"] == want["arm_sizes_csv"]
+    with pytest.raises(ValueError, match="divide 16"):
+        kruskal_wallis(spark.createDataFrame(clean, schema), n_arms=3)
+
+
 def test_sprt_first_crossing(spark):
     """A type whose every value succeeds crosses +ln(19) after exactly
     ceil(2944439/405465)=8 observations; an alternating type never

@@ -107,6 +107,52 @@ def test_sprt_stream_decision_latches(spark, tmp_path):
     assert last["llr_micro_final"] < 0           # LLR itself kept walking
 
 
+def test_sprt_stream_multi_chunk_ordering(spark, tmp_path):
+    """applyInPandasWithState splits a group's micro-batch into
+    multiple Arrow chunks (arrow.maxRecordsPerBatch) with no
+    cross-chunk ordering guarantee. The walk must concat-then-sort
+    ONCE: here the file carries 20 successes (late ts) BEFORE 20
+    failures (early ts), with a 16-row chunk size — per-chunk sorting
+    would walk the successes first and latch accept_h1; the correct
+    (ts, rid) walk latches accept_h0 at n=8."""
+    src = tmp_path / "events"
+    src.mkdir()
+    fails = [_row(i, i, "t", 1.0) for i in range(20)]
+    succs = [_row(100 + i, 100 + i, "t", 100.0) for i in range(20)]
+    # file order: successes first (reverse of event-time order)
+    _df(spark, succs + fails).write.parquet(str(src / "b1"))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = (
+            streaming_sprt_monitor(stream)
+            .writeStream.format("memory")
+            .queryName("sprt_chunks")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("select * from sprt_chunks").collect()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    last = max(rows, key=lambda r: r["n_events"])
+    want = sprt_ab_test(_df(spark, fails + succs)).collect()[0]
+    assert last["decision"] == "accept_h0"
+    assert last["n_at_decision"] == want["n_at_decision"] == 8
+    assert last["llr_micro_at_decision"] == want["llr_micro_at_decision"]
+    assert last["llr_micro_final"] == want["llr_micro_final"]
+    assert last["n_events"] == 40
+
+
 def test_sprt_stream_checkpoint_restart(spark, tmp_path):
     src = tmp_path / "events"
     src.mkdir()
