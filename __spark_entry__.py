@@ -38,17 +38,19 @@ def oracle_sql() -> dict[str, str]:
 
     Registry layout: the first 50 entries are all oracle-backed (the
     driver's checked window). The window is selected BY NAME
-    (plans/queries.py R8_WINDOW) and guarded at import time — a
+    (plans/queries.py R9_WINDOW) and guarded at import time — a
     mis-rotated registry (window name missing, not oracle-backed, or
     wrong length) raises ImportError before the driver runs anything.
-    Round-8 window: the 6 round-8 additions (X121–X126, incl. the PQ
-    and IVF literal-synopsis oracle twins), the 7 queries whose
-    semantics or oracle text changed closing the r7 ADVICE items
-    (hill_tail_index, the media payload family, jl_project,
-    embedding_norm_profile), then 37 backfill slots for the queries
-    whose driver evidence was oldest (the r3-witnessed TPC-H block
-    tpch_q2/q4/q5/q7–q22, the governance trio, and the r3/r4
-    temporal-join / retrieval / sketches families). Past the
+    Round-9 window: the 13 round-8 tail queries that landed after the
+    r8 window froze (vocab_coverage_estimate … embedding_distance_
+    profile — never driver-witnessed), the 4 queries rewritten or
+    semantics-touched since their last witness (trimmed_mean's
+    tie-group rewrite; kruskal_wallis's NULL-unit filter; the pq/ivf
+    literal twins' dim guards), then 33 backfill slots for the
+    queries whose driver evidence was oldest per the
+    CORRECTNESS_r01–r08 history (the r1 codec/rollup block, the r2
+    sampling/text block, the full r3 block, and the head of the r4
+    graph/stats families). Past the
     window sit the rows-only entries and the remaining oracle-backed
     ones (every ORACLE_SQL key past registry position 50 —
     tests/test_queries_oracle.py runs the identical parity check on
