@@ -288,7 +288,8 @@ def embedding_norm_profile(
     label would overflow a BIGINT sum; the oracle widens to HUGEINT
     the same way).
 
-    One narrow fold + one rank window on the label key. Returns
+    One narrow fold + tie-group order statistics on the label key
+    (no data-scale rank window — see inline note). Returns
     (label, n_vecs, mean_norm2, p50_norm2, p90_norm2) with norms² in
     e12 integer units.
     """
@@ -310,19 +311,36 @@ def embedding_norm_profile(
             F.col("vec_id").cast("long").alias("rid"),
         )
     )
-    w = Window.partitionBy("lb").orderBy("n2", "rid")
-    wn = Window.partitionBy("lb")
-    ranked = base.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    # tie-group order statistics (round-9 sweep, the trimmed_mean /
+    # activation_latency rule): the value at rank ⌈q·n⌉ under
+    # (n2, rid) order depends only on per-value cumulative counts, so
+    # a map-side-combinable groupBy(lb, n2) + cumsum over the
+    # distinct-norm frame replaces the row-rank window that serialized
+    # each label's full population through one task. Residual: the
+    # cumsum still sorts one label's DISTINCT norms in one task —
+    # narrow 24-byte rows, and exact e12 norms of real embeddings
+    # collapse heavily; the row-rank form had no such reduction.
+    cells = base.groupBy("lb", "n2").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
     )
-    pick = lambda q: F.max(  # noqa: E731 - order stat at rank ⌈q·n⌉
-        F.when(F.col("rk") == F.expr(f"cast(ceil({q} * n) as bigint)"), F.col("n2"))
+    wg = Window.partitionBy("lb").orderBy("n2")
+    wt = Window.partitionBy("lb")
+    ranked = cells.withColumn("cum", F.sum("__c").over(wg)).withColumn(
+        "n", F.sum("__c").over(wt)
+    )
+    pick = lambda q: F.min(  # noqa: E731 - tie-group order statistic
+        F.when(
+            F.col("cum") >= F.expr(f"cast(ceil({q} * n) as bigint)"),
+            F.col("n2"),
+        )
     )
     return (
         ranked.groupBy("lb")
         .agg(
             F.max("n").cast("long").alias("n_vecs"),
-            F.expr("sum(cast(n2 as decimal(38,0))) div count(1)")
+            F.expr(
+                "sum(cast(n2 as decimal(38,0)) * __c) div sum(__c)"
+            )
             .cast("long")
             .alias("mean_norm2"),
             pick(0.5).cast("long").alias("p50_norm2"),
@@ -358,12 +376,10 @@ def embedding_clip_bounds(
     statistics at rank ⌈q·n⌉ under the total order (value, vec_id) —
     no interpolation, engine-identical.
 
-    Scale shape: posexplode → ONE rank window partitioned by the
-    dimension index. Parallelism is bounded by dim (64 partitions),
-    which is the honest cost of EXACT order statistics — the same
-    bound trimmed_mean accepts per event type; at 100 TB swap in
-    approx_percentile per dimension (map-side combinable sketch) and
-    keep this as the audit pass on a sample. Output is dim rows.
+    Scale shape: posexplode → map-side-combinable (pos, value) tie
+    counts → cumsum over a per-dimension frame bounded by the e6
+    VALUE RANGE (≤ ~2e6 rows/dim for L2-normalized components),
+    independent of corpus size. Output is dim rows.
 
     Returns (pos, n_vecs, min_e6, p_low_e6, p_high_e6, max_e6).
     """
@@ -371,18 +387,34 @@ def embedding_clip_bounds(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * 1000000.0).cast("long"),
     )
-    base = (
-        parallelize_narrow(emb)
-        .select(F.col(id_col).cast("long").alias("rid"), vq.alias("__v"))
-        .select("rid", F.posexplode("__v").alias("pos", "v"))
+    # vq INLINED into the posexplode: generating from a NAMED array
+    # projection lets InferFiltersFromGenerate push `size(__v) > 0`
+    # (and the whole transform) into the scan Filter, re-running the
+    # quantization per row pre-shuffle (the top_terms_drift lesson,
+    # measured 10x on the tokenize shape at the 100x rung)
+    base = parallelize_narrow(emb).select(
+        F.col(id_col).cast("long").alias("rid"),
+        F.posexplode(vq).alias("pos", "v"),
     )
-    w = Window.partitionBy("pos").orderBy("v", "rid")
-    wn = Window.partitionBy("pos")
-    ranked = base.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    # tie-group order statistics (round-9 sweep): per-(pos, v) counts
+    # + cumsum over the distinct-value frame. L2-normalized components
+    # live in [-1, 1], so the e6 grid admits at most ~2e6 distinct
+    # values per dimension — the frame is bounded by the VALUE RANGE,
+    # independent of corpus size, where the previous row-rank window
+    # serialized every row of a dimension through one task.
+    cells = base.groupBy("pos", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
     )
-    pick = lambda q: F.max(  # noqa: E731 - order stat at rank ⌈q·n⌉
-        F.when(F.col("rk") == F.expr(f"cast(ceil({q} * n) as bigint)"), F.col("v"))
+    wg = Window.partitionBy("pos").orderBy("v")
+    wt = Window.partitionBy("pos")
+    ranked = cells.withColumn("cum", F.sum("__c").over(wg)).withColumn(
+        "n", F.sum("__c").over(wt)
+    )
+    pick = lambda q: F.min(  # noqa: E731 - tie-group order statistic
+        F.when(
+            F.col("cum") >= F.expr(f"cast(ceil({q} * n) as bigint)"),
+            F.col("v"),
+        )
     )
     return (
         ranked.groupBy("pos")

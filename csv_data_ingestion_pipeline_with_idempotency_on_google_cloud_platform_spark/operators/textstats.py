@@ -874,9 +874,16 @@ def quality_quantile_normalize(
     quality blend), the quantile is ((rank−1)·1000) div (n−1) with
     RANK() so ties share a value — both deterministic in any engine.
 
-    Scale shape: one narrow projection + one window per source key
-    (parallel across sources, width = docs per source). No float, no
-    shuffle beyond the rank exchange.
+    Scale shape (round-9 rewrite, the trimmed_mean tie-group rule):
+    `source` is LOW-cardinality, so a rank window partitioned by it
+    over the full doc frame would serialize every source's population
+    through one task. But q_milli is bounded to 0..1000 by
+    construction, so RANK() lives on TIE GROUPS exactly: a map-side
+    combinable groupBy(source, q_milli) count, a cumsum over the
+    ≤1001-row-per-source value frame (rank of a tie group = 1 +
+    count of strictly smaller values), and a broadcast join of the
+    tiny (source, q_milli → q_norm) lookup back onto the docs. No
+    data-scale window anywhere; identical output.
 
     Returns (doc_id, source, q_milli, q_norm_milli).
     """
@@ -885,19 +892,26 @@ def quality_quantile_normalize(
         f" div greatest(length({text_col}), 1)"
     ).cast("long")
     base = docs.select(F.col(id_col), F.col(source_col).alias("source"), q.alias("q_milli"))
-    w = Window.partitionBy("source").orderBy("q_milli")
+    tie = base.groupBy("source", "q_milli").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    wv = Window.partitionBy("source").orderBy("q_milli")
     wall = Window.partitionBy("source")
-    return (
-        base.withColumn("__rk", F.rank().over(w).cast("long"))
-        .withColumn("__n", F.count(F.lit(1)).over(wall).cast("long"))
+    lut = (
+        tie.withColumn(
+            "__rk", (F.sum("__cnt").over(wv) - F.col("__cnt") + 1).cast("long")
+        )
+        .withColumn("__n", F.sum("__cnt").over(wall).cast("long"))
         .select(
-            id_col,
             "source",
             "q_milli",
             F.expr("((__rk - 1) * 1000) div greatest(__n - 1, 1)")
             .cast("long")
             .alias("q_norm_milli"),
         )
+    )
+    return base.join(F.broadcast(lut), ["source", "q_milli"]).select(
+        id_col, "source", "q_milli", "q_norm_milli"
     )
 
 
@@ -1335,79 +1349,132 @@ def top_terms_drift(
     order — identical set selection in any engine; Jaccard on exact
     set sizes as a 1000-scaled floor-div.
 
-    Scale shape: (source, half, term) counts map-side combine; one
-    rank window per (source, half); the final per-source overlap is a
-    k-row self-join on tiny frames. Returns
+    Scale shape: the median-rid half boundary comes from a two-level
+    rid-bucket decomposition of a NARROW (source, rid) frame (the
+    embedding_distance_profile sample precedent — round-9 sweep fix:
+    the r8 form ran a row_number window partitioned by the
+    low-cardinality source over the full token-array-carrying frame).
+    rid is unique, so a ``rid div 4096`` bucket holds ≤4096 rows; the
+    per-(source, bucket) count cumsum finds the bucket containing
+    rank ⌈n/2⌉, the exact threshold rid is ranked inside that ONE
+    ≤4096-row bucket, and the per-source (threshold, n) broadcasts
+    back onto the docs. (source, half, term) counts then map-side
+    combine; the final per-source overlap is a k-row self-join on
+    tiny frames. Returns
     (source, n_docs, top_k_first, top_k_second, n_common,
     jaccard_milli).
     """
-    w = Window.partitionBy("g").orderBy("rid")
-    wn = Window.partitionBy("g")
+    bucket_w = 4096
+    narrow = (
+        parallelize_narrow(docs)
+        .where(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.col(id_col).cast("long").alias("rid"),
+        )
+    )
+    bkts = narrow.groupBy(
+        "g", F.floor(F.col("rid") / bucket_w).cast("long").alias("bkt")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    wb = Window.partitionBy("g").orderBy("bkt")
+    cumb = (
+        bkts.withColumn("cum", F.sum("__c").over(wb))
+        .withColumn("n", F.sum("__c").over(Window.partitionBy("g")))
+        .withColumn("__tgt", F.expr("cast(ceil(n / 2.0) as bigint)"))
+    )
+    boundary = cumb.where(
+        (F.col("cum") >= F.col("__tgt"))
+        & (F.col("cum") - F.col("__c") < F.col("__tgt"))
+    ).select(
+        "g", "bkt", (F.col("cum") - F.col("__c")).alias("__prev"),
+        "n", "__tgt",
+    )
+    wn2 = Window.partitionBy("g").orderBy("rid")
+    thr = (
+        narrow.withColumn(
+            "bkt", F.floor(F.col("rid") / bucket_w).cast("long")
+        )
+        .join(F.broadcast(boundary), ["g", "bkt"])
+        .withColumn("rk", F.row_number().over(wn2))
+        .where(F.col("__prev") + F.col("rk") == F.col("__tgt"))
+        .select("g", F.col("rid").alias("__thr"), "n")
+    )
+    # the tokenizer expression is INLINED into the explode: exploding
+    # a NAMED array projection lets InferFiltersFromGenerate derive
+    # `size(__t) > 0` and push the whole regexp-split expression into
+    # the pre-shuffle Filter, re-running it ~4x per row on the 1-task
+    # scan stage (measured 10x at the 100x docs rung — the generate
+    # cousin of the r8 HOF-projection-filter lesson; the r8 window
+    # was accidentally a barrier against it)
     halves = (
         parallelize_narrow(docs)
         .where(F.col(group_col).isNotNull())
         .select(
             F.col(group_col).alias("g"),
             F.col(id_col).cast("long").alias("rid"),
-            tokens_col(text_col).alias("__t"),
+            F.col(text_col).alias("__txt"),
         )
-        .withColumn("rk", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(wn))
-        .withColumn(
-            "half",
-            F.when(
-                F.col("rk") <= F.expr("cast(ceil(n / 2.0) as bigint)"), 1
-            ).otherwise(2),
+        .join(F.broadcast(thr), "g")
+        .select(
+            "g",
+            "n",
+            F.when(F.col("rid") <= F.col("__thr"), 1)
+            .otherwise(2)
+            .alias("half"),
+            F.explode(tokens_col("__txt")).alias("w"),
         )
-        .select("g", "n", "half", F.explode("__t").alias("w"))
     )
-    counts = halves.groupBy("g", "half", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("c"),
-        F.max("n").cast("long").alias("n_docs"),
-    )
-    wr = Window.partitionBy("g", "half").orderBy(
-        F.col("c").desc(), F.col("w")
-    )
-    top = counts.withColumn("trk", F.row_number().over(wr)).where(
-        F.col("trk") <= k
-    )
-    # rename BOTH join keys before the self-join: a[g]==b[g] on two
-    # frames sharing one lineage triggers Spark's ambiguous-self-join
-    # resolution (it warns "trivially true equals predicate") — renamed
-    # columns make the equi-join unambiguous by construction
-    a = top.where(F.col("half") == 1).select(
-        F.col("g").alias("ga"), F.col("w").alias("wa")
-    )
-    b = top.where(F.col("half") == 2).select(
-        F.col("g").alias("gb"), F.col("w").alias("wb")
-    )
-    inter = (
-        a.join(b, (F.col("ga") == F.col("gb")) & (F.col("wa") == F.col("wb")))
-        .groupBy(F.col("ga").alias("g"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    sizes = top.groupBy("g").agg(
-        F.max("n_docs").cast("long").alias("n_docs"),
+    # SINGLE-PASS overlap (round-9): the r8 form derived `top` once
+    # and consumed it THREE times (a-side, b-side, sizes) — Spark
+    # re-executes the doc-scale tokenize upstream per consumer, so the
+    # self-join tripled the whole pipeline. Pivot the two halves into
+    # one (g, w, c1, c2) frame instead: both top-k ranks ride the SAME
+    # aggregate and the intersection is a boolean AND per term — one
+    # upstream execution, zero self-joins. Rank equivalence: all
+    # c1>0 rows sort before every c1=0 row under (c1 desc, w), so the
+    # per-half ranks match the old per-(g, half) window exactly; the
+    # c>0 guard drops the absent-in-this-half rows the old frame never
+    # contained. The rank window input is the per-source VOCAB
+    # aggregate (narrow rows), not the doc frame.
+    counts = halves.groupBy("g", "w").agg(
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
         .cast("long")
-        .alias("ka"),
+        .alias("c1"),
         F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
         .cast("long")
-        .alias("kb"),
+        .alias("c2"),
+        F.max("n").cast("long").alias("n_docs"),
+    )
+    w1 = Window.partitionBy("g").orderBy(F.col("c1").desc(), F.col("w"))
+    w2 = Window.partitionBy("g").orderBy(F.col("c2").desc(), F.col("w"))
+    flagged = (
+        counts.withColumn("rk1", F.row_number().over(w1))
+        .withColumn("rk2", F.row_number().over(w2))
+        .select(
+            "g",
+            "n_docs",
+            ((F.col("rk1") <= k) & (F.col("c1") > 0)).alias("in1"),
+            ((F.col("rk2") <= k) & (F.col("c2") > 0)).alias("in2"),
+        )
+        .where(F.col("in1") | F.col("in2"))
     )
     return (
-        sizes.join(inter, "g", "left")
+        flagged.groupBy("g")
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.sum(F.col("in1").cast("long")).cast("long").alias("ka"),
+            F.sum(F.col("in2").cast("long")).cast("long").alias("kb"),
+            F.sum((F.col("in1") & F.col("in2")).cast("long"))
+            .cast("long")
+            .alias("n_common"),
+        )
         .select(
             F.col("g").alias(group_col),
             "n_docs",
             F.col("ka").alias("top_k_first"),
             F.col("kb").alias("top_k_second"),
-            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias(
-                "n_common"
-            ),
-            F.expr(
-                "(1000 * coalesce(n_common, 0)) div (ka + kb - coalesce(n_common, 0))"
-            )
+            F.col("n_common"),
+            F.expr("(1000 * n_common) div (ka + kb - n_common)")
             .cast("long")
             .alias("jaccard_milli"),
         )

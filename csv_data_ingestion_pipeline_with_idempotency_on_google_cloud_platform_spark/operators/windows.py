@@ -856,9 +856,14 @@ def activation_latency(
 
     Exact: event order is the (ts, event_id) total order, latency is
     an integer micros difference floored to seconds, and percentiles
-    are rank-⌈q·n⌉ order statistics under (latency, user) — no
-    interpolation. Two windows: one per-(type,user) row_number (the
-    per-user sequence), one per-type rank. Returns
+    are rank-⌈q·n⌉ order statistics — no interpolation. The per-user
+    sequence rank partitions by (type, user) — a data-scaling key.
+    The per-type percentile runs on TIE GROUPS (round-9 sweep: the
+    value at rank ⌈q·n⌉ under (lat_s, u) order depends only on the
+    lat_s cumulative counts, so a groupBy(t, lat_s) count + cumsum
+    over the distinct-latency frame replaces the user-scale
+    row_number window the r8 form serialized through one task per
+    type — the trimmed_mean/event_freshness precedent). Returns
     (event_type, n_activated, p50_latency_s, p90_latency_s,
     max_latency_s).
     """
@@ -893,14 +898,19 @@ def activation_latency(
             ).cast("long").alias("lat_s"),
         )
     )
-    wr = Window.partitionBy("t").orderBy("lat_s", "u")
-    wn = Window.partitionBy("t")
-    ranked = lat.withColumn("rk", F.row_number().over(wr)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    cells = lat.groupBy("t", "lat_s").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
     )
-    pick = lambda q: F.max(  # noqa: E731 - order stat at rank ⌈q·n⌉
+    wg = Window.partitionBy("t").orderBy("lat_s")
+    wt = Window.partitionBy("t")
+    ranked = cells.withColumn("cum", F.sum("__c").over(wg)).withColumn(
+        "n", F.sum("__c").over(wt)
+    )
+    # smallest latency whose cumulative count reaches rank ⌈q·n⌉ —
+    # identical to the value at that rank under (lat_s, u) order
+    pick = lambda q: F.min(  # noqa: E731 - tie-group order statistic
         F.when(
-            F.col("rk") == F.expr(f"cast(ceil({q} * n) as bigint)"),
+            F.col("cum") >= F.expr(f"cast(ceil({q} * n) as bigint)"),
             F.col("lat_s"),
         )
     )
