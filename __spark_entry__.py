@@ -41,16 +41,18 @@ def oracle_sql() -> dict[str, str]:
     (plans/queries.py R9_WINDOW) and guarded at import time — a
     mis-rotated registry (window name missing, not oracle-backed, or
     wrong length) raises ImportError before the driver runs anything.
-    Round-9 window: the 13 round-8 tail queries that landed after the
-    r8 window froze (vocab_coverage_estimate … embedding_distance_
-    profile — never driver-witnessed), the 4 queries rewritten or
-    semantics-touched since their last witness (trimmed_mean's
-    tie-group rewrite; kruskal_wallis's NULL-unit filter; the pq/ivf
-    literal twins' dim guards), then 33 backfill slots for the
-    queries whose driver evidence was oldest per the
-    CORRECTNESS_r01–r08 history (the r1 codec/rollup block, the r2
+    Round-9 window: the 3 round-9 additions (pca_literal_project,
+    bpe_literal_encode, sprt_daily_ledger), the 13 round-8 tail
+    queries that landed after the r8 window froze
+    (vocab_coverage_estimate … embedding_distance_profile — never
+    driver-witnessed), the 4 queries rewritten or semantics-touched
+    since their last witness (trimmed_mean's tie-group rewrite;
+    kruskal_wallis's NULL-unit filter; the pq/ivf literal twins' dim
+    guards), then 30 backfill slots for the queries whose driver
+    evidence was oldest per the CORRECTNESS_r01–r08 history (the r2
     sampling/text block, the full r3 block, and the head of the r4
-    graph/stats families). Past the
+    graph/stats families; the four r1-witnessed names were renamed in
+    r2). Past the
     window sit the rows-only entries and the remaining oracle-backed
     ones (every ORACLE_SQL key past registry position 50 —
     tests/test_queries_oracle.py runs the identical parity check on

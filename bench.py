@@ -271,6 +271,10 @@ HEADLINE = [
     "logrank_test",
     "event_freshness",
     "embedding_distance_profile",
+    # round-9 additions
+    "pca_literal_project",
+    "bpe_literal_encode",
+    "sprt_daily_ledger",
 ]
 
 

@@ -434,3 +434,86 @@ def embedding_clip_bounds(
             "max_e6",
         )
     )
+
+
+def pca_literal_project(
+    emb: DataFrame,
+    q: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PCA SERVE path with the projection matrix pinned to its
+    deterministic init — the ``q`` lowest-id vectors on the e6 grid —
+    and the centering vector pinned to their element-wise floor mean
+    (round 9): the X121/X122 literal-synopsis trick applied to linear
+    projection, closing the PCA family's oracle gap the way
+    `pq_literal_adc` closed PQ's. The trained form (`pca_project`,
+    covariance partials + eigh) stays rows-only; THIS is what a
+    serving layer executes once the matrix is frozen — a centered
+    integer matmul, replayable bit-for-bit in any engine:
+
+        s_j = Σ_d (x_d·1e6 − m_d) · c_{j,d}   (exact BIGINT, e12 units)
+
+    Distributed shape: the q×dim matrix and the mean ride as literal
+    arrays (one bounded q-row driver collect — the same k×dim bound
+    as kmeans_literal_assign); the projection is q aggregate folds
+    per row. Zero joins, zero shuffles, zero Python. Magnitudes:
+    |diff| ≤ 2e6 × |c| ≤ 2e6 × dim 64 ≈ 2.6e14 — inside BIGINT.
+
+    In-column dim guard per the jl_project convention. Returns
+    (id_col, s0_e12 .. s{q-1}_e12), fixed column order.
+
+    Reference basis: standard frozen-matrix PCA serving (two-pass
+    tall-skinny PCA per `pca_fit`); no reference-repo counterpart —
+    §2b extension family X56/X140.
+    """
+    from ..utils import parallelize_narrow
+
+    vq = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1000000.0).cast("long"),
+    )
+    seeds = [
+        [int(x) for x in r["v"]]
+        for r in emb.orderBy(id_col).limit(q).select(vq.alias("v")).collect()
+    ]
+    if len(seeds) < q:
+        raise ValueError(f"pca_literal_project: need >= {q} rows")
+    dim = len(seeds[0])
+    if any(len(s) != dim for s in seeds):
+        raise ValueError("pca_literal_project: seed dim mismatch")
+    # element-wise TRUNCATING mean: DuckDB's integer `//` truncates
+    # toward zero (-7 // 4 = -1) where python's floors (-2) — match
+    # DuckDB/Spark-div semantics explicitly for negative sums
+    def _tdiv(a: int, b: int) -> int:
+        return a // b if a >= 0 else -((-a) // b)
+
+    mean = [_tdiv(sum(s[d] for s in seeds), q) for d in range(dim)]
+    mlit = F.array(*[F.lit(int(x)).cast("long") for x in mean])
+    guarded = F.when(F.size(F.col(vec_col)) == dim, vq).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"pca_literal_project: embedding length must be {dim},"
+                    " got "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
+    diff = F.zip_with(F.col("__v"), mlit, lambda a, b: a - b)
+    score_cols = []
+    for j, cj in enumerate(seeds):
+        clit = F.array(*[F.lit(int(x)).cast("long") for x in cj])
+        s = F.aggregate(
+            F.zip_with(F.col("__d"), clit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        score_cols.append(s.cast("long").alias(f"s{j}_e12"))
+    return (
+        parallelize_narrow(emb)
+        .select(F.col(id_col), guarded.alias("__v"))
+        .select(F.col(id_col), diff.alias("__d"))
+        .select(F.col(id_col), *score_cols)
+    )

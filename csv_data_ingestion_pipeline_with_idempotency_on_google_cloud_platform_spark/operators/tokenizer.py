@@ -208,3 +208,97 @@ def apply_bpe(
             yield pdf
 
     return docs.mapInPandas(encode, schema)
+
+
+# frozen literal merge table for the oracle-gated encode twin (X141):
+# applied IN ORDER; each step replaces every non-overlapping
+# left-to-right occurrence of the space-separated pair — the batch
+# BPE-apply step with the merge list pinned, so both engines replay it
+# with plain string replace
+LITERAL_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("a", "n"),
+    ("an", "d"),
+    ("i", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+]
+
+
+def bpe_literal_encode(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE ENCODE with the merge list pinned to the LITERAL_MERGES
+    table (round 9): the X121/X122 literal-synopsis trick applied to
+    tokenization, closing the BPE family's oracle gap — the trained
+    `bpe_merge_learn` (iterative pair counting, exact reference-impl
+    parity in tests) stays rows-only; THIS is what the serving
+    encoder executes once merges are frozen. Pure string algebra both
+    engines replay byte-for-byte:
+
+      1. lowercase each whitespace token, intersperse single spaces
+         between characters (regexp_replace '(.)' → '$1 '), pad with
+         one space either side;
+      2. for each merge (a, b) in order: replace ' a b ' with ' ab '
+         (left-to-right non-overlapping — identical semantics in
+         Spark `replace` and DuckDB `replace`);
+      3. the piece count per word is the space-split size of the
+         trimmed result.
+
+    Scale shape: one narrow projection; per-word work rides a
+    higher-order transform over the token array (JVM expressions, no
+    explode of data-scale rows, no shuffle beyond the final per-doc
+    projection — it IS per-doc). Output per document:
+    (doc_id, n_words, n_symbols, n_pieces, merge_gain_milli) where
+    n_symbols is the pre-merge character count over lowered tokens
+    and merge_gain_milli = 1000·(n_symbols − n_pieces) div
+    max(n_symbols, 1).
+    """
+    from ..utils import parallelize_narrow
+
+    def pieces(w: F.Column) -> F.Column:
+        s = F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.lower(w), "(.)", "$1 ")),
+            F.lit(" "),
+        )
+        for a, b in LITERAL_MERGES:
+            s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+        return F.size(F.split(F.trim(s), " "))
+
+    toks = tokens_col(text_col)
+    n_words = F.size(toks).cast("long")
+    n_symbols = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(F.lower(w)),
+    )
+    n_pieces = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + pieces(w).cast("long"),
+    )
+    return (
+        parallelize_narrow(docs)
+        .select(
+            F.col(id_col),
+            n_words.alias("n_words"),
+            n_symbols.alias("n_symbols"),
+            n_pieces.alias("n_pieces"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_symbols",
+            "n_pieces",
+            F.expr(
+                "(1000 * (n_symbols - n_pieces)) div greatest(n_symbols, 1)"
+            )
+            .cast("long")
+            .alias("merge_gain_milli"),
+        )
+    )

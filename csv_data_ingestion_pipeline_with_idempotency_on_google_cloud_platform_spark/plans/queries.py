@@ -26,6 +26,7 @@ from ..functions.text import lang_id_col
 from ..operators import (
     dedup,
     graph,
+    linalg,
     multimodal,
     packing,
     sampling,
@@ -11141,6 +11142,166 @@ FROM stats s JOIN nv ON nv.lb = s.lb
 """
 
 
+def q_pca_literal_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X140 (round 9): the PCA serve path with the projection matrix
+    pinned to its deterministic init (q=4 lowest-id vectors, e6 grid)
+    and the centering vector to their element-wise floor mean
+    (operators/linalg.py:pca_literal_project) — closes the PCA
+    family's oracle gap the way X121/X122 closed PQ/IVF's; the
+    trained `pca_project` stays rows-only. Full oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return linalg.pca_literal_project(emb, q=4)
+
+
+SQL_PCA_LITERAL_PROJECT = """
+WITH vq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings
+), seeds AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+  FROM (SELECT vec_id, v FROM vq ORDER BY vec_id LIMIT 4)
+), mexp AS MATERIALIZED (
+  -- element-wise TRUNCATING mean (DuckDB integer // truncates toward
+  -- zero; the Spark-side python literal mirrors that exactly)
+  SELECT i, CAST(SUM(v[i]) // 4 AS BIGINT) AS mi
+  FROM seeds CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) t
+  GROUP BY i
+), m AS MATERIALIZED (
+  SELECT list(mi ORDER BY i) AS mv FROM mexp
+), d AS (
+  SELECT vq.vec_id, s.j,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> (vq.v[i] - m.mv[i]) * s.v[i])) AS BIGINT) AS sc
+  FROM vq CROSS JOIN m CROSS JOIN seeds s
+)
+SELECT vec_id,
+       MAX(CASE WHEN j = 0 THEN sc END) AS s0_e12,
+       MAX(CASE WHEN j = 1 THEN sc END) AS s1_e12,
+       MAX(CASE WHEN j = 2 THEN sc END) AS s2_e12,
+       MAX(CASE WHEN j = 3 THEN sc END) AS s3_e12
+FROM d GROUP BY vec_id
+"""
+
+
+def q_bpe_literal_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X141 (round 9): BPE encode with the merge list pinned to the
+    frozen LITERAL_MERGES table (operators/tokenizer.py:
+    bpe_literal_encode) — the serving encoder both engines replay as
+    plain string replaces; the trained `bpe_merge_learn` stays
+    rows-only. Full oracle."""
+    from ..operators import tokenizer
+
+    return tokenizer.bpe_literal_encode(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+SQL_BPE_LITERAL_ENCODE = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+         END AS ws
+  FROM documents
+), enc AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(ws,
+              w -> length(lower(w)))), 0) AS BIGINT) AS n_symbols,
+         CAST(coalesce(list_sum(list_transform(ws, w ->
+           len(string_split(trim(
+             replace(replace(replace(replace(
+             replace(replace(replace(replace(
+               ' ' || trim(regexp_replace(lower(w), '(.)', '\1 ', 'g'))
+                   || ' ',
+               ' t h ', ' th '),
+               ' th e ', ' the '),
+               ' a n ', ' an '),
+               ' an d ', ' and '),
+               ' i n ', ' in '),
+               ' e r ', ' er '),
+               ' o n ', ' on '),
+               ' r e ', ' re ')
+           ), ' ')))), 0) AS BIGINT) AS n_pieces
+  FROM toks
+)
+SELECT doc_id, n_words, n_symbols, n_pieces,
+       CAST((1000 * (n_symbols - n_pieces))
+            // greatest(n_symbols, 1) AS BIGINT) AS merge_gain_milli
+FROM enc
+"""
+
+
+def q_sprt_daily_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X142 (round 9): per-(type, day) Wald-SPRT state ledger
+    (operators/stats.py:sprt_daily_ledger) — the batch replay of the
+    update row streaming/sprt_stream.py emits per day-file
+    micro-batch (latched decision, running integer LLR), giving the
+    streaming monitor's core arithmetic a driver-oracle witness (the
+    srm_check-readout precedent). Full oracle."""
+    from ..operators.stats import sprt_daily_ledger
+
+    return sprt_daily_ledger(load_table(spark, sf_dir, "events"))
+
+
+SQL_SPRT_DAILY_LEDGER = """
+WITH base AS MATERIALIZED (
+  SELECT event_type AS t, ts, event_id AS rid,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS d,
+         CASE WHEN CAST(round(CAST(value AS DOUBLE) * 1000.0) AS BIGINT)
+                   > 50000 THEN 1 ELSE 0 END AS s
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), walked AS (
+  SELECT t, d,
+         SUM(s * 405465 + (1 - s) * (-405465))
+           OVER (PARTITION BY t ORDER BY ts, rid) AS llr,
+         row_number() OVER (PARTITION BY t ORDER BY ts, rid) AS rn
+  FROM base
+), daytot AS MATERIALIZED (
+  SELECT t, d,
+         CAST(SUM(s * 405465 + (1 - s) * (-405465)) AS BIGINT) AS dt,
+         CAST(COUNT(*) AS BIGINT) AS dn,
+         CAST(SUM(s) AS BIGINT) AS ds
+  FROM base GROUP BY 1, 2
+), cums AS (
+  SELECT t, d,
+         CAST(SUM(dt) OVER (PARTITION BY t ORDER BY d) AS BIGINT)
+           AS llr_micro_eod,
+         CAST(SUM(dn) OVER (PARTITION BY t ORDER BY d) AS BIGINT)
+           AS n_events_cum,
+         CAST(SUM(ds) OVER (PARTITION BY t ORDER BY d) AS BIGINT)
+           AS n_success_cum
+  FROM daytot
+), firsts AS MATERIALIZED (
+  SELECT t, CAST(min(rn) AS BIGINT) AS frn,
+         CAST(min_by(llr, rn) AS BIGINT) AS fllr,
+         CAST(min_by(d, rn) AS BIGINT) AS fday
+  FROM walked WHERE llr >= 2944439 OR llr <= -2944439
+  GROUP BY 1
+)
+SELECT c.t AS event_type,
+       strftime(DATE '1970-01-01' + CAST(c.d AS INTEGER), '%Y-%m-%d')
+         AS day,
+       c.n_events_cum, c.n_success_cum, c.llr_micro_eod,
+       CASE WHEN f.fday IS NOT NULL AND c.d >= f.fday
+                 AND f.fllr >= 2944439 THEN 'accept_h1'
+            WHEN f.fday IS NOT NULL AND c.d >= f.fday
+                 AND f.fllr <= -2944439 THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       CAST(CASE WHEN f.fday IS NOT NULL AND c.d >= f.fday
+                 THEN f.frn ELSE 0 END AS BIGINT) AS n_at_decision,
+       CAST(CASE WHEN f.fday IS NOT NULL AND c.d >= f.fday
+                 THEN f.fllr ELSE 0 END AS BIGINT)
+         AS llr_micro_at_decision
+FROM cums c LEFT JOIN firsts f ON f.t = c.t
+"""
+
+
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 window leads: the 19 oracle-backed r4 session-7/8
     # additions (driver-green in CORRECTNESS_r05)
@@ -11439,6 +11600,10 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logrank_test": q_logrank_test,
     "event_freshness": q_event_freshness,
     "embedding_distance_profile": q_embedding_distance_profile,
+    # round-9 additions
+    "pca_literal_project": q_pca_literal_project,
+    "bpe_literal_encode": q_bpe_literal_encode,
+    "sprt_daily_ledger": q_sprt_daily_ledger,
 }
 
 
@@ -11680,6 +11845,9 @@ ORACLE_SQL: dict[str, str] = {
     "logrank_test": SQL_LOGRANK_TEST,
     "event_freshness": SQL_EVENT_FRESHNESS,
     "embedding_distance_profile": SQL_EMBEDDING_DISTANCE_PROFILE,
+    "pca_literal_project": SQL_PCA_LITERAL_PROJECT,
+    "bpe_literal_encode": SQL_BPE_LITERAL_ENCODE,
+    "sprt_daily_ledger": SQL_SPRT_DAILY_LEDGER,
     "trimmed_mean": SQL_TRIMMED_MEAN,
     "mann_kendall": SQL_MANN_KENDALL,
     "chisq_independence": SQL_CHISQ_INDEPENDENCE,
@@ -11712,6 +11880,12 @@ ORACLE_SQL: dict[str, str] = {
 # CORRECTNESS_r01..r08 history, the r1/r2/r3-witnessed blocks come
 # before the r4 graph/stats families the narrative note guessed.
 R9_WINDOW: list[str] = [
+    # round-9 additions (no driver evidence yet): the PCA and BPE
+    # literal-synopsis oracle twins + the streaming-SPRT daily ledger
+    # readout
+    "pca_literal_project",
+    "bpe_literal_encode",
+    "sprt_daily_ledger",
     # r8-tail additions, never driver-witnessed
     "vocab_coverage_estimate",
     "spearman_activity_value",
@@ -11770,9 +11944,6 @@ R9_WINDOW: list[str] = [
     "corr_matrix",
     "column_entropy",
     "ab_conversion_ztest",
-    "anomaly_mad",
-    "autocorrelation",
-    "benford_profile",
 ]
 
 _window_missing = [n for n in R9_WINDOW if n not in _REGISTRY]

@@ -108,3 +108,49 @@ def test_zca_whitened_covariance_is_identity(spark):
     c = np.cov(x, rowvar=False)
     off = c - np.eye(c.shape[0])
     assert np.abs(off).max() < 1e-3, np.abs(off).max()
+
+
+def test_pca_literal_project_matches_python_integer_matmul(spark):
+    """Scores replay the exact integer algebra: quantize to e6,
+    truncating mean of the 4 lowest-id seeds, centered dot per
+    component."""
+    import numpy as np
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.linalg import (
+        pca_literal_project,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(8).astype(float).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in pca_literal_project(df, q=4).collect()}
+
+    f32 = {i: np.asarray(v, dtype=np.float32) for i, v in rows}
+    vq = {i: [int(round(float(x) * 1e6)) for x in v] for i, v in f32.items()}
+    seeds = [vq[i] for i in range(4)]
+
+    def tdiv(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    mean = [tdiv(sum(s[d] for s in seeds), 4) for d in range(8)]
+    for i, _v in rows:
+        for j in range(4):
+            want = sum(
+                (vq[i][d] - mean[d]) * seeds[j][d] for d in range(8)
+            )
+            assert got[i][f"s{j}_e12"] == want, (i, j)
+
+
+def test_pca_literal_project_mixed_dim_raises(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.linalg import (
+        pca_literal_project,
+    )
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(10)]
+    rows.append((10, [1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(SparkRuntimeException, match="embedding length must be 8"):
+        pca_literal_project(df, q=4).collect()

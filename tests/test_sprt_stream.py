@@ -201,3 +201,66 @@ def test_sprt_stream_checkpoint_restart(spark, tmp_path):
             + [_row(10 + i, 10 + i, "t", 100.0) for i in range(5)])
     ).collect()[0]
     assert last["llr_micro_final"] == want["llr_micro_final"]
+
+
+def test_sprt_stream_updates_match_daily_ledger(spark, tmp_path):
+    """The batch sprt_daily_ledger (X142, the driver-witnessed
+    readout) replays the stream's per-micro-batch update rows exactly
+    under the file-per-day discipline: day D's update row == the
+    ledger row for day D, including the latch."""
+    import datetime as dt
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.stats import (
+        sprt_daily_ledger,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    # day 1: 5 successes (no crossing); day 2: 6 successes (crossing
+    # at global n=8 inside day 2); day 3: failures (latched)
+    days = [
+        [(i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "t", 100.0, None) for i in range(5)],
+        [(10 + i, dt.datetime(2024, 1, 2, 0, 0, i), 1, "t", 100.0, None) for i in range(6)],
+        [(20 + i, dt.datetime(2024, 1, 3, 0, 0, i), 1, "t", 1.0, None) for i in range(4)],
+    ]
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_sprt_monitor(stream)
+        .writeStream.format("memory")
+        .queryName("sprt_ledger_twin")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    seen = []
+    try:
+        for i, rows in enumerate(days):
+            _df(spark, rows).write.parquet(str(src / f"b{i}"))
+            q.processAllAvailable()
+            upd = max(
+                spark.sql("select * from sprt_ledger_twin").collect(),
+                key=lambda r: r["n_events"],
+            )
+            seen.append(upd)
+    finally:
+        q.stop()
+    ledger = {
+        r["day"]: r
+        for r in sprt_daily_ledger(
+            _df(spark, [r for d in days for r in d])
+        ).collect()
+    }
+    assert set(ledger) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    for day, upd in zip(sorted(ledger), seen):
+        lr = ledger[day]
+        assert upd["n_events"] == lr["n_events_cum"], day
+        assert upd["n_success"] == lr["n_success_cum"], day
+        assert upd["llr_micro_final"] == lr["llr_micro_eod"], day
+        assert upd["decision"] == lr["decision"], day
+        assert upd["n_at_decision"] == lr["n_at_decision"], day
+        assert upd["llr_micro_at_decision"] == lr["llr_micro_at_decision"], day
+    assert [r["decision"] for r in seen] == ["continue", "accept_h1", "accept_h1"]

@@ -127,3 +127,26 @@ def test_learn_on_real_documents_is_deterministic(spark):
     m1 = learn_bpe_merges(docs, n_merges=5)
     m2 = learn_bpe_merges(docs, n_merges=5)
     assert m1 == m2 and len(m1) == 5
+
+
+def test_bpe_literal_encode_hand_example(spark):
+    """'the and there' under the frozen merge list: t h->th, th e->the,
+    a n->an, an d->and, e r->er, r e->re."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.tokenizer import (
+        bpe_literal_encode,
+    )
+
+    rows = [
+        (1, "the and there"),   # the->1 piece; and->1; there: t h e r e -> th e r e -> the r e -> the re -> 2 pieces
+        (2, "  "),              # blank -> zeros
+        (3, "in inner"),        # in->1; inner: i n n e r -> in n er -> 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bpe_literal_encode(df).collect()}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_symbols"], r1["n_pieces"]) == (3, 11, 4)
+    assert r1["merge_gain_milli"] == (1000 * (11 - 4)) // 11
+    assert (got[2]["n_words"], got[2]["n_symbols"], got[2]["n_pieces"]) == (0, 0, 0)
+    assert got[2]["merge_gain_milli"] == 0
+    r3 = got[3]
+    assert (r3["n_words"], r3["n_symbols"], r3["n_pieces"]) == (2, 7, 4)
