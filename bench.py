@@ -275,6 +275,8 @@ HEADLINE = [
     "pca_literal_project",
     "bpe_literal_encode",
     "sprt_daily_ledger",
+    "embedding_centroid_drift",
+    "time_split_embargo",
 ]
 
 

@@ -507,3 +507,82 @@ def unimax_weights(
         "alloc",
         F.expr("__a1000 div n_tokens").cast("long").alias("epochs_milli"),
     )
+
+
+def time_split_embargo(
+    events: DataFrame,
+    test_milli: int = 200,
+    embargo_s: int = 3600,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Purged TEMPORAL train/test split (round 9): train = everything
+    at or before the exact (1000−test_milli)/1000 time-quantile
+    cutoff, test = everything after cutoff + ``embargo_s``, and the
+    embargo band between them is DROPPED from both sides — the
+    finance-style purged split (de Prado 2018, "Advances in Financial
+    Machine Learning", ch. 7) that the hash/cluster splits (X8,
+    X67) cannot provide: when features aggregate trailing windows, a
+    bare temporal cut leaks test-period information into train
+    through windows that straddle the boundary; the embargo removes
+    exactly those rows.
+
+    Exact and engine-identical: the cutoff is the microsecond VALUE
+    at rank ⌈n·(1000−test_milli)/1000⌉ under the timestamp order —
+    value-based assignment, so timestamp ties land on one side by
+    construction; the target rank is integer arithmetic
+    ((n·(1000−test_milli) + 999) div 1000).
+
+    Scale shape: the global order statistic runs on a two-level DAY
+    decomposition (the sprt/event_freshness precedent): per-day
+    counts cumsum over the tiny day frame to locate the boundary
+    day, then tie groups on the distinct timestamps of that ONE day
+    find the exact cutoff value — no global sort, no data-scale
+    window. Assignment is one broadcast of two literal-sized scalars.
+
+    Returns (id_col, us, split) with split ∈ train/embargo/test.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.where(F.col(ts_col).isNotNull()).select(
+        F.col(id_col), us.alias("us")
+    )
+    day_us = 86_400_000_000
+    days = base.groupBy(
+        F.floor(F.col("us") / day_us).cast("long").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    wd = Window.partitionBy(F.col("d") % 1).orderBy("d")
+    cumd = (
+        days.withColumn("cum", F.sum("__c").over(wd))
+        .withColumn("n", F.sum("__c").over(Window.partitionBy(F.col("d") % 1)))
+        .withColumn(
+            "__tgt",
+            F.expr(f"(n * (1000 - {int(test_milli)}) + 999) div 1000"),
+        )
+    )
+    bday = cumd.where(
+        (F.col("cum") >= F.col("__tgt"))
+        & (F.col("cum") - F.col("__c") < F.col("__tgt"))
+    ).select(
+        "d", (F.col("cum") - F.col("__c")).alias("__prev"), "__tgt"
+    )
+    # exact cutoff from the boundary day's distinct-timestamp tie
+    # groups (bounded by one day's volume)
+    wt = Window.partitionBy("d").orderBy("us")
+    cutoff = (
+        base.withColumn("d", F.floor(F.col("us") / day_us).cast("long"))
+        .join(F.broadcast(bday), "d")
+        .groupBy("d", "us", "__prev", "__tgt")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tc"))
+        .withColumn("cumt", F.col("__prev") + F.sum("__tc").over(wt))
+        .where(F.col("cumt") >= F.col("__tgt"))
+        .agg(F.min("us").cast("long").alias("__cut"))
+    )
+    emb_us = int(embargo_s) * 1_000_000
+    return base.crossJoin(F.broadcast(cutoff)).select(
+        id_col,
+        F.col("us"),
+        F.when(F.col("us") <= F.col("__cut"), F.lit("train"))
+        .when(F.col("us") <= F.col("__cut") + F.lit(emb_us), F.lit("embargo"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

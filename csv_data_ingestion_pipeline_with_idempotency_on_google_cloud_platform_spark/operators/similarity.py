@@ -1460,3 +1460,122 @@ def embedding_distance_profile(
             "max_d2",
         )
     )
+
+
+def embedding_centroid_drift(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid drift between the id-order FIRST and SECOND
+    half of each label's vectors (round 9): the embedding cousin of
+    X129's top-terms drift and X89's value drift — if a label's
+    early-ingest centroid and late-ingest centroid have moved apart,
+    the upstream embedder or the source mix changed mid-corpus, and
+    every ANN index / k-means fit trained on the early half silently
+    degrades on the late half.
+
+    Exact integers end to end: components quantize to the e6 grid,
+    per-(label, half, dim) sums are exact BIGINT, the centroid mean
+    is a truncating integer division (Spark `div` == DuckDB `//` on
+    integers — both truncate toward zero), and the drift is the exact
+    squared L2 between the two integer mean vectors (e12 units).
+
+    Scale shape: the half boundary is the per-label MEDIAN rid from
+    the rid-bucket decomposition on a narrow (label, rid) frame (the
+    X129/X139 precedent — rid div 4096 buckets hold ≤4096 rows, the
+    boundary bucket alone is ranked exactly), broadcast back; per-dim
+    sums ride a posexplode with the quantize INLINED into the
+    generator (the round-9 InferFiltersFromGenerate lesson) into a
+    map-side-combinable groupBy on (label, half, dim). No data-scale
+    window, no vector through any sort.
+
+    Returns (label, n_first, n_second, centroid_d2_e12) for labels
+    with both halves non-empty.
+    """
+    bucket_w = 4096
+    narrow = (
+        parallelize_narrow(emb)
+        .select(
+            F.col(label_col).cast("long").alias("lb"),
+            F.col(id_col).cast("long").alias("rid"),
+        )
+        .where(F.col("lb").isNotNull())
+    )
+    bkts = narrow.groupBy(
+        "lb", F.floor(F.col("rid") / bucket_w).cast("long").alias("bkt")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    wb = Window.partitionBy("lb").orderBy("bkt")
+    cumb = (
+        bkts.withColumn("cum", F.sum("__c").over(wb))
+        .withColumn("n", F.sum("__c").over(Window.partitionBy("lb")))
+        .withColumn("__tgt", F.expr("cast(ceil(n / 2.0) as bigint)"))
+    )
+    boundary = cumb.where(
+        (F.col("cum") >= F.col("__tgt"))
+        & (F.col("cum") - F.col("__c") < F.col("__tgt"))
+    ).select(
+        "lb", "bkt", (F.col("cum") - F.col("__c")).alias("__prev"), "__tgt"
+    )
+    wn = Window.partitionBy("lb").orderBy("rid")
+    thr = (
+        narrow.withColumn(
+            "bkt", F.floor(F.col("rid") / bucket_w).cast("long")
+        )
+        .join(F.broadcast(boundary), ["lb", "bkt"])
+        .withColumn("rk", F.row_number().over(wn))
+        .where(F.col("__prev") + F.col("rk") == F.col("__tgt"))
+        .select("lb", F.col("rid").alias("__thr"))
+    )
+    exploded = (
+        parallelize_narrow(emb)
+        .select(
+            F.col(label_col).cast("long").alias("lb"),
+            F.col(id_col).cast("long").alias("rid"),
+            F.col(vec_col).alias("__e"),
+        )
+        .where(F.col("lb").isNotNull())
+        .join(F.broadcast(thr), "lb")
+        .select(
+            "lb",
+            F.when(F.col("rid") <= F.col("__thr"), 1)
+            .otherwise(2)
+            .alias("half"),
+            F.posexplode(
+                F.transform(
+                    F.col("__e").cast("array<double>"),
+                    lambda x: F.round(x * 1000000.0).cast("long"),
+                )
+            ).alias("pos", "v"),
+        )
+    )
+    sums = exploded.groupBy("lb", "half", "pos").agg(
+        F.sum("v").cast("long").alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    means = sums.groupBy("lb", "pos").agg(
+        F.max(F.when(F.col("half") == 1, F.expr("__s div __n"))).alias("m1"),
+        F.max(F.when(F.col("half") == 2, F.expr("__s div __n"))).alias("m2"),
+        F.max(F.when(F.col("half") == 1, F.col("__n"))).alias("n1"),
+        F.max(F.when(F.col("half") == 2, F.col("__n"))).alias("n2"),
+    )
+    return (
+        means.where(F.col("m1").isNotNull() & F.col("m2").isNotNull())
+        .groupBy("lb")
+        .agg(
+            F.max("n1").cast("long").alias("n_first"),
+            F.max("n2").cast("long").alias("n_second"),
+            F.sum(
+                (F.col("m1") - F.col("m2")) * (F.col("m1") - F.col("m2"))
+            )
+            .cast("long")
+            .alias("centroid_d2_e12"),
+        )
+        .select(
+            F.col("lb").alias(label_col),
+            "n_first",
+            "n_second",
+            "centroid_d2_e12",
+        )
+    )

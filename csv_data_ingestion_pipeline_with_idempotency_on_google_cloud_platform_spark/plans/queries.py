@@ -11302,6 +11302,107 @@ FROM cums c LEFT JOIN firsts f ON f.t = c.t
 """
 
 
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X143 (round 9): per-label centroid squared-L2 drift between the
+    id-order first and second half of each label's vectors
+    (operators/similarity.py:embedding_centroid_drift) — the
+    embedding member of the drift family (X129 terms, X89 values);
+    exact e12 integers, rid-bucket median boundary, no data-scale
+    window. Full oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_centroid_drift(emb)
+
+
+SQL_EMBEDDING_CENTROID_DRIFT = """
+WITH narrow AS MATERIALIZED (
+  SELECT TRY_CAST(label AS BIGINT) AS lb, vec_id AS rid
+  FROM embeddings WHERE TRY_CAST(label AS BIGINT) IS NOT NULL
+), ranked AS (
+  SELECT lb, rid,
+         row_number() OVER (PARTITION BY lb ORDER BY rid) AS rk,
+         COUNT(*) OVER (PARTITION BY lb) AS n
+  FROM narrow
+), thr AS MATERIALIZED (
+  SELECT lb, rid AS thr FROM ranked
+  WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
+), vq AS MATERIALIZED (
+  SELECT TRY_CAST(label AS BIGINT) AS lb, vec_id AS rid,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings WHERE TRY_CAST(label AS BIGINT) IS NOT NULL
+), halves AS MATERIALIZED (
+  SELECT vq.lb, CASE WHEN vq.rid <= t.thr THEN 1 ELSE 2 END AS half, vq.v
+  FROM vq JOIN thr t ON t.lb = vq.lb
+), sums AS MATERIALIZED (
+  SELECT lb, half, i AS pos, CAST(SUM(v[i]) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM halves CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) t
+  GROUP BY 1, 2, 3
+), means AS (
+  -- integer // truncates toward zero in DuckDB == Spark `div`
+  SELECT lb, pos,
+         MAX(CASE WHEN half = 1 THEN s // n END) AS m1,
+         MAX(CASE WHEN half = 2 THEN s // n END) AS m2,
+         MAX(CASE WHEN half = 1 THEN n END) AS n1,
+         MAX(CASE WHEN half = 2 THEN n END) AS n2
+  FROM sums GROUP BY 1, 2
+)
+SELECT lb AS label,
+       CAST(MAX(n1) AS BIGINT) AS n_first,
+       CAST(MAX(n2) AS BIGINT) AS n_second,
+       CAST(SUM((m1 - m2) * (m1 - m2)) AS BIGINT) AS centroid_d2_e12
+FROM means WHERE m1 IS NOT NULL AND m2 IS NOT NULL GROUP BY lb
+"""
+
+
+def q_time_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X144 (round 9): purged temporal split — exact 80/20 time-
+    quantile cutoff via the two-level day decomposition, 1-hour
+    embargo band dropped between train and test (operators/
+    sampling.py:time_split_embargo); the leakage-safe TEMPORAL
+    counterpart of hash_split/leakage_safe_split. Summarized per
+    split for a bounded frame. Full oracle."""
+    from ..operators.sampling import time_split_embargo
+
+    out = time_split_embargo(load_table(spark, sf_dir, "events"))
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.date_format(
+            F.timestamp_micros(F.min("us")), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("first_ts"),
+        F.date_format(
+            F.timestamp_micros(F.max("us")), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("last_ts"),
+    )
+
+
+SQL_TIME_SPLIT_EMBARGO = """
+WITH base AS MATERIALIZED (
+  SELECT event_id, epoch_us(ts) AS us FROM events WHERE ts IS NOT NULL
+), cells AS (
+  SELECT us, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY us
+), cum AS (
+  SELECT us, SUM(c) OVER (ORDER BY us) AS cum, SUM(c) OVER () AS n
+  FROM cells
+), cut AS MATERIALIZED (
+  SELECT CAST(MIN(us) AS BIGINT) AS cutv
+  FROM cum WHERE cum >= (n * 800 + 999) // 1000
+), lab AS (
+  SELECT b.us,
+         CASE WHEN b.us <= c.cutv THEN 'train'
+              WHEN b.us <= c.cutv + 3600000000 THEN 'embargo'
+              ELSE 'test' END AS split
+  FROM base b CROSS JOIN cut c
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+       strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S.%f')
+         AS first_ts,
+       strftime(make_timestamp(MAX(us)), '%Y-%m-%d %H:%M:%S.%f')
+         AS last_ts
+FROM lab GROUP BY split
+"""
+
+
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 window leads: the 19 oracle-backed r4 session-7/8
     # additions (driver-green in CORRECTNESS_r05)
@@ -11604,6 +11705,8 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pca_literal_project": q_pca_literal_project,
     "bpe_literal_encode": q_bpe_literal_encode,
     "sprt_daily_ledger": q_sprt_daily_ledger,
+    "embedding_centroid_drift": q_embedding_centroid_drift,
+    "time_split_embargo": q_time_split_embargo,
 }
 
 
@@ -11848,6 +11951,8 @@ ORACLE_SQL: dict[str, str] = {
     "pca_literal_project": SQL_PCA_LITERAL_PROJECT,
     "bpe_literal_encode": SQL_BPE_LITERAL_ENCODE,
     "sprt_daily_ledger": SQL_SPRT_DAILY_LEDGER,
+    "embedding_centroid_drift": SQL_EMBEDDING_CENTROID_DRIFT,
+    "time_split_embargo": SQL_TIME_SPLIT_EMBARGO,
     "trimmed_mean": SQL_TRIMMED_MEAN,
     "mann_kendall": SQL_MANN_KENDALL,
     "chisq_independence": SQL_CHISQ_INDEPENDENCE,
@@ -11886,6 +11991,8 @@ R9_WINDOW: list[str] = [
     "pca_literal_project",
     "bpe_literal_encode",
     "sprt_daily_ledger",
+    "embedding_centroid_drift",
+    "time_split_embargo",
     # r8-tail additions, never driver-witnessed
     "vocab_coverage_estimate",
     "spearman_activity_value",
@@ -11942,8 +12049,6 @@ R9_WINDOW: list[str] = [
     "mann_whitney",
     "mutual_info",
     "corr_matrix",
-    "column_entropy",
-    "ab_conversion_ztest",
 ]
 
 _window_missing = [n for n in R9_WINDOW if n not in _REGISTRY]

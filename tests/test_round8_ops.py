@@ -714,3 +714,58 @@ def test_embedding_distance_profile_detects_collapse(spark):
     got = {r["label"]: r for r in embedding_distance_profile(df, sample_per_label=8).collect()}
     assert got[0]["max_d2"] == 0
     assert got[1]["min_d2"] > 0
+
+
+def test_embedding_centroid_drift_hand_example(spark):
+    """Two labels; label 1 shifts by +1.0 in dim 0 between halves
+    (d2 = (1e6)^2 = 1e12), label 2 is constant (d2 = 0)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.similarity import (
+        embedding_centroid_drift,
+    )
+
+    rows = []
+    for i in range(4):   # label 1: first half (ids 0,1) at 0.0, second (2,3) at 1.0
+        rows.append((i, [0.0 if i < 2 else 1.0, 0.5], 1))
+    for i in range(4, 8):  # label 2: constant
+        rows.append((i, [0.25, 0.25], 2))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["label"]: r for r in embedding_centroid_drift(df).collect()}
+    assert (got[1]["n_first"], got[1]["n_second"]) == (2, 2)
+    assert got[1]["centroid_d2_e12"] == 1_000_000 * 1_000_000
+    assert got[2]["centroid_d2_e12"] == 0
+
+
+def test_time_split_embargo_exact_cutoff_and_band(spark):
+    """10 events one minute apart, test_milli=200 -> cutoff at the
+    8th event's timestamp (rank ceil(10*0.8)=8); a 90 s embargo drops
+    exactly the 9th event; ties at the cutoff go to train."""
+    import datetime as dt
+
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sampling import (
+        time_split_embargo,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "t", 1.0, None)
+        for i in range(10)
+    ]
+    # a tie at the cutoff timestamp (same ts as event 7)
+    rows.append((99, t0 + dt.timedelta(minutes=7), 1, "t", 1.0, None))
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    # n=11, target = ceil(11*0.8) = (11*800+999) div 1000 = 9 ->
+    # cumulative count reaches 9 at ts=minute 7 (events 0..7 + the tie)
+    got = {
+        r["event_id"]: r["split"]
+        for r in time_split_embargo(df, test_milli=200, embargo_s=90).collect()
+    }
+    for eid in list(range(8)) + [99]:
+        assert got[eid] == "train", eid
+    assert got[8] == "embargo"   # minute 8 = 60 s after cutoff <= 90 s
+    assert got[9] == "test"      # minute 9 = 120 s after cutoff
