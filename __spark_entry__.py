@@ -49,11 +49,13 @@ def oracle_sql() -> dict[str, str]:
     driver-witnessed), the 4 queries rewritten or semantics-touched
     since their last witness (trimmed_mean's tie-group rewrite;
     kruskal_wallis's NULL-unit filter; the pq/ivf literal twins' dim
-    guards), then 28 backfill slots for the queries whose driver
-    evidence was oldest per the CORRECTNESS_r01–r08 history (the r2
-    sampling/text block, the full r3 block, and the head of the r4
-    graph/stats families; the four r1-witnessed names were renamed in
-    r2). Past the
+    guards), the 3 round-9 code-review closures re-witnessed after
+    their NULL-handling fixes (quality_quantile_normalize,
+    kmeans_literal_assign, jl_project), then 25 backfill slots for
+    the queries whose driver evidence was oldest per the
+    CORRECTNESS_r01–r08 history (the r2 sampling/text block, the full
+    r3 block, and the head of the r4 graph/stats families; the four
+    r1-witnessed names were renamed in r2). Past the
     window sit the rows-only entries and the remaining oracle-backed
     ones (every ORACLE_SQL key past registry position 50 —
     tests/test_queries_oracle.py runs the identical parity check on

@@ -259,7 +259,7 @@ def jl_project(
         )
     )
     return (
-        parallelize_narrow(emb)
+        parallelize_narrow(emb.where(F.col(vec_col).isNotNull()))
         .select(F.col(id_col), guarded.alias("__v"))
         .select(F.col(id_col), F.explode(proj).alias("__p"))
         .select(id_col, F.col("__p.j").alias("j"), F.col("__p.comp").alias("comp"))
@@ -469,6 +469,7 @@ def pca_literal_project(
     """
     from ..utils import parallelize_narrow
 
+    emb = emb.where(F.col(vec_col).isNotNull())
     vq = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * 1000000.0).cast("long"),

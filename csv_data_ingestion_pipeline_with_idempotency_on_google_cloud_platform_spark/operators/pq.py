@@ -445,6 +445,10 @@ def pq_literal_adc(
     without a global sort (consumers TakeOrderedAndProject their own
     top-k).
     """
+    # NULL vectors drop explicitly (both engines — the media-family
+    # convention): a NULL among the lowest-id seeds would poison the
+    # codebook, and the in-column dim guard must never fire on NULL
+    emb = emb.where(F.col(vec_col).isNotNull())
     vq = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * 1000000.0).cast("long"),

@@ -372,6 +372,7 @@ def kmeans_literal_assign(
 
     Returns (id_col, cluster, d2) with first-lowest-cid tie-break.
     """
+    emb = emb.where(F.col(vec_col).isNotNull())
     vq = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * 1000000.0).cast("long"),
@@ -1226,6 +1227,7 @@ def ivf_literal_probe(
     Returns (id_col, cell, dot_e12, rank) for the top-``topk``
     candidates in the probed cells, query row excluded.
     """
+    emb = emb.where(F.col(vec_col).isNotNull())
     vq = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * 1000000.0).cast("long"),

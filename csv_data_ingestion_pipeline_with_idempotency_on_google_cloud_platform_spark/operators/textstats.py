@@ -898,9 +898,18 @@ def quality_quantile_normalize(
         f"(1000 * length(regexp_replace({text_col}, '[^A-Za-z]', '')))"
         f" div greatest(length({text_col}), 1)"
     ).cast("long")
-    base = docs.select(
-        F.col(id_col), F.col(source_col).alias("source"), q.alias("q_milli")
-    ).repartition(F.col("source"), F.col("q_milli"))
+    # explicit NULL drop (the textstats convention): a NULL source or
+    # NULL text (→ NULL q_milli) would silently vanish in the
+    # equi-join below while the rank-window oracle kept it
+    base = (
+        docs.where(
+            F.col(source_col).isNotNull() & F.col(text_col).isNotNull()
+        )
+        .select(
+            F.col(id_col), F.col(source_col).alias("source"), q.alias("q_milli")
+        )
+        .repartition(F.col("source"), F.col("q_milli"))
+    )
     tie = base.groupBy("source", "q_milli").agg(
         F.count(F.lit(1)).cast("long").alias("__cnt")
     )

@@ -243,9 +243,14 @@ def bpe_literal_encode(
       1. lowercase each whitespace token, intersperse single spaces
          between characters (regexp_replace '(.)' → '$1 '), pad with
          one space either side;
-      2. for each merge (a, b) in order: replace ' a b ' with ' ab '
-         (left-to-right non-overlapping — identical semantics in
-         Spark `replace` and DuckDB `replace`);
+      2. for each merge (a, b) in order: replace ' a b ' with ' ab ',
+         TWICE (left-to-right non-overlapping, identical semantics in
+         Spark `replace` and DuckDB `replace`; consecutive
+         occurrences of a pair share the delimiting space, so one
+         pass merges every other occurrence in a run — after it, each
+         surviving occurrence is isolated with spaces on both sides
+         and the second pass merges all of them, which equals the
+         standard simultaneous-disjoint BPE merge step exactly);
       3. the piece count per word is the space-split size of the
          trimmed result.
 
@@ -267,6 +272,8 @@ def bpe_literal_encode(
             F.lit(" "),
         )
         for a, b in LITERAL_MERGES:
+            # twice: see docstring (adjacent-run delimiter sharing)
+            s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
             s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
         return F.size(F.split(F.trim(s), " "))
 

@@ -1487,7 +1487,7 @@ WITH vq AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ), cents AS MATERIALIZED (
   SELECT vec_id AS cid, v AS cv FROM vq ORDER BY vec_id LIMIT 8
 ), d AS (
@@ -1763,7 +1763,7 @@ WITH vq AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ), s AS MATERIALIZED (
   SELECT CAST(jj.j AS BIGINT) AS j, CAST(ii.i AS BIGINT) AS i,
          CASE WHEN strpos('02468ace',
@@ -9071,6 +9071,9 @@ WITH s AS (
          CAST((CAST(1000 AS BIGINT) * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
               // greatest(length(text), 1) AS BIGINT) AS q_milli
   FROM documents
+  -- NULL source/text would never survive the engine's equi-join on
+  -- (source, q_milli); drop them explicitly on both sides
+  WHERE source IS NOT NULL AND text IS NOT NULL
 ), r AS (
   SELECT doc_id, source, q_milli,
          CAST(RANK() OVER (PARTITION BY source ORDER BY q_milli) AS BIGINT) AS rk,
@@ -10138,7 +10141,7 @@ FROM m
 
 # The full query registry, in historical (addition) order. The DRIVER
 # WINDOW — the 50-entry prefix the correctness harness actually checks —
-# is selected by name below (R8_WINDOW), NOT by position here, so these
+# is selected by name below (R9_WINDOW), NOT by position here, so these
 # grouping comments never go stale the way position-numbered ones did
 # (ADVICE r5: three 'entries 34-50' rows had drifted out of the window).
 
@@ -10169,7 +10172,7 @@ WITH vq AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ), seeds AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
   FROM (SELECT vec_id, v FROM vq ORDER BY vec_id LIMIT 8)
@@ -10223,7 +10226,7 @@ WITH vq AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ), cents AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
   FROM (SELECT vec_id, v FROM vq ORDER BY vec_id LIMIT 4)
@@ -11158,7 +11161,7 @@ WITH vq AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ), seeds AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
   FROM (SELECT vec_id, v FROM vq ORDER BY vec_id LIMIT 4)
@@ -11216,16 +11219,18 @@ WITH toks AS MATERIALIZED (
            len(string_split(trim(
              replace(replace(replace(replace(
              replace(replace(replace(replace(
+             replace(replace(replace(replace(
+             replace(replace(replace(replace(
                ' ' || trim(regexp_replace(lower(w), '(.)', '\1 ', 'g'))
                    || ' ',
-               ' t h ', ' th '),
-               ' th e ', ' the '),
-               ' a n ', ' an '),
-               ' an d ', ' and '),
-               ' i n ', ' in '),
-               ' e r ', ' er '),
-               ' o n ', ' on '),
-               ' r e ', ' re ')
+               ' t h ', ' th '), ' t h ', ' th '),
+               ' th e ', ' the '), ' th e ', ' the '),
+               ' a n ', ' an '), ' a n ', ' an '),
+               ' an d ', ' and '), ' an d ', ' and '),
+               ' i n ', ' in '), ' i n ', ' in '),
+               ' e r ', ' er '), ' e r ', ' er '),
+               ' o n ', ' on '), ' o n ', ' on '),
+               ' r e ', ' re '), ' r e ', ' re ')
            ), ' ')))), 0) AS BIGINT) AS n_pieces
   FROM toks
 )
@@ -12046,9 +12051,12 @@ R9_WINDOW: list[str] = [
     "pagerank",
     "triangle_count",
     "bfs_reachability",
-    "mann_whitney",
-    "mutual_info",
-    "corr_matrix",
+    # r9 code-review closures: NULL-handling semantics touched after
+    # the first rehearsal — re-witness (displaces the newest three
+    # backfill names to the r10 rotation)
+    "quality_quantile_normalize",
+    "kmeans_literal_assign",
+    "jl_project",
 ]
 
 _window_missing = [n for n in R9_WINDOW if n not in _REGISTRY]

@@ -229,3 +229,27 @@ def test_ivf_literal_probe_mixed_dim_raises(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(SparkRuntimeException, match="embedding length must be 8"):
         ivf_literal_probe(df, k_cells=2, nprobe=2).collect()
+
+
+def test_literal_twins_drop_null_vectors(spark):
+    """A NULL embedding row must DROP (both engines filter it), never
+    abort the query through the dim guard (r9 code-review finding)."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.linalg import (
+        jl_project,
+        pca_literal_project,
+    )
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.similarity import (
+        ivf_literal_probe,
+    )
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(10)]
+    rows.append((10, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq.pq_literal_adc(df, m=4, k_code=4).collect()
+    assert len(out) == 10 and all(r["vec_id"] != 10 for r in out)
+    out = ivf_literal_probe(df, k_cells=2, nprobe=2, topk=20).collect()
+    assert all(r["vec_id"] != 10 for r in out)
+    out = pca_literal_project(df, q=4).collect()
+    assert len(out) == 10
+    out = jl_project(df, k_out=4, dim=8).collect()
+    assert all(r["vec_id"] != 10 for r in out)

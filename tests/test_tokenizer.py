@@ -140,6 +140,10 @@ def test_bpe_literal_encode_hand_example(spark):
         (1, "the and there"),   # the->1 piece; and->1; there: t h e r e -> th e r e -> the r e -> the re -> 2 pieces
         (2, "  "),              # blank -> zeros
         (3, "in inner"),        # in->1; inner: i n n e r -> in n er -> 3
+        (4, "thth ththth"),     # adjacent runs: both merge fully (the
+                                # two-pass replace = simultaneous BPE
+                                # merge; one pass would skip every
+                                # other occurrence)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in bpe_literal_encode(df).collect()}
@@ -150,3 +154,7 @@ def test_bpe_literal_encode_hand_example(spark):
     assert got[2]["merge_gain_milli"] == 0
     r3 = got[3]
     assert (r3["n_words"], r3["n_symbols"], r3["n_pieces"]) == (2, 7, 4)
+    r4 = got[4]
+    # thth -> th th (2); ththth -> th th th (3): matches the repo's
+    # own _encode_word merge-all-occurrences semantics
+    assert (r4["n_words"], r4["n_symbols"], r4["n_pieces"]) == (2, 10, 5)
