@@ -41,9 +41,10 @@ def oracle_sql() -> dict[str, str]:
     (plans/queries.py R9_WINDOW) and guarded at import time — a
     mis-rotated registry (window name missing, not oracle-backed, or
     wrong length) raises ImportError before the driver runs anything.
-    Round-9 window: the 5 round-9 additions (pca_literal_project,
+    Round-9 window: the 7 round-9 additions (pca_literal_project,
     bpe_literal_encode, sprt_daily_ledger, embedding_centroid_drift,
-    time_split_embargo), the 13 round-8 tail
+    time_split_embargo, dedup_survivor_select, length_curriculum),
+    the 13 round-8 tail
     queries that landed after the r8 window froze
     (vocab_coverage_estimate … embedding_distance_profile — never
     driver-witnessed), the 4 queries rewritten or semantics-touched
@@ -51,7 +52,7 @@ def oracle_sql() -> dict[str, str]:
     kruskal_wallis's NULL-unit filter; the pq/ivf literal twins' dim
     guards), the 3 round-9 code-review closures re-witnessed after
     their NULL-handling fixes (quality_quantile_normalize,
-    kmeans_literal_assign, jl_project), then 25 backfill slots for
+    kmeans_literal_assign, jl_project), then 23 backfill slots for
     the queries whose driver evidence was oldest per the
     CORRECTNESS_r01–r08 history (the r2 sampling/text block, the full
     r3 block, and the head of the r4 graph/stats families; the four

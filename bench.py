@@ -277,6 +277,8 @@ HEADLINE = [
     "sprt_daily_ledger",
     "embedding_centroid_drift",
     "time_split_embargo",
+    "dedup_survivor_select",
+    "length_curriculum",
 ]
 
 

@@ -1568,3 +1568,64 @@ def lsh_band_planner(
         F.col("c.p_detect_milli").alias("p_detect_milli"),
         F.col("c.threshold_jaccard_milli").alias("threshold_jaccard_milli"),
     )
+
+
+def dedup_survivor_select(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """QUALITY-based survivor selection for exact-duplicate clusters
+    (round 9, X145): instead of exact_dedup's keep-the-minimum-id rule,
+    keep the highest-QUALITY copy — duplicates often differ in
+    surrounding metadata (a clean mirror vs a boilerplate-wrapped
+    scrape of the same normalized content), and "which copy do we
+    keep" decides what the training loader actually reads. Quality is
+    the X4/X79 exact alpha-density milli signal; ties break to the
+    LOWEST id (the exact_dedup convention), so selection is total and
+    engine-identical.
+
+    Scale shape: one map-side-combinable aggregate — the argmax rides
+    `max(struct(q, -id))` so duplicate hashes collapse in parallel on
+    the hot key exactly like exact_dedup (no window, no join); the
+    winner's id/source/quality come back out of the struct. Output:
+    (content_hash, doc_id, source, quality_milli, n_copies).
+
+    Reference basis: the survivorship rule of golden_record (X58)
+    applied to X1's content-hash clusters; no reference-repo
+    counterpart — §2b extension.
+    """
+    q = F.expr(
+        f"(1000 * length(regexp_replace({text_col}, '[^A-Za-z]', '')))"
+        f" div greatest(length({text_col}), 1)"
+    ).cast("long")
+    hashed = docs.where(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(source_col).alias("__src"),
+        content_hash_col(text_col).alias("content_hash"),
+        q.alias("__q"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("__q").alias("q"),
+            (-F.col("__id")).alias("nid"),
+            F.col("__src").alias("src"),
+        )
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            best.alias("__b"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .select(
+            "content_hash",
+            (-F.col("__b.nid")).cast("long").alias(id_col),
+            F.col("__b.src").alias(source_col),
+            F.col("__b.q").cast("long").alias("quality_milli"),
+            "n_copies",
+        )
+    )

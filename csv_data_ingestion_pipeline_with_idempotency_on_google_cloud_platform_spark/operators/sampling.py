@@ -586,3 +586,75 @@ def time_split_embargo(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def length_curriculum(
+    docs: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact length-quantile curriculum stages (round 9, X146): assign
+    every document to one of ``k`` stages by token count, with stage
+    boundaries at the exact ⌈j·n/k⌉ order statistics — the
+    shortest-first schedule curriculum trainers feed from (and the
+    dual of X10's packing: stages with homogeneous lengths pack with
+    less padding). Value-based assignment (stage j ⇔ tc ≤ edge_j), so
+    equal-length docs always share a stage — deterministic in any
+    engine, no row ranks anywhere.
+
+    Scale shape: token counts collapse to (tc → count) TIE GROUPS
+    (map-side combinable; the frame is bounded by the distinct
+    token-count RANGE, not the corpus), one cumsum over that frame
+    finds all k−1 edges as MIN-value-reaching-rank picks (the
+    activation_latency rule), and the 1-row edge frame broadcasts
+    back. Rank targets are exact integers: ⌈j·n/k⌉ = (j·n + k − 1)
+    div k.
+
+    Returns per-row (id_col, n_tokens, stage) with stage 1..k.
+    """
+    from ..functions.text import token_count_col
+
+    if k < 2:
+        raise ValueError("length_curriculum: k must be >= 2")
+    # the tokenized (id, n_tokens) projection feeds BOTH the tie
+    # aggregate and the final label pass through one explicit
+    # repartition — AQE exchange reuse tokenizes ONCE (the
+    # quality_quantile_normalize pattern); the (n_tokens, id) key
+    # keeps the exchange skew-free where bare n_tokens would funnel
+    # every same-length doc into one partition
+    base = (
+        docs.where(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(F.col(id_col), token_count_col(text_col).alias("n_tokens"))
+        .repartition(F.col("n_tokens"), F.col(id_col))
+    )
+    cells = base.groupBy("n_tokens").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    w = Window.partitionBy(F.col("n_tokens") % 1).orderBy("n_tokens")
+    wall = Window.partitionBy(F.col("n_tokens") % 1)
+    cum = cells.withColumn("cum", F.sum("__c").over(w)).withColumn(
+        "n", F.sum("__c").over(wall)
+    )
+    edges = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"({j} * n + {k} - 1) div {k}"),
+                    F.col("n_tokens"),
+                )
+            )
+            .cast("long")
+            .alias(f"__e{j}")
+            for j in range(1, k)
+        ]
+    )
+    stage = None
+    for j in range(1, k):
+        cond = F.col("n_tokens") <= F.col(f"__e{j}")
+        stage = F.when(cond, j) if stage is None else stage.when(cond, j)
+    stage = stage.otherwise(k)
+    return base.crossJoin(F.broadcast(edges)).select(
+        id_col, "n_tokens", stage.cast("int").alias("stage")
+    )

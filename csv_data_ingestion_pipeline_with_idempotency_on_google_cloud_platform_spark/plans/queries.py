@@ -11408,6 +11408,97 @@ FROM lab GROUP BY split
 """
 
 
+def q_dedup_survivor_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X145 (round 9): quality-based survivor selection for exact-dup
+    clusters — keep the highest-alpha-density copy, lowest-id
+    tie-break (operators/dedup.py:dedup_survivor_select); the
+    golden_record survivorship rule on X1's content-hash clusters.
+    One map-side-combinable argmax aggregate. Full oracle."""
+    from ..operators.dedup import dedup_survivor_select
+
+    return dedup_survivor_select(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_SURVIVOR_SELECT = r"""
+WITH h AS (
+  SELECT doc_id, source,
+         sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+           AS content_hash,
+         CAST((CAST(1000 AS BIGINT)
+               * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+              // greatest(length(text), 1) AS BIGINT) AS q
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), ranked AS (
+  SELECT content_hash, doc_id, source, q,
+         row_number() OVER (PARTITION BY content_hash
+                            ORDER BY q DESC, doc_id ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY content_hash) AS BIGINT)
+           AS n_copies
+  FROM h
+)
+SELECT content_hash, CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(q AS BIGINT) AS quality_milli, n_copies
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X146 (round 9): exact length-quantile curriculum stages (k=4)
+    over token counts — tie-group order-statistic edges, value-based
+    assignment (operators/sampling.py:length_curriculum), summarized
+    per stage. Full oracle."""
+    from ..operators.sampling import length_curriculum
+
+    out = length_curriculum(load_table(spark, sf_dir, "documents"), k=4)
+    return out.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+SQL_LENGTH_CURRICULUM = r"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+              THEN 0
+              ELSE len(regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+         END AS n_tokens
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), cells AS (
+  SELECT n_tokens, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1
+), cum AS (
+  SELECT n_tokens, SUM(c) OVER (ORDER BY n_tokens) AS cum,
+         SUM(c) OVER () AS n
+  FROM cells
+), edges AS MATERIALIZED (
+  SELECT
+    CAST(MIN(CASE WHEN cum >= (1 * n + 3) // 4 THEN n_tokens END)
+         AS BIGINT) AS e1,
+    CAST(MIN(CASE WHEN cum >= (2 * n + 3) // 4 THEN n_tokens END)
+         AS BIGINT) AS e2,
+    CAST(MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN n_tokens END)
+         AS BIGINT) AS e3
+  FROM cum
+), lab AS (
+  SELECT b.n_tokens,
+         CASE WHEN b.n_tokens <= e.e1 THEN 1
+              WHEN b.n_tokens <= e.e2 THEN 2
+              WHEN b.n_tokens <= e.e3 THEN 3
+              ELSE 4 END AS stage
+  FROM base b CROSS JOIN edges e
+)
+SELECT CAST(stage AS INTEGER) AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM lab GROUP BY stage
+"""
+
+
 _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 window leads: the 19 oracle-backed r4 session-7/8
     # additions (driver-green in CORRECTNESS_r05)
@@ -11712,6 +11803,8 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sprt_daily_ledger": q_sprt_daily_ledger,
     "embedding_centroid_drift": q_embedding_centroid_drift,
     "time_split_embargo": q_time_split_embargo,
+    "dedup_survivor_select": q_dedup_survivor_select,
+    "length_curriculum": q_length_curriculum,
 }
 
 
@@ -11958,6 +12051,8 @@ ORACLE_SQL: dict[str, str] = {
     "sprt_daily_ledger": SQL_SPRT_DAILY_LEDGER,
     "embedding_centroid_drift": SQL_EMBEDDING_CENTROID_DRIFT,
     "time_split_embargo": SQL_TIME_SPLIT_EMBARGO,
+    "dedup_survivor_select": SQL_DEDUP_SURVIVOR_SELECT,
+    "length_curriculum": SQL_LENGTH_CURRICULUM,
     "trimmed_mean": SQL_TRIMMED_MEAN,
     "mann_kendall": SQL_MANN_KENDALL,
     "chisq_independence": SQL_CHISQ_INDEPENDENCE,
@@ -11998,6 +12093,8 @@ R9_WINDOW: list[str] = [
     "sprt_daily_ledger",
     "embedding_centroid_drift",
     "time_split_embargo",
+    "dedup_survivor_select",
+    "length_curriculum",
     # r8-tail additions, never driver-witnessed
     "vocab_coverage_estimate",
     "spearman_activity_value",
@@ -12049,8 +12146,6 @@ R9_WINDOW: list[str] = [
     "window_distinct_users",
     # r4 block head (swapped out as r9 additions land)
     "pagerank",
-    "triangle_count",
-    "bfs_reachability",
     # r9 code-review closures: NULL-handling semantics touched after
     # the first rehearsal — re-witness (displaces the newest three
     # backfill names to the r10 rotation)

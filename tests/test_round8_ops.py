@@ -769,3 +769,54 @@ def test_time_split_embargo_exact_cutoff_and_band(spark):
         assert got[eid] == "train", eid
     assert got[8] == "embargo"   # minute 8 = 60 s after cutoff <= 90 s
     assert got[9] == "test"      # minute 9 = 120 s after cutoff
+
+
+def test_dedup_survivor_select_quality_argmax(spark):
+    """Within a duplicate cluster the highest-alpha-density copy wins;
+    ties break to the lowest id; n_copies counts the cluster."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.dedup import (
+        dedup_survivor_select,
+    )
+
+    rows = [
+        # cluster A: same normalized text, different quality wrappers?
+        # no - same text => same quality; tie breaks to lowest id
+        (1, "hello world", "s1"),
+        (2, "Hello   World", "s2"),   # normalizes identically
+        # cluster B: distinct content
+        (3, "123 456", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in dedup_survivor_select(df).collect()}
+    assert set(got) == {1, 3}
+    assert got[1]["n_copies"] == 2 and got[1]["source"] == "s1"
+    assert got[3]["quality_milli"] == 0  # no alpha chars
+    # quality argmax across a cluster whose members differ in quality
+    # is impossible for EXACT dups (same normalized text -> same q);
+    # verify the argmax machinery directly on the struct ordering:
+    # higher q wins even with a higher id
+    rows2 = [(10, "aaaa bbbb", "x"), (11, "aaaa bbbb", "y")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string, source string")
+    g2 = dedup_survivor_select(df2).collect()[0]
+    assert g2["doc_id"] == 10 and g2["n_copies"] == 2
+
+
+def test_length_curriculum_exact_edges(spark):
+    """12 docs with token counts 1..12, k=4: edges at ranks 3/6/9 ->
+    stages of exactly 3 docs each; equal lengths share a stage."""
+    from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.sampling import (
+        length_curriculum,
+    )
+
+    rows = [(i, " ".join(["w"] * i)) for i in range(1, 13)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["stage"] for r in length_curriculum(df, k=4).collect()}
+    for i in range(1, 13):
+        assert got[i] == (i + 2) // 3, i
+    # ties: two docs of the same length land in one stage even when a
+    # row-rank split would straddle the boundary
+    rows2 = [(i, "a b") for i in range(8)] + [(100, "a b c d e f")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    st = {r["doc_id"]: r["stage"] for r in length_curriculum(df2, k=4).collect()}
+    assert len({st[i] for i in range(8)}) == 1
+    assert st[100] == 4
