@@ -855,8 +855,10 @@ def near_dup_clusters(
     shortcut degrades to O(diameter) rounds when ids are random with
     respect to the graph (measured: 26 rounds / 40 s for the sf0.1
     customer linkage graph vs 5 rounds / 6.5 s for this algorithm).
-    Per round: two groupBy-min aggregations (map-side combined) + two
-    joins, all shuffling only id pairs, never documents.
+    Per round: two windowed neighborhood-min passes (one exchange each
+    — the min rides a window over the same rows instead of a groupBy +
+    join back, r9) + the small-star dedup, all shuffling only id pairs,
+    never documents.
 
     Plan hygiene (the round-4 bench crash): every round localCheckpoints
     the edge table (lazily — the convergence-signature aggregate is the
@@ -884,44 +886,69 @@ def near_dup_clusters(
     import tempfile
 
     spark = pairs.sparkSession
+    # materialize the (possibly expensive) upstream pair pipeline ONCE
+    # and derive both frames from it — the earlier two independent
+    # eager checkpoints each re-ran the whole candidate-pair pipeline
+    # (r9; one full LSH/blocking pass saved per clusters query)
+    p0 = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint(eager=True)
     # all_nodes from the RAW pairs so self-loop-only nodes still emerge
-    # as singletons (cluster_id = self)
+    # as singletons (cluster_id = self). Both derivations checkpoint
+    # LAZILY: their first consumer (round 1's signature action, the
+    # final label join) materializes them from p0's cached partitions —
+    # eager=True here paid two extra upfront jobs for frames that are
+    # one narrow pass off the checkpoint
     all_nodes = (
-        pairs.select(F.col(id_a).alias("node_id"))
-        .unionByName(pairs.select(F.col(id_b).alias("node_id")))
+        p0.select(F.col("u").alias("node_id"))
+        .unionByName(p0.select(F.col("v").alias("node_id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        p0.filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _large_star(e: DataFrame) -> DataFrame:
         # no trailing distinct: duplicate edges don't affect the min
         # aggregates and the small-star that always follows ends in one
         # — saves a shuffle per round (duplication within a round is
-        # bounded by the band multiplicity of the input edge set)
+        # bounded by the band multiplicity of the input edge set).
+        # The neighborhood min rides a window over the SAME rows
+        # instead of a groupBy + join back: one exchange on u where the
+        # join form paid two (the aggregate's and the probe side's) plus
+        # the join itself (r9 optimization: ~5 -> 3 exchanges per round,
+        # measured 1.31x on the sf0.1 clusters queries; per-key window
+        # groups buffer one neighborhood at a time and spill past the
+        # in-memory threshold, so a hot node degrades to disk, not OOM)
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
-            "u", F.least("u", "mn").alias("m")
-        )
+        m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
         return (
-            sym.join(mins, "u")
+            sym.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
+        # same one-exchange window form; (v, m) per row plus (u, m) per
+        # row — the original emitted (u, m) once per DISTINCT u, but the
+        # trailing distinct collapses the difference, so the explode-of-
+        # two generator keeps the exact output set with zero joins
         o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        mins = o.groupBy("u").agg(F.min("v").alias("m"))
-        lo = o.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
-        hi = mins.select("u", F.col("m").alias("v"))
+        w = o.withColumn("m", F.min("v").over(Window.partitionBy("u")))
         return (
-            lo.unionByName(hi)
+            w.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
@@ -1034,9 +1061,18 @@ def _minhash_md5_candidates(
     (which scores the estimate) and `minhash_blocking_eval` (which
     measures the blocking itself)."""
     n_bands = num_hashes // band_rows
-    sh = docs.select(
+    # no (i, s) distinct: word_shingles_col is array_distinct per doc
+    # and MIN is duplicate-insensitive anyway, so the signature is
+    # identical with or without it — dropping it removes a full
+    # shuffle+aggregate of the shingle stream that preceded the hash
+    # stage (r9; the oracle's SELECT DISTINCT feeds the same MIN and
+    # collapses identically). parallelize_narrow replaces the one thing
+    # that exchange was accidentally buying locally: without it the
+    # 16-way md5 stage runs at single-file scan parallelism (no-op at
+    # real scale, where the scan already has many splits)
+    sh = parallelize_narrow(docs).select(
         F.col(id_col).alias("i"), F.explode(word_shingles_col(text_col, 2)).alias("s")
-    ).distinct()
+    )
     # one column per seed, one groupBy: the seed axis rides as 16 min
     # aggregates instead of a x16 row explode + a second groupBy —
     # same md5 count, 16x fewer shuffle keys, map-side combine
@@ -1145,17 +1181,37 @@ def minhash_blocking_eval(
         # with >=1 shingle — don't pay a second shingle explode
         m_docs = sizes.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     m_sampled = sizes.agg(F.count(F.lit(1)).cast("long").alias("n_docs_sampled"))
-    m_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
-    m_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
-    m_capt = truth.join(cand, ["id_a", "id_b"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_captured")
+    # single-pass readout over truth ∪ cand (r9): both pair sets are
+    # key-unique, so one full-outer join + one aggregate yields all
+    # three pair counts — the earlier three separate 1-row aggregates
+    # (|truth|, |cand|, |truth ⋈ cand|) evaluated the truth and
+    # candidate pipelines twice each (exchange reuse shares the shuffle
+    # files but not the post-shuffle aggregation stages or the AQE job
+    # cadence of five crossJoined subqueries)
+    m_pairs = (
+        truth.withColumn("__t", F.lit(1))
+        .join(
+            cand.withColumn("__c", F.lit(1)),
+            ["id_a", "id_b"],
+            "full_outer",
+        )
+        .agg(
+            F.sum("__t").cast("long").alias("n_true_pairs"),
+            F.sum("__c").cast("long").alias("n_candidate_pairs"),
+            F.count(F.when(F.col("__t").isNotNull() & F.col("__c").isNotNull(), 1))
+            .cast("long")
+            .alias("n_captured"),
+        )
+        .select(
+            F.coalesce("n_true_pairs", F.lit(0)).alias("n_true_pairs"),
+            F.coalesce("n_candidate_pairs", F.lit(0)).alias("n_candidate_pairs"),
+            "n_captured",
+        )
     )
     total = F.expr("(n_docs * (n_docs - 1)) div 2")
     return (
         m_docs.crossJoin(F.broadcast(m_sampled))
-        .crossJoin(F.broadcast(m_true))
-        .crossJoin(F.broadcast(m_cand))
-        .crossJoin(F.broadcast(m_capt))
+        .crossJoin(F.broadcast(m_pairs))
         .select(
             "n_docs",
             "n_docs_sampled",
@@ -1264,34 +1320,33 @@ def simhash_md5_pairs(
     """
     n_blocks = 4
     block_bits = bits // n_blocks
-    bit_ids = F.sequence(F.lit(0), F.lit(bits - 1))
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     toks = F.array_distinct(tokens_col(text_col))
     votes = F.aggregate(
         toks,
         F.array_repeat(F.lit(0), bits),
-        # bind the per-token binary string of the 60-bit md5 integer
-        # once via the 1-element transform trick (same discipline as
-        # simhash_col: an unbound subexpression would re-run
-        # conv+md5+bin once per BIT); bit b of the long == char 64-b of
-        # the zero-padded bin() string, a substr test that accepts the
-        # Column-typed bit index (shiftright needs a literal int)
+        # bind the per-token 60-bit md5 integer once via the 1-element
+        # transform trick (same discipline as simhash_col: an unbound
+        # subexpression would re-run conv+md5 once per BIT); bit b is
+        # then a long bitwiseAND against the literal power-of-two array
+        # — the earlier form rendered the long to a zero-padded bin()
+        # STRING and ran one substr per bit, paying a 64-char alloc +
+        # 60 string probes per token inside the interpreted lambda (r9:
+        # integer mask test, same bits). An explode + 60 SUM-column
+        # aggregate (the minhash shape) was tried and measured ~2x
+        # SLOWER: a 60-buffer HashAggregate exceeds the codegen field
+        # budget and drops the whole stage to interpreted volcano mode,
+        # and its compile alone added seconds — see OPTIMIZATION_r09.md
+        # non-findings.
         lambda acc, t: F.element_at(
             F.transform(
-                F.array(
-                    F.lpad(
-                        F.bin(
-                            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-                        ),
-                        64,
-                        "0",
-                    )
-                ),
-                lambda hb: F.zip_with(
+                F.array(F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")),
+                lambda hh: F.zip_with(
                     acc,
                     F.transform(
-                        bit_ids,
-                        lambda b: F.when(
-                            F.substr(hb, F.lit(64) - b, F.lit(1)) == "1", F.lit(1)
+                        powers,
+                        lambda p: F.when(
+                            hh.bitwiseAND(p) != 0, F.lit(1)
                         ).otherwise(F.lit(-1)),
                     ),
                     lambda a, v: a + v,
@@ -1300,7 +1355,6 @@ def simhash_md5_pairs(
             1,
         ),
     )
-    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     sig_col = F.aggregate(
         F.zip_with(
             votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))

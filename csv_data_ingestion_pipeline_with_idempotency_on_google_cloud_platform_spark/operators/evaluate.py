@@ -101,7 +101,7 @@ def decile_lift(
             F.col(id_col).alias("u"),
         ).alias("__k"),
     )
-    ranked = assign_global_ids(keyed, "__k", num_partitions=32, id_col="__r")
+    ranked = assign_global_ids(keyed, "__k", id_col="__r")
     n = ranked.count()
     q, r = divmod(n, n_tiles)
     boundary = r * (q + 1)
@@ -254,7 +254,7 @@ def calibration_table(
             F.col(id_col).alias("u"),
         ).alias("__k"),
     )
-    ranked = assign_global_ids(keyed, "__k", num_partitions=32, id_col="__r")
+    ranked = assign_global_ids(keyed, "__k", id_col="__r")
     n = ranked.count()
     q, r = divmod(n, n_tiles)
     boundary = r * (q + 1)

@@ -216,8 +216,14 @@ def jaro_winkler_topk(
             [jaro_winkler_py(x, y) for x, y in zip(pa, nb)], dtype="float64"
         )
 
+    from ..utils import parallelize_narrow
+
     p = probes.select(F.col(probe_col).alias("probe"))
-    n = names.select(F.col(name_col).alias("name"))
+    # spread the per-pair Python JW across cores: a single-file name
+    # table scans as 1-2 partitions, serializing the whole |names| x
+    # |probes| pandas-UDF stage on one worker (r9; no-op at real scale
+    # where the scan already has many splits)
+    n = parallelize_narrow(names).select(F.col(name_col).alias("name"))
     scored = (
         n.crossJoin(F.broadcast(p))
         .filter(F.col("name") != F.col("probe"))

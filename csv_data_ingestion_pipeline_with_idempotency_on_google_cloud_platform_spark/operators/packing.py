@@ -113,7 +113,7 @@ def chunk_documents(
 def assign_global_ids(
     df: DataFrame,
     order_col: str,
-    num_partitions: int = 256,
+    num_partitions: int | None = None,
     id_col: str = "row_id",
 ) -> DataFrame:
     """Contiguous 0-based row IDs in ``order_col`` order WITHOUT a
@@ -145,6 +145,13 @@ def assign_global_ids(
     the output is identical across calls regardless of how the range
     bounds were sampled (bounds affect balance, never order).
 
+    ``num_partitions`` defaults to the cluster's default parallelism
+    (r9): partition count only affects balance, and the earlier
+    constant 256 was wrong in both directions — 8 stages x 256 tasks of
+    scheduler overhead on a laptop-scale input, too few range buckets
+    for a 100 TB sort spread over thousands of cores (pass it
+    explicitly when the input's size is known to need more).
+
     Storage lifecycle: the checkpointed blocks live as long as the
     RETURNED DataFrame (its plan reads them) and are reclaimed by the
     ContextCleaner once the caller drops the last reference — so each
@@ -153,6 +160,8 @@ def assign_global_ids(
     accumulate storage. For a persistent assignment, write the result
     to parquet and drop the DataFrame; don't hold many live results.
     """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
     p = (
         df.repartitionByRange(num_partitions, F.col(order_col))
         .sortWithinPartitions(order_col)

@@ -371,20 +371,29 @@ def poisson_bootstrap(
     expected count of truncated cells per replicate is ~0.0006n and
     the induced mean bias is far below the CI's own Monte-Carlo noise.
 
-    Shape: B replicates = one crossJoin against a broadcast B-row
-    frame; ONE map-side-combined aggregation reduces the cells to B
-    exact (DECIMAL weighted sum, BIGINT weight count) pairs — shuffle
-    is partitions x B combiner cells regardless of data size; the CI
-    is a ceil-rank order statistic over the B-row replicate table.
-    Replicate means are exact integer micro-units (no float
-    accumulates), so the whole output is drift-free.
+    Shape: B replicates = one narrow generator (explode of a literal
+    0..B-1 sequence); ONE map-side-combined aggregation reduces the
+    cells to B exact (DECIMAL weighted sum, BIGINT weight count) pairs
+    — shuffle is partitions x B combiner cells regardless of data
+    size; the CI is a ceil-rank order statistic over the B-row
+    replicate table. Replicate means are exact integer micro-units (no
+    float accumulates), so the whole output is drift-free.
+
+    Two r9 notes from measurement: (1) w = 0 cells are NOT filtered —
+    they contribute 0 to both aggregate sums, and the filter's pushed
+    predicate re-evaluated the md5/conv draw a second time per cell
+    (codegen subexpression elimination works within one operator's
+    expressions, not across a filter/project boundary); unfiltered,
+    every cell pays exactly one md5. (2) a higher-order-function form
+    (per-row transform/filter array) was measured ~2x SLOWER than this
+    flat projection: lambda bodies evaluate interpreted, while the
+    6-branch CASE here is whole-stage-codegen'd with the md5 CSE'd.
 
     Output 1 row: (b_reps, n, mean_micro, ci_lo_micro, ci_hi_micro)
     at the 2.5/97.5 percentiles.
     """
     from pyspark.sql import Window
 
-    spark = df.sparkSession
     base = df.where(
         (F.lit(True) if where is None else where)
         & F.col(id_col).isNotNull()
@@ -401,17 +410,18 @@ def poisson_bootstrap(
         F.sum("vm").cast("long").alias("s_all"),
         F.count(F.lit(1)).cast("long").alias("n_all"),
     )
-    reps_df = spark.range(reps).select(F.col("id").cast("int").alias("b"))
     u = F.conv(
         F.substring(F.md5(F.concat_ws(":", F.col("rid"), F.col("b"))), 1, 15),
         16,
         10,
     ).cast("long")
-    cells = (
-        base.crossJoin(F.broadcast(reps_df))
-        .select("b", "vm", _pois1_weight(u).alias("w"))
-        .where(F.col("w") > 0)
-    )
+    cells = base.select(
+        "rid",
+        "vm",
+        F.explode(F.sequence(F.lit(0), F.lit(reps - 1)).cast("array<int>")).alias(
+            "b"
+        ),
+    ).select("b", "vm", _pois1_weight(u).alias("w"))
     per_rep = cells.groupBy("b").agg(
         F.sum(F.col("vm") * F.col("w")).cast("long").alias("sw"),
         F.sum("w").cast("long").alias("nw"),

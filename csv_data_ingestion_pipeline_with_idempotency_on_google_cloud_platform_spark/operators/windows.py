@@ -355,6 +355,15 @@ def theilsen_trend(
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(user_col)
+    # explicit user-key repartition at cluster parallelism (r9): the
+    # pair stage downstream is compute-dense but byte-light, and AQE's
+    # byte-based coalescing was folding the window exchange to ONE
+    # post-shuffle partition at bench scale — serializing the O(n²/user)
+    # slope work on a single core (measured 6 tasks total / 3.0 s).
+    # An explicit numPartitions is exempt from AQE coalescing; the
+    # window, the self-join (ReusedExchange) and the rank window all
+    # inherit this partitioning, so no extra exchange is added.
+    n_part = events.sparkSession.sparkContext.defaultParallelism
     base = (
         events.filter(
             F.col(user_col).isNotNull()
@@ -366,6 +375,7 @@ def theilsen_trend(
             F.col(value_col).cast("double").alias("__y"),
             us.alias("__us"),
         )
+        .repartition(n_part, user_col)
         .withColumn(
             "__x", F.floor((F.col("__us") - F.min("__us").over(w)) / 1_000_000)
         )
@@ -546,7 +556,7 @@ def rfm_segments(events: DataFrame, n_tiles: int = 4) -> DataFrame:
     )
     ranked = keyed
     for key, rank in (("__k_r", "__r_r"), ("__k_f", "__r_f"), ("__k_m", "__r_m")):
-        ranked = assign_global_ids(ranked, key, num_partitions=32, id_col=rank)
+        ranked = assign_global_ids(ranked, key, id_col=rank)
     n = ranked.count()
     q, r = divmod(n, n_tiles)
     boundary = r * (q + 1)

@@ -3292,7 +3292,7 @@ def q_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle is the single-partition ROW_NUMBER the operator is
     semantically equal to but never executes."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return packing.assign_global_ids(docs, "doc_id", num_partitions=32)
+    return packing.assign_global_ids(docs, "doc_id")
 
 
 SQL_GLOBAL_ROW_IDS = """

@@ -209,6 +209,53 @@ def test_near_dup_clusters_matches_recursive_cte_oracle(spark, duck):
     assert got == {(n, c) for n, c in oracle}
 
 
+def test_near_dup_clusters_windowed_stars_match_union_find(spark):
+    """r9 internals change: each star round derives its neighborhood
+    min from a window over the same rows instead of a groupBy + join
+    back. Pin exact-output equivalence against a driver-side
+    union-find on messy inputs the window path must survive: self
+    loops, duplicate pairs (both orders), and multi-component graphs
+    with singleton self-loop nodes."""
+    import random
+
+    rng = random.Random(29)
+    edges = [(n, n) for n in (100, 101)]  # self-loop-only singletons
+    edges += [tuple(rng.sample(range(40), 2)) for _ in range(50)]
+    edges += [(b, a) for a, b in edges[2:20]]  # reversed duplicates
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id labels: one more pass so every node maps to its root min
+    want = {}
+    roots: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        roots[r] = min(roots.get(r, r), n)
+    for n in parent:
+        want[n] = roots[find(n)]
+
+    got = {
+        r["node_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup.near_dup_clusters(pairs).collect()
+    }
+    assert {n: c for n, (c, _) in got.items()} == want
+    assert {n for n, (c, k) in got.items() if k} == {
+        n for n, c in want.items() if n == c
+    }
+
+
 def test_tune_lsh_params_matches_shipped_defaults():
     from csv_data_ingestion_pipeline_with_idempotency_on_google_cloud_platform_spark.operators.dedup import (
         DEFAULT_BANDS,

@@ -982,13 +982,22 @@ def test_neyman_is_one_groupby_plus_tiny_window(spark):
 
 
 def test_poisson_bootstrap_cells_reduce_map_side(spark):
-    """B replicates must come from ONE broadcast crossJoin + ONE
-    map-side-combined aggregation (shuffle = partitions x B cells) —
-    never B scans or a per-replicate shuffle of the data."""
+    """B replicates must come from ONE narrow generator (explode of the
+    literal replicate sequence) + ONE map-side-combined aggregation
+    (shuffle = partitions x B cells) — never B scans, a per-replicate
+    shuffle of the data, or a cell filter whose pushed predicate
+    re-evaluates the md5 draw a second time per cell (w = 0 cells are
+    algebraically free in both sums, so nothing filters them)."""
     plan = _plan(spark, "poisson_bootstrap")
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "Generate" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 4
+    # the replicate axis must NOT come from a join against the data
+    # (the old broadcast-crossJoin form; the only NLJs left are the
+    # 1-row obs/lo/hi readout attachments): no Filter may sit between
+    # the Generate and the cell aggregation re-evaluating the draw
+    ln = [l for l in plan.splitlines() if "Filter" in l and "md5" in l]
+    assert not ln, ln
 
 
 def test_group_reservoir_sample_one_exchange_rank_pushdown(spark):
