@@ -82,10 +82,14 @@ def pagerank(
     init = UNIT // n_nodes
     base = (100 - damping_pct) * init // 100
 
-    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_nano"))
+    # the rank frame CARRIES deg (r9): one edges⋈ranks join per
+    # iteration instead of edges⋈(ranks⋈nodes) — the degree lookup
+    # rides the vector it travels with, removing one |V| join and its
+    # exchange per iteration
+    ranks = nodes.select("node", "deg", F.lit(init).cast("long").alias("rank_nano"))
     for _ in range(iterations):
         contrib = (
-            edges.join(ranks.join(nodes, "node"), edges.src == F.col("node"))
+            edges.join(ranks, edges.src == ranks.node)
             .select("dst", F.expr("rank_nano div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
@@ -94,6 +98,7 @@ def pagerank(
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(
                 "node",
+                "deg",
                 (
                     F.lit(base)
                     + F.expr(
@@ -102,7 +107,7 @@ def pagerank(
                 ).cast("long").alias("rank_nano"),
             )
         )
-    return ranks
+    return ranks.select("node", "rank_nano")
 
 
 def degree_stats(edges: DataFrame) -> DataFrame:
@@ -234,14 +239,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     tri = wedges.join(
         edges.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
     )
-    n_nodes = deg.count()
+    # node count and open-wedge sum ride ONE aggregate action over the
+    # degree table (r9: was two separate jobs re-deriving deg)
+    drow = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("w"),
+    ).collect()[0]
+    n_nodes = drow["n"]
+    n_wedge = drow["w"] or 0
     n_edges = edges.count()
     n_tri = tri.count()
-    # open wedges: sum over nodes of C(d, 2) on the undirected degrees
-    n_wedge = (
-        deg.select(F.sum(F.expr("d * (d - 1) div 2")).alias("w")).collect()[0]["w"]
-        or 0
-    )
     spark = edges.sparkSession
     return spark.createDataFrame(
         [

@@ -211,7 +211,12 @@ def hilbert_zonemap(
     shape (two narrow passes + one groupBy); the curve walk rides the
     projection. Returns (hbucket, n, x_min, x_max, y_min, y_max)."""
     shift = 2 * Z_BITS - bucket_bits
-    n = _with_norm(df, x_col, y_col)
+    # the 16-plane curve walk is an interpreted fold (HOFs don't
+    # codegen) — spread a single-file scan before paying it (r9:
+    # no-op at real scale, where the scan already has many splits)
+    from ..utils import parallelize_narrow
+
+    n = _with_norm(parallelize_narrow(df), x_col, y_col)
     h = n.withColumn(
         "__h", hvalue_col(F.col("__ux"), F.col("__uy")) + F.col("__chk")
     )

@@ -46,7 +46,12 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
         aggs.append(_render(F.min(F.col(c)), c).alias(f"__min_{c}"))
         aggs.append(_render(F.max(F.col(c)), c).alias(f"__max_{c}"))
-    wide = df.agg(*aggs)
+    # the k count_distincts Expand the input k+1-fold before the
+    # partial agg — all map-side work that a single-file scan would run
+    # on 1-2 cores (r9: spread first, no-op at real scale)
+    from ..utils import parallelize_narrow
+
+    wide = parallelize_narrow(df.select(*cols)).agg(*aggs)
 
     def _ident(name: str) -> str:
         # backtick-quote so column names with spaces/hyphens/quotes

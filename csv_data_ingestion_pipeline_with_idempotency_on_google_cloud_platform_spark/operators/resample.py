@@ -250,6 +250,12 @@ def permutation_test(
             (F.col(type_col) == type_a).alias("is_a"),
             F.col(value_col).cast("decimal(18,6)").alias("v"),
         )
+        # one explicit round-robin exchange (r9): obs and the replicate
+        # aggregation both consume base — without a shared boundary each
+        # re-runs the double-md5 projection, and a single-file scan
+        # would run the B-coin replicate stage on 1-2 cores; the
+        # exchange computes the hashes once and both consumers reuse it
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
 
     def _stat(sa: Column, na: Column, sb: Column, nb: Column) -> Column:
@@ -405,7 +411,11 @@ def poisson_bootstrap(
         (F.col(value_col).cast("decimal(18,6)") * 1_000_000)
         .cast("long")
         .alias("vm"),
-    )
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # ^ one explicit round-robin exchange (r9): obs and the cell
+    # generator both consume base (shared boundary, computed once), and
+    # without it the B × rows md5 stage runs at single-file scan
+    # parallelism
     obs = base.groupBy().agg(
         F.sum("vm").cast("long").alias("s_all"),
         F.count(F.lit(1)).cast("long").alias("n_all"),

@@ -81,6 +81,15 @@ def dsir_weights(
             % n_buckets
         ).alias("bucket"),
     )
+    # two consumers (bucket stats, the per-doc weight join) re-execute
+    # the explode+md5 pipeline without a shared boundary; one explicit
+    # bucket-key exchange lets the groupBy reuse it directly and the
+    # join read it as a ReusedExchange — the hash pipeline runs once,
+    # and a single-file scan's 1-2 partitions spread as a side effect
+    # (r9)
+    feats = feats.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "bucket"
+    )
     bucket_stats = feats.groupBy("bucket").agg(
         F.sum("is_t").cast("long").alias("c_t"),
         F.count(F.lit(1)).cast("long").alias("c_r"),

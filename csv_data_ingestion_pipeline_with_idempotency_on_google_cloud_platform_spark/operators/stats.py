@@ -58,6 +58,8 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     with col_a < col_b, corr rounded to 6 dp (NULL when a column has
     zero variance).
     """
+    from ..utils import parallelize_narrow
+
     dec = {c: F.col(c).cast("decimal(18,6)") for c in cols}
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, a in enumerate(cols):
@@ -66,7 +68,12 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
             aggs.append(
                 F.sum(dec[a] * dec[cols[j]]).alias(f"__p_{i}_{j}")
             )
-    wide = df.select(*[dec[c].alias(c) for c in cols]).agg(*aggs)
+    # the k + k(k+1)/2 DECIMAL product sums all evaluate map-side; a
+    # single-file scan would run them on 1-2 cores (r9: spread first,
+    # no-op at real scale — exact sums are partition-order-free)
+    wide = parallelize_narrow(df.select(*[dec[c].alias(c) for c in cols])).agg(
+        *aggs
+    )
 
     nd = F.col("__n").cast("double")
 
