@@ -48,24 +48,42 @@ def fuzzy_self_pairs(
     `col` (pre-distinct it — duplicates only inflate buckets)."""
     entries = strings.select(
         F.col(col).alias("id"),
-        F.col(col).alias("v"),
         F.explode(deletion_variants_col(col)).alias("key"),
     )
-    # lazily checkpoint the variant explode: _bucket_pairs consumes
+    # lazily checkpoint the variant explode: the pair core consumes
     # entries twice (over-cap pre-pass + member collect), and names are
     # a |distinct strings| table — SMALL at any corpus scale (unlike
     # shingle/band entries, which stay recompute-on-second-pass), so
     # materializing it once is safe and saves the second explode +
     # string-manipulation pass (~1 s of each clusters query at sf0.1)
     entries = entries.localCheckpoint(eager=False)
-    from .dedup import _bucket_pairs
+    # explicit bucket-key exchange at cluster parallelism (r9): the
+    # in-bucket pair explode + levenshtein stage is compute-dense but
+    # byte-light (slim string payloads), and AQE's byte-based
+    # coalescing would fold it onto a couple of cores; an explicit
+    # numPartitions is exempt, and the member-collect groupBy reuses
+    # this partitioning without a second exchange
+    entries = entries.repartition(
+        strings.sparkSession.sparkContext.defaultParallelism, "key"
+    )
+    from .dedup import _bucket_member_pairs
 
-    pairs = _bucket_pairs(entries, ["key"], ("id", "v"), max_bucket_size)
+    # the string IS both id and payload here — collect it once per
+    # bucket member instead of the generic (id, payload) struct that
+    # shipped every name twice through the bucket exchange (r9)
+    core = _bucket_member_pairs(
+        entries,
+        ["key"],
+        F.col("id"),
+        max_bucket_size,
+        lambda m, mj: F.struct(m.alias("s_a"), mj.alias("s_b")),
+    )
+    pairs = core.select("pr.s_a", "pr.s_b").dropDuplicates(["s_a", "s_b"])
     return (
         pairs.select(
-            F.col("id_a").alias("s_a"),
-            F.col("id_b").alias("s_b"),
-            F.levenshtein("pa", "pb").alias("dist"),
+            "s_a",
+            "s_b",
+            F.levenshtein("s_a", "s_b").alias("dist"),
         )
         .filter(F.col("dist") <= 1)
         .filter(F.col("dist") > 0)

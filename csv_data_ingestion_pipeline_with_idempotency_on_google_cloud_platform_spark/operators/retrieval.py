@@ -384,13 +384,21 @@ def rocchio_expand(
         .agg(F.count(F.lit(1)).cast("long").alias("tf_rel"))
     )
     cand = rel_tf.select("term")
+    from ..utils import parallelize_narrow
+
+    # candidate semi-join BEFORE the (doc, term) distinct (r9): the
+    # distinct is the df pass's shuffle, and filtering the token stream
+    # to R's candidate terms first shrinks it — same result (distinct
+    # commutes with a filter on the key), strictly less shuffled;
+    # spread the single-file explode while at it
     dfreq = (
-        docs.select(
+        parallelize_narrow(docs)
+        .select(
             F.col(id_col).alias("i"), F.explode(tokens_col(text_col)).alias("tok")
         )
         .select("i", F.lower("tok").alias("term"))
-        .distinct()
         .join(F.broadcast(cand), "term", "left_semi")
+        .distinct()
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )

@@ -766,9 +766,13 @@ def semantic_dedup(
     if k is None:
         k = max(16, int(emb.count() ** 0.5))
     if assignments is None:
+        # checkpoint the NARROW (id, cluster) assignment lazily (r9):
+        # _bucket_pairs consumes its entries twice (over-cap pre-pass +
+        # member collect), and without a boundary each pass re-ran the
+        # final k-means assignment pandas UDF over the full table
         assignments = kmeans_train_assign(
             emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
-        )
+        ).localCheckpoint(eager=False)
     vec = F.col(vec_col).cast("array<double>")
     norm = F.greatest(l2_norm_col(vec), F.lit(1e-12))
     entries = emb.join(assignments, id_col).select(
@@ -1021,7 +1025,8 @@ def margin_knn_match(
         lambda x: F.round(x * 1000000.0).cast("long"),
     )
     base = (
-        emb.select(
+        parallelize_narrow(emb)
+        .select(
             F.col(id_col).alias("id"), F.col(label_col).alias("lb"), vq.alias("v")
         )
         .withColumn("n2", ldot(F.col("v"), F.col("v")))
@@ -1029,6 +1034,8 @@ def margin_knn_match(
         # the sqrt (floor(NaN) diverges between engines)
         .where(F.col("n2") > 0)
     )
+    # ^ spread the single-file scan (r9): the |src|×|tgt| interpreted
+    # dot folds below otherwise run on 1-2 cores
     src = base.where(F.col("lb") == src_label).select(
         F.col("id").alias("src_id"), F.col("v").alias("sv"), F.col("n2").alias("sn2")
     )
@@ -1108,11 +1115,12 @@ def mmr_rerank(
     exactly as ten unrolled argmax CTEs in DuckDB.
 
     Scale shape: relevance is the X3 broadcast-query scan; the greedy
-    runs on a top-`pool` candidate synopsis (pool ≤ 50 rows + its
-    pool² pairwise sims, both computed distributed and collected as
-    BOUNDED driver state — the kmeans-centroid convention). At corpus
-    scale the pool comes from an index probe; the greedy cost is
-    k·pool either way.
+    runs on a top-`pool` candidate synopsis (pool ≤ 50 rows collected
+    ONCE as BOUNDED driver state — the kmeans-centroid convention; the
+    pool² pairwise sims are exact driver-side integer/IEEE arithmetic
+    on those rows, identical to the distributed fold they replaced).
+    At corpus scale the pool comes from an index probe; the greedy
+    cost is k·pool either way.
 
     Returns (mmr_rank, vec_id, rel_e6, score_e6), k rows.
     """
@@ -1153,22 +1161,28 @@ def mmr_rerank(
         )
     )
     cand = rel.orderBy(F.desc("rel_e6"), F.asc("id")).limit(pool)
-    a = cand.select(
-        F.col("id").alias("ia"), F.col("v").alias("va"), F.col("n2").alias("na")
-    )
-    b = cand.select(
-        F.col("id").alias("ib"), F.col("v").alias("vb"), F.col("n2").alias("nb")
-    )
-    sims = (
-        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
-        .withColumn("__dot", ldot(F.col("va"), F.col("vb")))
-        .select(
-            "ia", "ib", cos(F.col("__dot"), F.col("na"), F.col("nb")).alias("sim_e6")
-        )
-    )
-    # bounded driver synopsis: pool rows + pool^2 sims
-    rels = {r["id"]: r["rel_e6"] for r in cand.select("id", "rel_e6").collect()}
-    sim = {(r["ia"], r["ib"]): r["sim_e6"] for r in sims.collect()}
+    # bounded driver synopsis: ONE collect of the pool rows (id, rel,
+    # vector, norm); the pool² pairwise sims are computed driver-side
+    # on the exact same integers (r9 — the earlier distributed sims
+    # join re-evaluated the whole relevance scan for a second action).
+    # Python ints replay the long dot fold exactly, and
+    # floor(1e6·dot / sqrt(na·nb)) is the identical IEEE double
+    # expression Spark evaluated — same inputs, same single-rounding
+    # ops, same result.
+    import math
+
+    rows = cand.select("id", "rel_e6", "v", "n2").collect()
+    rels = {r["id"]: r["rel_e6"] for r in rows}
+    vecs = {r["id"]: (list(r["v"]), r["n2"]) for r in rows}
+    sim: dict[tuple[int, int], int] = {}
+    for ia, (va, na) in vecs.items():
+        for ib, (vb, nb) in vecs.items():
+            if ia == ib:
+                continue
+            dot = sum(x * y for x, y in zip(va, vb))
+            sim[(ia, ib)] = math.floor(
+                1000000.0 * float(dot) / math.sqrt(float(na) * float(nb))
+            )
     mu = 1000 - lambda_milli
     selected: list[tuple[int, int, int, int]] = []
     chosen: list[int] = []

@@ -971,7 +971,9 @@ def vocab_growth(
     per_doc = docs.select(
         F.col(id_col), token_count_col(text_col).alias("__nt")
     )
-    tok = docs.select(
+    from ..utils import parallelize_narrow
+
+    tok = parallelize_narrow(docs).select(
         F.col(id_col),
         F.explode(
             F.transform(tokens_col(text_col), lambda x: F.lower(x))
@@ -983,14 +985,17 @@ def vocab_growth(
         .groupBy("ck")
         .agg(F.sum("__nt").cast("long").alias("n_tokens"))
     )
-    first_ck = (
-        tok.join(decs, id_col)
-        .select("term", "ck")
-        .groupBy("term")
-        .agg(F.min("ck").alias("ck"))
-    )
-    newv = first_ck.groupBy("ck").agg(
-        F.count(F.lit(1)).cast("long").alias("new_vocab")
+    # ck is monotone non-decreasing in doc id (it is a floor of the
+    # doc-id rank), so each term's first-seen bucket is the bucket of
+    # its MINIMUM doc id — reduce the token stream to |vocab| rows with
+    # one map-side-combined groupBy BEFORE any join (r9: the earlier
+    # tok ⋈ decs joined the full exploded token stream against a
+    # |docs|-sized map, a real shuffle of |tokens| rows at scale)
+    first_doc = tok.groupBy("term").agg(F.min(id_col).alias(id_col))
+    newv = (
+        first_doc.join(decs, id_col)
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_vocab"))
     )
     per_ck = (
         d_docs.join(d_tok, "ck", "left")
