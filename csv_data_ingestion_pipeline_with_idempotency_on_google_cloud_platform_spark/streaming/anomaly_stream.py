@@ -79,13 +79,26 @@ def streaming_cusum_monitor(
         n_seen, cusum, max_abs = (
             state.get if state.exists else (0, 0, 0)
         )
-        for pdf in pdfs:
+        # concatenate ALL Arrow chunks before ordering (the r8 SPRT
+        # advice fix applied here too: a group's micro-batch arrives as
+        # multiple ~10k-row chunks with no cross-chunk order guarantee,
+        # and the high-water mark is order-sensitive), then the walk
+        # vectorizes: np.round is half-to-even exactly like Python
+        # round(), so the int64 cumsum path is bit-identical to the
+        # scalar loop (r9, guide §4.2)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(id_col)
-            for v in pdf[value_col]:
-                cusum += int(round(float(v) * 1000)) - target
-                if abs(cusum) > max_abs:
-                    max_abs = abs(cusum)
-                n_seen += 1
+            q = (
+                (pdf[value_col].astype("float64") * 1000.0)
+                .round()
+                .astype("int64")
+                - target
+            )
+            path = q.cumsum() + cusum
+            max_abs = max(max_abs, int(path.abs().max()))
+            cusum = int(path.iloc[-1])
+            n_seen += len(pdf)
         state.update((n_seen, cusum, max_abs))
         yield pd.DataFrame(
             {

@@ -60,9 +60,12 @@ def streaming_user_days(
         seen = set(int(x) for x in days)
         fresh: set[int] = set()
         for pdf in pdfs:
-            for d in pdf["d"]:
+            # dedup at C level first (r9): a user-day repeats many
+            # times per batch; unique() collapses it before Python sees
+            # a value
+            for d in pdf["d"].unique().tolist():
                 d = int(d)
-                if d not in seen and d not in fresh:
+                if d not in seen:
                     fresh.add(d)
         if fresh:
             keep = seen | fresh

@@ -72,7 +72,9 @@ def streaming_kmv_distinct(
         (g,) = key
         hs = set(state.get[0]) if state.exists else set()
         for pdf in pdfs:
-            hs.update(int(x) for x in pdf["h"])
+            # bulk set insert (r9): one C-level tolist instead of a
+            # per-row Python int() round trip
+            hs.update(pdf["h"].astype("int64").tolist())
         synopsis = sorted(hs)[:k]
         state.update((synopsis,))
         k_used = len(synopsis)

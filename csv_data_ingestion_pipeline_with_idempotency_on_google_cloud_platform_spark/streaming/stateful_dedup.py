@@ -32,10 +32,11 @@ def _dedup_fn(
     (content_hash,) = key
     first_doc_id, n_seen = state.get if state.exists else (None, 0)
     for pdf in pdfs:
-        for doc_id in pdf["doc_id"]:
-            if first_doc_id is None:
-                first_doc_id = int(doc_id)  # first arrival wins
-            n_seen += 1
+        # vectorized (r9): first arrival is row 0 of the first
+        # non-empty chunk; the count is the chunk length
+        if first_doc_id is None and len(pdf):
+            first_doc_id = int(pdf["doc_id"].iloc[0])  # first arrival wins
+        n_seen += len(pdf)
     state.update((first_doc_id, n_seen))
     yield pd.DataFrame(
         {
