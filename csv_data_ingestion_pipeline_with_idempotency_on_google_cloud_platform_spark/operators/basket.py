@@ -41,7 +41,12 @@ def copurchase_lift(
     support_milli, confidence_milli, lift_milli) for unordered pairs
     a < b seen in at least ``min_pair_orders`` orders.
     """
-    # one distinct (order, group) relation feeds pairs AND marginals
+    # one distinct (order, group) relation feeds pairs AND marginals;
+    # checkpoint it lazily (r9): the order-count action plus the three
+    # consumers (marginals, both pair-join sides) otherwise re-run the
+    # fact-table join + distinct per reference — the count materializes
+    # it, everything downstream reads the (|orders|×|groups|-bounded)
+    # blocks
     og = (
         lineitem.join(
             F.broadcast(part.select("p_partkey", group_col)),
@@ -49,6 +54,7 @@ def copurchase_lift(
         )
         .select(F.col("l_orderkey").alias("ok"), F.col(group_col).alias("g"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_orders = og.select("ok").distinct().count()  # 1-row driver agg
     marg = og.groupBy("g").agg(F.count("*").alias("n_g"))

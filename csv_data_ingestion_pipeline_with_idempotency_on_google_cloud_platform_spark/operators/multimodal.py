@@ -383,7 +383,11 @@ def media_phash_near_dup(
             f"n_bits={n_bits} < radius+1={n_blocks}: every block needs ≥1 bit "
             "or the pigeonhole recall guarantee breaks"
         )
-    ph = media_phash(media, n_bits)
+    # checkpoint the NARROW (doc_id, phash) frame lazily (r9): the
+    # bucketed pair core consumes its entries twice (over-cap pre-pass
+    # + member collect), and each pass otherwise re-runs the Python
+    # decode/hash stage over every payload
+    ph = media_phash(media, n_bits).localCheckpoint(eager=False)
     blocks = []
     for b in range(n_blocks):
         # balanced partition (⌊i·n/k⌋ boundaries): every block non-empty,
