@@ -390,10 +390,17 @@ def compute_drift(best: dict[str, float]) -> dict:
     }
 
 
+# The driver captures (and parses from) a 2000-char tail of this
+# process's output; the compact line must fit inside it WITH its
+# trailing newline, so leave a small safety margin.
+LINE_BUDGET = 1960
+
+
 def compact_line(detail: dict, headline: list[str], detail_path: str) -> str:
     """Build the ONE stdout line the driver parses, degrading gracefully
-    (3dp -> 2dp minima -> drop pass totals -> decisecond array) so the
-    line always fits the driver's ~2000-char stdout tail."""
+    (3dp -> 2dp minima -> drop pass totals -> greedy named map +
+    decisecond array) so the line always fits the driver's 2000-char
+    output tail."""
     best = detail["queries"]
     errors = detail["errors"]
     total = detail["value"]
@@ -431,32 +438,49 @@ def compact_line(detail: dict, headline: list[str], detail_path: str) -> str:
         for cand in candidates:
             cand["failed"] = sorted(errors)
     # Past ~95 queries even 1-dp named minima overflow the budget: the
-    # names dominate. Final fallback keeps EVERY per-query minimum as a
-    # decisecond array in bench.py HEADLINE order (self-described), plus
-    # the slowest few by name for orientation.
-    slowest = dict(sorted(best.items(), key=lambda kv: -kv[1])[:8])
-    candidates.append(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(headline),
-            # -1 marks a failed query (see "failed" list)
-            "queries_ds_in_headline_order": [
-                int(round(best[n] * 10)) if n in best else -1 for n in headline
-            ],
-            **({"failed": sorted(errors)} if errors else {}),
-            "drift": drift,
-            "slowest": {k: round(v, 1) for k, v in slowest.items()},
-            "cold_total": detail["cold_total"],
-            "warm_totals": detail["warm_totals"],
-            "detail": detail_path,
-        }
-    )
+    # names alone for the full suite are ~3.2 KB (sum of name lengths)
+    # + ~1.4 KB of JSON syntax, and the driver parses a JSON object
+    # that must START inside its 2000-char output tail (measured:
+    # every BENCH_rN artifact stores exactly 2000 tail chars; r2/r3's
+    # over-long lines came back parsed:null) — full named coverage is
+    # physically impossible. Final fallback (r10, VERDICT r9 item 1):
+    # a NAMED "queries" map filled greedily slowest-first until the
+    # line budget is spent — the slow queries carry ~80% of total wall
+    # and are the only ones where a per-query delta clears host noise
+    # — plus EVERY per-query minimum as a decisecond array in bench.py
+    # HEADLINE order (self-described), plus the detail-file pointer
+    # for the complete named map.
+    by_time = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))
+    fallback = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(headline),
+        "queries": {},
+        "queries_named_of": len(best),
+        # -1 marks a failed query (see "failed" list)
+        "queries_ds_in_headline_order": [
+            int(round(best[n] * 10)) if n in best else -1 for n in headline
+        ],
+        **({"failed": sorted(errors)} if errors else {}),
+        "drift": drift,
+        "cold_total": detail["cold_total"],
+        "warm_totals": detail["warm_totals"],
+        "detail": detail_path,
+    }
+    named: dict[str, float] = {}
+    for name, t in by_time:
+        named[name] = round(t, 2)
+        fallback["queries"] = named
+        if len(json.dumps(fallback, separators=(",", ":"))) > LINE_BUDGET:
+            del named[name]
+            break
+    fallback["queries"] = named
+    candidates.append(fallback)
     for cand in candidates:
         line = json.dumps(cand, separators=(",", ":"))
-        if len(line) <= 1900:
+        if len(line) <= LINE_BUDGET:
             return line
     return line
 

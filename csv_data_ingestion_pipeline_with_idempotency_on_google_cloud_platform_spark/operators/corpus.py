@@ -22,9 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import lang_id_col
+from ..functions.text import lang_id_col, quality_score_cols
+from ..utils import parallelize_narrow
 from . import dedup
-from .textstats import quality_scores
 
 
 def prepare_corpus(
@@ -113,12 +113,18 @@ def prepare_corpus(
         "near_dedup",
     )
 
-    # 3. quality + token floor, language tag
-    scored = near_kept.join(quality_scores(near_kept), "doc_id")
+    # 3. quality + token floor, language tag — the signals are computed
+    # INLINE on the survivor stream (r10): the earlier
+    # near_kept ⋈ quality_scores(near_kept) self-join evaluated the
+    # survivor subtree twice and paid a doc_id shuffle of both sides
+    # just to reattach columns derived from the same rows (doc_id is
+    # unique, so join ≡ filter). Same rounded signals, same rows.
+    qc = quality_score_cols("text")
     clean = (
-        scored.filter(
-            (F.col("quality_score") >= min_quality)
-            & (F.col("n_tokens") >= min_tokens)
+        parallelize_narrow(near_kept)
+        .filter(
+            (F.round(qc["quality_score"], 4) >= min_quality)
+            & (qc["n_tokens"] >= min_tokens)
         )
         .select("doc_id", "text", lang_id_col("text").alias("lang_pred"))
     )

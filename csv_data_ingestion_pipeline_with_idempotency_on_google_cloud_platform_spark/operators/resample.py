@@ -438,7 +438,15 @@ def poisson_bootstrap(
     )
     means = per_rep.select(
         "b", F.expr("sw div nw").cast("long").alias("m_micro")
-    )
+    ).where(F.col("m_micro").isNotNull())
+    # ^ guard the all-zero-weight replicate edge case (r9 ADVICE): a
+    # replicate whose every cell drew w = 0 yields (sw=0, nw=0) and a
+    # NULL mean; unguarded, that row ranks in its own isNotNull=false
+    # window partition where rk==1 can satisfy the lo/hi rank filters
+    # (b_reps counts the SAME partition) and duplicate the 1-row
+    # readout through the crossJoins. Astronomically unlikely
+    # (P ≈ e^{-n} per replicate) and a no-op on any real input, but
+    # the old groupBy+join form simply produced no row for it.
     w_rank = Window.partitionBy(F.col("m_micro").isNotNull()).orderBy(
         "m_micro", "b"
     )

@@ -882,6 +882,14 @@ def embedding_lsh_pairs_exact(
         # as the dominant term, dwarfing actual execution (~2 s). A
         # plane is a literal array in the expression text; parsing a
         # ~15 KB string is one call.
+        #
+        # r10 measured non-finding: splitting each plane as
+        # p = hi·2^30 + lo so the sign rides TWO pure-LONG folds plus
+        # one scalar DECIMAL recombination (exact same integer sign)
+        # measured SLOWER (2.52 → 3.01 s best-of-5): in the interpreted
+        # HOF path the per-element cost is the lambda dispatch and the
+        # zip_with array allocation, not BigDecimal arithmetic, and the
+        # split doubles the fold count. The single decimal fold stays.
         terms = []
         for j in range(planes_per_table):
             plane = planes[t * planes_per_table + j]
@@ -1165,7 +1173,11 @@ def mmr_rerank(
     # vector, norm); the pool² pairwise sims are computed driver-side
     # on the exact same integers (r9 — the earlier distributed sims
     # join re-evaluated the whole relevance scan for a second action).
-    # Python ints replay the long dot fold exactly, and
+    # Python ints replay the long dot fold exactly PROVIDED |dot| stays
+    # inside int64 (Spark's long fold wraps past 2^63 while Python's
+    # arbitrary-precision int does not — unreachable at e6 quantization
+    # of unit-ish 64-dim vectors, whose dots top out ~2^48, but the
+    # equivalence is conditional on that range, not unconditional), and
     # floor(1e6·dot / sqrt(na·nb)) is the identical IEEE double
     # expression Spark evaluated — same inputs, same single-rounding
     # ops, same result.

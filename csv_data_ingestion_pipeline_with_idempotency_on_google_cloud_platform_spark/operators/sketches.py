@@ -44,19 +44,31 @@ def _mg_partition(k: int):
         pid = TaskContext.get().partitionId()
         counters: dict[str, int] = {}
         n = 0
+        # NOTE on vectorization (r10, VERDICT r9 item 9): exact MG is
+        # ORDER-DEPENDENT — the surviving counter set depends on when
+        # each decrement round fires relative to each arrival — and
+        # est_count (a declared query output) sums those counters, so a
+        # value_counts-style batch update would change declared results.
+        # The loop stays sequential by semantics; the cheap exact win is
+        # iterating a materialized Python list (one bulk unbox per
+        # Arrow batch) instead of boxing pandas scalars element-wise,
+        # and dict.get over two hash probes per present term.
         for pdf in it:
-            for t in pdf["term"]:
-                n += 1
-                if t in counters:
-                    counters[t] += 1
+            terms = pdf["term"].tolist()
+            n += len(terms)
+            for t in terms:
+                c = counters.get(t)
+                if c is not None:
+                    counters[t] = c + 1
                 elif len(counters) < k:
                     counters[t] = 1
                 else:
                     dead = []
                     for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
+                        if counters[key] == 1:
                             dead.append(key)
+                        else:
+                            counters[key] -= 1
                     for key in dead:
                         del counters[key]
         sum_c = sum(counters.values())

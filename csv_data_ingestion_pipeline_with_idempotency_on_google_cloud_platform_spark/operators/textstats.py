@@ -228,10 +228,17 @@ def term_cooccurrence(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(text_col)).alias("tok"),
     ).select("doc_id", F.lower("tok").alias("term"))
+    # the deduped (doc, term) relation is what BOTH passes consume —
+    # the vocab collect below is a separate action, so without a
+    # checkpoint the pair pass re-tokenized the full corpus a second
+    # time (r10): the lazy checkpoint is materialized by the vocab
+    # action (which had to compute the distinct anyway) and the pair
+    # pass reads the stored |distinct(doc,term)| narrow rows instead —
+    # trading a second full tokenize+explode+distinct for bounded
+    # (type-level, not token-level) executor storage
+    dt = raw.distinct().localCheckpoint(eager=False)
     # df pass: the one place the full-vocabulary distinct is needed
-    df_per_term = raw.distinct().groupBy("term").agg(
-        F.count("*").alias("df")
-    )
+    df_per_term = dt.groupBy("term").agg(F.count("*").alias("df"))
     vocab_rows = (
         df_per_term.orderBy(F.desc("df"), F.asc("term"))
         .limit(vocab_size)
@@ -242,12 +249,10 @@ def term_cooccurrence(
     )
     n_docs = docs.select(F.count("*").alias("n_docs"))
 
-    # pair pass: collect_set dedups for free, so it consumes the RAW
-    # token stream filtered to the broadcast vocab — the shuffle
-    # carries only vocab-term tokens, not a second full-vocabulary
-    # distinct (which a profile showed re-running here)
+    # pair pass: the checkpointed relation filtered to the broadcast
+    # vocab — the shuffle carries only deduped vocab-term rows
     per_doc = (
-        raw.join(F.broadcast(vocab.select("term")), "term")
+        dt.join(F.broadcast(vocab.select("term")), "term")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("term")).alias("terms"))
     )

@@ -2746,12 +2746,23 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(exact_kept, n=3, min_jaccard=0.5)
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     near_kept = exact_kept.join(F.broadcast(drops), "doc_id", "left_anti")
-    q = textstats.quality_scores(near_kept).select(
-        "doc_id", "n_tokens", "quality_score"
-    )
+    # quality + token floor computed INLINE on the survivor stream
+    # (r10): the earlier near_kept ⋈ quality_scores(near_kept)
+    # self-join evaluated the survivor subtree twice and shuffled both
+    # sides on doc_id just to reattach columns derived from the same
+    # rows (doc_id is unique, so the join is a filter). Identical
+    # rounded signals, identical rows, one fewer exchange + one fewer
+    # survivor-subtree evaluation.
+    from ..functions.text import quality_score_cols
+    from ..utils import parallelize_narrow as _spread
+
+    _qc = quality_score_cols("text")
     clean = (
-        near_kept.join(q, "doc_id")
-        .filter((F.col("quality_score") >= 0.3) & (F.col("n_tokens") >= 3))
+        _spread(near_kept)
+        .filter(
+            (F.round(_qc["quality_score"], 4) >= 0.3)
+            & (_qc["n_tokens"] >= 3)
+        )
         .select("doc_id", "lang", "n_chars")
     )
     packed = packing.pack_sequences(

@@ -50,7 +50,13 @@ def census(spark, group: str) -> tuple[int, int, int]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
-    ap.add_argument("--passes", type=int, default=3)
+    def _at_least_one(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("--passes must be >= 1")
+        return n
+
+    ap.add_argument("--passes", type=_at_least_one, default=3)
     ap.add_argument("--sf", default=SF_DIR)
     ap.add_argument("--explain", action="store_true")
     args = ap.parse_args()
