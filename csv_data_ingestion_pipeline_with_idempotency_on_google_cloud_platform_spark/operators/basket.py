@@ -41,12 +41,11 @@ def copurchase_lift(
     support_milli, confidence_milli, lift_milli) for unordered pairs
     a < b seen in at least ``min_pair_orders`` orders.
     """
-    # one distinct (order, group) relation feeds pairs AND marginals;
-    # checkpoint it lazily (r9): the order-count action plus the three
-    # consumers (marginals, both pair-join sides) otherwise re-run the
-    # fact-table join + distinct per reference — the count materializes
-    # it, everything downstream reads the (|orders|×|groups|-bounded)
-    # blocks
+    # one distinct (order, group) relation feeds pairs, marginals AND
+    # the order count; checkpoint it lazily (r9): the four consumers
+    # otherwise re-run the fact-table join + distinct per reference —
+    # the query's single action materializes it, everything downstream
+    # reads the (|orders|×|groups|-bounded) blocks
     og = (
         lineitem.join(
             F.broadcast(part.select("p_partkey", group_col)),
@@ -56,7 +55,14 @@ def copurchase_lift(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n_orders = og.select("ok").distinct().count()  # 1-row driver agg
+    # the order count rides the returned plan as a broadcast 1-row
+    # aggregate (r10): the old `.count()` was a separate driver action
+    # (plus a driver→literal round-trip) executed inside every timed
+    # run; countDistinct over the checkpointed relation is the same
+    # exact integer
+    n_orders_df = og.agg(
+        F.countDistinct("ok").cast("long").alias("__n_orders")
+    )
     marg = og.groupBy("g").agg(F.count("*").alias("n_g"))
     a = og.select("ok", F.col("g").alias("ga"))
     b = og.select("ok", F.col("g").alias("gb"))
@@ -70,6 +76,7 @@ def copurchase_lift(
     out = (
         pairs.join(F.broadcast(marg.select(F.col("g").alias("ga"), F.col("n_g").alias("n_a"))), "ga")
         .join(F.broadcast(marg.select(F.col("g").alias("gb"), F.col("n_g").alias("n_b"))), "gb")
+        .crossJoin(F.broadcast(n_orders_df))
     )
     return out.select(
         F.col("ga").alias("group_a"),
@@ -77,9 +84,9 @@ def copurchase_lift(
         F.col("n_ab").alias("n_orders_pair"),
         F.col("n_a").alias("n_orders_a"),
         F.col("n_b").alias("n_orders_b"),
-        F.expr(f"(1000 * n_ab) div {n_orders}").alias("support_milli"),
+        F.expr("(1000 * n_ab) div __n_orders").alias("support_milli"),
         F.expr("(1000 * n_ab) div n_a").alias("confidence_milli"),
-        F.expr(f"(1000 * cast({n_orders} as bigint) * n_ab) div (n_a * n_b)").alias(
+        F.expr("(1000 * cast(__n_orders as bigint) * n_ab) div (n_a * n_b)").alias(
             "lift_milli"
         ),
     )

@@ -865,7 +865,12 @@ def near_dup_clusters(
     round's single action and materializes it; a super-round variant
     batching TWO contractions per action was measured NET SLOWER at
     sf0.1: parity-of-two detection overshoots by up to 2 contractions,
-    which cost more than the saved actions), and every 6th round it is
+    which cost more than the saved actions; an r10 refinement that read
+    the intermediate round's signature from a CollectMetrics observation
+    — overshoot-free, half the driver actions — ALSO measured slower,
+    ER 4.7 -> 5.5 s / GR 7.2 -> 7.6 s best-of-5: the fused two-round DAG
+    planned MORE AQE stages/tasks than two separate actions, so the
+    one-action-per-round structure stands), and every 6th round it is
     additionally round-tripped through parquet. The roundtrip is load-
     bearing: iterated Dataset.localCheckpoint loops accumulate per-plan
     state whose optimizer cost (Catalyst stats estimation) doubles per

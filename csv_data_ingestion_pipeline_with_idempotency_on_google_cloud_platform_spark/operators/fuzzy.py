@@ -296,8 +296,22 @@ def golden_record(
     cmap = clusters.select(
         F.col("node_id").alias(id_col), F.col("cluster_id").alias("__gid")
     )
-    full = records.join(F.broadcast(cmap), id_col, "left").withColumn(
-        "__gid", F.coalesce("__gid", F.col(id_col))
+    # ONE explicit exchange on the entity key feeds the whole
+    # survivorship tail (r10): hash(__gid) satisfies the clustering
+    # requirement of the main merge groupBy, every mode column's
+    # (__gid, value) count (subset rule), its rank window, AND the
+    # final picks joins — the unkeyed form paid a separate exchange
+    # per consumer of `full` and re-evaluated the record⋈cluster join
+    # each time. Explicit numPartitions keeps the compute-dense merge
+    # at cluster parallelism (exempt from AQE byte-based coalescing;
+    # no-op in shape at real scale where the join output is already
+    # wide).
+    full = (
+        records.join(F.broadcast(cmap), id_col, "left")
+        .withColumn("__gid", F.coalesce("__gid", F.col(id_col)))
+        .repartition(
+            records.sparkSession.sparkContext.defaultParallelism, "__gid"
+        )
     )
 
     aggs = [
