@@ -927,7 +927,11 @@ def near_dup_clusters(
         # the join itself (r9 optimization: ~5 -> 3 exchanges per round,
         # measured 1.31x on the sf0.1 clusters queries; per-key window
         # groups buffer one neighborhood at a time and spill past the
-        # in-memory threshold, so a hot node degrades to disk, not OOM)
+        # in-memory threshold, so a hot node degrades to disk, not OOM
+        # — r10 hub rung: on a graph with one node in ~26% of 1.15M
+        # pairs the window form ran the SAME 21 rounds at 44.5 s vs
+        # the old groupBy+join form's 103.9 s, so the lost map-side
+        # combine does not cliff even under heavy hub skew)
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
         return (

@@ -82,14 +82,17 @@ def pagerank(
     init = UNIT // n_nodes
     base = (100 - damping_pct) * init // 100
 
-    # the rank frame CARRIES deg (r9): one edges⋈ranks join per
-    # iteration instead of edges⋈(ranks⋈nodes) — the degree lookup
-    # rides the vector it travels with, removing one |V| join and its
-    # exchange per iteration
-    ranks = nodes.select("node", "deg", F.lit(init).cast("long").alias("rank_nano"))
+    # r10 REVERT of the r9 "rank frame carries deg" form (one
+    # edges⋈ranks join per iteration instead of edges⋈(ranks⋈nodes)):
+    # the verdict's crossover ladder never materialized — measured
+    # slower at EVERY rung (sf0.1 1.08×, 10× 1.07×, 30× 1.20×; the
+    # carried deg widens the rank vector through every iteration's
+    # exchange by more than the saved |V| join costs, which AQE
+    # broadcasts or co-partitions anyway). Two-join form restored.
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_nano"))
     for _ in range(iterations):
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
+            edges.join(ranks.join(nodes, "node"), edges.src == F.col("node"))
             .select("dst", F.expr("rank_nano div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
@@ -98,7 +101,6 @@ def pagerank(
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(
                 "node",
-                "deg",
                 (
                     F.lit(base)
                     + F.expr(
@@ -107,7 +109,7 @@ def pagerank(
                 ).cast("long").alias("rank_nano"),
             )
         )
-    return ranks.select("node", "rank_nano")
+    return ranks
 
 
 def degree_stats(edges: DataFrame) -> DataFrame:
