@@ -297,16 +297,27 @@ def bfs_hops(edges: DataFrame, max_hops: int = 3) -> DataFrame:
     seed = edges.agg(F.min("a").alias("node")).select(
         "node", F.lit(0).cast("long").alias("hops")
     )
+    # per hop: the frontier expansion pre-aggregates map-side and
+    # shuffles ONCE on node; the running dist frame stays hash(node)-
+    # partitioned from the previous hop's full join, so it never
+    # re-shuffles (r10 — the union→groupBy form re-exchanged dist's
+    # rows every hop because Union discards partitioning info).
+    # min over (dist ∪ expanded) per node ≡ least of the two per-node
+    # minima (both sides are node-unique; F.least skips NULLs).
     dist = seed
     for _ in range(max_hops):
-        expanded = (
+        expanded_min = (
             und.join(dist, und.src == dist.node)
-            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("eh"))
+            .groupBy("node")
+            .agg(F.min("eh").alias("eh"))
         )
         dist = (
-            dist.unionAll(expanded)
-            .groupBy("node")
-            .agg(F.min("hops").cast("long").alias("hops"))
+            dist.join(expanded_min, "node", "full")
+            .select(
+                "node",
+                F.least("hops", "eh").cast("long").alias("hops"),
+            )
         )
     return dist
 
